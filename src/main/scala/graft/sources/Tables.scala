@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. At 100 TB these would be
+  * directory-partitioned datasets; the loader only assumes "a parquet path
+  * per logical table", so swapping in partitioned layouts is transparent to
+  * every query builder.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong it lands as Long nanos-since-epoch
+    * and is converted here to a micro-precision timestamp (`div` keeps the
+    * arithmetic integral — a double division loses precision at 1e18 nanos).
+    * DuckDB performs the same nanos→micros truncation on read, so the oracle
+    * sees identical instants. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
