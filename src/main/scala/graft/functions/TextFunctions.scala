@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline surface:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is a composition of built-in Catalyst expressions
+  * (codegen'd, no UDFs) so filters/pruning optimize straight through —
+  * the reference's ad-hoc Python lambdas (SURVEY.md §2.J) re-expressed as
+  * native columns.
+  *
+  * Cross-engine notes (DuckDB oracle parity): ratios are exact integer
+  * divisions done in double (bit-identical IEEE); token splitting matches
+  * DuckDB `string_split_regex` because inputs are trimmed first (no
+  * leading/trailing empty tokens).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of lower-cased trimmed text. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Token count; empty/blank text → 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** Fraction of characters that are neither word chars nor whitespace. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[\\w\\s]", "")) / greatest(length(c), lit(1))
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
+    stopwordHits(c, stopwords) / greatest(tokenCount(c), lit(1))
+
+  /** Number of tokens found in `stopwords`. */
+  def stopwordHits(c: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(stopwords: _*)))
+
+  /** Mean token length in characters. */
+  def avgTokenLen(c: Column): Column =
+    aggregate(transform(tokens(c), t => length(t)), lit(0), (acc, x) => acc + x) /
+      greatest(tokenCount(c), lit(1))
+
+  /** English stopwords used by the default quality score / language ID. */
+  val StopEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "los", "se")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  val StopFr: Seq[String] = Seq("le", "la", "et", "les", "des", "un", "une", "est")
+
+  /** Heuristic document quality score in 0..4: one point each for sane
+    * length, low punctuation, some stopwords, and sane mean token length
+    * (the reference's length/punct/stopword quality checks generalized). */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c)
+    (when(nTok.between(5, 5000), 1).otherwise(0)
+      + when(punctRatio(c) < 0.3, 1).otherwise(0)
+      + when(stopwordRatio(c, StopEn) > 0.05, 1).otherwise(0)
+      + when(avgTokenLen(c).between(2.0, 15.0), 1).otherwise(0)).cast("int")
+  }
+
+  /** N-gram-heuristic language ID: stopword-hit counts per language,
+    * first-match argmax (deterministic tie-break by list order en,es,de,fr;
+    * no hits at all → "und" for undetermined). */
+  def langId(c: Column): Column = {
+    val hEn = stopwordHits(c, StopEn)
+    val hEs = stopwordHits(c, StopEs)
+    val hDe = stopwordHits(c, StopDe)
+    val hFr = stopwordHits(c, StopFr)
+    val best = greatest(hEn, hEs, hDe, hFr)
+    when(best === 0, lit("und"))
+      .when(hEn === best, lit("en"))
+      .when(hEs === best, lit("es"))
+      .when(hDe === best, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Order-insensitive bag-of-words fingerprint: md5 of the sorted distinct
+    * token set — catches word-shuffled duplicates that exact text hashing
+    * misses. */
+  def bowFingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(c))), " "))
+
+  /** Token n-gram shingles (distinct), the unit for Jaccard/minhash dedup.
+    * Documents shorter than n tokens shingle to their full token string so
+    * they can still match exact duplicates. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n), i =>
+          array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  /** Approximate BPE-ish subword count: word tokens plus an extra unit per
+    * 6 chars of a long token (crude proxy for byte-pair splits, as a
+    * deterministic, dependency-free token counter). */
+  def subwordCount(c: Column): Column =
+    aggregate(
+      transform(tokens(c), t => greatest(lit(1), ceil(length(t) / lit(6.0)).cast("int"))),
+      lit(0), (acc, x) => acc + x)
+}

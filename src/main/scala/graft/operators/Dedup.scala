@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.SimHash64.simhash64
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * n-gram-Jaccard (exact, shingle-blocked), MinHash+LSH (approximate,
+  * the 100 TB path), SimHash (Hamming near-dup) and embedding-cosine.
+  *
+  * Scale design: every variant is "block then verify" — candidates come
+  * from a shuffle join on a compact blocking key (shingle, band hash,
+  * SimHash chunk, hyperplane bucket), never from a cross join, so the
+  * shuffle volume is O(candidates), not O(n²). The only cross join in this
+  * file is the brute-force embedding path kept as the small-side baseline.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per duplicate group of `key`.
+    * Plans as two hash aggregates (partial+final) — the canonical
+    * hash-groupBy dedup, shuffle on the key hash only. */
+  def exact(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(id).as("survivor_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep-first dedup that preserves full rows: row_number over duplicate
+    * groups, keep rank 1. Heavier than [[exact]] (sort within groups) but
+    * returns the surviving rows themselves. */
+  def keepFirst(df: DataFrame, key: Column, order: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (similarity ≥ threshold).
+    *
+    * Blocking is *complete*, not probabilistic: any pair with Jaccard > 0
+    * shares ≥1 shingle, so the shingle-join candidate set is a superset of
+    * every qualifying pair and the result is exact — this is the oracle-
+    * checkable variant. At extreme scale, very frequent shingles
+    * (stop-shingles) dominate the join; `maxShingleFreq` optionally drops
+    * shingles occurring in more than that many docs (sacrifices
+    * completeness for pairs consisting ONLY of ubiquitous shingles).
+    *
+    * Input: (id, text). Output: (id_a, id_b, jaccard) with id_a < id_b.
+    * `jaccard` is an exact small-integer division — bit-identical across
+    * engines.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = docs.select(
+      id.cast("long").as("id"),
+      TextFunctions.shingles(text, n).as("shingles"))
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    val exploded0 = sh.select(col("id"), explode(col("shingles")).as("g"))
+    val exploded = maxShingleFreq match {
+      case Some(cap) =>
+        // Drop stop-shingles by frequency (computed distributed, no collect).
+        val freq = exploded0.groupBy("g").agg(count(lit(1)).as("f"))
+          .filter(col("f") <= cap).select("g")
+        exploded0.join(freq, "g")
+      case None => exploded0
+    }
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    val inter = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n_sh" -> "n_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n_sh" -> "n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: k independent min-hashes of the shingle set.
+    * Pure built-ins: transform over seeds, array_min of per-seed hashes. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      array_min(transform(shingleCol, s => xxhash64(s, seed))))
+
+  /** MinHash+LSH near-dup candidates (approximate; the 100 TB scale path).
+    *
+    * shingle → k minhashes → `bands` bands of k/bands rows → hash per band
+    * → shuffle-join docs sharing a band hash → verify with the signature
+    * estimate (fraction of equal minhashes). Detection probability for a
+    * pair with true Jaccard j is 1-(1-j^r)^b; with k=64, b=16, r=4 a
+    * j=0.8 pair is found with p≈0.9996.
+    *
+    * Output: (id_a, id_b, est_jaccard ≥ threshold).
+    */
+  def minhashLshPairs(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sig = docs.select(
+      id.cast("long").as("id"),
+      minhashSignature(TextFunctions.shingles(text, n), k).as("sig"))
+    // (id, band, bandHash) — one row per band, hash of the band's slice.
+    val banded = sig.select(
+      col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), xxhash64(b, array_join(
+          transform(slice(col("sig"), b * r + 1, lit(r)), h => h.cast("string")),
+          ",")).as("bh")))).as("e"))
+      .select(col("id"), col("sig"), col("e.band"), col("e.bh"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with
+    * 4 chunks, by pigeonhole: any pair differing in ≤3 of 64 bits agrees
+    * on at least one 16-bit chunk — candidate generation is complete).
+    * Output: (id_a, id_b, hamming). */
+  def simhashPairs(
+      docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = 4
+    val hashed = docs.select(
+      id.cast("long").as("id"),
+      simhash64(TextFunctions.tokens(text)).as("sh"))
+    val chunked = hashed.select(
+      col("id"), col("sh"),
+      explode(array((0 until chunks).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*))
+        .as("e"))
+      .select(col("id"), col("sh"), col("e.chunk"), col("e.ck"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs, brute force (exact; O(n²) — baseline
+    * and oracle target; use [[graft.operators.Similarity]]'s LSH buckets to
+    * block at scale). Output: (id_a, id_b, cosine ≥ threshold). */
+  def embeddingPairs(
+      emb: DataFrame, id: Column, vec: Column,
+      threshold: Double): DataFrame = {
+    val v = emb.select(id.cast("long").as("id"), vec.as("v"))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact linear scan — one broadcast of the query
+  *     vector, one pass, TakeOrderedAndProject top-k. This IS the right
+  *     plan for single queries even at 100 TB (embarrassingly parallel,
+  *     no shuffle of the corpus).
+  *   - [[lshTopK]]: random-hyperplane bucketed scan for repeated/batch
+  *     queries — corpus pre-bucketed once; a query probes only buckets
+  *     within small Hamming distance of its own bucket, scanning a
+  *     fraction of the corpus at some recall cost.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against one query vector (a 1-row DataFrame
+    * with column `qv`). Ordering uses the score rounded to 4 dp with id
+    * tie-break so results are deterministic across engines and partition
+    * orders. Output: (id, sim). */
+  def bruteForceTopK(
+      corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int): DataFrame =
+    corpus.select(id.cast("long").as("id"), vec.as("v"))
+      .crossJoin(broadcast(query))
+      .withColumn("sim", round(VectorFunctions.cosine(col("v"), col("qv")), 4))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("sim"))
+
+  /** Batch exact top-k: every query row against the whole corpus (small
+    * query set broadcast; per-query top-k via window). Output:
+    * (query_id, id, sim, rank). */
+  def bruteForceTopKBatch(
+      corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
+    val c = corpus.select(id.cast("long").as("id"), vec.as("v"))
+    val q = queries.select(qid.cast("long").as("query_id"), qvec.as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("v"), col("qv")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("sim"), col("rank"))
+  }
+
+  /** Corpus bucketing for the LSH path: adds `bucket` (nBits-bit
+    * hyperplane signature). Persist/write the result bucketed by `bucket`
+    * for repeated querying. */
+  def bucketize(corpus: DataFrame, id: Column, vec: Column, nBits: Int): DataFrame =
+    corpus.select(
+      id.cast("long").as("id"), vec.as("v"),
+      VectorFunctions.hyperplaneBucket(vec, nBits).as("bucket"))
+
+  /** ANN top-k via hyperplane LSH with multi-probe: scan only corpus rows
+    * whose bucket is within `probeHamming` bits of the query's bucket.
+    * Approximate — recall < 1; the scale path when the corpus is huge and
+    * queries are many. Output: (id, sim). */
+  def lshTopK(
+      bucketed: DataFrame, query: DataFrame, k: Int,
+      nBits: Int, probeHamming: Int = 1): DataFrame = {
+    val qb = query.withColumn("qbucket",
+      VectorFunctions.hyperplaneBucket(col("qv"), nBits))
+    bucketed.crossJoin(broadcast(qb))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probeHamming)
+      .withColumn("sim", round(VectorFunctions.cosine(col("v"), col("qv")), 4))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("sim"))
+  }
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Training-data-pipeline query surface (beyond the reference, per the
+  * north star): text analysis, dedup (exact / n-gram-Jaccard / MinHash-LSH
+  * / SimHash / embedding-cosine), similarity search, multimodal plumbing.
+  *
+  * Oracle-checked queries mirror their arithmetic exactly in DuckDB SQL
+  * (same fold order, double-widened before multiply, exact integer
+  * divisions). Approximate operators (MinHash, SimHash, hyperplane LSH)
+  * have no SQL equivalent → no oracle entry (driver rows-only check) but
+  * are pinned by unit tests with planted duplicates.
+  */
+object PipelineQueries {
+
+  /** q18 — per-document text metrics: token count, punctuation ratio,
+    * stopword ratio, mean token length, 0-4 quality score. */
+  def q18TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t, StopEn).as("stop_ratio"),
+      avgTokenLen(t).as("avg_token_len"),
+      qualityScore(t).as("quality"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** q19 — n-gram-heuristic language ID, counts per predicted language. */
+  def q19LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("lang_pred", langId(col("text")))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("lang_pred"))
+
+  /** q20 — exact dedup by bag-of-words fingerprint (hash-groupBy dedup):
+    * survivor id + duplicate-group size per distinct fingerprint. */
+  def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir),
+        bowFingerprint(col("text")), col("doc_id"))
+      .select(col("survivor_id"), col("n_dups"))
+      .orderBy(asc_nulls_first("survivor_id"))
+
+  /** q21 — exact 3-gram Jaccard near-dup pairs (≥ 0.8). Complete blocking
+    * via the shared-shingle join, so results are exact and oracle-checked. */
+  def q21NearDupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, threshold = 0.8)
+      .orderBy(asc("id_a"), asc("id_b"))
+
+  /** q22 — similarity search: exact cosine top-10 neighbors of vec_id 0. */
+  def q22KnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+      query, k = 10)
+  }
+
+  /** q23 — embedding-cosine near-dup pairs (cosine ≥ 0.45; testdata has no
+    * pairs above ~0.51, the threshold exercises the operator non-trivially). */
+  def q23EmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(Tables.embeddings(spark, dir),
+        col("vec_id"), col("embedding"), threshold = 0.45)
+      .withColumn("cosine", round(col("cosine"), 4))
+      .orderBy(asc("id_a"), asc("id_b"))
+
+  /** q24 — MinHash+LSH near-dup candidates (approximate scale path; no SQL
+    * oracle — pinned by DedupSpec with planted duplicates). */
+  def q24MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir),
+        col("doc_id"), col("text"))
+      .orderBy(asc("id_a"), asc("id_b"))
+
+  /** q25 — SimHash near-dup pairs within Hamming distance 3 (custom
+    * Catalyst expression; no SQL oracle — pinned by DedupSpec). */
+  def q25SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir),
+        col("doc_id"), col("text"))
+      .orderBy(asc("id_a"), asc("id_b"))
+
+  /** q26 — multimodal metadata scan: per media kind, item count and total
+    * payload bytes (binary column plumbing, pre-decode). */
+  def q26MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaFromDocuments(Tables.documents(spark, dir))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(length(col("bytes"))).as("total_bytes"))
+      .orderBy(asc_nulls_first("kind"))
+
+  /** q27 — multimodal decode/feature-extract (mapPartitions with stubbed
+    * codec): per kind, count, total bytes and total payload checksum. The
+    * checksum is byte-sum, reproducible in SQL because payloads are UTF-8
+    * of ASCII text. */
+  def q27MediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Multimodal.decodeFeatures(
+        Multimodal.mediaFromDocuments(Tables.documents(spark, dir)),
+        parallelism = spark.sparkContext.defaultParallelism)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
+        sum(col("checksum")).as("total_checksum"))
+      .orderBy(asc_nulls_first("kind"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_text_stats"      -> q18TextStats _,
+    "q19_langid"          -> q19LangId _,
+    "q20_dedup_exact"     -> q20DedupExact _,
+    "q21_neardup_jaccard" -> q21NearDupJaccard _,
+    "q22_knn_cosine"      -> q22KnnCosine _,
+    "q23_embed_neardup"   -> q23EmbeddingPairs _,
+    "q24_minhash_lsh"     -> q24MinhashLsh _,
+    "q25_simhash_neardup" -> q25SimhashNearDup _,
+    "q26_media_meta"      -> q26MediaMeta _,
+    "q27_media_decode"    -> q27MediaDecode _,
+  )
+
+  private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
+  private val stopEsSql = StopEs.map(s => s"'$s'").mkString(", ")
+  private val stopDeSql = StopDe.map(s => s"'$s'").mkString(", ")
+  private val stopFrSql = StopFr.map(s => s"'$s'").mkString(", ")
+
+  /** Shared SQL fragments mirroring TextFunctions exactly. */
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+  private def nTokSql(toks: String) =
+    s"CASE WHEN len(trim(text)) = 0 THEN 0 ELSE CAST(len($toks) AS INTEGER) END"
+  private def hitsSql(toks: String, set: String) =
+    s"CAST(len(list_filter($toks, t -> t IN ($set))) AS INTEGER)"
+
+  val oracle: Map[String, String] = Map(
+    "q18_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        | m AS (SELECT doc_id, text, toks,
+        |   ${nTokSql("toks")} AS n_tokens,
+        |   CAST(len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INTEGER)
+        |     / greatest(len(text), 1) AS punct_ratio,
+        |   ${hitsSql("toks", stopEnSql)}
+        |     / greatest(${nTokSql("toks")}, 1) AS stop_ratio,
+        |   CAST(list_sum(list_transform(toks, t -> len(t))) AS INTEGER)
+        |     / greatest(${nTokSql("toks")}, 1) AS avg_token_len
+        |  FROM t)
+        |SELECT doc_id, n_tokens, punct_ratio, stop_ratio, avg_token_len,
+        |  CAST((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END
+        |   + CASE WHEN punct_ratio < 0.3 THEN 1 ELSE 0 END
+        |   + CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END
+        |   + CASE WHEN avg_token_len BETWEEN 2.0 AND 15.0 THEN 1 ELSE 0 END)
+        |   AS INTEGER) AS quality
+        | FROM m ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q19_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | h AS (SELECT doc_id,
+        |   ${hitsSql("toks", stopEnSql)} AS h_en,
+        |   ${hitsSql("toks", stopEsSql)} AS h_es,
+        |   ${hitsSql("toks", stopDeSql)} AS h_de,
+        |   ${hitsSql("toks", stopFrSql)} AS h_fr FROM t),
+        | p AS (SELECT doc_id, CASE
+        |   WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+        |   WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+        |   WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+        |   WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+        |   ELSE 'fr' END AS lang_pred FROM h)
+        |SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
+        | ORDER BY lang_pred NULLS FIRST""".stripMargin,
+    "q20_dedup_exact" ->
+      s"""WITH f AS (SELECT doc_id,
+        |   md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+        |  FROM documents)
+        |SELECT min(doc_id) AS survivor_id, count(*) AS n_dups
+        | FROM f GROUP BY fp ORDER BY survivor_id NULLS FIRST""".stripMargin,
+    "q21_neardup_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM t),
+        | ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        | sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |   CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+        | FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+        | WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8
+        | ORDER BY id_a, id_b""".stripMargin,
+    "q22_knn_cosine" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        | s AS (SELECT e.vec_id AS id, round(
+        |   list_sum(list_transform(range(len(e.embedding)),
+        |     i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+        |       i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(range(len(q.qv)),
+        |       i -> CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))))), 4)
+        |   AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT id, sim FROM s ORDER BY sim DESC, id LIMIT 10""".stripMargin,
+    "q23_embed_neardup" ->
+      """WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_sum(list_transform(range(len(a.embedding)),
+        |     i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(range(len(a.embedding)),
+        |       i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(range(len(b.embedding)),
+        |       i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))))
+        |   AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 4) AS cosine FROM s
+        | WHERE c >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "q26_media_meta" ->
+      """SELECT source AS kind, count(*) AS n,
+        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+        | FROM documents GROUP BY kind ORDER BY kind NULLS FIRST""".stripMargin,
+    "q27_media_decode" ->
+      """WITH b AS (SELECT source AS kind, strlen(text) AS n_bytes,
+        |   CAST(list_sum(list_transform(range(strlen(text)),
+        |     i -> ord(text[i+1]))) AS BIGINT) AS checksum
+        |  FROM documents)
+        |SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(checksum) AS BIGINT) AS total_checksum
+        | FROM b GROUP BY kind ORDER BY kind NULLS FIRST""".stripMargin,
+  )
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Planted corpus: 0/1 exact dups, 2 near-dup of them (one word changed),
+  // 3/4 shuffled-word dups, 5 unrelated.
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (4L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+    (5L, "completely different content about spark shuffles and partitions"))
+    .toDF("id", "text")
+
+  test("exact dedup groups identical keys, survivor = min id") {
+    val got = Dedup.exact(docs, col("text"), col("id"))
+      .orderBy("survivor_id").collect()
+      .map(r => (r.getAs[Long]("survivor_id"), r.getAs[Long]("n_dups")))
+    assert(got.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("keepFirst returns surviving full rows") {
+    val got = Dedup.keepFirst(docs, col("text"), col("id"))
+    assert(got.count() == 5)
+    assert(got.filter(col("id") === 1).count() == 0) // dup of 0 dropped
+  }
+
+  test("ngramJaccardPairs finds exact and near duplicates, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("id"), col("text"),
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near-dup pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated not paired")
+  }
+
+  test("ngramJaccardPairs: exact dup has jaccard 1.0") {
+    val j = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 3, 0.5)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .collect().head.getAs[Double]("jaccard")
+    assert(j == 1.0)
+  }
+
+  test("minhashLshPairs detects planted near-dups") {
+    val pairs = Dedup.minhashLshPairs(docs, col("id"), col("text"),
+        threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup found by LSH")
+    assert(pairs.contains((0L, 2L)), "near dup found by LSH")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    val est = Dedup.minhashLshPairs(docs, col("id"), col("text"), threshold = 0.5)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .collect().head.getAs[Double]("est_jaccard")
+    assert(est == 1.0)
+  }
+
+  test("simhashPairs: identical docs at hamming 0; shuffled dups too (bag)") {
+    val got = Dedup.simhashPairs(docs, col("id"), col("text"), maxHamming = 3)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Int]("hamming"))).toMap
+    assert(got((0L, 1L)) == 0, "identical docs -> hamming 0")
+    assert(got((3L, 4L)) == 0, "word order does not change bag simhash")
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("embeddingPairs finds near-identical vectors only") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f)),  // ~same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),     // orthogonal
+      (3L, Array(-1.0f, 0.0f, 0.0f)))    // opposite
+      .toDF("id", "vec")
+    val pairs = Dedup.embeddingPairs(emb, col("id"), col("vec"), 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("ngramJaccardPairs maxShingleFreq drops stop-shingle-only pairs") {
+    // 10 docs sharing one ubiquitous shingle; two real dups.
+    val many = ((0 until 10).map(i => (i.toLong, s"common shingle here unique$i word$i tail$i"))
+      :+ (100L, "real duplicate text body one two three")
+      :+ (101L, "real duplicate text body one two three"))
+      .toDF("id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(many, col("id"), col("text"), 3, 0.01)
+    val capped = Dedup.ngramJaccardPairs(many, col("id"), col("text"), 3, 0.01,
+      maxShingleFreq = Some(5))
+    assert(uncapped.count() > capped.count())
+    val cp = capped.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(cp.contains((100L, 101L)), "real dups survive the frequency cap")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, Array(1.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f)),
+    (3L, Array(0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f)),
+    (5L, Array(0.7f, 0.7f)))
+    .toDF("id", "vec")
+
+  test("cosine: exact values on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+                 (Array(1.0f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, descending") {
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qv")
+    val got = Similarity.bruteForceTopK(corpus, col("id"), col("vec"), q, 3)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got == Seq(1L, 2L, 5L))
+  }
+
+  test("bruteForceTopKBatch gives each query its own ranked neighbors") {
+    val qs = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("qid", "qv")
+    val got = Similarity.bruteForceTopKBatch(
+        corpus, col("id"), col("vec"), qs, col("qid"), col("qv"), 2)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("id")).toSeq)
+      .toMap
+    assert(got(1L) == Seq(2L, 5L)) // excludes self
+    assert(got(3L) == Seq(5L, 2L))
+  }
+
+  test("hyperplane bucket: identical vectors share bucket; LSH topK finds them") {
+    val emb = Seq(
+      (10L, Array.fill(8)(0.5f)),
+      (11L, Array.fill(8)(0.5001f)),          // near-identical
+      (12L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("id", "vec")
+    val bucketed = Similarity.bucketize(emb, col("id"), col("vec"), nBits = 8)
+    val buckets = bucketed.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    assert(buckets(10L) == buckets(11L), "near-identical vectors bucket together")
+    val q = Seq(Tuple1(Array.fill(8)(0.5f))).toDF("qv")
+    val got = Similarity.lshTopK(bucketed, q, k = 2, nBits = 8, probeHamming = 0)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got.take(2).toSet == Set(10L, 11L))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  test("tokenCount: plain, multi-space, blank, empty") {
+    val df = Seq("a b c", "  a   b  ", "", "   ", "single").toDF("t")
+    val got = df.select(tokenCount(col("t"))).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(3, 2, 0, 0, 1))
+  }
+
+  test("punctRatio counts non-word non-space chars") {
+    val df = Seq("ab,.!c").toDF("t") // 3 punct of 6 chars
+    assert(one[Double](df.select(punctRatio(col("t")))) == 0.5)
+  }
+
+  test("stopwordRatio over EN stopwords") {
+    val df = Seq("the cat and the dog").toDF("t") // 3 stopwords of 5
+    assert(one[Double](df.select(stopwordRatio(col("t"), StopEn))) == 0.6)
+  }
+
+  test("avgTokenLen") {
+    val df = Seq("ab cdef").toDF("t") // (2+4)/2 = 3.0
+    assert(one[Double](df.select(avgTokenLen(col("t")))) == 3.0)
+  }
+
+  test("shingles: 3-grams, short docs collapse to one shingle") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val got = df.select(shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("shingles are distinct (repeated n-grams collapse)") {
+    val df = Seq("x y x y x y").toDF("t") // raw 3-grams: xyx,yxy,xyx,yxy
+    val got = df.select(shingles(col("t"), 3)).collect().head.getSeq[String](0)
+    assert(got.sorted == Seq("x y x", "y x y"))
+  }
+
+  test("langId picks language with most stopword hits, first-match ties") {
+    val df = Seq(
+      "the cat of doom",       // en
+      "el perro de la casa",   // es
+      "der hund und das brot", // de
+      "xyzzy plugh")           // no hits -> und
+      .toDF("t")
+    val got = df.select(langId(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "es", "de", "und"))
+  }
+
+  test("langId tie-break: 'la' is both es and fr -> es (list order)") {
+    val df = Seq("la la").toDF("t")
+    assert(one[String](df.select(langId(col("t")))) == "es")
+  }
+
+  test("bowFingerprint is order-insensitive") {
+    val df = Seq(("a b c", "c b a"), ("a b c", "a b d")).toDF("x", "y")
+    val got = df.select(
+      (bowFingerprint(col("x")) === bowFingerprint(col("y"))).as("eq"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false))
+  }
+
+  test("qualityScore: clean english sentence scores max") {
+    val df = Seq("the quick brown fox jumps over the lazy dog today").toDF("t")
+    assert(one[Int](df.select(qualityScore(col("t")))) == 4)
+  }
+
+  test("subwordCount charges extra units for long tokens") {
+    val df = Seq("hi internationalization").toDF("t") // 1 + ceil(20/6)=4
+    assert(one[Int](df.select(subwordCount(col("t")))) == 5)
+  }
+}
