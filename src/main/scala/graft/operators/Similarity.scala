@@ -27,9 +27,12 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, id: Column, vec: Column,
       query: DataFrame, k: Int): DataFrame =
-    corpus.select(id.cast("long").as("id"), vec.as("v"))
-      .crossJoin(broadcast(query))
-      .withColumn("sim", round(VectorFunctions.cosine(col("v"), col("qv")), 4))
+    Dedup.spread(corpus).select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+      .crossJoin(broadcast(
+        query.withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))))
+      .withColumn("sim", round(
+        VectorFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
       .orderBy(desc("sim"), asc("id"))
       .limit(k)
       .select(col("id"), col("sim"))
@@ -40,11 +43,14 @@ object Similarity {
   def bruteForceTopKBatch(
       corpus: DataFrame, id: Column, vec: Column,
       queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
-    val c = corpus.select(id.cast("long").as("id"), vec.as("v"))
+    val c = Dedup.spread(corpus).select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
     val q = queries.select(qid.cast("long").as("query_id"), qvec.as("qv"))
+      .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("v"), col("qv")), 4))
+      .withColumn("sim", round(
+        VectorFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -55,7 +61,7 @@ object Similarity {
     * hyperplane signature). Persist/write the result bucketed by `bucket`
     * for repeated querying. */
   def bucketize(corpus: DataFrame, id: Column, vec: Column, nBits: Int): DataFrame =
-    corpus.select(
+    Dedup.spread(corpus).select(
       id.cast("long").as("id"), vec.as("v"),
       VectorFunctions.hyperplaneBucket(vec, nBits).as("bucket"))
 

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming re-expression of the reference's "real-time"
+  * dashboard feed (`Dash.py:119-131`; SURVEY.md §2.H).
+  *
+  * The reference polls a FULL snapshot every 10 s from a daemon thread and
+  * swaps a module global (unsynchronized — a data race we deliberately do
+  * not reproduce, SURVEY.md §7.4.7b). The honest Spark mapping:
+  *
+  *  - [[aggregateStream]]: records as an event stream → complete-mode
+  *    aggregation → memory sink. State is bounded: aggregates only, never
+  *    raw rows (SURVEY.md §7.4.8).
+  *  - [[latestSnapshotQuery]]: snapshot-replacement semantics — each
+  *    micro-batch may carry one or more whole snapshots tagged by a
+  *    snapshot id; foreachBatch aggregates ONLY the newest snapshot and
+  *    atomically swaps the published result ([[SnapshotStore]]), exactly
+  *    the reference's recompute-world-per-refresh, minus the race (the
+  *    swap is an AtomicReference set of an immutable list).
+  */
+object SnapshotRefresh {
+
+  /** Published result of the latest snapshot: immutable rows behind an
+    * atomic swap — consumers (dashboard callbacks) never see a torn
+    * update. */
+  final class SnapshotStore {
+    private val ref = new AtomicReference[Seq[Row]](Seq.empty)
+    private[streaming] def publish(rows: Seq[Row]): Unit = ref.set(rows)
+    def latest: Seq[Row] = ref.get()
+  }
+
+  /** Event-stream mapping: borough totals in complete mode to an
+    * in-memory table named `queryName` (query with
+    * `spark.table(queryName)`). */
+  def aggregateStream(
+      spark: SparkSession, inputDir: String, schema: StructType,
+      queryName: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .groupBy(col("borough"))
+      .agg(sum("volume").as("total_volume"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(trigger)
+      .start()
+
+  /** Snapshot-replacement mapping: aggregate only the newest snapshot in
+    * each micro-batch and publish atomically to `store`. `aggregate` maps
+    * one snapshot's rows to the published result (e.g.
+    * [[graft.traffic.TrafficAnalytics.boroughTraffic]]). */
+  def latestSnapshotQuery(
+      spark: SparkSession, inputDir: String, schema: StructType,
+      snapshotIdCol: String,
+      aggregate: DataFrame => DataFrame,
+      store: SnapshotStore,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val latest = batch.agg(max(col(snapshotIdCol))).collect().head.get(0)
+          val snap = batch.filter(col(snapshotIdCol) === lit(latest))
+          store.publish(aggregate(snap).collect().toSeq)
+        }
+      }
+      .trigger(trigger)
+      .start()
+}

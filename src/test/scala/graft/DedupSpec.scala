@@ -9,10 +9,13 @@ class DedupSpec extends SparkSpec {
 
   // Planted corpus: 0/1 exact dups, 2 near-dup of them (one word changed),
   // 3/4 shuffled-word dups, 5 unrelated.
+  // Doc 2 differs from 0/1 only in the LAST token: exactly one 3-gram
+  // shingle differs, so jaccard(0,2) = 18/20 = 0.9 — high enough that
+  // MinHash banding (b=16, r=4) detects it with p ≈ 1-3e-8.
   private lazy val docs = Seq(
-    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
-    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
-    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (0L, "the quick brown fox jumps over the lazy dog while the sun sets behind quiet hills and birds sing softly tonight"),
+    (1L, "the quick brown fox jumps over the lazy dog while the sun sets behind quiet hills and birds sing softly tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog while the sun sets behind quiet hills and birds sing softly today"),
     (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
     (4L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
     (5L, "completely different content about spark shuffles and partitions"))

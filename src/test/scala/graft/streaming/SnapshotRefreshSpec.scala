@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class SnapshotRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snapshot(id: Int, scale: Long) = Seq(
+    ("Queens", 10L * scale, id), ("Queens", 5L * scale, id),
+    ("Brooklyn", 7L * scale, id))
+    .toDF("borough", "volume", "snapshot_id")
+
+  test("complete-mode stream aggregate equals batch aggregate (H69)") {
+    val dir = Files.createTempDirectory("snapstream").toString
+    snapshot(1, 1).drop("snapshot_id")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = SnapshotRefresh.aggregateStream(spark, dir, schema,
+      "snap_agg", Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snap_agg").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("Queens" -> 15L, "Brooklyn" -> 7L))
+      // a second full snapshot arrives; complete mode recomputes the world
+      snapshot(1, 2).drop("snapshot_id").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got2 = spark.table("snap_agg").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got2 == Map("Queens" -> 45L, "Brooklyn" -> 21L))
+    } finally q.stop()
+  }
+
+  test("latest-snapshot query publishes only the newest snapshot (H69-H71)") {
+    val dir = Files.createTempDirectory("snapswap").toString
+    snapshot(1, 1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val store = new SnapshotRefresh.SnapshotStore
+    val q = SnapshotRefresh.latestSnapshotQuery(
+      spark, dir, schema, "snapshot_id",
+      df => df.groupBy("borough").agg(sum("volume").as("total_volume"))
+        .orderBy("borough"),
+      store, Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      val v1 = store.latest.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(v1 == Map("Queens" -> 15L, "Brooklyn" -> 7L))
+      // snapshot 2 REPLACES snapshot 1 (recompute-world, not accumulate)
+      snapshot(2, 10).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val v2 = store.latest.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(v2 == Map("Queens" -> 150L, "Brooklyn" -> 70L))
+    } finally q.stop()
+  }
+}
