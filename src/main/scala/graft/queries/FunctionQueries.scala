@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.traffic.{Normalize, WideTable}
+
+/** Scalar-function / reshaping reference-parity queries over the testdata
+  * (SURVEY.md §2.F/§2.G transliterations) — each exercises a traffic-
+  * library operator through the oracle gate: weekday/weekend (F49/F50),
+  * ISO weeks (F51), one-hot (F56), category codes (F54), histograms
+  * (D42), min-max normalization (F59), windowed running totals, pivot
+  * (I77 confusion-matrix shape). */
+object FunctionQueries {
+
+  /** q28 — weekday (Monday=0) + weekend flag per order date. */
+  def q28Weekday(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("dow", weekday(to_date(col("o_orderdate"))))
+      .withColumn("is_weekend", when(col("dow") >= 5, 1).otherwise(0))
+      .groupBy(col("dow"), col("is_weekend"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("dow"))
+
+  /** q29 — ISO week-of-year distribution. */
+  def q29WeekOfYear(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(weekofyear(to_date(col("o_orderdate"))).as("week"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("week"))
+
+  /** q30 — one-hot encoding of order priority, column sums (pandas
+    * get_dummies → sum; exercises Normalize.oneHot end-to-end). */
+  def q30OneHot(spark: SparkSession, dir: String): DataFrame = {
+    val oh = Normalize.oneHot(Tables.orders(spark, dir), "o_orderpriority")
+    oh.agg(
+      sum(col("o_orderpriority_1-URGENT")).as("oh_urgent"),
+      sum(col("o_orderpriority_2-HIGH")).as("oh_high"),
+      sum(col("o_orderpriority_3-MEDIUM")).as("oh_medium"),
+      sum(col("o_orderpriority_4-NOT SPECIFIED")).as("oh_notspec"),
+      sum(col("o_orderpriority_5-LOW")).as("oh_low"))
+  }
+
+  /** q31 — pandas cat.codes: dense codes by sorted distinct value. */
+  def q31CategoryCodes(spark: SparkSession, dir: String): DataFrame =
+    Normalize.categoryCodes(Tables.orders(spark, dir), "o_orderstatus", "code")
+      .groupBy(col("o_orderstatus"), col("code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"))
+
+  /** q32 — 20-bin fixed-width histogram of order totals. */
+  def q32Histogram(spark: SparkSession, dir: String): DataFrame =
+    WideTable.histogram(Tables.orders(spark, dir), "o_totalprice", 20)
+
+  /** q33 — min-max normalize quantity, per-flag normalized mass. */
+  def q33MinMaxNorm(spark: SparkSession, dir: String): DataFrame =
+    Normalize.minMaxNormalize(Tables.lineitem(spark, dir), Seq("l_quantity"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_norm"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+
+  /** q34 — daily totals + running cumulative sum (window over exact
+    * 2-decimal dailies → cross-engine exact). */
+  def q34RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sum_price"))
+    val w = Window.orderBy(asc("order_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // DuckDB evaluates window sums with a segment tree (pairwise adds),
+    // Spark sequentially — rounding re-lands both on the 2-decimal grid.
+    daily.withColumn("cum_price", round(sum(col("sum_price")).over(w), 2))
+      .orderBy(asc_nulls_first("order_date"))
+  }
+
+  /** q35 — status × priority contingency table (groupBy + pivot + count,
+    * the reference's confusion-matrix shape). */
+  def q35Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority")
+      .count()
+      .na.fill(0)
+      .orderBy(asc_nulls_first("o_orderstatus"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_weekday"       -> q28Weekday _,
+    "q29_weekofyear"    -> q29WeekOfYear _,
+    "q30_onehot"        -> q30OneHot _,
+    "q31_catcodes"      -> q31CategoryCodes _,
+    "q32_histogram"     -> q32Histogram _,
+    "q33_minmax_norm"   -> q33MinMaxNorm _,
+    "q34_running_total" -> q34RunningTotal _,
+    "q35_pivot"         -> q35Pivot _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q28_weekday" ->
+      """SELECT CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INTEGER) AS dow,
+        | CAST(CASE WHEN isodow(CAST(o_orderdate AS DATE)) - 1 >= 5
+        |      THEN 1 ELSE 0 END AS INTEGER) AS is_weekend,
+        | count(*) AS n
+        | FROM orders GROUP BY dow, is_weekend
+        | ORDER BY dow NULLS FIRST""".stripMargin,
+    "q29_weekofyear" ->
+      """SELECT CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS week,
+        | count(*) AS n FROM orders GROUP BY week
+        | ORDER BY week NULLS FIRST""".stripMargin,
+    "q30_onehot" ->
+      """SELECT
+        | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS oh_urgent,
+        | CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS oh_high,
+        | CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS oh_medium,
+        | CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS oh_notspec,
+        | CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS oh_low
+        | FROM orders""".stripMargin,
+    "q31_catcodes" ->
+      """WITH codes AS (
+        |  SELECT o_orderstatus AS s,
+        |    CAST(dense_rank() OVER (ORDER BY o_orderstatus) - 1 AS INTEGER) AS code
+        |  FROM (SELECT DISTINCT o_orderstatus FROM orders
+        |        WHERE o_orderstatus IS NOT NULL))
+        |SELECT o_orderstatus, coalesce(code, -1) AS code, count(*) AS n
+        | FROM orders LEFT JOIN codes ON o_orderstatus = s
+        | GROUP BY o_orderstatus, code
+        | ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q32_histogram" ->
+      """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |           FROM orders)
+        |SELECT CAST(CASE WHEN mx = mn THEN 0
+        |   ELSE least(19, floor((o_totalprice - mn) * 20 / (mx - mn))) END
+        |   AS INTEGER) AS bucket, count(*) AS n
+        | FROM orders, s WHERE o_totalprice IS NOT NULL
+        | GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q33_minmax_norm" ->
+      """WITH s AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+        |           FROM lineitem)
+        |SELECT l_returnflag,
+        |  round(sum(CASE WHEN mx = mn THEN 0.0
+        |        ELSE (l_quantity - mn) / (mx - mn) END), 2) AS sum_norm,
+        |  count(*) AS n
+        | FROM lineitem, s GROUP BY l_returnflag
+        | ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+    "q34_running_total" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |    round(sum(o_totalprice), 2) AS sum_price
+        |  FROM orders GROUP BY order_date)
+        |SELECT order_date, sum_price,
+        |  round(sum(sum_price) OVER (ORDER BY order_date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_price
+        | FROM daily ORDER BY order_date NULLS FIRST""".stripMargin,
+    "q35_pivot" ->
+      """SELECT o_orderstatus,
+        | count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+        | count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+        | count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        | count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        | count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+        | FROM orders GROUP BY o_orderstatus
+        | ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+  )
+}

@@ -1,0 +1,59 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.traffic.{Normalize, TrafficAnalytics, TrafficFixture}
+
+class TrafficModelsSpec extends SparkSpec {
+
+  private lazy val norm = TrafficAnalytics.withTrafficCategory(
+    Normalize(TrafficFixture.raw(spark, 400))
+      .na.drop(Seq("volume", "hour", "segment_id")))
+    .cache()
+
+  test("80/20 split is seeded and disjoint (I72)") {
+    val (tr, te) = TrafficModels.split(norm)
+    val (tr2, te2) = TrafficModels.split(norm)
+    assert(tr.count() == tr2.count() && te.count() == te2.count())
+    assert(tr.count() + te.count() == norm.count())
+    val frac = te.count().toDouble / norm.count()
+    assert(frac > 0.1 && frac < 0.3, s"test frac $frac")
+  }
+
+  test("RF regression trains and predicts (I73), metrics agree (I76)") {
+    val (tr, te) = TrafficModels.split(norm)
+    val (model, pred) = TrafficModels.rfRegression(
+      tr, te, Seq("segment_id", "hour"), "volume", numTrees = 5)
+    assert(pred.count() > 0)
+    val (mseSql, r2Sql) = TrafficModels.regressionMetricsSql(pred, "volume")
+    val (mseMl, r2Ml) = TrafficModels.regressionMetrics(pred, "volume")
+    assert(math.abs(mseSql - mseMl) < 1e-6 * math.max(1.0, mseMl))
+    assert(math.abs(r2Sql - r2Ml) < 1e-6)
+    val imps = TrafficModels.featureImportances(model, Seq("segment_id", "hour"))
+    assert(math.abs(imps.map(_._2).sum - 1.0) < 1e-9)
+    assert(imps.map(_._2).toSeq == imps.map(_._2).sorted.reverse.toSeq)
+  }
+
+  test("RF classification on Low/Medium/High labels (I74/I78)") {
+    val (tr, te) = TrafficModels.split(norm)
+    val (_, pred) = TrafficModels.rfClassification(
+      tr, te, Seq("volume"), "traffic_category", numTrees = 5)
+    // volume alone determines the label -> near-perfect accuracy
+    val acc = pred.filter(col("prediction") === col("__label")).count().toDouble /
+      pred.count()
+    assert(acc > 0.95, s"accuracy $acc")
+    val report = TrafficModels.classificationReport(pred).collect()
+    assert(report.nonEmpty)
+    assert(report.forall(r => r.getAs[Double]("f1") >= 0 && r.getAs[Double]("f1") <= 1))
+    val cm = TrafficModels.confusionMatrix(pred)
+    assert(cm.count() == report.length)
+  }
+
+  test("GBT regression (XGBoost approximation, I75) trains") {
+    val (tr, te) = TrafficModels.split(norm)
+    val (_, pred) = TrafficModels.gbtRegression(
+      tr, te, Seq("segment_id", "hour"), "volume", maxIter = 3)
+    assert(pred.select("prediction").count() > 0)
+  }
+}
