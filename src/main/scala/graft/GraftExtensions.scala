@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.expressions.{Epsg2263ToWgs84, FloatVecDot, MinHashSig, SimHash64}
+
+/** Registers the engine's custom Catalyst expressions as SQL functions:
+  *
+  *   simhash64(array<string>)            -> bigint
+  *   minhash_sig(array<string>, k)       -> array<bigint>
+  *   float_vec_dot(array<float>, array<float>) -> double
+  *   epsg2263_to_wgs84(x, y)             -> array<double> [lon, lat]
+  *
+  * Two wirings: `spark.sql.extensions=graft.GraftExtensions` at session
+  * build, or [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "minhash_sig" -> (exprs =>
+      MinHashSig(exprs.head, intArg(exprs(1), "minhash_sig"))),
+    "float_vec_dot" -> (exprs => FloatVecDot(exprs.head, exprs(1))),
+    "epsg2263_to_wgs84" -> (exprs => Epsg2263ToWgs84(exprs.head, exprs(1))),
+  )
+
+  /** Register on an existing session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

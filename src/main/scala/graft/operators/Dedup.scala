@@ -65,27 +65,56 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double,
       maxShingleFreq: Option[Int] = None): DataFrame = {
+    // Shingles are hashed to 64-bit longs up front: every downstream
+    // shuffle/compare/intersect runs on fixed-width longs instead of
+    // strings (collision probability over the corpus is ~|shingles|²/2⁶⁴,
+    // far below any other error source).
+    // Persisted: the shingle relation feeds the prefix explode AND both
+    // sides of the verification join — without caching, the self-join
+    // re-runs the (interpreted HOF) shingling three times.
     val sh = spread(docs).select(
       id.cast("long").as("id"),
-      TextFunctions.shingles(text, n).as("shingles"))
-    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
-    val exploded0 = sh.select(col("id"), explode(col("shingles")).as("g"))
-    val exploded = maxShingleFreq match {
+      array_sort(transform(TextFunctions.shingles(text, n), s => xxhash64(s)))
+        .as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Prefix filtering (AllPairs/PPJoin family): under ANY global total
+    // order — here the hash order, which needs no frequency pass — a pair
+    // with Jaccard ≥ τ must share one of each side's first
+    // n-⌈τ·n⌉+1 shingles (the globally smallest element of A∩B lies in
+    // both prefixes, by pigeonhole on the required overlap ⌈τ·n⌉). Only
+    // the prefix explodes into the candidate join, so the join touches a
+    // τ-fraction of the data and the result is still EXACT.
+    val prefixed = sh.withColumn("plen",
+      (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))
+    val prefix0 = prefixed.select(col("id"), col("n_sh"),
+      explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    val prefix = maxShingleFreq match {
       case Some(cap) =>
-        // Drop stop-shingles by frequency (computed distributed, no collect).
-        val freq = exploded0.groupBy("g").agg(count(lit(1)).as("f"))
-          .filter(col("f") <= cap).select("g")
-        exploded0.join(freq, "g")
-      case None => exploded0
+        // Optional stop-shingle cap: frequent shingles stop generating
+        // candidates (trades completeness for skew immunity; verified
+        // pairs keep their exact Jaccard).
+        val rare = sh.select(explode(col("hs")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("f"))
+          .filter(col("f") <= cap).select("h")
+        prefix0.join(rare, "h")
+      case None => prefix0
     }
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    val inter = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n_sh" -> "n_a")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n_sh" -> "n_b")), "id_b")
+    val a = prefix.as("a")
+    val b = prefix.as("b")
+    // Size pruning: |A| and |B| must be within a factor τ of each other.
+    val cand = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+        col("a.n_sh") >= ceil(col("b.n_sh") * threshold) &&
+        col("b.n_sh") >= ceil(col("a.n_sh") * threshold))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // Exact verification on the candidate set only (sorted long arrays).
+    cand
+      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,31 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  simhash64(array('a','b','c')) AS sh,
+        |  size(minhash_sig(array('a','b'), 16)) AS k,
+        |  float_vec_dot(array(cast(1.0 as float), cast(2.0 as float)),
+        |                array(cast(3.0 as float), cast(4.0 as float))) AS dot,
+        |  round(epsg2263_to_wgs84(997407.0998d, 208620.9261d)[1], 3) AS lat
+        |""".stripMargin).collect().head
+    assert(r.getAs[Int]("k") == 16)
+    assert(r.getAs[Double]("dot") == 11.0)
+    assert(math.abs(r.getAs[Double]("lat") - 40.744) < 0.01)
+    // simhash is deterministic across invocations
+    val again = spark.sql("SELECT simhash64(array('a','b','c'))").collect().head.getLong(0)
+    assert(again == r.getAs[Long]("sh"))
+  }
+
+  test("identical token bags give identical simhash via SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64(array('x','y')) = simhash64(array('x','y')) AS eq,
+        |       simhash64(array('x','y')) = simhash64(array('p','q')) AS neq""".stripMargin)
+      .collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+}
