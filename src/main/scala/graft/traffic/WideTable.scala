@@ -74,6 +74,27 @@ object WideTable {
         col("traffic_volume").as("peak_volume"))
   }
 
+  /** Wide-table normalize (the prototype's `process_data`, proto:55-90):
+    * lenient coercion of the hourly columns (B12), date cast with missing
+    * dates defaulting to 1970-01-01 (B14/F58), hourly nulls filled with 0
+    * (F57), then the ≥50%-non-null completeness filter (C18). Order
+    * matters: the completeness filter must see pre-fill nulls — pandas
+    * applies fillna only to the traffic columns before dropna(thresh), so
+    * the thresh counts post-fill values; we mirror that exactly. */
+  def normalizeWide(df: DataFrame): DataFrame = {
+    val hours = hourColumns(df)
+    val coerced = hours.foldLeft(df) { (d, c) =>
+      d.withColumn(c, col(c).cast("string").try_cast("double").try_cast("long"))
+    }
+    val dated =
+      if (!df.columns.contains("date")) coerced
+      else coerced.withColumn("date",
+        coalesce(col("date").try_cast("date"),
+          lit(java.sql.Date.valueOf("1970-01-01"))))
+    val filled = dated.na.fill(0L, hours)
+    filled.na.drop(minNonNulls = df.columns.length / 2)
+  }
+
   /** D42: fixed-width histogram of one column — min/max in one pass, then
     * a single groupBy on the computed bucket. The bucket formula (floor of
     * one double expression) is deterministic and shuffle-friendly. */

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.traffic.Normalize
+
+/** Algebraic invariants (SURVEY.md §5.2.3) checked over generated data
+  * (raw scalacheck Gens sampled with fixed seeds — the scalatest bridge
+  * artifact is not in the offline cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("group-sum total is invariant under partitioning") {
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 1000L)))
+    for (rows <- samples(gen, 5) if rows.nonEmpty) {
+      val df = rows.toDF("k", "v")
+      val direct = df.agg(sum("v")).collect().head.getLong(0)
+      for (parts <- Seq(1, 3, 7)) {
+        val viaGroups = df.repartition(parts).groupBy("k").agg(sum("v").as("s"))
+          .agg(sum("s")).collect().head.getLong(0)
+        assert(viaGroups == direct, s"parts=$parts")
+      }
+    }
+  }
+
+  test("unpivot then re-pivot is the identity on generated wide frames") {
+    val gen = Gen.listOfN(8, Gen.zip(Gen.identifier.map(_.take(6)),
+      Gen.choose(0L, 99L), Gen.choose(0L, 99L)))
+    for (rows0 <- samples(gen, 5)) {
+      val rows = rows0.distinctBy(_._1)
+      if (rows.nonEmpty) {
+        val wide = rows.toDF("key", "c1", "c2")
+        val long = wide.unpivot(Array(col("key")),
+          Array(col("c1"), col("c2")), "var", "val")
+        val re = long.groupBy("key").pivot("var", Seq("c1", "c2")).sum("val")
+        val a = wide.orderBy("key").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val b = re.orderBy("key").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        assert(a.toSeq == b.toSeq)
+      }
+    }
+  }
+
+  test("volume binning is total on non-negative inputs") {
+    for (vols <- samples(Gen.listOfN(50, Gen.choose(0L, 100000L)), 5)
+         if vols.nonEmpty) {
+      val got = vols.toDF("v").select(Normalize.volumeBin(col("v"))).collect()
+      assert(got.forall(!_.isNullAt(0)))
+    }
+  }
+
+  test("top-k is a prefix of the full descending sort") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 1000), Gen.choose(0L, 500L)))
+    for (rows <- samples(gen, 5) if rows.nonEmpty) {
+      val df = rows.toDF("id", "v")
+      val full = df.orderBy(desc("v"), asc("id")).collect().map(_.toSeq)
+      val topk = df.orderBy(desc("v"), asc("id")).limit(5).collect().map(_.toSeq)
+      assert(full.take(5).toSeq == topk.toSeq)
+    }
+  }
+}

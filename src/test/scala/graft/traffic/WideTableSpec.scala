@@ -56,6 +56,21 @@ class WideTableSpec extends SparkSpec {
     assert(got("FDR DR") == ("_12_00_1_00_am", 7L))
   }
 
+  test("normalizeWide: coercion, fillna 0, default date, completeness filter") {
+    val raw = Seq(
+      ("A", "2024-01-05", "10", "junk", "30"),    // junk -> null -> filled 0
+      ("B", null, "1", "2", "3"),                  // missing date -> 1970-01-01
+      (null, null, null, null, "7"))               // 1/5 non-null pre-fill... filled hours count
+      .toDF("roadway_name", "date", "_1_00_2_00_am", "_2_00_3_00_am", "_3_00_4_00_am")
+    val got = WideTable.normalizeWide(raw).collect()
+    val byName = got.map(r => Option(r.getAs[String]("roadway_name"))).toSet
+    val a = got.find(_.getAs[String]("roadway_name") == "A").get
+    assert(a.getAs[Long]("_2_00_3_00_am") == 0L) // junk coerced then filled
+    val b = got.find(_.getAs[String]("roadway_name") == "B").get
+    assert(b.getAs[java.sql.Date]("date").toString == "1970-01-01")
+    assert(byName.contains(Some("A")) && byName.contains(Some("B")))
+  }
+
   test("histogram: fixed-width buckets with max value clamped (D42)") {
     val df = (0 to 100).map(_.toDouble).toDF("v")
     val h = WideTable.histogram(df, "v", 10).collect()
