@@ -65,6 +65,59 @@ object Similarity {
       id.cast("long").as("id"), vec.as("v"),
       VectorFunctions.hyperplaneBucket(vec, nBits).as("bucket"))
 
+  /** IVF index: k-means centroids trained on (a sample of) the corpus,
+    * every vector assigned to its nearest centroid (the "inverted list"
+    * it lives in). Persist/bucket the result by `list` for repeated
+    * querying; at 100 TB each posting list is a partition-prunable
+    * stripe. Returns (centroids, corpus+list). */
+  def ivfIndex(
+      corpus: DataFrame, id: Column, vec: Column,
+      nLists: Int, seed: Long = 42L): (Array[Array[Float]], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = Dedup.spread(corpus).select(id.cast("long").as("id"), vec.as("v"))
+    val assembled = c.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(assembled)
+    val centroids = model.clusterCenters
+      .map(_.toArray.map(_.toFloat))
+    val indexed = model.transform(assembled)
+      .withColumnRenamed("prediction", "list")
+      .select(col("id"), col("v"), col("list"))
+    (centroids, indexed)
+  }
+
+  /** IVF ANN top-k: score the query against every centroid on the driver
+    * (nLists is small), then scan only the `nProbe` nearest posting
+    * lists. Approximate; recall grows with nProbe. Output: (id, sim). */
+  def ivfTopK(
+      centroids: Array[Array[Float]], indexed: DataFrame,
+      queryVec: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = centroids.zipWithIndex
+      .sortBy { case (cv, _) => -cos(cv, queryVec) }
+      .take(nProbe).map(_._2)
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val q = Seq(Tuple1(queryVec)).toDF("qv")
+      .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
+    indexed.filter(col("list").isin(probe.toSeq: _*))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(
+        VectorFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("sim"))
+  }
+
   /** ANN top-k via hyperplane LSH with multi-probe: scan only corpus rows
     * whose bucket is within `probeHamming` bits of the query's bucket.
     * Approximate — recall < 1; the scale path when the corpus is huge and

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** True event-stream processing — the upgrade path beyond the reference's
+  * snapshot polling (SURVEY.md §2.H / §7.3 extension): event-time
+  * tumbling/sliding windows with watermarked late-data handling, and
+  * keyed custom state via `flatMapGroupsWithState` (sessionization).
+  *
+  * State is bounded by construction: watermarks age out window state;
+  * session state carries one small struct per active key.
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window aggregation per event type:
+    * (window, event_type) → count + value sum. Late events beyond
+    * `watermark` are dropped deterministically. */
+  def windowedCounts(
+      events: DataFrame, windowLength: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding-window variant (windowLength every slide). */
+  def slidingCounts(
+      events: DataFrame, windowLength: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, nEvents: Long, total: Double)
+  case class UserSession(user_id: Long, startTs: Timestamp, endTs: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Keyed custom state: per-user sessionization with an EVENT-TIME
+    * inactivity gap — a session closes (and is emitted) when a later
+    * event for the same user arrives more than `gapMs` after the
+    * session's last event. Deterministic (no wall-clock timeouts): replay
+    * of the same input produces the same sessions. At scale, state is one
+    * small struct per active user, sharded by the group-by hash. */
+  def sessionize(events: Dataset[Event], gapMs: Long)
+      (implicit spark: SparkSession): Dataset[UserSession] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val evs = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[UserSession]
+          evs.foreach { ev =>
+            val t = ev.ts.getTime
+            cur match {
+              case Some(s) if t - s.last > gapMs =>
+                closed += UserSession(userId, new Timestamp(s.start),
+                  new Timestamp(s.last), s.nEvents, s.total)
+                cur = Some(SessionState(t, t, 1L, ev.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, math.max(s.last, t),
+                  s.nEvents + 1, s.total + ev.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1L, ev.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** File-source stream of event parquet with the tumbling aggregation to
+    * a memory sink (complete mode; used by tests and as the dashboard
+    * upgrade path). */
+  def startWindowed(
+      spark: SparkSession, inputDir: String, schema: StructType,
+      queryName: String, windowLength: String = "1 hour",
+      watermark: String = "2 hours"): StreamingQuery =
+    windowedCounts(
+        spark.readStream.schema(schema).parquet(inputDir),
+        windowLength, watermark)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+}

@@ -45,6 +45,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3L) == Seq(5L, 2L))
   }
 
+  test("IVF: nearest posting lists contain the true neighbors") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val (centroids, indexed) = Similarity.ivfIndex(
+      emb, col("vec_id"), col("embedding"), nLists = 8)
+    assert(centroids.length == 8)
+    assert(indexed.select("list").distinct().count() <= 8)
+    // exact neighbors of vec 0
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"), q, 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val qv = emb.filter(col("vec_id") === 0).collect().head
+      .getSeq[Float](1).toArray
+    // probing ALL lists must recover the exact result (completeness),
+    val all = Similarity.ivfTopK(centroids, indexed.filter(col("id") =!= 0),
+      qv, k = 10, nProbe = 8).collect().map(_.getAs[Long]("id")).toSet
+    assert(all == exact)
+    // a partial probe keeps decent recall on this corpus
+    val partial = Similarity.ivfTopK(centroids, indexed.filter(col("id") =!= 0),
+      qv, k = 10, nProbe = 3).collect().map(_.getAs[Long]("id")).toSet
+    assert(partial.intersect(exact).size >= 5,
+      s"recall ${partial.intersect(exact).size}/10")
+  }
+
   test("hyperplane bucket: identical vectors share bucket; LSH topK finds them") {
     val emb = Seq(
       (10L, Array.fill(8)(0.5f)),

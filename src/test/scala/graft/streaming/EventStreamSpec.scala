@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStream._
+
+  private def mkEvents = Seq(
+    Event(1, Timestamp.valueOf("2024-01-01 00:10:00"), 1, "click", 1.0),
+    Event(2, Timestamp.valueOf("2024-01-01 00:50:00"), 1, "click", 2.0),
+    Event(3, Timestamp.valueOf("2024-01-01 01:10:00"), 2, "view", 4.0),
+    Event(4, Timestamp.valueOf("2024-01-01 01:20:00"), 1, "click", 8.0))
+
+  test("tumbling windowed aggregation equals batch windows (streaming)") {
+    val dir = Files.createTempDirectory("evstream").toString + "/data"
+    mkEvents.toDF().write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = EventStream.startWindowed(spark, dir, schema, "ev_windows")
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_windows")
+        .select(col("window.start").cast("string"), col("event_type"),
+          col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00", "click", 2L, 3.0),
+        ("2024-01-01 01:00:00", "click", 1L, 8.0),
+        ("2024-01-01 01:00:00", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sliding windows count events in overlapping windows") {
+    val dir = Files.createTempDirectory("evslide").toString + "/data"
+    mkEvents.toDF().write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = EventStream.slidingCounts(
+        spark.readStream.schema(schema).parquet(dir),
+        "1 hour", "30 minutes", "2 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ev_sliding").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      // event at 00:10 belongs to windows starting 23:30 and 00:00
+      val starts = spark.table("ev_sliding")
+        .filter(col("event_type") === "click")
+        .select(col("window.start").cast("string")).collect()
+        .map(_.getString(0)).toSet
+      assert(starts.contains("2024-01-01 00:00:00"))
+      assert(starts.contains("2023-12-31 23:30:00"))
+    } finally q.stop()
+  }
+
+  test("sessionization closes a session when the event-time gap is exceeded") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    // gap = 45 min: user 1's events at 00:10/00:50/01:20 (gaps 40/30 min)
+    // form one session, closed by a much later event at 05:00.
+    val sessions = EventStream.sessionize(input.toDS(), gapMs = 45 * 60 * 1000L)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ev_sessions")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(mkEvents.filter(_.user_id == 1): _*)
+      q.processAllAvailable()
+      input.addData(Event(99, Timestamp.valueOf("2024-01-01 05:00:00"), 1, "click", 0.5))
+      q.processAllAvailable()
+      val got = spark.table("ev_sessions").as[UserSession].collect()
+      assert(got.length == 1, s"sessions: ${got.mkString(",")}")
+      val sess = got.head
+      assert(sess.user_id == 1 && sess.n_events == 3 && sess.total_value == 11.0)
+      assert(sess.startTs == Timestamp.valueOf("2024-01-01 00:10:00"))
+      assert(sess.endTs == Timestamp.valueOf("2024-01-01 01:20:00"))
+    } finally q.stop()
+  }
+}
