@@ -19,6 +19,16 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Register every table as a temp view (+ the engine's SQL functions)
+    * so the full surface is reachable from `spark.sql(...)`. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    all.foreach { t =>
+      val df = if (t == "events") events(spark, sfDir) else load(spark, sfDir, t)
+      df.createOrReplaceTempView(t)
+    }
+    graft.GraftExtensions.register(spark)
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

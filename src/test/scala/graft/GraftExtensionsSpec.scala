@@ -20,6 +20,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(again == r.getAs[Long]("sh"))
   }
 
+  test("registerViews exposes the tables + functions to spark.sql") {
+    graft.sources.Tables.registerViews(spark, sf)
+    val r = spark.sql(
+      """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS s
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(r.length == 3)
+    val sim = spark.sql(
+      """SELECT count(*) FROM documents
+        |WHERE simhash64(split(lower(trim(text)), '\\s+')) IS NOT NULL""".stripMargin)
+      .collect().head.getLong(0)
+    assert(sim == 500)
+    val hr = spark.sql("SELECT max(hour(ts)) FROM events").collect().head.getInt(0)
+    assert(hr == 23)
+  }
+
   test("identical token bags give identical simhash via SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql(
