@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — the classic time-series operator
+  * Spark has no built-in for.
+  *
+  * Per the custom-operator preference order, this is case (a): the
+  * semantics ARE expressible by composing built-ins, and the composition
+  * is also the right distributed plan — tag both sides, union, then one
+  * window pass per key ordered by time carrying the last right-side row
+  * forward. ONE shuffle on the key and ONE sort per partition,
+  * irrespective of how many right rows precede each left row; the
+  * naive range-join formulation (l ⋈ r on key ∧ r.ts ≤ l.ts, then argmax)
+  * explodes quadratically on hot keys.
+  *
+  * Ties: a right row at exactly l.ts counts (ASOF `>=` semantics — right
+  * rows sort before left rows at equal timestamps).
+  */
+object AsOf {
+
+  /** For each left row, attach `rightValue` from the most recent right
+    * row with the same `key` and `rightTs <= leftTs` (null if none).
+    * Output: all left columns + `asof_<valueName>`. */
+  def join(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      rightValue: Column, valueName: String): DataFrame = {
+    val leftTagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast("double"))
+    val rightTagged = right.select(
+      col(key), col(ts),
+      lit(0).as("__side"),
+      rightValue.cast("double").as("__rv"))
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    // right rows (__side=0) sort before left rows at equal ts -> a right
+    // row at exactly leftTs is visible to that left row.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(s"asof_$valueName", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rv")
+  }
+}

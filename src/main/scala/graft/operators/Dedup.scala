@@ -203,6 +203,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Resolve near-dup pairs into clusters: connected components by
+    * iterative min-label propagation (each node adopts the smallest id
+    * reachable; converges in O(diameter) rounds — near-dup clusters are
+    * shallow, so a handful of self-joins; each round is one shuffle).
+    * Input: (id_a, id_b) edges. Output: (id, cluster) for every node
+    * appearing in an edge, cluster = min id of its component — the
+    * canonical "keep one representative per duplicate cluster" step. */
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // localCheckpoint per round truncates the lineage — without it the
+    // logical plan doubles every iteration (the standard iterative-
+    // algorithm trap) and the driver OOMs building the plan itself.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighbor's current label, take the min over (own, neighbors')
+      val next = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "dst", "cluster" -> "ncluster")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncluster")).as("minNeighbor"))
+        .join(labels, "id")
+        .withColumn("next", least(col("cluster"), col("minNeighbor")))
+        .select(col("id"), col("next").as("cluster"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs, brute force (exact; O(n²) — baseline
     * and oracle target; use [[graft.operators.Similarity]]'s LSH buckets to
     * block at scale). Output: (id_a, id_b, cosine ≥ threshold). */

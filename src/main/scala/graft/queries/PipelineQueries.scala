@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{AsOf, Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** Training-data-pipeline query surface (beyond the reference, per the
@@ -111,6 +111,38 @@ object PipelineQueries {
       .orderBy(asc_nulls_first("kind"))
   }
 
+  /** q36 — near-dup cluster resolution: connected components over the
+    * exact Jaccard pairs (min-label propagation; oracle = recursive CTE). */
+  def q36DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.resolveClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+          col("doc_id"), col("text"), n = 3, threshold = 0.8))
+      .orderBy(asc_nulls_first("id"))
+
+  /** q37 — quality-filter pipeline: keep docs scoring ≥3 that language-ID
+    * as English (the canonical pretraining-corpus filter step). */
+  def q37QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("lang_pred", langId(col("text")))
+      .filter(col("quality") >= 3 && col("lang_pred") === "en")
+      .select(col("doc_id"), col("quality"))
+      .orderBy(asc_nulls_first("doc_id"))
+
+  /** q38 — as-of join: each click event gets the most recent prior view's
+    * value for the same user (composed union+window — one shuffle, one
+    * sort; oracle = DuckDB's native ASOF LEFT JOIN). */
+  def q38AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOf.join(clicks, views, "user_id", "ts", col("value"), "view_value")
+      .select(col("event_id"), col("asof_view_value"))
+      .orderBy(asc_nulls_first("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_text_stats"      -> q18TextStats _,
     "q19_langid"          -> q19LangId _,
@@ -122,6 +154,9 @@ object PipelineQueries {
     "q25_simhash_neardup" -> q25SimhashNearDup _,
     "q26_media_meta"      -> q26MediaMeta _,
     "q27_media_decode"    -> q27MediaDecode _,
+    "q36_dedup_clusters"  -> q36DedupClusters _,
+    "q37_quality_filter"  -> q37QualityFilter _,
+    "q38_asof_join"       -> q38AsofJoin _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -136,7 +171,75 @@ object PipelineQueries {
   private def hitsSql(toks: String, set: String) =
     s"CAST(len(list_filter($toks, t -> t IN ($set))) AS INTEGER)"
 
+  /** Shared CTE producing the exact 3-gram Jaccard ≥0.8 pairs (mirrors
+    * Dedup.ngramJaccardPairs semantics; reused by q21 and q36). */
+  private val jaccardPairsCte: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+      |     THEN [array_to_string(toks, ' ')]
+      |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+      |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+      |   AS s FROM t),
+      | ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      | sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |   GROUP BY 1, 2),
+      | pairs AS (SELECT id_a, id_b,
+      |     CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+      |   FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+      |   WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q36_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |   UNION ALL SELECT id_b, id_a FROM pairs),
+        | nodes AS (SELECT DISTINCT src AS id FROM edges),
+        | reach AS (
+        |   SELECT id, id AS r FROM nodes
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        | ORDER BY id NULLS FIRST""".stripMargin,
+    "q37_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        | m AS (SELECT doc_id, text, toks,
+        |   ${nTokSql("toks")} AS n_tokens,
+        |   CAST(len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INTEGER)
+        |     / greatest(len(text), 1) AS punct_ratio,
+        |   ${hitsSql("toks", stopEnSql)}
+        |     / greatest(${nTokSql("toks")}, 1) AS stop_ratio,
+        |   CAST(list_sum(list_transform(toks, t -> len(t))) AS INTEGER)
+        |     / greatest(${nTokSql("toks")}, 1) AS avg_token_len,
+        |   ${hitsSql("toks", stopEnSql)} AS h_en,
+        |   ${hitsSql("toks", stopEsSql)} AS h_es,
+        |   ${hitsSql("toks", stopDeSql)} AS h_de,
+        |   ${hitsSql("toks", stopFrSql)} AS h_fr
+        |  FROM t),
+        | scored AS (SELECT doc_id,
+        |   CAST((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END
+        |    + CASE WHEN punct_ratio < 0.3 THEN 1 ELSE 0 END
+        |    + CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END
+        |    + CASE WHEN avg_token_len BETWEEN 2.0 AND 15.0 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS quality,
+        |   CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+        |        WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+        |        WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+        |        WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+        |        ELSE 'fr' END AS lang_pred
+        |  FROM m)
+        |SELECT doc_id, quality FROM scored
+        | WHERE quality >= 3 AND lang_pred = 'en'
+        | ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q38_asof_join" ->
+      """SELECT l.event_id, r.value AS asof_view_value
+        | FROM (SELECT event_id, user_id, ts FROM events
+        |       WHERE event_type = 'click') l
+        | ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |       WHERE event_type = 'view') r
+        |   ON l.user_id = r.user_id AND l.ts >= r.ts
+        | ORDER BY l.event_id NULLS FIRST""".stripMargin,
     "q18_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
         | m AS (SELECT doc_id, text, toks,
