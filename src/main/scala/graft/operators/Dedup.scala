@@ -25,7 +25,7 @@ object Dedup {
     * single-file parquet scan arrives as ONE partition locally — without
     * this, the expensive projection runs as one task. At cluster scale
     * inputs are already wide and this is a no-op. */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

@@ -23,7 +23,7 @@ object PipelineQueries {
     * stopword ratio, mean token length, 0-4 quality score. */
   def q18TextStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    Tables.documents(spark, dir).select(
+    Dedup.spread(Tables.documents(spark, dir)).select(
       col("doc_id"),
       tokenCount(t).as("n_tokens"),
       punctRatio(t).as("punct_ratio"),
@@ -35,7 +35,7 @@ object PipelineQueries {
 
   /** q19 — n-gram-heuristic language ID, counts per predicted language. */
   def q19LangId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Dedup.spread(Tables.documents(spark, dir))
       .withColumn("lang_pred", langId(col("text")))
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n"))
@@ -122,7 +122,7 @@ object PipelineQueries {
   /** q37 — quality-filter pipeline: keep docs scoring ≥3 that language-ID
     * as English (the canonical pretraining-corpus filter step). */
   def q37QualityFilter(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Dedup.spread(Tables.documents(spark, dir))
       .withColumn("quality", qualityScore(col("text")))
       .withColumn("lang_pred", langId(col("text")))
       .filter(col("quality") >= 3 && col("lang_pred") === "en")
@@ -143,6 +143,36 @@ object PipelineQueries {
       .orderBy(asc_nulls_first("event_id"))
   }
 
+  /** q39 — sequence packing (concat-and-chunk): documents in id order are
+    * packed contiguously into ~2048-token bins; pack id = full bins
+    * before the doc's first token (a straddling doc overflows into its
+    * pack — the standard pretraining concat-then-chunk semantic). Pure
+    * window arithmetic on exact ints → oracle-checked. */
+  def q39SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxTokens = 2048
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
+    val w = Window.orderBy(asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack", floor((col("cum") - col("n_tok")) / maxTokens).cast("long"))
+      .groupBy(col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy(asc_nulls_first("pack"))
+  }
+
+  /** q40 — corpus n-gram statistics: global top-20 3-gram shingles with
+    * deterministic tie-break (the corpus-level counting pass of any
+    * n-gram LM / contamination check). */
+  def q40TopNgrams(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spread(Tables.documents(spark, dir))
+      .select(explode(shingles(col("text"), 3)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("gram"))
+      .limit(20)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_text_stats"      -> q18TextStats _,
     "q19_langid"          -> q19LangId _,
@@ -157,6 +187,8 @@ object PipelineQueries {
     "q36_dedup_clusters"  -> q36DedupClusters _,
     "q37_quality_filter"  -> q37QualityFilter _,
     "q38_asof_join"       -> q38AsofJoin _,
+    "q39_seq_packing"     -> q39SequencePacking _,
+    "q40_top_ngrams"      -> q40TopNgrams _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -191,6 +223,26 @@ object PipelineQueries {
       |   WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q39_seq_packing" ->
+      s"""WITH d AS (SELECT doc_id, ${nTokSql(toksSql)} AS n_tok
+        |           FROM documents),
+        | packed AS (SELECT doc_id, n_tok,
+        |   sum(n_tok) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS pack,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        | FROM packed GROUP BY pack ORDER BY pack NULLS FIRST""".stripMargin,
+    "q40_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM t),
+        | ex AS (SELECT unnest(s) AS gram FROM sh)
+        |SELECT gram, count(*) AS n FROM ex
+        | GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
