@@ -60,6 +60,46 @@ object Multimodal {
     feat
   }
 
+  /** One sampled frame of a (fake) video payload. */
+  case class FrameSample(media_id: Long, frame_index: Int, frame_bytes: Array[Byte])
+
+  /** STUB resize: a real implementation decodes, scales to
+    * `targetW`×`targetH` and re-encodes; the stub deterministically
+    * truncates/strides the payload to a size proportional to the target
+    * area so tests are exact. The plumbing — binary→binary projection
+    * with updated metadata, no driver involvement — is the real shape. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int)
+      (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val targetLen = math.max(1, targetW * targetH / 64)
+    media.as[MediaRecord].map { r =>
+      val out = new Array[Byte](math.min(targetLen, math.max(1, r.bytes.length)))
+      val stride = math.max(1, r.bytes.length / math.max(1, out.length))
+      var i = 0
+      while (i < out.length && i * stride < r.bytes.length) {
+        out(i) = r.bytes(i * stride); i += 1
+      }
+      MediaRecord(r.media_id, r.kind, out, out.length.toLong)
+    }
+  }
+
+  /** STUB frame sampling: a real implementation seeks keyframes in a
+    * video container; the stub slices the payload into `nFrames` evenly
+    * spaced windows (flatMap — one row per sampled frame, the row
+    * explosion shape a real sampler has). */
+  def sampleFrames(media: DataFrame, nFrames: Int)
+      (implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      val n = math.min(nFrames, math.max(1, r.bytes.length))
+      (0 until n).map { f =>
+        val start = (r.bytes.length.toLong * f / n).toInt
+        val end = (r.bytes.length.toLong * (f + 1) / n).toInt
+        FrameSample(r.media_id, f, r.bytes.slice(start, math.max(start + 1, end)))
+      }
+    }
+  }
+
   /** Distributed decode/feature-extract over the media table.
     *
     * `parallelism` controls the repartition ahead of the heavy stage —

@@ -28,6 +28,27 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feat.feat(0) - 'a' / 255.0f) < 1e-6)
   }
 
+  test("resize stub: binary->binary with proportional payload, metadata updated") {
+    implicit val s = spark
+    val docs = Seq((1L, "x" * 1000, "en", "img", 1000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val resized = Multimodal.resize(Multimodal.mediaFromDocuments(docs), 64, 64)
+      .collect().head
+    assert(resized.bytes.length == 64 * 64 / 64)
+    assert(resized.declared_len == resized.bytes.length.toLong)
+  }
+
+  test("frame sampling explodes one row per sampled frame, covering payload") {
+    implicit val s = spark
+    val docs = Seq((7L, "abcdefghij", "en", "vid", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs), 5)
+      .collect().sortBy(_.frame_index)
+    assert(frames.length == 5)
+    assert(frames.map(_.media_id).distinct.toSeq == Seq(7L))
+    assert(frames.map(f => new String(f.frame_bytes)).mkString == "abcdefghij")
+  }
+
   test("decode runs distributed across requested parallelism") {
     implicit val s = spark
     val docs = (0 until 100).map(i => (i.toLong, s"text$i", "en", "img", 6L))
