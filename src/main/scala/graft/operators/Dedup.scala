@@ -210,7 +210,44 @@ object Dedup {
     * Input: (id_a, id_b) edges. Output: (id, cluster) for every node
     * appearing in an edge, cluster = min id of its component — the
     * canonical "keep one representative per duplicate cluster" step. */
-  def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def resolveClusters(
+      pairs: DataFrame, maxIters: Int = 20,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).persist()
+    val nEdges = p.count()
+    val out =
+      if (nEdges <= driverThreshold) resolveClustersDriver(p)
+      else resolveClustersDistributed(p, maxIters)
+    out
+  }
+
+  /** Near-dup edge sets are orders of magnitude smaller than the corpus
+    * (they only contain duplicates); below `driverThreshold` edges a
+    * driver-side union-find is strictly better than 2 jobs per
+    * propagation round. Same output contract as the distributed path. */
+  private def resolveClustersDriver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.sorted
+      .map(id => (id, find(id)))
+      .toDF("id", "cluster")
+  }
+
+  private def resolveClustersDistributed(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     // localCheckpoint per round truncates the lineage — without it the

@@ -27,4 +27,18 @@ object Ingest {
       .mode(SaveMode.Overwrite)
       .partitionBy("year")
       .parquet(path)
+
+  /** Bucketed layout for co-located joins (§4.3): both sides of a
+    * frequently joined pair written bucketed+sorted on the join key join
+    * WITHOUT a shuffle — the bucket layout pre-satisfies the join's
+    * required distribution. Requires a catalog table (bucket metadata
+    * lives in the metastore, not in parquet). */
+  def landBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -24,6 +24,16 @@ class AsOfClusterSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L))
   }
 
+  test("distributed propagation path agrees with driver union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val driver = Dedup.resolveClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = Dedup.resolveClusters(pairs, driverThreshold = 0L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster"))).sorted.toSeq
+    assert(driver == dist)
+  }
+
   test("asof join picks the most recent prior right row, ties included") {
     def t(s: String) = Timestamp.valueOf(s)
     val left = Seq(
