@@ -85,6 +85,26 @@ object FunctionQueries {
       .na.fill(0)
       .orderBy(asc_nulls_first("o_orderstatus"))
 
+  /** q41 — hierarchical subtotals via ROLLUP (status → status×priority →
+    * grand total); beyond the reference, supplied by Catalyst's grouping
+    * sets (SURVEY §2.D note). */
+  def q41Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** q42 — distinct aggregates: per return flag, exact distinct supplier
+    * and part counts alongside plain counts (expand-based distinct agg). */
+  def q42DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_weekday"       -> q28Weekday _,
     "q29_weekofyear"    -> q29WeekOfYear _,
@@ -94,6 +114,8 @@ object FunctionQueries {
     "q33_minmax_norm"   -> q33MinMaxNorm _,
     "q34_running_total" -> q34RunningTotal _,
     "q35_pivot"         -> q35Pivot _,
+    "q41_rollup"        -> q41Rollup _,
+    "q42_distinct_agg"  -> q42DistinctAgg _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -152,6 +174,18 @@ object FunctionQueries {
         |  round(sum(sum_price) OVER (ORDER BY order_date
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_price
         | FROM daily ORDER BY order_date NULLS FIRST""".stripMargin,
+    "q41_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS sum_price
+        | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q42_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part,
+        | count(*) AS n
+        | FROM lineitem GROUP BY l_returnflag
+        | ORDER BY l_returnflag NULLS FIRST""".stripMargin,
     "q35_pivot" ->
       """SELECT o_orderstatus,
         | count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
