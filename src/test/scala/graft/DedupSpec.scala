@@ -87,6 +87,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("dedupCorpus keeps one survivor per near-dup cluster") {
+    val deduped = Dedup.dedupCorpus(docs, col("id"), col("text"), threshold = 0.5)
+    val ids = deduped.collect().map(_.getAs[Long]("id")).toSet
+    // docs 0/1/2 are one cluster -> survivor 0; 3/4 shuffled-word docs are
+    // NOT jaccard dups (shingles differ) -> both stay; 5 unrelated stays.
+    assert(ids == Set(0L, 3L, 4L, 5L), s"got $ids")
+  }
+
+  test("embeddingPairsLsh finds near-identical vectors without a cross join") {
+    val emb = Seq(
+      (0L, Array.fill(16)(0.5f)),
+      (1L, Array.tabulate(16)(i => 0.5f + (if (i == 0) 0.001f else 0f))),
+      (2L, Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("id", "vec")
+    val pairs = Dedup.embeddingPairsLsh(emb, col("id"), col("vec"), 0.99, nBits = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("ngramJaccardPairs maxShingleFreq drops stop-shingle-only pairs") {
     // 10 docs sharing one ubiquitous shingle; two real dups.
     val many = ((0 until 10).map(i => (i.toLong, s"common shingle here unique$i word$i tail$i"))
