@@ -149,13 +149,14 @@ object PipelineQueries {
     * pack — the standard pretraining concat-then-chunk semantic). Pure
     * window arithmetic on exact ints → oracle-checked. */
   def q39SequencePacking(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val maxTokens = 2048
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
-    val w = Window.orderBy(asc("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("cum", sum(col("n_tok")).over(w))
+    val docs = Dedup.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tok").cast("long"))
+    // global cumsum via the two-phase ScalableWindow — a bare
+    // Window.orderBy would drag the whole corpus through one task.
+    graft.operators.ScalableWindow
+      .runningTotal(docs, col("doc_id"), col("n_tok"), "cum",
+        partitions = spark.sparkContext.defaultParallelism)
       .withColumn("pack", floor((col("cum") - col("n_tok")) / maxTokens).cast("long"))
       .groupBy(col("pack"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
