@@ -223,6 +223,33 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** Cross-corpus contamination check (benchmark decontamination): for
+    * each probe document, the fraction of its n-gram shingles that occur
+    * ANYWHERE in the reference corpus. The corpus side collapses to its
+    * distinct shingle set first (one aggregation), so the join is
+    * |probe shingles| ⋈ |distinct corpus shingles| — never quadratic.
+    * Output: (id, n_sh, n_hit, overlap) with exact integer ratio. */
+  def crossCorpusOverlap(
+      probe: DataFrame, probeId: Column, probeText: Column,
+      corpus: DataFrame, corpusText: Column, n: Int): DataFrame = {
+    val probeSh = spread(probe).select(
+      probeId.cast("long").as("id"),
+      TextFunctions.shingles(probeText, n).as("s"))
+      .withColumn("n_sh", size(col("s")))
+    val probeEx = probeSh.select(col("id"), col("n_sh"), explode(col("s")).as("g"))
+    val corpusGrams = spread(corpus)
+      .select(explode(TextFunctions.shingles(corpusText, n)).as("g"))
+      .distinct()
+    val hits = probeEx.join(corpusGrams, Seq("g"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hit"))
+    probeSh.select(col("id"), col("n_sh"))
+      .join(hits, Seq("id"), "left")   // zero-hit docs keep a row
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("overlap", col("n_hit").cast("double") / col("n_sh"))
+      .select(col("id"), col("n_sh"), col("n_hit"), col("overlap"))
+  }
+
   /** One-call corpus dedup: exact + near-dup (n-gram Jaccard) detection,
     * cluster resolution, keep the min-id survivor per cluster — returns
     * the deduplicated corpus rows. The composed form of the pipeline a

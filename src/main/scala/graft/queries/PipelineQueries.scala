@@ -174,6 +174,18 @@ object PipelineQueries {
       .orderBy(desc("n"), asc("gram"))
       .limit(20)
 
+  /** q43 — benchmark decontamination: per src0 ("held-out") document, the
+    * fraction of its 3-gram shingles occurring anywhere in the rest of
+    * the corpus. */
+  def q43Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.crossCorpusOverlap(
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") =!= "src0"), col("text"), n = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_text_stats"      -> q18TextStats _,
     "q19_langid"          -> q19LangId _,
@@ -190,6 +202,7 @@ object PipelineQueries {
     "q38_asof_join"       -> q38AsofJoin _,
     "q39_seq_packing"     -> q39SequencePacking _,
     "q40_top_ngrams"      -> q40TopNgrams _,
+    "q43_contamination"   -> q43Contamination _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -244,6 +257,24 @@ object PipelineQueries {
         | ex AS (SELECT unnest(s) AS gram FROM sh)
         |SELECT gram, count(*) AS n FROM ex
         | GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    "q43_contamination" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+        | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM t),
+        | corpus_grams AS (SELECT DISTINCT unnest(s) AS g FROM sh
+        |   WHERE source <> 'src0'),
+        | pe AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source = 'src0'),
+        | hits AS (SELECT doc_id, count(*) AS n_hit FROM pe
+        |   JOIN corpus_grams USING (g) GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(len(p.s) AS INTEGER) AS n_sh,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(p.s) AS overlap
+        | FROM sh p LEFT JOIN hits h USING (doc_id)
+        | WHERE p.source = 'src0'
+        | ORDER BY p.doc_id NULLS FIRST""".stripMargin,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -106,6 +106,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("crossCorpusOverlap: contaminated doc scores 1.0, novel doc 0.0") {
+    val probe = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog while the sun sets behind quiet hills and birds sing softly tonight"), // = doc 0
+      (101L, "entirely novel unseen holdout content nothing shared here at all"))
+      .toDF("id", "text")
+    val got = Dedup.crossCorpusOverlap(probe, col("id"), col("text"),
+        docs, col("text"), n = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("overlap")).toMap
+    assert(got(100L) == 1.0, s"contaminated overlap ${got(100L)}")
+    assert(got(101L) == 0.0, s"novel overlap ${got(101L)}")
+  }
+
   test("ngramJaccardPairs maxShingleFreq drops stop-shingle-only pairs") {
     // 10 docs sharing one ubiquitous shingle; two real dups.
     val many = ((0 until 10).map(i => (i.toLong, s"common shingle here unique$i word$i tail$i"))
