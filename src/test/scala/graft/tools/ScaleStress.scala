@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Scale-stress harness (manual; not part of the suite): replicates the
+  * sf0.1 documents table K× with shifted ids (each replica's text gets a
+  * replica-tag token appended so replicas are NEAR-dups of each other,
+  * not exact) and times the dedup operators — validates the
+  * prefix-filtered join stays near-linear as the corpus grows.
+  * Run: sbt "Test/runMain graft.tools.ScaleStress [K]"
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(4)
+    val spark = GraftSession.local()
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val big = (0 until k).map { i =>
+      base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replica$i")).as("text"))
+    }.reduce(_ unionByName _).cache()
+    val n = big.count()
+    println(s"corpus: $n docs (${k}x)")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    time("jaccard pairs (exact)") {
+      Dedup.ngramJaccardPairs(big, col("doc_id"), col("text"), 3, 0.8).count()
+    }
+    time("minhash LSH pairs") {
+      Dedup.minhashLshPairs(big, col("doc_id"), col("text")).count()
+    }
+    time("dedup corpus e2e") {
+      Dedup.dedupCorpus(big, col("doc_id"), col("text")).count()
+    }
+    spark.stop()
+  }
+}
