@@ -105,6 +105,42 @@ object FunctionQueries {
         count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"))
 
+  /** q44 — batch event-time bucketing: hourly tumbling windows over the
+    * events stream table (batch analog of the streaming windowed
+    * aggregation; `window()` in a plain groupBy). */
+  def q44TimeBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("n"), col("sum_value"))
+      .orderBy(asc_nulls_first("bucket_start"))
+
+  /** q45 — batch sessionization: per-user sessions split on >30 min
+    * event-time gaps via lag + running boundary count (the batch analog
+    * of the streaming flatMapGroupsWithState sessionizer); reports
+    * session-count and size distribution per user bucket. */
+  def q45Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapMinutes = 30
+    val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts"))
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // exact microsecond gap: unix_timestamp truncates to seconds and
+      // would disagree with the oracle's fractional epoch near the edge
+      .withColumn("boundary",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60L * 1000000L,
+          1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("boundary")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_events_total"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_weekday"       -> q28Weekday _,
     "q29_weekofyear"    -> q29WeekOfYear _,
@@ -116,6 +152,8 @@ object FunctionQueries {
     "q35_pivot"         -> q35Pivot _,
     "q41_rollup"        -> q41Rollup _,
     "q42_distinct_agg"  -> q42DistinctAgg _,
+    "q44_time_buckets"  -> q44TimeBuckets _,
+    "q45_sessionize"    -> q45Sessionize _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -174,6 +212,31 @@ object FunctionQueries {
         |  round(sum(sum_price) OVER (ORDER BY order_date
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_price
         | FROM daily ORDER BY order_date NULLS FIRST""".stripMargin,
+    "q44_time_buckets" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        | FROM events GROUP BY bucket_start
+        | ORDER BY bucket_start NULLS FIRST""".stripMargin,
+    "q45_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        | b AS (SELECT user_id, ts,
+        |   CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+        |        THEN 1 ELSE 0 END AS boundary
+        |  FROM g),
+        | s AS (SELECT user_id,
+        |   sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM b),
+        | per AS (SELECT user_id, session_seq, count(*) AS n_events
+        |  FROM s GROUP BY user_id, session_seq)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_session_events,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events_total
+        | FROM per GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
     "q41_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | round(sum(o_totalprice), 2) AS sum_price
