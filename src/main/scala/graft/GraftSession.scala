@@ -21,6 +21,7 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .withExtensions(new GraftExtensions) // SQL functions always available
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
