@@ -47,7 +47,12 @@ class SnapshotRefreshSpec extends SparkSpec {
         .orderBy("borough"),
       store, Trigger.ProcessingTime(0))
     try {
+      // initial file listing can lag the query start — retry briefly
+      var tries = 0
       q.processAllAvailable()
+      while (store.latest.isEmpty && tries < 50) {
+        Thread.sleep(100); q.processAllAvailable(); tries += 1
+      }
       val v1 = store.latest.map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(v1 == Map("Queens" -> 15L, "Brooklyn" -> 7L))
       // snapshot 2 REPLACES snapshot 1 (recompute-world, not accumulate)
