@@ -77,6 +77,16 @@ object EventStream {
       }
   }
 
+  /** Streaming deduplication: drop repeated `idCols` across micro-batches,
+    * keeping state only within the watermark horizon (bounded state — the
+    * streaming form of exact dedup; duplicates arriving later than the
+    * watermark are passed through, the standard correctness/state
+    * trade-off). */
+  def dedupStream(events: DataFrame, watermark: String, idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(idCols :+ "ts")
+
   /** File-source stream of event parquet with the tumbling aggregation to
     * a memory sink (complete mode; used by tests and as the dashboard
     * upgrade path). */

@@ -58,6 +58,22 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeats across micro-batches") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = EventStream.dedupStream(input.toDF(), "1 hour", Seq("event_id"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ev_dedup")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(mkEvents: _*)
+      q.processAllAvailable()
+      input.addData(mkEvents.head, mkEvents(1)) // exact repeats, next batch
+      q.processAllAvailable()
+      assert(spark.table("ev_dedup").count() == mkEvents.length)
+    } finally q.stop()
+  }
+
   test("sessionization closes a session when the event-time gap is exceeded") {
     implicit val s = spark
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
