@@ -92,6 +92,16 @@ object TextFunctions {
           array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
+  /** Polynomial rolling-hash document fingerprint:
+    * h = Σ 31^i·byte(i) mod 1e9+7, folded left-to-right with per-step
+    * modular reduction so every intermediate stays exact in both engines
+    * (DuckDB errors on int64 overflow; Spark would silently wrap). */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, b) => pmod(acc * 31 + b, lit(1000000007L)))
+
   /** Approximate BPE-ish subword count: word tokens plus an extra unit per
     * 6 chars of a long token (crude proxy for byte-pair splits, as a
     * deterministic, dependency-free token counter). */

@@ -186,6 +186,13 @@ object PipelineQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** q46 — rolling-hash document fingerprints: polynomial hash over the
+    * text bytes with per-step modular reduction (exact in both engines). */
+  def q46RollingHash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), rollingHash(col("text")).as("fp"))
+      .orderBy(asc_nulls_first("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_text_stats"      -> q18TextStats _,
     "q19_langid"          -> q19LangId _,
@@ -203,6 +210,7 @@ object PipelineQueries {
     "q39_seq_packing"     -> q39SequencePacking _,
     "q40_top_ngrams"      -> q40TopNgrams _,
     "q43_contamination"   -> q43Contamination _,
+    "q46_rolling_hash"    -> q46RollingHash _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -257,6 +265,13 @@ object PipelineQueries {
         | ex AS (SELECT unnest(s) AS gram FROM sh)
         |SELECT gram, count(*) AS n FROM ex
         | GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    "q46_rolling_hash" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_transform(range(1, strlen(text) + 1),
+        |     i -> CAST(ord(text[i]) AS BIGINT)),
+        |   (acc, b) -> (acc * 31 + b) % 1000000007) AS fp
+        | FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q43_contamination" ->
       s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
         | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3

@@ -73,6 +73,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Int](df.select(qualityScore(col("t")))) == 4)
   }
 
+  test("rollingHash: known value, order-sensitive, deterministic") {
+    val df = Seq("abc", "cba", "abc").toDF("t")
+    val got = df.select(rollingHash(col("t"))).collect().map(_.getLong(0))
+    assert(got(0) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+    assert(got(0) != got(1), "order must matter")
+    assert(got(0) == got(2), "deterministic")
+  }
+
   test("subwordCount charges extra units for long tokens") {
     val df = Seq("hi internationalization").toDF("t") // 1 + ceil(20/6)=4
     assert(one[Int](df.select(subwordCount(col("t")))) == 5)
