@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -18,37 +18,29 @@ import org.apache.spark.sql.types._
   * which re-hashes every string k times through interpreted lambdas and
   * was the single hottest stage in the first benchmark run.
   *
+  * Codegen calls the shared [[MinHashSig.Kernel]] so the child expression
+  * stays inside whole-stage codegen; interpreted eval uses the same
+  * kernel (both paths agree by construction).
+  *
   * Signature equality properties (what MinHash needs) only require the
   * mixes to be pairwise-independent-ish; exact hash choice is free since
   * this operator is approximate (no SQL oracle).
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val sig = Array.fill[Long](k)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = SimHash64.stableHash64(arr.getUTF8String(i))
-        var j = 0
-        while (j < k) {
-          // Affine mix with fixed odd multipliers; finalizer spreads bits.
-          val a = MinHashSig.MultA + 2L * j
-          val b = MinHashSig.MultB * (j + 1)
-          val m = MinHashSig.fmix64(a * h + b)
-          if (m < sig(j)) sig(j) = m
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashSig.Kernel.signature(input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("minhashKernel", MinHashSig.Kernel)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $kernel.signature($a, $k));""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -66,6 +58,30 @@ object MinHashSig {
     x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
     x ^= x >>> 33
     x
+  }
+
+  /** Shared interpreted/codegen kernel (referenced from generated Java). */
+  object Kernel extends Serializable {
+    def signature(arr: ArrayData, k: Int): Array[Long] = {
+      val n = arr.numElements()
+      val sig = Array.fill[Long](k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = SimHash64.stableHash64(arr.getUTF8String(i))
+          var j = 0
+          while (j < k) {
+            val a = MultA + 2L * j
+            val b = MultB * (j + 1)
+            val m = fmix64(a * h + b)
+            if (m < sig(j)) sig(j) = m
+            j += 1
+          }
+        }
+        i += 1
+      }
+      sig
+    }
   }
 
   /** Column API: minhash_sig(shingles, k). */

@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,45 +14,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * according to its 64-bit hash; the sign of each counter becomes the
   * output bit. Near-duplicate texts land within small Hamming distance.
   *
-  * Implemented as a native Catalyst `Expression` (not a UDF) so it
-  * participates in column pruning / filter pushdown and stays inside the
-  * operator pipeline; `CodegenFallback` keeps surrounding whole-stage
-  * codegen intact while this node itself is interpreted (one virtual call
-  * per row — fine, the O(tokens·64) loop dominates).
+  * Implemented as a native Catalyst `Expression` (not a UDF) with real
+  * codegen: `doGenCode` emits a call to the shared [[SimHash64.Kernel]]
+  * so the (expensive) child expression stays inside whole-stage codegen —
+  * a `CodegenFallback` here would re-evaluate the whole child tree
+  * through the interpreted path on every row. Interpreted eval delegates
+  * to the same kernel, so both paths agree by construction.
   *
   * The token hash must be stable across JVMs/executors: we use two 32-bit
   * Murmur3 hashes of the UTF-8 bytes with fixed seeds, packed to 64 bits.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val counters = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = SimHash64.stableHash64(s)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (counters(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(out)
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      SimHash64.Kernel.simhash(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("simhashKernel", SimHash64.Kernel)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $kernel.simhash($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
@@ -67,6 +51,33 @@ object SimHash64 {
     val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x9747b28c)
     val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x85ebca6b)
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** Shared interpreted/codegen kernel (referenced from generated Java). */
+  object Kernel extends Serializable {
+    def simhash(arr: ArrayData): Long = {
+      val counters = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = stableHash64(arr.getUTF8String(i))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (counters(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
   }
 
   /** Column API: simhash64(tokensColumn). */

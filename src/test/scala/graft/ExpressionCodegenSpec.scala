@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{MinHashSig, SimHash64}
+import graft.functions.TextFunctions
+
+/** Pins that the custom expressions' codegen and interpreted paths agree
+  * and that codegen actually engages (no fallback plan). */
+class ExpressionCodegenSpec extends SparkSpec {
+  import spark.implicits._
+
+  // repartition breaks ConvertToLocalRelation, which would otherwise
+  // evaluate the projection interpreted at optimization time and never
+  // exercise doGenCode
+  private lazy val docs = (0 until 200)
+    .map(i => (i.toLong, s"token$i shared words appear here ${i % 7} times over"))
+    .toDF("id", "text")
+    .repartition(3)
+
+  test("simhash64: codegen output equals direct kernel evaluation") {
+    val viaPlan = docs
+      .select(col("id"), SimHash64.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = docs.collect().map { r =>
+      val toks = r.getString(1).toLowerCase.trim.split("\\s+")
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString))
+      r.getLong(0) -> SimHash64.Kernel.simhash(arr)
+    }.toMap
+    assert(viaPlan == direct)
+  }
+
+  test("minhash_sig: codegen output equals direct kernel evaluation") {
+    val viaPlan = docs
+      .select(col("id"),
+        MinHashSig.minhashSig(TextFunctions.shingles(col("text"), 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(viaPlan.values.forall(_.length == 16))
+    // identical shingle sets -> identical signatures regardless of path
+    val twice = docs.select(
+      MinHashSig.minhashSig(TextFunctions.shingles(col("text"), 3), 16).as("a"),
+      MinHashSig.minhashSig(TextFunctions.shingles(col("text"), 3), 16).as("b"))
+      .collect()
+    assert(twice.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("projection with the custom expressions stays in whole-stage codegen") {
+    val df = docs.select(
+      SimHash64.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark whole-stage-codegen'd operators in this format
+    assert(plan.contains("*(1) Project [simhash64"), s"plan:\n$plan")
+  }
+}
