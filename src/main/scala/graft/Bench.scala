@@ -12,11 +12,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
-    def runOnce(name: String): Double = {
+    // A throwing run yields None — excluded from min-of-runs and from the
+    // total, and surfaced in an explicit "failed" list (never a sentinel
+    // that could mask the other run's real time or shrink the total).
+    def runOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce)           // warmup: codegen + page cache
@@ -24,11 +28,15 @@ object Bench {
     // carry ~2x GC/scheduler noise; min-of-2 is the stable steady state.
     val r1 = names.map(n => n -> runOnce(n)).toMap
     val r2 = names.map(n => n -> runOnce(n)).toMap
-    val results = names.map(n => n -> math.min(r1(n), r2(n)))
+    val results = names.flatMap { n =>
+      (r1(n).toSeq ++ r2(n).toSeq).minOption.map(n -> _)
+    }
+    val failed = names.filter(n => r1(n).isEmpty && r2(n).isEmpty)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,6 +20,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Numerics are IDENTICAL to the HOF version and to the DuckDB oracle SQL
   * (`list_sum(list_transform(...))`): float widened to double exactly,
   * then one sequential fold — keep it that way or the oracle hash breaks.
+  *
+  * Null semantics also mirror `aggregate(zip_with(a, b, (x,y) -> x*y),
+  * 0D, (s,v) -> s+v)`: mismatched lengths null-pad the shorter array and
+  * a null element poisons the sum, so both cases return NULL — malformed
+  * rows fail loudly (oracle-hash-visibly) instead of silently dotting a
+  * prefix.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,10 +36,12 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -46,12 +54,17 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType, IntegerType, ShortType, ByteType}
 
 /** Scale-safe global running totals.
   *
@@ -18,33 +19,70 @@ import org.apache.spark.sql.functions._
   *      collect of #partitions rows, broadcast back),
   *   4. global cumsum = local cumsum + partition offset.
   *
-  * Results are identical to the single-window formulation for exact
-  * (integer/decimal) values; callers ordering by a non-unique column
-  * inherit the same tie ambiguity any window orderBy has.
+  * The range-partitioned frame is materialized ONCE (localCheckpoint)
+  * before the totals collect: `RangePartitioner` samples afresh per
+  * execution, so without pinning, the totals job and the final join
+  * could see DIFFERENT partition bounds — broadcast offsets keyed to a
+  * `__pid` assignment that no longer exists. The checkpoint makes both
+  * jobs read the same materialized partitioning. (On a cluster, swap
+  * `localCheckpoint` for a reliable `checkpoint`/`persist(DISK)` if
+  * executor loss during the query is a concern.)
+  *
+  * Value types: integral (long path, exact), decimal (BigDecimal path,
+  * exact), float/double (double path — same left-to-right association a
+  * single-window cumsum would produce within each partition). Callers
+  * ordering by a non-unique column inherit the same tie ambiguity any
+  * window orderBy has.
   */
 object ScalableWindow {
 
   def runningTotal(
       df: DataFrame, orderCol: Column, valueCol: Column,
       as: String, partitions: Int): DataFrame = {
+    // Pin one physical partitioning for all downstream jobs (see scaladoc).
     val ranged = df.repartitionByRange(partitions, orderCol)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val w = Window.partitionBy(col("__pid")).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__local", sum(valueCol).over(w))
-    // exclusive prefix offsets over the (tiny) per-partition totals
-    val totals = local.groupBy(col("__pid"))
+    // Exclusive prefix offsets over the (tiny) per-partition totals,
+    // accumulated exactly in BigDecimal regardless of the sum's dtype.
+    val totalsDf = ranged.groupBy(col("__pid"))
       .agg(sum(valueCol).as("__ptotal"))
-      .collect().map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("__ptotal"))
-      .sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
-      (pid, acc + t)
-    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val sumType = totalsDf.schema("__ptotal").dataType
+    val totals = totalsDf.collect().map { r =>
+      val bd = r.get(1) match {
+        case null                      => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal   => d
+        case n: java.lang.Number       => new java.math.BigDecimal(n.toString)
+        case other => sys.error(s"non-numeric running-total value: $other")
+      }
+      r.getInt(0) -> bd
+    }.sortBy(_._1)
+    val offsets = totals
+      .scanLeft((0, java.math.BigDecimal.ZERO)) { case ((_, acc), (pid, t)) =>
+        (pid, acc.add(t))
+      }
+      .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }
+      .toSeq
     val spark = df.sparkSession
     import spark.implicits._
-    val offsetDf = offsets.toDF("__pid", "__offset")
+    val offsetDf = sumType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        offsets.map { case (p, bd) => (p, bd.longValueExact()) }
+          .toDF("__pid", "__offset")
+      case DoubleType | FloatType =>
+        offsets.map { case (p, bd) => (p, bd.doubleValue()) }
+          .toDF("__pid", "__offset")
+      case dt: DecimalType =>
+        offsets.map { case (p, bd) => (p, BigDecimal(bd)) }
+          .toDF("__pid", "__offset")
+          .withColumn("__offset", col("__offset").cast(dt))
+      case other => sys.error(s"unsupported running-total type: $other")
+    }
     local.join(broadcast(offsetDf), Seq("__pid"), "left")
-      .withColumn(as, col("__local") + coalesce(col("__offset"), lit(0L)))
+      .withColumn(as, col("__local") + coalesce(col("__offset"), lit(0L).cast(sumType)))
       .drop("__pid", "__local", "__offset")
   }
 }

@@ -88,7 +88,13 @@ class PagedJsonScanBuilder(schema: StructType, options: CaseInsensitiveStringMap
   private var limit: Option[Int] = None
   private var pushed: Array[Filter] = Array.empty
 
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  // Fully pushed ONLY when no filters are pushed into the scan: the scan
+  // applies the limit to raw line offsets (pre-filter), so combined with an
+  // in-scan filter it would under-return rows for limit-after-filter
+  // semantics. Spark's V2ScanRelationPushDown pushes filters before limits,
+  // so `pushed` is final here; returning false keeps the global Limit node.
+  override def pushLimit(l: Int): Boolean =
+    if (pushed.isEmpty) { limit = Some(l); true } else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition {
@@ -103,7 +109,9 @@ class PagedJsonScanBuilder(schema: StructType, options: CaseInsensitiveStringMap
   override def build(): Scan = new PagedJsonScan(
     schema, options.get("path"),
     Option(options.get("pageSize")).map(_.toInt).getOrElse(1000),
-    limit, pushed)
+    // Defensive re-check at build time: never page-prune a filtered scan,
+    // regardless of the engine's pushdown call order.
+    if (pushed.isEmpty) limit else None, pushed)
 }
 
 class PagedJsonScan(

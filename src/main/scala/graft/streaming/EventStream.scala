@@ -81,11 +81,14 @@ object EventStream {
     * keeping state only within the watermark horizon (bounded state — the
     * streaming form of exact dedup; duplicates arriving later than the
     * watermark are passed through, the standard correctness/state
-    * trade-off). */
+    * trade-off). True id-based dedup: duplicates may carry DIFFERENT event
+    * timestamps and are still dropped, as long as they arrive within the
+    * watermark delay of the first occurrence
+    * (`dropDuplicatesWithinWatermark`, Spark 3.5+). */
   def dedupStream(events: DataFrame, watermark: String, idCols: Seq[String]): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates(idCols :+ "ts")
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** File-source stream of event parquet with the tumbling aggregation to
     * a memory sink (complete mode; used by tests and as the dashboard

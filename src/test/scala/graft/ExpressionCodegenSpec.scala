@@ -45,6 +45,27 @@ class ExpressionCodegenSpec extends SparkSpec {
     assert(twice.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("float_vec_dot matches the aggregate(zip_with) HOF on well-formed, " +
+      "mismatched-length, and null-element rows") {
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f), Seq[java.lang.Float](4.0f, 5.0f, 6.0f)),
+      (2L, Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](4.0f, 5.0f, 6.0f)),
+      (3L, Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](4.0f, 5.0f, 6.0f)))
+      .toDF("id", "a", "b")
+      .repartition(2) // defeat ConvertToLocalRelation so codegen runs
+    val hof = expr(
+      "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), " +
+        "cast(0.0 as double), (s, v) -> s + v)")
+    val got = df.select(col("id"),
+        graft.expressions.FloatVecDot.dot(col("a"), col("b")).as("native"),
+        hof.as("hof"))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got(1L)._1 == got(1L)._2 && got(1L)._1.contains(32.0))
+    assert(got(2L) == ((None, None)), s"mismatched lengths must null: $got")
+    assert(got(3L) == ((None, None)), s"null element must null: $got")
+  }
+
   test("projection with the custom expressions stays in whole-stage codegen") {
     val df = docs.select(
       SimHash64.simhash64(TextFunctions.tokens(col("text"))).as("sh"))

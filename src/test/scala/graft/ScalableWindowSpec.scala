@@ -26,10 +26,39 @@ class ScalableWindowSpec extends SparkSpec {
     val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("id", "v")
     val out = ScalableWindow.runningTotal(df, col("id"), col("v"), "cum", 8)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("rangepartitioning"), s"plan:\n$plan")
     // the cumsum window is keyed by partition id (parallel), never global
     assert(plan.contains("windowspecdefinition(__pid"), s"plan:\n$plan")
+    // the ranged frame is materialized once (checkpoint), so the totals
+    // job and this join see identical __pid assignments
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"plan:\n$plan")
     val last = out.orderBy(desc("id")).select("cum").collect().head.getLong(0)
     assert(last == 100L)
+  }
+
+  test("decimal value columns accumulate exactly") {
+    val df = (0 until 200)
+      .map(i => (i.toLong, BigDecimal((i % 13) + 0.25)))
+      .toDF("id", "v")
+      .withColumn("v", col("v").cast("decimal(12,2)"))
+    val naive = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val scaled = ScalableWindow.runningTotal(df, col("id"), col("v"), "cum", 6)
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(scaled.keySet == naive.keySet)
+    naive.foreach { case (k, v) =>
+      assert(scaled(k).compareTo(v) == 0, s"id=$k: ${scaled(k)} != $v")
+    }
+  }
+
+  test("double value columns supported") {
+    val df = (0 until 100).map(i => (i.toLong, 0.5)).toDF("id", "v")
+    val out = ScalableWindow.runningTotal(df, col("id"), col("v"), "cum", 4)
+      .orderBy(desc("id")).select("cum").collect().head.getDouble(0)
+    assert(out == 50.0)
   }
 }

@@ -52,6 +52,22 @@ class PagedJsonSourceSpec extends SparkSpec {
     assert(df.select("yr").distinct().collect().map(_.getString(0)).toSeq == Seq("2024"))
   }
 
+  test("filter + limit composes as limit-AFTER-filter (no joint pushdown)") {
+    // 500 yr=2024 rows are spread 1-in-5 across 2500 raw lines. If the scan
+    // page-pruned by the pre-filter limit (the round-1 bug), limit(300)
+    // would plan only the first 300 raw lines and surface just ~60 matches.
+    val df = read.load().filter(col("yr") === "2024").limit(300)
+    assert(df.count() == 300)
+    val rows = df.collect()
+    assert(rows.length == 300)
+    assert(rows.forall(_.getAs[String]("yr") == "2024"))
+    // The filter still reaches the scan; the limit must NOT.
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scan.contains("EqualTo(yr,2024)"), s"plan: $scan")
+    assert(scan.contains("limit=None"), s"plan: $scan")
+  }
+
   test("explicit columns option overrides inference; missing keys -> null") {
     val df = spark.read.format("paged-json")
       .option("path", dataPath).option("pageSize", 500)

@@ -69,6 +69,8 @@ class EventStreamSpec extends SparkSpec {
       input.addData(mkEvents: _*)
       q.processAllAvailable()
       input.addData(mkEvents.head, mkEvents(1)) // exact repeats, next batch
+      // id-based dedup: same event_id with a DIFFERENT ts is still a dup
+      input.addData(mkEvents(2).copy(ts = Timestamp.valueOf("2024-01-01 01:12:00")))
       q.processAllAvailable()
       assert(spark.table("ev_dedup").count() == mkEvents.length)
     } finally q.stop()
