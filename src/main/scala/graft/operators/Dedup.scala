@@ -172,6 +172,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** MinHash+LSH near-dup pairs WITH exact verification — the full
+    * production dedup shape: LSH banding generates candidates (cheap,
+    * near-linear), then each candidate pair is verified with the EXACT
+    * n-gram Jaccard on the hashed shingle sets, so false positives are
+    * eliminated and the output is `(id_a, id_b, jaccard ≥ threshold)`,
+    * identical to [[ngramJaccardPairs]] up to LSH recall.
+    *
+    * Recall: a pair with true Jaccard j becomes a candidate with
+    * p = 1-(1-j^r)^b; at the defaults (k=60, b=20, r=3) a j=0.8 pair is
+    * missed with p ≈ 6e-7 — deterministically complete in practice, which
+    * is what makes this variant oracle-checkable against the exhaustive
+    * exact SQL. Versus [[ngramJaccardPairs]] the candidate stage shuffles
+    * b fixed-width band hashes per doc instead of a ~(1-τ) fraction of the
+    * shingle set — the knob to turn when the prefix join's candidate
+    * volume dominates at scale.
+    */
+  def minhashLshVerifiedPairs(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.8,
+      k: Int = 60, bands: Int = 20): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    // One pass computes both the MinHash signature (candidate generation)
+    // and the sorted hashed shingle set (exact verification); persisted
+    // because it feeds the band explode AND both sides of the verify join.
+    val base = spread(docs).select(
+      id.cast("long").as("id"),
+      TextFunctions.shingles(text, n).as("s"))
+      .select(col("id"),
+        minhashSignature(col("s"), k).as("sig"),
+        array_sort(transform(col("s"), x => xxhash64(x))).as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(
+      col("id"), col("n_sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), xxhash64(b, array_join(
+          transform(slice(col("sig"), b * r + 1, lit(r)), h => h.cast("string")),
+          ",")).as("bh")))).as("e"))
+      .select(col("id"), col("n_sh"), col("e.band"), col("e.bh"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    // Size pruning mirrors ngramJaccardPairs: |A|,|B| within a factor τ.
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id") &&
+          col("a.n_sh") >= ceil(col("b.n_sh") * threshold) &&
+          col("b.n_sh") >= ceil(col("a.n_sh") * threshold))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with
     * 4 chunks, by pigeonhole: any pair differing in ≤3 of 64 bits agrees
     * on at least one 16-bit chunk — candidate generation is complete).

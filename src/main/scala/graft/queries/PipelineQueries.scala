@@ -74,11 +74,14 @@ object PipelineQueries {
       .withColumn("cosine", round(col("cosine"), 4))
       .orderBy(asc("id_a"), asc("id_b"))
 
-  /** q24 — MinHash+LSH near-dup candidates (approximate scale path; no SQL
-    * oracle — pinned by DedupSpec with planted duplicates). */
+  /** q24 — MinHash+LSH near-dup pairs with exact verification: banding
+    * proposes candidates, exact shingle-set Jaccard verifies them. At the
+    * chosen banding a τ=0.8 pair is missed with p≈6e-7, so the output
+    * equals the exhaustive exact pairs and IS oracle-checked against the
+    * same SQL as q21 (the two paths must agree — that's the point). */
   def q24MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(spark, dir),
-        col("doc_id"), col("text"))
+    Dedup.minhashLshVerifiedPairs(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, threshold = 0.8)
       .orderBy(asc("id_a"), asc("id_b"))
 
   /** q25 — SimHash near-dup pairs within Hamming distance 3 (custom
@@ -378,6 +381,25 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT min(doc_id) AS survivor_id, count(*) AS n_dups
         | FROM f GROUP BY fp ORDER BY survivor_id NULLS FIRST""".stripMargin,
+    // q24 must produce the SAME verified pairs as the exhaustive exact
+    // path — LSH only changes how candidates are found, never the result.
+    "q24_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM t),
+        | ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        | sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |   CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+        | FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+        | WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8
+        | ORDER BY id_a, id_b""".stripMargin,
     "q21_neardup_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3

@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("minhashLshVerifiedPairs equals the exhaustive exact pairs") {
+    // The whole point of the verified variant: LSH only changes candidate
+    // generation — output (ids AND exact jaccard values) must match the
+    // exhaustive shingle-join path bit for bit.
+    val exact = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 3, 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshVerifiedPairs(docs, col("id"), col("text"),
+        n = 3, threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+    assert(exact.nonEmpty) // planted dups guarantee a non-trivial compare
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs") {
     val est = Dedup.minhashLshPairs(docs, col("id"), col("text"), threshold = 0.5)
       .filter(col("id_a") === 0 && col("id_b") === 1)
