@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+import graft.sources.Tables
+
+/** Round-2 coverage widening: window-function variety (ntile, lead/lag
+  * gaps, range frames, top-n per group), multi-dimensional aggregation
+  * (CUBE + grouping id), exact interpolated percentiles per group, the
+  * bucketed range join, and string normalization — each oracle-checked
+  * against DuckDB (float rules: round(sum,2) money, exact integer
+  * microsecond arithmetic for time gaps, raw untouched doubles for
+  * pass-through columns).
+  *
+  * Scale notes are per query; the recurring theme: windows are either
+  * PARTITIONED (parallel) or applied to post-aggregation frames whose
+  * size is bounded by the group-key cardinality, never to raw rows.
+  */
+object AdvancedQueries {
+
+  /** q47 — exact interpolated percentiles (p25/p50/p75) of quantity per
+    * return flag. One partial+final agg; percentile state is per-group. */
+  def q47GroupPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 2).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 2).as("p75"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+
+  /** q48 — ntile quartiles of customers by account balance WITHIN each
+    * market segment (partitioned window → parallel; the unique
+    * (acctbal, custkey) order makes tile assignment deterministic). */
+  def q48Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(asc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(asc_nulls_first("c_mktsegment"), asc("quartile"))
+  }
+
+  /** q49 — inter-event gap statistics per user via lag over the user
+    * partition. Gaps are exact BIGINT microseconds (no float drift); the
+    * multiset of consecutive gaps is invariant under tie order, so no
+    * tie-breaker is needed. */
+  def q49EventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"))
+    Tables.events(spark, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .groupBy(col("user_id"))
+      .agg(
+        count(col("gap_us")).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  /** q50 — CUBE over (returnflag, linestatus) with an explicit grouping
+    * id: all four aggregation levels in one pass (Catalyst expands to
+    * grouping sets; partial aggregation still applies). */
+  def q50Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        // grouping() is only valid inside the grouping-sets aggregate
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  /** q51 — range join: events matched to OVERLAPPING value intervals
+    * (stride 40, width 60 — unaligned with the bucket width on purpose)
+    * via [[RangeJoin.pointInInterval]]: equality join on domain buckets +
+    * exact post-filter, never a nested loop. */
+  def q51RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val intervals = spark.range(12).toDF("iv")
+      .withColumn("lo", col("iv") * 40.0)
+      .withColumn("hi", col("iv") * 40.0 + 60.0)
+    RangeJoin.pointInInterval(
+        Tables.events(spark, dir), col("value"),
+        intervals, col("lo"), col("hi"), bucketWidth = 25.0)
+      .groupBy(col("iv"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(asc("iv"))
+  }
+
+  /** q52 — regex extraction: leading word of the part name (codegen'd
+    * RegExpExtract, stays in the scan's project) → count + distinct
+    * brands per word. */
+  def q52RegexExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .withColumn("word", regexp_extract(col("p_name"), "^(\\w+)", 1))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("p_brand")).as("n_brands"))
+      .orderBy(asc_nulls_first("word"))
+
+  /** q53 — top-3 parts by retail price per brand: the canonical
+    * partitioned row_number top-n (per-group heap at scale, no global
+    * sort; price passes through untouched → bit-identical). */
+  def q53TopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(desc("p_retailprice"), asc("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+      .orderBy(asc_nulls_first("p_brand"), asc("rn"))
+  }
+
+  /** q54 — string-normalization key (lower, collapse whitespace, trim) →
+    * distinct-normalized-doc count per source: the cheap pre-pass of an
+    * exact dedup pipeline expressed with builtin string functions. */
+  def q54NormalizedKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("key", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("key")).as("n_distinct"))
+      .orderBy(asc_nulls_first("source"))
+
+  /** q55 — 7-day moving revenue via a RANGE frame over the day number
+    * (post-aggregation window: input is one row per date, bounded by the
+    * calendar, so the unpartitioned frame is safe at any corpus scale). */
+  def q55MovingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sum_price"))
+    val w = Window.orderBy(col("dnum")).rangeBetween(-6, 0)
+    daily
+      .withColumn("dnum", datediff(col("order_date"), lit("1970-01-01")).cast("long"))
+      .withColumn("mov7", round(sum(col("sum_price")).over(w), 2))
+      .select(col("order_date"), col("sum_price"), col("mov7"))
+      .orderBy(asc_nulls_first("order_date"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_group_percentiles" -> q47GroupPercentiles _,
+    "q48_ntile"             -> q48Ntile _,
+    "q49_event_gaps"        -> q49EventGaps _,
+    "q50_cube"              -> q50Cube _,
+    "q51_range_join"        -> q51RangeJoin _,
+    "q52_regex_extract"     -> q52RegexExtract _,
+    "q53_topn_per_group"    -> q53TopNPerGroup _,
+    "q54_normalized_key"    -> q54NormalizedKey _,
+    "q55_moving_window"     -> q55MovingWindow _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q47_group_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+        | round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+        | round(quantile_cont(l_quantity, 0.75), 2) AS p75
+        | FROM lineitem GROUP BY l_returnflag
+        | ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+    "q48_ntile" ->
+      """WITH t AS (SELECT c_mktsegment, c_acctbal,
+        |   ntile(4) OVER (PARTITION BY c_mktsegment
+        |     ORDER BY c_acctbal, c_custkey) AS quartile
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(quartile AS INTEGER) AS quartile,
+        |  count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        | FROM t GROUP BY c_mktsegment, quartile
+        | ORDER BY c_mktsegment NULLS FIRST, quartile""".stripMargin,
+    "q49_event_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |   epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |     PARTITION BY user_id ORDER BY ts)) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(gap_us) AS n_gaps,
+        |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        | FROM g GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+    "q50_cube" ->
+      """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+        |   AS INTEGER) AS gid,
+        | l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        | ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q51_range_join" ->
+      """WITH iv AS (SELECT range AS iv, range * 40.0 AS lo,
+        |   range * 40.0 + 60.0 AS hi FROM range(12))
+        |SELECT iv, count(*) AS n, round(sum(value), 2) AS sum_value
+        | FROM events JOIN iv ON value >= lo AND value < hi
+        | GROUP BY iv ORDER BY iv""".stripMargin,
+    "q52_regex_extract" ->
+      """SELECT regexp_extract(p_name, '^(\w+)', 1) AS word,
+        | count(*) AS n, count(DISTINCT p_brand) AS n_brands
+        | FROM part GROUP BY word ORDER BY word NULLS FIRST""".stripMargin,
+    "q53_topn_per_group" ->
+      """WITH t AS (SELECT p_brand, p_partkey, p_retailprice,
+        |   row_number() OVER (PARTITION BY p_brand
+        |     ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part)
+        |SELECT p_brand, CAST(rn AS INTEGER) AS rn, p_partkey, p_retailprice
+        | FROM t WHERE rn <= 3
+        | ORDER BY p_brand NULLS FIRST, rn""".stripMargin,
+    "q54_normalized_key" ->
+      """WITH k AS (SELECT source,
+        |   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS key
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT key) AS n_distinct
+        | FROM k GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+    "q55_moving_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |    round(sum(o_totalprice), 2) AS sum_price
+        |  FROM orders GROUP BY order_date),
+        | d AS (SELECT *, CAST(order_date - DATE '1970-01-01' AS BIGINT) AS dnum
+        |  FROM daily)
+        |SELECT order_date, sum_price,
+        |  round(sum(sum_price) OVER (ORDER BY dnum
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS mov7
+        | FROM d ORDER BY order_date NULLS FIRST""".stripMargin,
+  )
+}
