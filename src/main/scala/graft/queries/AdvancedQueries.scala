@@ -142,6 +142,30 @@ object AdvancedQueries {
       .orderBy(asc_nulls_first("order_date"))
   }
 
+  /** q56 — batch interval join (the batch analog of the streaming
+    * clicks⋈views join): each click pairs with the same user's views in
+    * the preceding 30 minutes. Plans as a shuffle join on user_id with
+    * the time bounds as residual condition — sharded by user, never a
+    * nested loop. */
+  def q56IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user_id"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+    clicks.join(views,
+        col("user_id") === col("view_user_id") &&
+          col("view_ts") <= col("click_ts") &&
+          unix_micros(col("view_ts")) >=
+            unix_micros(col("click_ts")) - 30L * 60L * 1000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("view_value")), 2).as("sum_view_value"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_group_percentiles" -> q47GroupPercentiles _,
     "q48_ntile"             -> q48Ntile _,
@@ -152,6 +176,7 @@ object AdvancedQueries {
     "q53_topn_per_group"    -> q53TopNPerGroup _,
     "q54_normalized_key"    -> q54NormalizedKey _,
     "q55_moving_window"     -> q55MovingWindow _,
+    "q56_interval_join"     -> q56IntervalJoin _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,5 +248,16 @@ object AdvancedQueries {
         |  round(sum(sum_price) OVER (ORDER BY dnum
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS mov7
         | FROM d ORDER BY order_date NULLS FIRST""".stripMargin,
+    "q56_interval_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        | v AS (SELECT user_id AS view_user_id, ts AS view_ts, value AS view_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT user_id, count(*) AS n_pairs,
+        |  round(sum(view_value), 2) AS sum_view_value
+        | FROM c JOIN v ON user_id = view_user_id
+        |   AND view_ts <= click_ts
+        |   AND epoch_us(view_ts) >= epoch_us(click_ts) - 30 * 60 * 1000000
+        | GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
   )
 }

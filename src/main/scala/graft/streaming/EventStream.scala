@@ -90,6 +90,30 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: each click joins the SAME user's view
+    * events from the preceding `joinWindow` (event time). Both sides are
+    * watermarked and the join condition carries explicit time bounds, so
+    * Spark derives a state-retention horizon per side and ages buffered
+    * rows out — bounded state, the requirement for an unbounded run.
+    * Output: one row per (click, qualifying view). */
+  def clicksWithRecentViews(
+      events: DataFrame, watermark: String, joinWindow: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user_id"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+      col("user_id") === col("view_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $joinWindow"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("click_value"), col("view_ts"), col("view_value"))
+  }
+
   /** File-source stream of event parquet with the tumbling aggregation to
     * a memory sink (complete mode; used by tests and as the dashboard
     * upgrade path). */

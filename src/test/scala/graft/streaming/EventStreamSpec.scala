@@ -76,6 +76,27 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with recent same-user views") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = EventStream.clicksWithRecentViews(input.toDF(), "2 hours", "30 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ev_ssjoin")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        Event(10, Timestamp.valueOf("2024-01-01 01:00:00"), 1, "view", 1.0),  // 10 min before: in window
+        Event(11, Timestamp.valueOf("2024-01-01 00:20:00"), 1, "view", 2.0),  // 50 min before: outside
+        Event(12, Timestamp.valueOf("2024-01-01 01:20:00"), 2, "view", 3.0),  // other user
+        Event(13, Timestamp.valueOf("2024-01-01 01:10:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("ev_ssjoin")
+        .select("click_id", "view_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((13L, 1.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("sessionization closes a session when the event-time gap is exceeded") {
     implicit val s = spark
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
