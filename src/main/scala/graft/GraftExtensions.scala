@@ -4,13 +4,14 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{Epsg2263ToWgs84, FloatVecDot, MinHashSig, SimHash64}
+import graft.expressions.{Epsg2263ToWgs84, FloatVecDot, MinHashSig, SigAgree, SimHash64}
 
 /** Registers the engine's custom Catalyst expressions as SQL functions:
   *
   *   simhash64(array<string>)            -> bigint
   *   minhash_sig(array<string>, k)       -> array<bigint>
   *   float_vec_dot(array<float>, array<float>) -> double
+  *   sig_agree(array<bigint>, array<bigint>)   -> int
   *   epsg2263_to_wgs84(x, y)             -> array<double> [lon, lat]
   *
   * Two wirings: `spark.sql.extensions=graft.GraftExtensions` at session
@@ -39,6 +40,7 @@ object GraftExtensions {
     "minhash_sig" -> (exprs =>
       MinHashSig(exprs.head, intArg(exprs(1), "minhash_sig"))),
     "float_vec_dot" -> (exprs => FloatVecDot(exprs.head, exprs(1))),
+    "sig_agree" -> (exprs => SigAgree(exprs.head, exprs(1))),
     "epsg2263_to_wgs84" -> (exprs => Epsg2263ToWgs84(exprs.head, exprs(1))),
   )
 

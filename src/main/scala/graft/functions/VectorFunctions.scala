@@ -31,12 +31,17 @@ object VectorFunctions {
     * hyperplane projections packed into a long. The "hyperplanes" are
     * deterministic per (bit, dim) via a hash-seeded ±1 pattern — no stored
     * model, so the same expression computes the same bucket on any
-    * executor at any scale. */
-  def hyperplaneBucket(a: Column, nBits: Int): Column = {
-    require(nBits <= 32, "bucket bits capped at 32")
+    * executor at any scale. Native codegen'd expression (see
+    * [[graft.expressions.HyperplaneBucket64]]): one pass over the vector
+    * for all planes; the original nBits-HOF-passes formulation is pinned
+    * equal in `ExpressionCodegenSpec`. */
+  def hyperplaneBucket(a: Column, nBits: Int): Column =
+    graft.expressions.HyperplaneBucket64.bucket(a, nBits)
+
+  /** The pre-native HOF formulation of [[hyperplaneBucket]] — retained
+    * ONLY as the equality oracle for the native expression's tests. */
+  private[graft] def hyperplaneBucketHof(a: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map { b =>
-      // ±1 pattern for plane b over dimension i: parity of a cheap
-      // deterministic integer hash of (b, i).
       val proj = aggregate(
         zip_with(a, sequence(lit(0), size(a) - 1), (x, i) =>
           x.cast("double") *

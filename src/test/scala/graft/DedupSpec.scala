@@ -110,6 +110,13 @@ class DedupSpec extends SparkSpec {
     assert(ids == Set(0L, 3L, 4L, 5L), s"got $ids")
   }
 
+  test("dedupCorpus LSH path keeps the same survivors as the exact path") {
+    val deduped = Dedup.dedupCorpus(docs, col("id"), col("text"),
+      threshold = 0.5, useLsh = true)
+    val ids = deduped.collect().map(_.getAs[Long]("id")).toSet
+    assert(ids == Set(0L, 3L, 4L, 5L), s"got $ids")
+  }
+
   test("embeddingPairsLsh finds near-identical vectors without a cross join") {
     val emb = Seq(
       (0L, Array.fill(16)(0.5f)),

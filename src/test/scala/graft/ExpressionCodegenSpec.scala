@@ -66,6 +66,40 @@ class ExpressionCodegenSpec extends SparkSpec {
     assert(got(3L) == ((None, None)), s"null element must null: $got")
   }
 
+  test("sig_agree matches the size(filter(zip_with)) HOF formulation") {
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),   // 3 agree
+      (2L, Seq(1L, 2L), Seq(1L, 2L, 3L)),               // length mismatch
+      (3L, Seq(5L, 6L), Seq(5L, 6L)))                   // all agree
+      .toDF("id", "a", "b")
+      .repartition(2)
+    val hof = expr("size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))")
+    val got = df.select(col("id"),
+        graft.expressions.SigAgree.agree(col("a"), col("b")).as("native"),
+        hof.as("hof"))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got(1L)._1.contains(3) && got(3L)._1.contains(2))
+    assert(got(1L)._1 == got(1L)._2 && got(3L)._1 == got(3L)._2)
+    assert(got(2L)._1 == None, s"mismatched lengths must null: $got")
+  }
+
+  test("hyperplane_bucket equals the nBits-pass HOF formulation bit for bit") {
+    val vecs = (0 until 50)
+      .map(i => (i.toLong, Array.tabulate(24)(d => ((i * 31 + d * 7) % 17 - 8) / 4.0f).toSeq))
+      .toDF("id", "v")
+      .repartition(3)
+    for (nBits <- Seq(8, 16, 32)) {
+      val got = vecs.select(col("id"),
+          graft.expressions.HyperplaneBucket64.bucket(col("v"), nBits).as("native"),
+          graft.functions.VectorFunctions.hyperplaneBucketHof(col("v"), nBits).as("hof"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)} nBits=$nBits")
+      }
+    }
+  }
+
   test("projection with the custom expressions stays in whole-stage codegen") {
     val df = docs.select(
       SimHash64.simhash64(TextFunctions.tokens(col("text"))).as("sh"))

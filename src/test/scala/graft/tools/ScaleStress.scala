@@ -37,8 +37,14 @@ object ScaleStress {
     time("minhash LSH pairs") {
       Dedup.minhashLshPairs(big, col("doc_id"), col("text")).count()
     }
+    time("minhash LSH + exact verify") {
+      Dedup.minhashLshVerifiedPairs(big, col("doc_id"), col("text")).count()
+    }
     time("dedup corpus e2e") {
       Dedup.dedupCorpus(big, col("doc_id"), col("text")).count()
+    }
+    time("dedup corpus e2e (LSH)") {
+      Dedup.dedupCorpus(big, col("doc_id"), col("text"), useLsh = true).count()
     }
     spark.stop()
   }
