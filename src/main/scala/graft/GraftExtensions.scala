@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{Epsg2263ToWgs84, FloatVecDot, MinHashSig, SigAgree, SimHash64}
+import graft.expressions.{Epsg2263ToWgs84, FloatVecDot, HashedShingles, MinHashSig, MinHashSigHashed, SigAgree, SimHash64}
 
 /** Registers the engine's custom Catalyst expressions as SQL functions:
   *
@@ -41,6 +41,10 @@ object GraftExtensions {
       MinHashSig(exprs.head, intArg(exprs(1), "minhash_sig"))),
     "float_vec_dot" -> (exprs => FloatVecDot(exprs.head, exprs(1))),
     "sig_agree" -> (exprs => SigAgree(exprs.head, exprs(1))),
+    "hashed_shingles" -> (exprs =>
+      HashedShingles(exprs.head, intArg(exprs(1), "hashed_shingles"))),
+    "minhash_sig_hashed" -> (exprs =>
+      MinHashSigHashed(exprs.head, intArg(exprs(1), "minhash_sig_hashed"))),
     "epsg2263_to_wgs84" -> (exprs => Epsg2263ToWgs84(exprs.head, exprs(1))),
   )
 

@@ -1,0 +1,94 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sorted distinct xxhash64 hashes of a text's word n-gram shingles —
+  * the whole shingling pipeline of the dedup operators as ONE codegen'd
+  * expression.
+  *
+  * Semantics are identical (parity pinned in `ExpressionCodegenSpec`) to
+  * the builtin composition the operators previously ran:
+  *
+  *   array_sort(transform(
+  *     <lower/trim/split-\s+/n-gram-join/array_distinct shingling>,
+  *     s => xxhash64(s)))
+  *
+  * which crossed three CodegenFallback higher-order functions and
+  * materialized every shingle string twice. Fewer than n tokens →
+  * the whole text is the single shingle (matching the HOF's
+  * `when(size < n, array(array_join(toks)))` branch).
+  */
+case class HashedShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HashedShingles.Kernel.shingleHashes(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("shingleKernel", HashedShingles.Kernel)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $kernel.shingleHashes($a, $n));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+object HashedShingles {
+
+  /** Shared interpreted/codegen kernel (referenced from generated Java). */
+  object Kernel extends Serializable {
+    def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+      // Match the builtin chain exactly: UTF8String trim+toLowerCase
+      // (locale-independent, same as Lower/StringTrim), then Java-regex
+      // \s+ split (same as StringSplit with limit -1).
+      val lowered = text.trim().toLowerCase.toString
+      val toks = lowered.split("\\s+", -1)
+      val distinct = new java.util.LinkedHashSet[String]()
+      if (toks.length < n) {
+        distinct.add(toks.mkString(" "))
+      } else {
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          distinct.add(sb.toString)
+          i += 1
+        }
+      }
+      val out = new Array[Long](distinct.size())
+      val it = distinct.iterator()
+      var k = 0
+      while (it.hasNext) {
+        out(k) = XxHash64Function.hash(
+          UTF8String.fromString(it.next()), StringType, 42L)
+        k += 1
+      }
+      java.util.Arrays.sort(out)
+      out
+    }
+  }
+
+  /** Column API: hashed_shingles(text, n). */
+  def shingles(text: Column, n: Int): Column =
+    GraftBridge.column(HashedShingles(GraftBridge.expression(text), n))
+}

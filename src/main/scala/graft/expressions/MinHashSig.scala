@@ -87,4 +87,61 @@ object MinHashSig {
   /** Column API: minhash_sig(shingles, k). */
   def minhashSig(shingles: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(shingles), k))
+
+  /** Column API: minhash signature from PRE-HASHED shingles
+    * (`array<long>`, e.g. [[HashedShingles]]) — skips the string hashing
+    * entirely; the k affine mixes run on the existing 64-bit values. */
+  def minhashSigFromHashes(hashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSigHashed(GraftBridge.expression(hashes), k))
+}
+
+/** [[MinHashSig]] over an `array<long>` of pre-hashed shingles: the same
+  * k affine-mix minimums, with the base hash taken from the input array
+  * (shared with the verification path via [[HashedShingles]], so the
+  * dedup chain hashes each shingle string exactly once). MinHash only
+  * needs a uniform base hash; xxhash64 (HashedShingles) and the string
+  * kernel's Murmur both qualify. */
+case class MinHashSigHashed(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_hashed"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashSigHashed.Kernel.signature(input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("minhashHashedKernel", MinHashSigHashed.Kernel)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $kernel.signature($a, $k));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigHashed =
+    copy(child = newChild)
+}
+
+object MinHashSigHashed {
+  /** Shared interpreted/codegen kernel (referenced from generated Java). */
+  object Kernel extends Serializable {
+    def signature(arr: ArrayData, k: Int): Array[Long] = {
+      val n = arr.numElements()
+      val sig = Array.fill[Long](k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val a = MinHashSig.MultA + 2L * j
+          val b = MinHashSig.MultB * (j + 1)
+          val m = MinHashSig.fmix64(a * h + b)
+          if (m < sig(j)) sig(j) = m
+          j += 1
+        }
+        i += 1
+      }
+      sig
+    }
+  }
 }

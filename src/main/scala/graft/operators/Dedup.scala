@@ -68,14 +68,15 @@ object Dedup {
     // Shingles are hashed to 64-bit longs up front: every downstream
     // shuffle/compare/intersect runs on fixed-width longs instead of
     // strings (collision probability over the corpus is ~|shingles|²/2⁶⁴,
-    // far below any other error source).
+    // far below any other error source). HashedShingles is the native
+    // one-pass form of the lower/split/n-gram/distinct/xxhash64/sort
+    // chain (codegen'd; parity pinned in ExpressionCodegenSpec).
     // Persisted: the shingle relation feeds the prefix explode AND both
     // sides of the verification join — without caching, the self-join
-    // re-runs the (interpreted HOF) shingling three times.
+    // re-runs the shingling three times.
     val sh = spread(docs).select(
       id.cast("long").as("id"),
-      array_sort(transform(TextFunctions.shingles(text, n), s => xxhash64(s)))
-        .as("hs"))
+      graft.expressions.HashedShingles.shingles(text, n).as("hs"))
       .withColumn("n_sh", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Prefix filtering (AllPairs/PPJoin family): under ANY global total
@@ -145,9 +146,12 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
+    // One-pass native shingle hashing feeds the signature mixes directly
+    // (no shingle strings ever materialize).
     val sig = spread(docs).select(
       id.cast("long").as("id"),
-      minhashSignature(TextFunctions.shingles(text, n), k).as("sig"))
+      graft.expressions.MinHashSig.minhashSigFromHashes(
+        graft.expressions.HashedShingles.shingles(text, n), k).as("sig"))
     // (id, band, bandHash) — one row per band, hash of the band's slice.
     val banded = sig.select(
       col("id"), col("sig"),
@@ -197,15 +201,16 @@ object Dedup {
       k: Int = 60, bands: Int = 20): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    // One pass computes both the MinHash signature (candidate generation)
-    // and the sorted hashed shingle set (exact verification); persisted
-    // because it feeds the band explode AND both sides of the verify join.
+    // One pass computes the hashed shingle set (exact verification), and
+    // the MinHash signature derives from those SAME hashes (candidate
+    // generation) — each shingle string is hashed exactly once, and no
+    // shingle strings survive past the projection; persisted because it
+    // feeds the band explode AND both sides of the verify join.
     val base = spread(docs).select(
       id.cast("long").as("id"),
-      TextFunctions.shingles(text, n).as("s"))
-      .select(col("id"),
-        minhashSignature(col("s"), k).as("sig"),
-        array_sort(transform(col("s"), x => xxhash64(x))).as("hs"))
+      graft.expressions.HashedShingles.shingles(text, n).as("hs"))
+      .select(col("id"), col("hs"),
+        graft.expressions.MinHashSig.minhashSigFromHashes(col("hs"), k).as("sig"))
       .withColumn("n_sh", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(
@@ -297,13 +302,16 @@ object Dedup {
   def crossCorpusOverlap(
       probe: DataFrame, probeId: Column, probeText: Column,
       corpus: DataFrame, corpusText: Column, n: Int): DataFrame = {
+    // Hashed shingles on both sides: the semi join shuffles fixed-width
+    // longs instead of n-gram strings (same distinct-set counts modulo
+    // 64-bit collisions, the shared assumption of the whole dedup family).
     val probeSh = spread(probe).select(
       probeId.cast("long").as("id"),
-      TextFunctions.shingles(probeText, n).as("s"))
+      graft.expressions.HashedShingles.shingles(probeText, n).as("s"))
       .withColumn("n_sh", size(col("s")))
     val probeEx = probeSh.select(col("id"), col("n_sh"), explode(col("s")).as("g"))
     val corpusGrams = spread(corpus)
-      .select(explode(TextFunctions.shingles(corpusText, n)).as("g"))
+      .select(explode(graft.expressions.HashedShingles.shingles(corpusText, n)).as("g"))
       .distinct()
     val hits = probeEx.join(corpusGrams, Seq("g"), "left_semi")
       .groupBy(col("id"))

@@ -100,6 +100,37 @@ class ExpressionCodegenSpec extends SparkSpec {
     }
   }
 
+  test("hashed_shingles equals the HOF shingle+xxhash64+sort chain") {
+    val texts = Seq("", "   ", "one", "one two", "one two three",
+      "a a a a a", "The QUICK  brown\tfox jumps", "x y z x y z x y",
+      "único café naïve test case")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").repartition(2)
+    for (n <- Seq(1, 3)) {
+      val hof = array_sort(transform(
+        TextFunctions.shingles(col("text"), n), s => xxhash64(s)))
+      val got = df.select(col("id"),
+          graft.expressions.HashedShingles.shingles(col("text"), n).as("native"),
+          hof.as("hof"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)} n=$n")
+      }
+    }
+  }
+
+  test("minhash_sig_hashed: signature of hashed shingles is deterministic " +
+      "and k-wide") {
+    val sig = docs.select(
+        graft.expressions.MinHashSig.minhashSigFromHashes(
+          graft.expressions.HashedShingles.shingles(col("text"), 3), 16).as("a"),
+        graft.expressions.MinHashSig.minhashSigFromHashes(
+          graft.expressions.HashedShingles.shingles(col("text"), 3), 16).as("b"))
+      .collect()
+    assert(sig.forall(r => r.getSeq[Long](0).length == 16))
+    assert(sig.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("projection with the custom expressions stays in whole-stage codegen") {
     val df = docs.select(
       SimHash64.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
