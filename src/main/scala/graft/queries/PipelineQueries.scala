@@ -168,14 +168,38 @@ object PipelineQueries {
 
   /** q40 — corpus n-gram statistics: global top-20 3-gram shingles with
     * deterministic tie-break (the corpus-level counting pass of any
-    * n-gram LM / contamination check). */
-  def q40TopNgrams(spark: SparkSession, dir: String): DataFrame =
-    Dedup.spread(Tables.documents(spark, dir))
-      .select(explode(shingles(col("text"), 3)).as("gram"))
-      .groupBy(col("gram"))
+    * n-gram LM / contamination check).
+    *
+    * Scale shape — count on hashes, rehydrate only winners: the counting
+    * aggregation shuffles fixed-width longs ([[graft.expressions
+    * .HashedShingles]]), never gram strings; the boundary threshold (the
+    * 20th-highest count, ties included) selects the candidate hashes, and
+    * a second pass re-shingles only to recover the strings of those
+    * candidates via a broadcast join — so gram strings are never
+    * shuffled. Tie-break by gram text happens after rehydration, giving
+    * byte-identical results to the direct string aggregation. */
+  def q40TopNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.spread(Tables.documents(spark, dir))
+    val counts = docs
+      .select(explode(graft.expressions.HashedShingles.shingles(col("text"), 3)).as("h"))
+      .groupBy(col("h"))
       .agg(count(lit(1)).as("n"))
+    // 20th-highest count; every hash at or above it is a candidate (the
+    // candidate set covers all possible tie-break outcomes).
+    val thr = counts.select(col("n")).orderBy(desc("n")).limit(20)
+      .agg(min(col("n")).as("thr"))
+    val winners = counts.crossJoin(broadcast(thr))
+      .filter(col("n") >= col("thr"))
+      .select(col("h"), col("n"))
+    docs
+      .select(explode(shingles(col("text"), 3)).as("gram"))
+      .withColumn("h", xxhash64(col("gram")))
+      .join(broadcast(winners), "h")
+      .select(col("gram"), col("n"))
+      .distinct()
       .orderBy(desc("n"), asc("gram"))
       .limit(20)
+  }
 
   /** q43 — benchmark decontamination: per src0 ("held-out") document, the
     * fraction of its 3-gram shingles occurring anywhere in the rest of
