@@ -18,13 +18,16 @@ import graft.expressions.{Epsg2263ToWgs84, FloatVecDot, HashedShingles, MinHashS
   * build, or [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // Custom whole-operator plans (tier (c) of the extension ladder).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -166,6 +166,18 @@ object AdvancedQueries {
       .orderBy(asc_nulls_first("user_id"))
   }
 
+  /** q57 — top-3 parts per brand via the CUSTOM physical operator
+    * ([[graft.plans.GroupTopK]]): partial bounded heaps → shuffle of ≤k
+    * rows per group per partition → final heaps; no full per-group sort,
+    * unlike the q53 window formulation (same oracle — the two plans must
+    * agree row for row). */
+  def q57CustomTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.GroupTopK.topK(Tables.part(spark, dir),
+        Seq(col("p_brand")),
+        Seq(col("p_retailprice").desc, col("p_partkey").asc), 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .orderBy(asc_nulls_first("p_brand"), desc("p_retailprice"), asc("p_partkey"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_group_percentiles" -> q47GroupPercentiles _,
     "q48_ntile"             -> q48Ntile _,
@@ -177,6 +189,7 @@ object AdvancedQueries {
     "q54_normalized_key"    -> q54NormalizedKey _,
     "q55_moving_window"     -> q55MovingWindow _,
     "q56_interval_join"     -> q56IntervalJoin _,
+    "q57_custom_topk"       -> q57CustomTopK _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -259,5 +272,13 @@ object AdvancedQueries {
         |   AND view_ts <= click_ts
         |   AND epoch_us(view_ts) >= epoch_us(click_ts) - 30 * 60 * 1000000
         | GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+    "q57_custom_topk" ->
+      """WITH t AS (SELECT p_brand, p_partkey, p_retailprice,
+        |   row_number() OVER (PARTITION BY p_brand
+        |     ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part)
+        |SELECT p_brand, p_partkey, p_retailprice
+        | FROM t WHERE rn <= 3
+        | ORDER BY p_brand NULLS FIRST, p_retailprice DESC, p_partkey""".stripMargin,
   )
 }
