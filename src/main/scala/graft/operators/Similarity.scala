@@ -38,8 +38,12 @@ object Similarity {
       .select(col("id"), col("sim"))
 
   /** Batch exact top-k: every query row against the whole corpus (small
-    * query set broadcast; per-query top-k via window). Output:
-    * (query_id, id, sim, rank). */
+    * query set broadcast). Per-query top-k runs through the custom
+    * [[graft.plans.GroupTopK]] operator — partial bounded heaps on the
+    * map side, so the shuffle carries ≤k candidates per (query,
+    * partition) instead of every |corpus|·|queries| scored row; the
+    * row_number window that assigns `rank` only ever sees the ≤k
+    * survivors per query. Output: (query_id, id, sim, rank). */
   def bruteForceTopKBatch(
       corpus: DataFrame, id: Column, vec: Column,
       queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
@@ -51,9 +55,10 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .withColumn("sim", round(
         VectorFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+    val top = graft.plans.GroupTopK.topK(scored,
+      Seq(col("query_id")), Seq(col("sim").desc, col("id").asc), k)
     val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("id"), col("sim"), col("rank"))
   }
 
