@@ -57,8 +57,14 @@ class SnapshotRefreshSpec extends SparkSpec {
       assert(v1 == Map("Queens" -> 15L, "Brooklyn" -> 7L))
       // snapshot 2 REPLACES snapshot 1 (recompute-world, not accumulate)
       snapshot(2, 10).write.mode("append").parquet(dir)
+      // the file source's directory listing can lag the write under load
+      // (same race as the initial listing) — retry until the swap lands
+      var tries2 = 0
       q.processAllAvailable()
-      val v2 = store.latest.map(r => r.getString(0) -> r.getLong(1)).toMap
+      def v2 = store.latest.map(r => r.getString(0) -> r.getLong(1)).toMap
+      while (v2 != Map("Queens" -> 150L, "Brooklyn" -> 70L) && tries2 < 50) {
+        Thread.sleep(100); q.processAllAvailable(); tries2 += 1
+      }
       assert(v2 == Map("Queens" -> 150L, "Brooklyn" -> 70L))
     } finally q.stop()
   }
