@@ -46,4 +46,32 @@ object AsOf {
       .filter(col("__side") === 1)
       .drop("__side", "__rv")
   }
+
+  /** Forward as-of: for each left row, attach `rightValue` from the
+    * EARLIEST right row with the same `key` and `rightTs >= leftTs`
+    * (null if none) — the symmetric window over descending time, same
+    * one-shuffle/one-sort cost profile. A right row at exactly leftTs
+    * counts (`<=` ASOF semantics). */
+  def joinForward(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      rightValue: Column, valueName: String): DataFrame = {
+    val leftTagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast("double"))
+    val rightTagged = right.select(
+      col(key), col(ts),
+      lit(0).as("__side"),
+      rightValue.cast("double").as("__rv"))
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    // descending time; right rows still sort before left at equal ts so
+    // an exactly-simultaneous right row is visible
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(s"asof_$valueName", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rv")
+  }
 }

@@ -178,6 +178,21 @@ object AdvancedQueries {
       .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
       .orderBy(asc_nulls_first("p_brand"), desc("p_retailprice"), asc("p_partkey"))
 
+  /** q58 — FORWARD as-of join: each click gets the next following view's
+    * value for the same user (the look-ahead twin of q38's
+    * most-recent-prior join; oracle = DuckDB ASOF with `<=`). */
+  def q58AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOf.joinForward(
+        clicks, views, "user_id", "ts", col("value"), "view_value")
+      .select(col("event_id"), col("asof_view_value"))
+      .orderBy(asc_nulls_first("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_group_percentiles" -> q47GroupPercentiles _,
     "q48_ntile"             -> q48Ntile _,
@@ -190,6 +205,7 @@ object AdvancedQueries {
     "q55_moving_window"     -> q55MovingWindow _,
     "q56_interval_join"     -> q56IntervalJoin _,
     "q57_custom_topk"       -> q57CustomTopK _,
+    "q58_asof_forward"      -> q58AsofForward _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -280,5 +296,13 @@ object AdvancedQueries {
         |SELECT p_brand, p_partkey, p_retailprice
         | FROM t WHERE rn <= 3
         | ORDER BY p_brand NULLS FIRST, p_retailprice DESC, p_partkey""".stripMargin,
+    "q58_asof_forward" ->
+      """SELECT l.event_id, r.value AS asof_view_value
+        | FROM (SELECT event_id, user_id, ts FROM events
+        |       WHERE event_type = 'click') l
+        | ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |       WHERE event_type = 'view') r
+        |   ON l.user_id = r.user_id AND l.ts <= r.ts
+        | ORDER BY l.event_id NULLS FIRST""".stripMargin,
   )
 }

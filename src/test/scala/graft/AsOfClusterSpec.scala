@@ -53,4 +53,24 @@ class AsOfClusterSpec extends SparkSpec {
     assert(got == Map(100L -> Some(2.0), 101L -> Some(2.0),
       102L -> None, 103L -> Some(7.0)))
   }
+
+  test("forward asof join picks the earliest following right row, ties included") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (100L, 1L, t("2024-01-01 08:00:00")),  // before views at 9 and 9:30 -> 1.0
+      (101L, 1L, t("2024-01-01 09:30:00")),  // exactly at a view -> 2.0 (<=)
+      (102L, 1L, t("2024-01-01 10:00:00")),  // after every view -> null
+      (103L, 2L, t("2024-01-01 09:00:00")))  // other user, one later view -> 7.0
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 09:00:00"), 1.0),
+      (1L, t("2024-01-01 09:30:00"), 2.0),
+      (2L, t("2024-01-01 09:59:00"), 7.0))
+      .toDF("user_id", "ts", "value")
+    val got = AsOf.joinForward(left, right, "user_id", "ts", col("value"), "v")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+    assert(got == Map(100L -> Some(1.0), 101L -> Some(2.0),
+      102L -> None, 103L -> Some(7.0)))
+  }
 }
