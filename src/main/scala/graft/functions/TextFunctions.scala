@@ -33,9 +33,12 @@ object TextFunctions {
   def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
     stopwordHits(c, stopwords) / greatest(tokenCount(c), lit(1))
 
-  /** Number of tokens found in `stopwords`. */
+  /** Number of tokens found in `stopwords`. Native codegen'd expression
+    * (see [[graft.expressions.StopwordHits]]) — the HOF formulation
+    * `size(filter(tokens, isin))` is pinned equal in
+    * `ExpressionCodegenSpec`. */
   def stopwordHits(c: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(c), t => t.isin(stopwords: _*)))
+    graft.expressions.StopwordHits.hits(tokens(c), stopwords)
 
   /** Mean token length in characters. */
   def avgTokenLen(c: Column): Column =

@@ -131,6 +131,24 @@ class ExpressionCodegenSpec extends SparkSpec {
     assert(sig.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("stopword_hits equals the size(filter(tokens, isin)) HOF formulation") {
+    val texts = Seq("", "the quick brown fox", "THE THE the of of and",
+      "no stop words here?!", "el la de und der le et the")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").repartition(2)
+    val words = TextFunctions.StopEn
+    val hof = size(filter(TextFunctions.tokens(col("text")),
+      t => t.isin(words: _*)))
+    val got = df.select(col("id"),
+        graft.expressions.StopwordHits.hits(
+          TextFunctions.tokens(col("text")), words).as("native"),
+        hof.as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("projection with the custom expressions stays in whole-stage codegen") {
     val df = docs.select(
       SimHash64.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
