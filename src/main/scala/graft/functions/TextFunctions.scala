@@ -40,9 +40,14 @@ object TextFunctions {
   def stopwordHits(c: Column, stopwords: Seq[String]): Column =
     graft.expressions.StopwordHits.hits(tokens(c), stopwords)
 
-  /** Mean token length in characters. */
+  /** Mean token length in characters. The token-length sum is computed
+    * as `length(text minus all whitespace)` — tokens are exactly the
+    * whitespace-split pieces, so their concatenation is the text with
+    * whitespace removed (lower applied first to mirror the tokenizer for
+    * locale-sensitive case mappings). Pure codegen'd builtins; replaces
+    * an interpreted aggregate/transform HOF pass per document. */
   def avgTokenLen(c: Column): Column =
-    aggregate(transform(tokens(c), t => length(t)), lit(0), (acc, x) => acc + x) /
+    length(regexp_replace(lower(trim(c)), "\\s+", "")) /
       greatest(tokenCount(c), lit(1))
 
   /** English stopwords used by the default quality score / language ID. */
