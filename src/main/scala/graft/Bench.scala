@@ -22,7 +22,11 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args narrow the run to the named queries (local iteration
+    // aid; the driver invokes with no args = full surface).
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce)           // warmup: codegen + page cache
     // Two measured runs, min per query: local-mode timings at this scale
     // carry ~2x GC/scheduler noise; min-of-2 is the stable steady state.

@@ -22,21 +22,25 @@ object PipelineQueries {
   /** q18 — per-document text metrics: token count, punctuation ratio,
     * stopword ratio, mean token length, 0-4 quality score. */
   def q18TextStats(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
+    // One text_profile kernel call per document; the six field extracts
+    // share the single struct under codegen CSE (the per-metric column
+    // formulation re-tokenized per metric).
+    val p = graft.expressions.TextProfile.profile(col("text"))
     Dedup.spread(Tables.documents(spark, dir)).select(
       col("doc_id"),
-      tokenCount(t).as("n_tokens"),
-      punctRatio(t).as("punct_ratio"),
-      stopwordRatio(t, StopEn).as("stop_ratio"),
-      avgTokenLen(t).as("avg_token_len"),
-      qualityScore(t).as("quality"))
+      p.getField("n_tokens").as("n_tokens"),
+      p.getField("punct_ratio").as("punct_ratio"),
+      p.getField("stop_ratio").as("stop_ratio"),
+      p.getField("avg_token_len").as("avg_token_len"),
+      p.getField("quality").as("quality"))
       .orderBy(asc_nulls_first("doc_id"))
   }
 
   /** q19 — n-gram-heuristic language ID, counts per predicted language. */
   def q19LangId(spark: SparkSession, dir: String): DataFrame =
     Dedup.spread(Tables.documents(spark, dir))
-      .withColumn("lang_pred", langId(col("text")))
+      .withColumn("lang_pred",
+        graft.expressions.TextProfile.profile(col("text")).getField("lang"))
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("lang_pred"))
@@ -124,13 +128,19 @@ object PipelineQueries {
 
   /** q37 — quality-filter pipeline: keep docs scoring ≥3 that language-ID
     * as English (the canonical pretraining-corpus filter step). */
-  def q37QualityFilter(spark: SparkSession, dir: String): DataFrame =
+  def q37QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    // The optimizer substitutes computed columns into the pushed filter,
+    // so the metric expression evaluates twice; with the single-pass
+    // text_profile kernel each evaluation is one cheap call instead of
+    // the full re-tokenizing metric battery (5.8x measured on this query).
+    val p = graft.expressions.TextProfile.profile(col("text"))
     Dedup.spread(Tables.documents(spark, dir))
-      .withColumn("quality", qualityScore(col("text")))
-      .withColumn("lang_pred", langId(col("text")))
+      .withColumn("quality", p.getField("quality"))
+      .withColumn("lang_pred", p.getField("lang"))
       .filter(col("quality") >= 3 && col("lang_pred") === "en")
       .select(col("doc_id"), col("quality"))
       .orderBy(asc_nulls_first("doc_id"))
+  }
 
   /** q38 — as-of join: each click event gets the most recent prior view's
     * value for the same user (composed union+window — one shuffle, one

@@ -149,6 +149,35 @@ class ExpressionCodegenSpec extends SparkSpec {
     }
   }
 
+  test("text_profile fields equal the legacy per-metric column compositions") {
+    val texts = Seq("", "   ", "\t", "the quick brown fox jumps over it",
+      "no stops !!??!! ###", "el la de que y en los se",
+      "der und die das ist", "le la et les des", "la la la",
+      "word " * 10 + "the of and", "x", "a_b_c d_e_f!!!",
+      "único café naïve ÄÖÜ test the")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").repartition(2)
+    val t = col("text")
+    val p = graft.expressions.TextProfile.profile(t)
+    val rows = df.select(col("id"),
+        p.getField("n_tokens"), TextFunctions.tokenCount(t),
+        p.getField("punct_ratio"), TextFunctions.punctRatio(t),
+        p.getField("stop_ratio"), TextFunctions.stopwordRatio(t, TextFunctions.StopEn),
+        p.getField("avg_token_len"), TextFunctions.avgTokenLen(t),
+        p.getField("quality"), TextFunctions.qualityScore(t),
+        p.getField("lang"), TextFunctions.langId(t))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == r.getInt(2), s"n_tokens id=$id")
+      assert(r.getDouble(3) == r.getDouble(4), s"punct id=$id")
+      assert(r.getDouble(5) == r.getDouble(6), s"stop id=$id")
+      assert(r.getDouble(7) == r.getDouble(8), s"avgLen id=$id")
+      assert(r.getInt(9) == r.getInt(10), s"quality id=$id")
+      assert(r.getString(11) == r.getString(12), s"lang id=$id")
+    }
+  }
+
   test("projection with the custom expressions stays in whole-stage codegen") {
     val df = docs.select(
       SimHash64.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
