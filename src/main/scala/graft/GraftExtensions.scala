@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{Epsg2263ToWgs84, FloatVecDot, HashedShingles, MinHashSig, MinHashSigHashed, SigAgree, SimHash64}
+import graft.expressions.{Epsg2263ToWgs84, FloatVecDot, HashedShingles, MinHashSig, MinHashSigHashed, SigAgree, SimHash64, StopwordHits, TextProfile}
 
 /** Registers the engine's custom Catalyst expressions as SQL functions:
   *
@@ -48,6 +48,7 @@ object GraftExtensions {
       HashedShingles(exprs.head, intArg(exprs(1), "hashed_shingles"))),
     "minhash_sig_hashed" -> (exprs =>
       MinHashSigHashed(exprs.head, intArg(exprs(1), "minhash_sig_hashed"))),
+    "text_profile" -> (exprs => TextProfile(exprs.head)),
     "epsg2263_to_wgs84" -> (exprs => Epsg2263ToWgs84(exprs.head, exprs(1))),
   )
 
