@@ -64,4 +64,23 @@ class PropertySpec extends SparkSpec {
       assert(full.take(5).toSeq == topk.toSeq)
     }
   }
+
+  test("custom GroupTopK equals per-group sort-prefix on generated frames") {
+    val gen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(0, 4), Gen.choose(0, 500), Gen.choose(0L, 50L)))
+    for ((rows0, i) <- samples(gen, 5).zipWithIndex if rows0.nonEmpty) {
+      // unique (g, id) keys give the required total order under (v, id)
+      val rows = rows0.distinctBy(r => (r._1, r._2))
+      val df = rows.toDF("g", "id", "v").repartition(3)
+      for (k <- Seq(1, 3, 10)) {
+        val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+          rs.sortBy(r => (-r._3, r._2)).take(k)
+        }.toSet
+        val got = graft.plans.GroupTopK.topK(df,
+            Seq(col("g")), Seq(col("v").desc, col("id").asc), k)
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+        assert(got == expected, s"sample=$i k=$k")
+      }
+    }
+  }
 }
