@@ -23,7 +23,11 @@ object Bench {
       } catch { case _: Throwable => None }
     }
     // Optional args narrow the run to the named queries (local iteration
-    // aid; the driver invokes with no args = full surface).
+    // aid; the driver invokes with no args = full surface). Unknown names
+    // fail fast — otherwise a typo would masquerade as a crashed query in
+    // the "failed" list.
+    val unknown = args.toSeq.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted

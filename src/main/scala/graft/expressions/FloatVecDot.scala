@@ -32,6 +32,10 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
+  // Can produce NULL (length mismatch / null element) even for
+  // non-nullable children — without this, codegen keeps isNull=false and
+  // the malformed-row NULL silently degrades to 0.0.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -33,7 +33,11 @@ case class HyperplaneBucket64(child: Expression, nBits: Int)
       HyperplaneBucket64.Kernel.bucket(input.asInstanceOf[ArrayData], nBits))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = HyperplaneBucket64.Kernel.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // addReferenceObj, NOT a source-level "Outer$Kernel.MODULE$" path:
+    // nested Scala objects have no mirror class, so the latter fails
+    // janino compilation and the expression silently runs interpreted
+    // with a recompile attempt per task.
+    val kernel = ctx.addReferenceObj("hyperplaneKernel", HyperplaneBucket64.Kernel)
     defineCodeGen(ctx, ev, a => s"$kernel.bucket($a, $nBits)")
   }
 
@@ -45,7 +49,7 @@ object HyperplaneBucket64 {
 
   /** Shared interpreted/codegen kernel (same object serves both paths, so
     * equality between them is structural, not tested-in). */
-  object Kernel {
+  object Kernel extends Serializable {
     def bucket(v: ArrayData, nBits: Int): Long = {
       val n = v.numElements()
       val projs = new Array[Double](nBits)

@@ -23,6 +23,9 @@ case class SigAgree(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sig_agree"
+  // NULL on length mismatch even for non-nullable children (see
+  // FloatVecDot — same silent-zero degradation otherwise).
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -130,6 +130,22 @@ object Dedup {
   def minhashSignature(shingleCol: Column, k: Int): Column =
     graft.expressions.MinHashSig.minhashSig(shingleCol, k)
 
+  /** One row per (doc, band) with the band's hash — the SHARED banding
+    * formula for both LSH pair paths (estimate-only and verified); any
+    * change to the band-hash scheme lands in exactly one place.
+    * Input needs columns `id` and `sig`; `carry` names extra columns to
+    * keep on each banded row. */
+  private def bandedRows(sig: DataFrame, k: Int, bands: Int, carry: Seq[String]): DataFrame = {
+    val r = k / bands
+    val keep = col("id") +: carry.map(col)
+    sig.select(keep :+
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), xxhash64(b, array_join(
+            transform(slice(col("sig"), b * r + 1, lit(r)), h => h.cast("string")),
+            ",")).as("bh")))).as("e"): _*)
+      .select(keep :+ col("e.band") :+ col("e.bh"): _*)
+  }
+
   /** MinHash+LSH near-dup candidates (approximate; the 100 TB scale path).
     *
     * shingle → k minhashes → `bands` bands of k/bands rows → hash per band
@@ -145,21 +161,13 @@ object Dedup {
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
     // One-pass native shingle hashing feeds the signature mixes directly
     // (no shingle strings ever materialize).
     val sig = spread(docs).select(
       id.cast("long").as("id"),
       graft.expressions.MinHashSig.minhashSigFromHashes(
         graft.expressions.HashedShingles.shingles(text, n), k).as("sig"))
-    // (id, band, bandHash) — one row per band, hash of the band's slice.
-    val banded = sig.select(
-      col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"), xxhash64(b, array_join(
-          transform(slice(col("sig"), b * r + 1, lit(r)), h => h.cast("string")),
-          ",")).as("bh")))).as("e"))
-      .select(col("id"), col("sig"), col("e.band"), col("e.bh"))
+    val banded = bandedRows(sig, k, bands, carry = Seq("sig"))
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b,
@@ -200,7 +208,6 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8,
       k: Int = 60, bands: Int = 20): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
     // One pass computes the hashed shingle set (exact verification), and
     // the MinHash signature derives from those SAME hashes (candidate
     // generation) — each shingle string is hashed exactly once, and no
@@ -213,13 +220,7 @@ object Dedup {
         graft.expressions.MinHashSig.minhashSigFromHashes(col("hs"), k).as("sig"))
       .withColumn("n_sh", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = base.select(
-      col("id"), col("n_sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"), xxhash64(b, array_join(
-          transform(slice(col("sig"), b * r + 1, lit(r)), h => h.cast("string")),
-          ",")).as("bh")))).as("e"))
-      .select(col("id"), col("n_sh"), col("e.band"), col("e.bh"))
+    val banded = bandedRows(base, k, bands, carry = Seq("n_sh"))
     val a = banded.as("a")
     val b = banded.as("b")
     // Size pruning mirrors ngramJaccardPairs: |A|,|B| within a factor τ.

@@ -26,7 +26,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType,
   * `__pid` assignment that no longer exists. The checkpoint makes both
   * jobs read the same materialized partitioning. (On a cluster, swap
   * `localCheckpoint` for a reliable `checkpoint`/`persist(DISK)` if
-  * executor loss during the query is a concern.)
+  * executor loss during the query is a concern.) Checkpoint blocks live
+  * until the checkpointed RDD is garbage-collected on the driver, at
+  * which point the ContextCleaner reclaims them — callers holding the
+  * result long-term hold the blocks too; drop the reference (or copy the
+  * result out) to release them.
   *
   * Value types: integral (long path, exact), decimal (BigDecimal path,
   * exact), float/double (double path — same left-to-right association a
