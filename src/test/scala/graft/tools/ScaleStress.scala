@@ -46,6 +46,25 @@ object ScaleStress {
     time("dedup corpus e2e (LSH)") {
       Dedup.dedupCorpus(big, col("doc_id"), col("text"), useLsh = true).count()
     }
+    // Embedding near-dup at K× corpus: replicas carry a tiny deterministic
+    // per-replica perturbation on one dimension, so same-base replicas
+    // stay cosine≈1 (planted pairs grow as K²) while different bases
+    // don't collide.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val bigEmb = (0 until k).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(j === 0, x + lit(i.toFloat * 1e-4f)).otherwise(x))
+          .as("embedding"))
+    }.reduce(_ unionByName _).cache()
+    println(s"embeddings: ${bigEmb.count()} vectors (${k}x, dim 64)")
+    time("embedding pairs (brute n^2)") {
+      Dedup.embeddingPairs(bigEmb, col("vec_id"), col("embedding"), 0.999).count()
+    }
+    time("embedding pairs (LSH-bucketed)") {
+      Dedup.embeddingPairsLsh(bigEmb, col("vec_id"), col("embedding"), 0.999).count()
+    }
     spark.stop()
   }
 }
