@@ -243,6 +243,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold over
+    * hashed shingle sets — catches the one-document-contains-the-other
+    * duplicates that symmetric Jaccard under-scores (a doc pasted inside
+    * a larger page scores ~|A|/|B| Jaccard but ~1.0 containment).
+    *
+    * Exact and complete: candidates come from the shared-shingle join
+    * (any pair with overlap > 0 shares a shingle) and the intersection
+    * size IS the join's per-pair match count, so one join + one
+    * aggregation — no separate verification pass. The prefix filter of
+    * [[ngramJaccardPairs]] does NOT apply (a valid pair's overlap bound
+    * depends on the partner's size), so at extreme scale use
+    * `maxShingleFreq` to cap stop-shingle fan-out.
+    * Output: (id_a, id_b, containment) with id_a < id_b. */
+  def containmentPairs(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = spread(docs).select(
+      id.cast("long").as("id"),
+      graft.expressions.HashedShingles.shingles(text, n).as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+    val ex0 = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("h"))
+    val ex = maxShingleFreq match {
+      case Some(cap) =>
+        val rare = ex0.groupBy("h").agg(count(lit(1)).as("f"))
+          .filter(col("f") <= cap).select("h")
+        ex0.join(rare, "h")
+      case None => ex0
+    }
+    val a = ex.as("a")
+    val b = ex.as("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with
     * 4 chunks, by pigeonhole: any pair differing in ≤3 of 64 bits agrees
     * on at least one 16-bit chunk — candidate generation is complete).

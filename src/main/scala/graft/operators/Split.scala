@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable dataset splitting — the reproducible
+  * train/test/holdout assignment a training-data pipeline needs.
+  *
+  * `randomSplit` depends on partition layout and sampler state; this
+  * assigns each row by the md5 of its id, so the SAME row lands in the
+  * SAME split on any engine, any partitioning, any run — and the split
+  * is stable under corpus growth (new rows don't reshuffle old ones).
+  * md5 hex is identical across Spark, DuckDB, and virtually everything
+  * else, which also makes the assignment SQL-expressible for oracles
+  * and downstream non-Spark consumers.
+  */
+object Split {
+
+  /** Two-hex-digit threshold below which a row is in the held-out split:
+    * fraction ≈ frac with 1/256 granularity. */
+  private[operators] def hexThreshold(frac: Double): String = {
+    require(frac > 0 && frac < 1, "frac must be in (0, 1)")
+    f"${math.max(1, math.round(frac * 256).toInt)}%02x"
+  }
+
+  /** Split tag column: `heldOutName` for ~`frac` of rows (by id hash),
+    * `restName` otherwise. */
+  def tag(
+      id: Column, frac: Double,
+      heldOutName: String = "test", restName: String = "train"): Column =
+    when(substring(md5(id.cast("string")), 1, 2) < hexThreshold(frac),
+      lit(heldOutName)).otherwise(lit(restName))
+
+  /** Convenience: (heldOut, rest) DataFrames by deterministic id hash. */
+  def holdOut(df: DataFrame, id: Column, frac: Double): (DataFrame, DataFrame) = {
+    val t = tag(id, frac)
+    (df.filter(t === "test"), df.filter(t === "train"))
+  }
+}

@@ -193,6 +193,27 @@ object AdvancedQueries {
       .orderBy(asc_nulls_first("event_id"))
   }
 
+  /** q59 — containment near-dup pairs (|A∩B|/min(|A|,|B|) ≥ 0.9): the
+    * doc-inside-doc duplicates symmetric Jaccard under-scores. One
+    * shared-shingle join + one aggregation; exact. The raw small-integer
+    * division is emitted unrounded (bit-identical across engines, like
+    * q21's jaccard — rounding could straddle a .xxxx5 boundary). */
+  def q59Containment(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, threshold = 0.9)
+      .orderBy(asc("id_a"), asc("id_b"))
+
+  /** q60 — deterministic hash split: reproducible ~16% holdout by md5 of
+    * the doc id (portable across engines, stable under corpus growth),
+    * with per-split corpus stats. */
+  def q60HashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split", graft.operators.Split.tag(col("doc_id"), 0.16))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(asc_nulls_first("split"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_group_percentiles" -> q47GroupPercentiles _,
     "q48_ntile"             -> q48Ntile _,
@@ -206,6 +227,8 @@ object AdvancedQueries {
     "q56_interval_join"     -> q56IntervalJoin _,
     "q57_custom_topk"       -> q57CustomTopK _,
     "q58_asof_forward"      -> q58AsofForward _,
+    "q59_containment"       -> q59Containment _,
+    "q60_hash_split"        -> q60HashSplit _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -304,5 +327,29 @@ object AdvancedQueries {
         |       WHERE event_type = 'view') r
         |   ON l.user_id = r.user_id AND l.ts <= r.ts
         | ORDER BY l.event_id NULLS FIRST""".stripMargin,
+    "q59_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |   string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM t),
+        | ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |     a.n AS n_a, b.n AS n_b, count(*) AS i
+        |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |   CAST(i AS DOUBLE) / least(n_a, n_b) AS containment
+        | FROM inter
+        | WHERE CAST(i AS DOUBLE) / least(n_a, n_b) >= 0.9
+        | ORDER BY id_a, id_b""".stripMargin,
+    "q60_hash_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+        |        THEN 'test' ELSE 'train' END AS split,
+        | count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        | FROM documents GROUP BY split ORDER BY split NULLS FIRST""".stripMargin,
   )
 }

@@ -74,6 +74,35 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty) // planted dups guarantee a non-trivial compare
   }
 
+  test("containmentPairs scores a doc pasted inside a larger doc ~1.0") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val cdocs = Seq(
+      (0L, base),
+      (1L, base + " plus a long unrelated tail of extra words goes here now"),
+      (2L, "completely different content about spark shuffles and partitions"))
+      .toDF("id", "text")
+    val got = Dedup.containmentPairs(cdocs, col("id"), col("text"), 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((0L, 1L)), s"got $got")
+    assert(got((0L, 1L)) == 1.0) // every shingle of 0 appears in 1
+    // symmetric jaccard on the same pair is well under the 0.9 bar
+    val jac = Dedup.ngramJaccardPairs(cdocs, col("id"), col("text"), 3, 0.9)
+    assert(jac.count() == 0)
+  }
+
+  test("hash split is deterministic, disjoint, and ~frac sized") {
+    val ids = (0L until 2000L).map(Tuple1(_)).toDF("id")
+    val (test_, train) = graft.operators.Split.holdOut(ids, col("id"), 0.16)
+    val nTest = test_.count()
+    assert(nTest + train.count() == 2000)
+    // 41/256 = 16.015%; binomial 3-sigma at n=2000 is ~2.5pp
+    assert(nTest > 2000 * 0.10 && nTest < 2000 * 0.23, s"nTest=$nTest")
+    // determinism: same rows land in the same split on re-evaluation
+    val again = graft.operators.Split.holdOut(ids.repartition(7), col("id"), 0.16)._1
+      .collect().map(_.getLong(0)).toSet
+    assert(again == test_.collect().map(_.getLong(0)).toSet)
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs") {
     val est = Dedup.minhashLshPairs(docs, col("id"), col("text"), threshold = 0.5)
       .filter(col("id_a") === 0 && col("id_b") === 1)
