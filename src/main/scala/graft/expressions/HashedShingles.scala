@@ -47,11 +47,50 @@ case class HashedShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of a text whose xxhash64 falls in a
+  * given (small, sorted) hash set — the "rehydrate only the winners"
+  * second pass of corpus n-gram statistics as ONE codegen'd expression.
+  *
+  * Tokenization/shingling is byte-identical to [[HashedShingles]] (same
+  * kernel), so a gram emitted here hashes to exactly the value the
+  * counting pass aggregated. Non-matching grams are filtered inside the
+  * kernel against a reusable StringBuilder — they never materialize as
+  * UTF8String, never reach the operator above, and are never shuffled.
+  */
+case class ShinglesInHashSet(child: Expression, n: Int, sortedHashes: Array[Long])
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles_in_hash_set"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HashedShingles.Kernel.gramsInSet(
+        input.asInstanceOf[UTF8String], n, sortedHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("shingleKernel", HashedShingles.Kernel)
+    val set = ctx.addReferenceObj("winnerHashes", sortedHashes, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $kernel.gramsInSet($a, $n, $set));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesInHashSet =
+    copy(child = newChild)
+}
+
 object HashedShingles {
 
   /** Shared interpreted/codegen kernel (referenced from generated Java). */
   object Kernel extends Serializable {
-    def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+
+    /** Distinct shingle strings in first-occurrence order — the exact
+      * builtin-chain semantics (trim+lower, \s+ split, n-gram join,
+      * array_distinct; < n tokens → whole text as one shingle). */
+    private def distinctShingles(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
       // Match the builtin chain exactly: UTF8String trim+toLowerCase
       // (locale-independent, same as Lower/StringTrim), then Java-regex
       // \s+ split (same as StringSplit with limit -1).
@@ -75,6 +114,11 @@ object HashedShingles {
           i += 1
         }
       }
+      distinct
+    }
+
+    def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+      val distinct = distinctShingles(text, n)
       val out = new Array[Long](distinct.size())
       val it = distinct.iterator()
       var k = 0
@@ -86,9 +130,29 @@ object HashedShingles {
       java.util.Arrays.sort(out)
       out
     }
+
+    /** Shingles whose hash is in `sorted` (binary search), as UTF8Strings.
+      * Emits in first-occurrence order; callers dedup/order globally. */
+    def gramsInSet(text: UTF8String, n: Int, sorted: Array[Long]): Array[Any] = {
+      val distinct = distinctShingles(text, n)
+      val out = new java.util.ArrayList[Any](4)
+      val it = distinct.iterator()
+      while (it.hasNext) {
+        val u = UTF8String.fromString(it.next())
+        val h = XxHash64Function.hash(u, StringType, 42L)
+        if (java.util.Arrays.binarySearch(sorted, h) >= 0) out.add(u)
+      }
+      out.toArray
+    }
   }
 
   /** Column API: hashed_shingles(text, n). */
   def shingles(text: Column, n: Int): Column =
     GraftBridge.column(HashedShingles(GraftBridge.expression(text), n))
+
+  /** Column API: shingles_in_hash_set(text, n, hashes) — hashes need not
+    * be pre-sorted; sorted defensively here for the kernel's binary search. */
+  def shinglesInSet(text: Column, n: Int, hashes: Array[Long]): Column =
+    GraftBridge.column(
+      ShinglesInHashSet(GraftBridge.expression(text), n, hashes.sorted))
 }

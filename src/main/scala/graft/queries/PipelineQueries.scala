@@ -180,31 +180,53 @@ object PipelineQueries {
     * deterministic tie-break (the corpus-level counting pass of any
     * n-gram LM / contamination check).
     *
-    * Scale shape — count on hashes, rehydrate only winners: the counting
-    * aggregation shuffles fixed-width longs ([[graft.expressions
-    * .HashedShingles]]), never gram strings; the boundary threshold (the
-    * 20th-highest count, ties included) selects the candidate hashes, and
-    * a second pass re-shingles only to recover the strings of those
-    * candidates via a broadcast join — so gram strings are never
-    * shuffled. Tie-break by gram text happens after rehydration, giving
+    * Scale shape — count on hashes, rehydrate only winners, ONE native
+    * shingling kernel per pass: job 1 counts document frequencies of
+    * hashed shingles ([[graft.expressions.HashedShingles]] — the shuffle
+    * carries fixed-width longs, never gram strings) and collects the
+    * winner hashes (20th-highest count, ties included — a driver-bounded
+    * top-k result, same size class as a broadcast). Job 2 re-scans the
+    * persisted text column with [[graft.expressions.ShinglesInHashSet]],
+    * which filters against the winner set INSIDE the codegen'd kernel —
+    * non-winner grams never materialize as strings, so the rehydration
+    * pass emits ~20 rows per matching doc and shuffles almost nothing.
+    * Tie-break by gram text happens after rehydration, giving
     * byte-identical results to the direct string aggregation. */
   def q40TopNgrams(spark: SparkSession, dir: String): DataFrame = {
     val docs = Dedup.spread(Tables.documents(spark, dir))
+      .select(col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = docs
       .select(explode(graft.expressions.HashedShingles.shingles(col("text"), 3)).as("h"))
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n"))
-    // 20th-highest count; every hash at or above it is a candidate (the
-    // candidate set covers all possible tie-break outcomes).
-    val thr = counts.select(col("n")).orderBy(desc("n")).limit(20)
-      .agg(min(col("n")).as("thr"))
-    val winners = counts.crossJoin(broadcast(thr))
-      .filter(col("n") >= col("thr"))
-      .select(col("h"), col("n"))
+    // Winners = every hash whose count >= the 20th-highest count (ties
+    // included, covering all tie-break outcomes). ONE TakeOrdered job
+    // collects the top-100 (h, n): if the 100th count is strictly below
+    // the 20th, every possible boundary tie is already in hand and the
+    // winner set is provably complete on the driver — the counting
+    // aggregation runs exactly once. Only >=81 ties exactly AT the
+    // boundary (never in practice) trigger the exact filter fallback.
+    val top = counts.orderBy(desc("n"), asc("h")).limit(100).collect()
+    val thr =
+      if (top.isEmpty) Long.MaxValue
+      else top(math.min(19, top.length - 1)).getLong(1)
+    val winners =
+      if (top.length < 100 || top.last.getLong(1) < thr)
+        top.filter(_.getLong(1) >= thr)
+      else
+        counts.filter(col("n") >= lit(thr)).collect() // rare exact fallback
+    val winnerHashes = winners.map(_.getLong(0))
+    val winnersDf = spark.createDataFrame(
+      java.util.Arrays.asList(winners: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false))))
     docs
-      .select(explode(shingles(col("text"), 3)).as("gram"))
+      .select(explode(
+        graft.expressions.HashedShingles.shinglesInSet(col("text"), 3, winnerHashes)).as("gram"))
       .withColumn("h", xxhash64(col("gram")))
-      .join(broadcast(winners), "h")
+      .join(broadcast(winnersDf), "h")
       .select(col("gram"), col("n"))
       .distinct()
       .orderBy(desc("n"), asc("gram"))
