@@ -53,14 +53,23 @@ case class HashedShingles(child: Expression, n: Int)
   *
   * Tokenization/shingling is byte-identical to [[HashedShingles]] (same
   * kernel), so a gram emitted here hashes to exactly the value the
-  * counting pass aggregated. Non-matching grams are filtered inside the
-  * kernel against a reusable StringBuilder — they never materialize as
-  * UTF8String, never reach the operator above, and are never shuffled.
+  * counting pass aggregated. Every distinct gram still materializes
+  * per-document inside the kernel (the dedup set needs the strings), but
+  * non-matching grams are dropped there: they never become output rows,
+  * never reach the operator above, and are never shuffled.
+  *
+  * `sortedHashes` is a Seq (not Array) so the case-class equals/hashCode
+  * compare elementwise — Array's reference equality would break
+  * expression canonicalization and plan-cache matching.
   */
-case class ShinglesInHashSet(child: Expression, n: Int, sortedHashes: Array[Long])
+case class ShinglesInHashSet(child: Expression, n: Int, sortedHashes: Seq[Long])
     extends UnaryExpression {
 
   require(n >= 1, "shingle width must be >= 1")
+
+  // The kernel binary-searches a primitive array; built once per
+  // expression instance, shipped to executors inside the expression.
+  private lazy val sortedArr: Array[Long] = sortedHashes.toArray
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingles_in_hash_set"
@@ -68,11 +77,11 @@ case class ShinglesInHashSet(child: Expression, n: Int, sortedHashes: Array[Long
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       HashedShingles.Kernel.gramsInSet(
-        input.asInstanceOf[UTF8String], n, sortedHashes))
+        input.asInstanceOf[UTF8String], n, sortedArr))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kernel = ctx.addReferenceObj("shingleKernel", HashedShingles.Kernel)
-    val set = ctx.addReferenceObj("winnerHashes", sortedHashes, "long[]")
+    val set = ctx.addReferenceObj("winnerHashes", sortedArr, "long[]")
     nullSafeCodeGen(ctx, ev, a =>
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  $kernel.gramsInSet($a, $n, $set));""".stripMargin)
@@ -154,5 +163,6 @@ object HashedShingles {
     * be pre-sorted; sorted defensively here for the kernel's binary search. */
   def shinglesInSet(text: Column, n: Int, hashes: Array[Long]): Column =
     GraftBridge.column(
-      ShinglesInHashSet(GraftBridge.expression(text), n, hashes.sorted))
+      ShinglesInHashSet(GraftBridge.expression(text), n,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(hashes.sorted)))
 }

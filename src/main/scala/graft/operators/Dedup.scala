@@ -23,11 +23,18 @@ object Dedup {
   /** Spread a narrow input across the session's parallelism before a
     * heavy per-row compute stage (signature hashing, shingling). A
     * single-file parquet scan arrives as ONE partition locally — without
-    * this, the expensive projection runs as one task. At cluster scale
-    * inputs are already wide and this is a no-op. */
+    * this, the expensive projection runs as one task.
+    *
+    * Gated on `graft.spread.enabled` (default true) rather than probing
+    * `df.rdd.getNumPartitions`: the probe forced plan conversion and cut
+    * AQE out of the frame's lineage. On a cluster where scans already
+    * arrive wide, set the conf to false (or tune
+    * `spark.sql.files.maxPartitionBytes`) and this is an exact no-op. */
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    if (spark.conf.get("graft.spread.enabled", "true").toBoolean)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
 
   /** Exact dedup: one survivor (min id) per duplicate group of `key`.
@@ -94,11 +101,14 @@ object Dedup {
       case Some(cap) =>
         // Optional stop-shingle cap: frequent shingles stop generating
         // candidates (trades completeness for skew immunity; verified
-        // pairs keep their exact Jaccard).
-        val rare = sh.select(explode(col("hs")).as("h"))
+        // pairs keep their exact Jaccard). Formulated as an anti join
+        // against the HOT set — heavy hitters are few, so AQE plans a
+        // broadcast anti join; the complementary rare set is nearly the
+        // whole shingle table and could never broadcast.
+        val hot = sh.select(explode(col("hs")).as("h"))
           .groupBy("h").agg(count(lit(1)).as("f"))
-          .filter(col("f") <= cap).select("h")
-        prefix0.join(rare, "h")
+          .filter(col("f") > cap).select("h")
+        prefix0.join(hot, Seq("h"), "left_anti")
       case None => prefix0
     }
     val a = prefix.as("a")
@@ -248,36 +258,69 @@ object Dedup {
     * duplicates that symmetric Jaccard under-scores (a doc pasted inside
     * a larger page scores ~|A|/|B| Jaccard but ~1.0 containment).
     *
-    * Exact and complete: candidates come from the shared-shingle join
-    * (any pair with overlap > 0 shares a shingle) and the intersection
-    * size IS the join's per-pair match count, so one join + one
-    * aggregation — no separate verification pass. The prefix filter of
-    * [[ngramJaccardPairs]] does NOT apply (a valid pair's overlap bound
-    * depends on the partner's size), so at extreme scale use
-    * `maxShingleFreq` to cap stop-shingle fan-out.
+    * Exact and complete, block-then-verify like the Jaccard family. The
+    * symmetric prefix filter of [[ngramJaccardPairs]] does not transfer
+    * (a doc's required overlap depends on the PARTNER's size), but a
+    * one-sided version does: the overlap is ≥ ⌈τ·min(|A|,|B|)⌉, so the
+    * globally smallest shared hash lies within the SMALLER doc's first
+    * n−⌈τ·n⌉+1 sorted shingles (pigeonhole). Candidates therefore come
+    * from smaller-doc PREFIX shingles ⋈ larger-doc FULL shingle sets —
+    * a τ-fraction of the old full×full self-join — and each candidate
+    * pair is verified with the exact `array_intersect` on the complete
+    * sets. "Smaller" is made total by (n_sh, id) ordering so equal-size
+    * pairs are generated exactly once.
+    *
+    * `maxShingleFreq` caps stop-shingle fan-out in CANDIDATE GENERATION
+    * only (verification always computes the exact containment): shingles
+    * occurring in more than that many docs stop generating candidates,
+    * which can lose only pairs all of whose prefix-overlap shingles are
+    * ubiquitous — the knob that bounds the join at corpus scale, where a
+    * boilerplate shingle shared by millions of docs would otherwise fan
+    * out quadratically.
     * Output: (id_a, id_b, containment) with id_a < id_b. */
   def containmentPairs(
       docs: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double,
       maxShingleFreq: Option[Int] = None): DataFrame = {
+    // Persisted: feeds the prefix explode, the full explode, and both
+    // sides of the verification join.
     val sh = spread(docs).select(
       id.cast("long").as("id"),
       graft.expressions.HashedShingles.shingles(text, n).as("hs"))
       .withColumn("n_sh", size(col("hs")))
-    val ex0 = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("h"))
-    val ex = maxShingleFreq match {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pref0 = sh.select(col("id"), col("n_sh"),
+      explode(slice(col("hs"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))).as("h"))
+    val full0 = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("h"))
+    val (pref, full) = maxShingleFreq match {
       case Some(cap) =>
-        val rare = ex0.groupBy("h").agg(count(lit(1)).as("f"))
-          .filter(col("f") <= cap).select("h")
-        ex0.join(rare, "h")
-      case None => ex0
+        // Anti join against the small HOT set (see ngramJaccardPairs) —
+        // only the prefix side needs it: a candidate exists iff some
+        // uncapped shingle of the smaller doc's prefix matches, and the
+        // full side matching a hot shingle is harmless once the prefix
+        // side can't emit it.
+        val hot = full0.groupBy("h").agg(count(lit(1)).as("f"))
+          .filter(col("f") > cap).select("h")
+        (pref0.join(hot, Seq("h"), "left_anti"), full0)
+      case None => (pref0, full0)
     }
-    val a = ex.as("a")
-    val b = ex.as("b")
-    a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    // Equal sizes: the pigeonhole holds for EITHER doc's prefix, so the
+    // min-id doc can always play the prefix side — each pair generated
+    // from exactly one orientation.
+    val cand = pref.as("s").join(full.as("l"),
+        col("s.h") === col("l.h") &&
+          (col("s.n_sh") < col("l.n_sh") ||
+            (col("s.n_sh") === col("l.n_sh") && col("s.id") < col("l.id"))))
+      .select(least(col("s.id"), col("l.id")).as("id_a"),
+        greatest(col("s.id"), col("l.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("containment",
         col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= threshold)

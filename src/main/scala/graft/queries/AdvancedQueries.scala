@@ -194,13 +194,19 @@ object AdvancedQueries {
   }
 
   /** q59 — containment near-dup pairs (|A∩B|/min(|A|,|B|) ≥ 0.9): the
-    * doc-inside-doc duplicates symmetric Jaccard under-scores. One
-    * shared-shingle join + one aggregation; exact. The raw small-integer
-    * division is emitted unrounded (bit-identical across engines, like
-    * q21's jaccard — rounding could straddle a .xxxx5 boundary). */
+    * doc-inside-doc duplicates symmetric Jaccard under-scores.
+    * Smaller-side prefix-filtered candidate join + exact verification
+    * (see [[graft.operators.Dedup.containmentPairs]]). The stop-shingle
+    * cap (500 docs) bounds candidate fan-out at corpus scale; it is far
+    * above this corpus's max shingle doc-frequency (25 at sf0.1), so the
+    * result here is the complete exact answer — oracle-checkable. The
+    * raw small-integer division is emitted unrounded (bit-identical
+    * across engines, like q21's jaccard — rounding could straddle a
+    * .xxxx5 boundary). */
   def q59Containment(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.containmentPairs(Tables.documents(spark, dir),
-        col("doc_id"), col("text"), n = 3, threshold = 0.9)
+        col("doc_id"), col("text"), n = 3, threshold = 0.9,
+        maxShingleFreq = Some(500))
       .orderBy(asc("id_a"), asc("id_b"))
 
   /** q60 — deterministic hash split: reproducible ~16% holdout by md5 of

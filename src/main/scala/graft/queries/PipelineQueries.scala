@@ -191,11 +191,18 @@ object PipelineQueries {
     * non-winner grams never materialize as strings, so the rehydration
     * pass emits ~20 rows per matching doc and shuffles almost nothing.
     * Tie-break by gram text happens after rehydration, giving
-    * byte-identical results to the direct string aggregation. */
+    * byte-identical results to the direct string aggregation.
+    *
+    * NOTE — eager + snapshot semantics: calling this runs the counting
+    * job (one driver-bounded TakeOrdered collect) at CONSTRUCTION time,
+    * and the returned plan embeds the winner-hash set frozen at that
+    * moment — rebuild the DataFrame if the source data changes. The text
+    * column is deliberately NOT cached between the two passes: both read
+    * the column-pruned parquet scan, which at corpus scale is far cheaper
+    * than pinning the full text column in executor memory. */
   def q40TopNgrams(spark: SparkSession, dir: String): DataFrame = {
     val docs = Dedup.spread(Tables.documents(spark, dir))
       .select(col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = docs
       .select(explode(graft.expressions.HashedShingles.shingles(col("text"), 3)).as("h"))
       .groupBy(col("h"))
@@ -205,32 +212,42 @@ object PipelineQueries {
     // collects the top-100 (h, n): if the 100th count is strictly below
     // the 20th, every possible boundary tie is already in hand and the
     // winner set is provably complete on the driver — the counting
-    // aggregation runs exactly once. Only >=81 ties exactly AT the
-    // boundary (never in practice) trigger the exact filter fallback.
+    // aggregation runs exactly once.
     val top = counts.orderBy(desc("n"), asc("h")).limit(100).collect()
     val thr =
       if (top.isEmpty) Long.MaxValue
       else top(math.min(19, top.length - 1)).getLong(1)
-    val winners =
-      if (top.length < 100 || top.last.getLong(1) < thr)
-        top.filter(_.getLong(1) >= thr)
-      else
-        counts.filter(col("n") >= lit(thr)).collect() // rare exact fallback
-    val winnerHashes = winners.map(_.getLong(0))
-    val winnersDf = spark.createDataFrame(
-      java.util.Arrays.asList(winners: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false))))
-    docs
-      .select(explode(
-        graft.expressions.HashedShingles.shinglesInSet(col("text"), 3, winnerHashes)).as("gram"))
-      .withColumn("h", xxhash64(col("gram")))
-      .join(broadcast(winnersDf), "h")
-      .select(col("gram"), col("n"))
-      .distinct()
-      .orderBy(desc("n"), asc("gram"))
-      .limit(20)
+    if (top.length == 100 && top.last.getLong(1) >= thr) {
+      // Degenerate boundary tie-storm (>=81 hashes tied exactly AT the
+      // 20th-highest count): the winner set may exceed any driver bound,
+      // so skip hash-winners entirely and count gram STRINGS directly —
+      // fully distributed, exact, identical tie-break; just shuffles
+      // strings like the pre-optimization plan. Never taken on real
+      // corpora; exists so no input can force an unbounded collect.
+      docs
+        .select(explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("gram"))
+        .limit(20)
+    } else {
+      val winners = top.filter(_.getLong(1) >= thr)
+      val winnerHashes = winners.map(_.getLong(0))
+      val winnersDf = spark.createDataFrame(
+        java.util.Arrays.asList(winners: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false))))
+      docs
+        .select(explode(
+          graft.expressions.HashedShingles.shinglesInSet(col("text"), 3, winnerHashes)).as("gram"))
+        .withColumn("h", xxhash64(col("gram")))
+        .join(broadcast(winnersDf), "h")
+        .select(col("gram"), col("n"))
+        .distinct()
+        .orderBy(desc("n"), asc("gram"))
+        .limit(20)
+    }
   }
 
   /** q43 — benchmark decontamination: per src0 ("held-out") document, the

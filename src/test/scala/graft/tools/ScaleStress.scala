@@ -40,6 +40,10 @@ object ScaleStress {
     time("minhash LSH + exact verify") {
       Dedup.minhashLshVerifiedPairs(big, col("doc_id"), col("text")).count()
     }
+    time("containment pairs (capped)") {
+      Dedup.containmentPairs(big, col("doc_id"), col("text"),
+        n = 3, threshold = 0.9, maxShingleFreq = Some(500)).count()
+    }
     time("dedup corpus e2e") {
       Dedup.dedupCorpus(big, col("doc_id"), col("text")).count()
     }
