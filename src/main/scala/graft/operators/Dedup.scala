@@ -212,12 +212,24 @@ object Dedup {
     * b fixed-width band hashes per doc instead of a ~(1-τ) fraction of the
     * shingle set — the knob to turn when the prefix join's candidate
     * volume dominates at scale.
+    *
+    * `bandSalts` > 1 salts the band self-join ([[SkewJoin]]'s scheme
+    * adapted to a self pair join): the left side gets a deterministic
+    * per-doc salt, the right side is replicated once per salt, and the
+    * join key grows to (band, bh, salt) — a HOT band hash (a
+    * mass-duplicated boilerplate doc whose every band collides) spreads
+    * its pair generation over `bandSalts` tasks instead of landing on
+    * one straggler. Output is identical to the unsalted join (pinned in
+    * SkewJoinSpec); total candidate work is unchanged (the pair set IS
+    * quadratic in the hot group — salting removes the straggler, the
+    * threshold/cluster-resolution upstream owns the group size).
     */
   def minhashLshVerifiedPairs(
       docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.8,
-      k: Int = 60, bands: Int = 20): DataFrame = {
+      k: Int = 60, bands: Int = 20, bandSalts: Int = 1): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
+    require(bandSalts >= 1, "bandSalts must be >= 1")
     // One pass computes the hashed shingle set (exact verification), and
     // the MinHash signature derives from those SAME hashes (candidate
     // generation) — each shingle string is hashed exactly once, and no
@@ -231,11 +243,17 @@ object Dedup {
       .withColumn("n_sh", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandedRows(base, k, bands, carry = Seq("n_sh"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val (a, b, saltCond) =
+      if (bandSalts <= 1) (banded.as("a"), banded.as("b"), lit(true))
+      else (
+        banded.withColumn("__salt", pmod(hash(col("id")), lit(bandSalts))).as("a"),
+        banded.withColumn("__salt",
+          explode(sequence(lit(0), lit(bandSalts - 1)))).as("b"),
+        col("a.__salt") === col("b.__salt"))
     // Size pruning mirrors ngramJaccardPairs: |A|,|B| within a factor τ.
     val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        saltCond &&
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id") &&
           col("a.n_sh") >= ceil(col("b.n_sh") * threshold) &&
           col("b.n_sh") >= ceil(col("a.n_sh") * threshold))

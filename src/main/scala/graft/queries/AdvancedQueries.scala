@@ -220,7 +220,23 @@ object AdvancedQueries {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(asc_nulls_first("split"))
 
+  /** q61 — partition-pruned aggregate: orders re-landed partitioned by
+    * order year ([[graft.sources.Ingest.ordersByYearLanding]], once per
+    * JVM), then a year-filtered priority rollup. The year predicate
+    * resolves at PLAN time as `PartitionFilters` on the scan (asserted in
+    * IngestSpec) — 6 of the 7 year directories are never opened, the
+    * partitioned-layout discipline every date-sliced query relies on at
+    * 100 TB. Oracle = the same rollup over the flat table. */
+  def q61PartitionPruned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(graft.sources.Ingest.ordersByYearLanding(spark, dir))
+      .filter(col("o_year") === 1996)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderpriority"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_partition_pruned"  -> q61PartitionPruned _,
     "q47_group_percentiles" -> q47GroupPercentiles _,
     "q48_ntile"             -> q48Ntile _,
     "q49_event_gaps"        -> q49EventGaps _,
@@ -238,6 +254,14 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q61_partition_pruned" ->
+      """SELECT o_orderpriority,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
     "q47_group_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.25), 2) AS p25,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Landing layer: page accumulation and the partitioned parquet layout
@@ -27,6 +27,24 @@ object Ingest {
       .mode(SaveMode.Overwrite)
       .partitionBy("year")
       .parquet(path)
+
+  /** Once-per-JVM year-partitioned landing of the `orders` table (§4.3):
+    * rewrites the flat parquet partitioned by `o_year` so year predicates
+    * become partition PRUNING (directories never opened) instead of scans
+    * — the layout a date-partitioned fact table has at cluster scale.
+    * Keyed by source dir so repeated query builds in one session (bench
+    * reruns, Verify) land exactly once; the landing is a derived copy, so
+    * same-JVM reuse cannot go stale against its own source read. */
+  private val landings = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def ordersByYearLanding(spark: SparkSession, dir: String): String =
+    landings.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-orders-by-year-").toString
+      Tables.orders(spark, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .repartition(col("o_year"))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(path)
+      path
+    })
 
   /** Bucketed layout for co-located joins (§4.3): both sides of a
     * frequently joined pair written bucketed+sorted on the join key join

@@ -119,6 +119,29 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("simhashPairs equals brute-force bit_count(xor) <= 3 on real data") {
+    // The chunked pigeonhole blocking must be COMPLETE, not just find the
+    // planted dups: on the real sf0.001 documents, the blocked pair set
+    // must equal the exhaustive O(n^2) Hamming scan on the same frame —
+    // the Spark-side exact check standing in for the impossible DuckDB
+    // oracle (xxhash64-based SimHash bits can't be mirrored there).
+    val real = graft.sources.Tables.documents(spark, sf)
+    val blocked = Dedup.simhashPairs(real, col("doc_id"), col("text"), maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(_.toSeq).toSet
+    val hashed = real.select(
+      col("doc_id").cast("long").as("id"),
+      graft.expressions.SimHash64.simhash64(
+        graft.functions.TextFunctions.tokens(col("text"))).as("sh"))
+    val brute = hashed.as("a").join(hashed.as("b"), col("a.id") < col("b.id"))
+      .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+      .collect().map(_.toSeq).toSet
+    assert(blocked == brute)
+    assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
   test("embeddingPairs finds near-identical vectors only") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -34,6 +34,22 @@ class IngestSpec extends SparkSpec {
     assert(pruned == norm.filter(col("year") === 2024).count())
   }
 
+  test("q61 reads the year-partitioned landing with partition pruning") {
+    val df = graft.queries.AdvancedQueries.q61PartitionPruned(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // The year predicate must land as a non-empty PartitionFilters list on
+    // the scan (directory pruning), not as a row-level data filter.
+    assert("PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(plan).isDefined,
+      s"no partition filter on o_year in plan:\n$plan")
+    // and the pruned result equals the flat-table computation
+    val expect = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+    assert(df.exceptAll(expect).isEmpty && expect.exceptAll(df).isEmpty)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = graft.sources.Tables.orders(spark, sf)
     val c = graft.sources.Tables.customer(spark, sf)

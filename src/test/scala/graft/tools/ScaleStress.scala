@@ -44,6 +44,23 @@ object ScaleStress {
       Dedup.containmentPairs(big, col("doc_id"), col("text"),
         n = 3, threshold = 0.9, maxShingleFreq = Some(500)).count()
     }
+    // Hot-band skew: plant k*125 IDENTICAL docs — one (band, bh) key then
+    // carries a quadratic pair load in every band. Salting spreads that
+    // key's pair generation across tasks; output is identical.
+    val hot = spark.range(9000000L, 9000000L + k * 125)
+      .select(col("id").as("doc_id"),
+        lit("mass duplicated boilerplate page body text repeated verbatim across the corpus")
+          .as("text"))
+    val withHot = big.unionByName(hot).cache()
+    println(s"hot-band corpus: ${withHot.count()} docs (${k * 125} identical)")
+    time("LSH verified, hot band") {
+      Dedup.minhashLshVerifiedPairs(withHot, col("doc_id"), col("text")).count()
+    }
+    time("LSH verified, hot band, salt=16") {
+      Dedup.minhashLshVerifiedPairs(withHot, col("doc_id"), col("text"),
+        bandSalts = 16).count()
+    }
+    withHot.unpersist()
     time("dedup corpus e2e") {
       Dedup.dedupCorpus(big, col("doc_id"), col("text")).count()
     }
