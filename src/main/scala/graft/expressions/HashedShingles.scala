@@ -96,6 +96,10 @@ object HashedShingles {
   /** Shared interpreted/codegen kernel (referenced from generated Java). */
   object Kernel extends Serializable {
 
+    // Precompiled once: String.split("\\s+") has no single-char fast path,
+    // so it would recompile the regex on EVERY document.
+    private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
     /** Distinct shingle strings in first-occurrence order — the exact
       * builtin-chain semantics (trim+lower, \s+ split, n-gram join,
       * array_distinct; < n tokens → whole text as one shingle). */
@@ -104,7 +108,7 @@ object HashedShingles {
       // (locale-independent, same as Lower/StringTrim), then Java-regex
       // \s+ split (same as StringSplit with limit -1).
       val lowered = text.trim().toLowerCase.toString
-      val toks = lowered.split("\\s+", -1)
+      val toks = Whitespace.split(lowered, -1)
       val distinct = new java.util.LinkedHashSet[String]()
       if (toks.length < n) {
         distinct.add(toks.mkString(" "))

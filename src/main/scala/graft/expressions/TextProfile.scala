@@ -51,6 +51,10 @@ case class TextProfile(child: Expression) extends UnaryExpression {
 
 object TextProfile {
 
+  // Precompiled once: String.split("\\s+") has no single-char fast path,
+  // so it would recompile the regex on EVERY document.
+  private[expressions] val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   val schema: StructType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("punct_ratio", DoubleType, nullable = false),
@@ -97,7 +101,7 @@ object TextProfile {
       // function the legacy composition used)
       val trimmed = text.trim()
       val lowered = trimmed.toLowerCase.toString
-      val toks = lowered.split("\\s+", -1)
+      val toks = TextProfile.Whitespace.split(lowered, -1)
       val nTokens = if (trimmed.numChars() == 0) 0 else toks.length
       var sumTokLen = 0
       val hits = new Array[Int](4)
