@@ -62,7 +62,11 @@ object FunctionQueries {
       .orderBy(asc_nulls_first("l_returnflag"))
 
   /** q34 — daily totals + running cumulative sum (window over exact
-    * 2-decimal dailies → cross-engine exact). */
+    * 2-decimal dailies → cross-engine exact). The unpartitioned window
+    * (Spark logs a single-partition warning) is deliberate and safe at
+    * any corpus scale: its input is POST-aggregation, one row per
+    * calendar date — bounded by the calendar, not the data. Unbounded
+    * row-per-record cumsums use ScalableWindow's two-phase form (q39). */
   def q34RunningTotal(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("order_date"))

@@ -97,9 +97,14 @@ case class FilePageEndpoint(path: String) extends PageEndpoint {
   * `?$select=count(*)` returns `[{"count": "<total>"}]`, and pushed
   * equality filters ride along as `?$where=col='v' AND ...` — the
   * server-side filter the reference taps with `yr=2024` (`Dash.py:36`).
-  * Built on the JDK's HttpURLConnection (no client library). */
+  * Built on the JDK's HttpURLConnection (no client library). Transient
+  * failures (IO errors, 5xx, 429) retry up to `maxAttempts` with linear
+  * backoff — a paged ingest issues thousands of requests, so one blip
+  * must not fail the whole scan; 4xx fails fast (the request is wrong,
+  * not the moment). */
 case class HttpPageEndpoint(
-    url: String, connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000)
+    url: String, connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000,
+    maxAttempts: Int = 3, retryBackoffMs: Long = 200)
     extends PageEndpoint {
 
   private def whereClause(filters: Array[Filter]): Option[String] = {
@@ -109,22 +114,38 @@ case class HttpPageEndpoint(
     if (terms.isEmpty) None else Some(terms.mkString(" AND "))
   }
 
-  private def get(params: Seq[(String, String)]): JsonNode = {
-    val qs = params.map { case (k, v) =>
-      URLEncoder.encode(k, "UTF-8") + "=" + URLEncoder.encode(v, "UTF-8")
-    }.mkString("&")
-    val sep = if (url.contains("?")) "&" else "?"
-    val conn = new URI(url + sep + qs).toURL
+  private def getOnce(target: String): JsonNode = {
+    val conn = new URI(target).toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
     conn.setRequestProperty("Accept", "application/json")
     try {
       val code = conn.getResponseCode
-      require(code == 200, s"paged-json endpoint returned HTTP $code for $url$sep$qs")
+      if (code >= 500 || code == 429)
+        throw new java.io.IOException(s"HTTP $code for $target") // retryable
+      require(code == 200, s"paged-json endpoint returned HTTP $code for $target")
       val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
       PagedJsonSource.mapper.readTree(body)
     } finally conn.disconnect()
+  }
+
+  private def get(params: Seq[(String, String)]): JsonNode = {
+    val qs = params.map { case (k, v) =>
+      URLEncoder.encode(k, "UTF-8") + "=" + URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+    val sep = if (url.contains("?")) "&" else "?"
+    val target = url + sep + qs
+    var attempt = 1
+    while (true) {
+      try return getOnce(target)
+      catch {
+        case _: java.io.IOException if attempt < maxAttempts =>
+          Thread.sleep(retryBackoffMs * attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   override def totalRows(filters: Array[Filter]): Long = {

@@ -119,6 +119,40 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("containmentPairs (prefix-filtered) equals the naive shared-shingle join") {
+    // The one-sided prefix filter rests on a pigeonhole argument (the
+    // smallest shared hash lies in the SMALLER doc's prefix); pin it
+    // against the exhaustive formulation — full explode self-join +
+    // per-pair match count — on real corpus data across thresholds,
+    // including τ=1.0 (prefix length 1) and doc-inside-doc fixtures.
+    val fixtures = Seq(
+      graft.sources.Tables.documents(spark, sf).select(
+        col("doc_id").as("id"), col("text")),
+      docs.unionByName(Seq(
+        // 6 is a strict substring of 7 (containment 1.0, sizes differ 3x)
+        (6L, "one two three four five six seven"),
+        (7L, "zero one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen")).toDF("id", "text")))
+    for (frame <- fixtures; thr <- Seq(0.5, 0.9, 1.0)) {
+      val got = Dedup.containmentPairs(frame, col("id"), col("text"), 3, thr)
+        .collect().map(_.toSeq).toSet
+      val sh = frame.select(col("id").cast("long").as("id"),
+        graft.expressions.HashedShingles.shingles(col("text"), 3).as("hs"))
+        .withColumn("n_sh", size(col("hs")))
+      val ex = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("h"))
+      val naive = ex.as("a").join(ex.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .withColumn("containment",
+          col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+        .filter(col("containment") >= thr)
+        .select(col("id_a"), col("id_b"), col("containment"))
+        .collect().map(_.toSeq).toSet
+      assert(got == naive, s"threshold $thr")
+    }
+  }
+
   test("simhashPairs equals brute-force bit_count(xor) <= 3 on real data") {
     // The chunked pigeonhole blocking must be COMPLETE, not just find the
     // planted dups: on the real sf0.001 documents, the blocked pair set

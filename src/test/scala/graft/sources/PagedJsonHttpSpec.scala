@@ -140,6 +140,43 @@ class PagedJsonHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(scan.contains("limit=None"), s"plan: $scan")
   }
 
+  test("transient 5xx responses are retried and the scan succeeds") {
+    // A flaky twin of /data: every DISTINCT request 503s on its first
+    // attempt and succeeds on retry — the scan must complete without
+    // surfacing any failure.
+    val seen = mutable.Set.empty[String]
+    server.createContext("/flaky", (x: HttpExchange) => {
+      val raw = Option(x.getRequestURI.getRawQuery).getOrElse("")
+      val firstAttempt = seen.synchronized { seen.add(raw) }
+      if (firstAttempt) {
+        x.sendResponseHeaders(503, -1)
+        x.close()
+      } else {
+        val params = parseQuery(raw)
+        val filtered = applyWhere(rows, params.get("$where"))
+        val body =
+          if (params.get("$select").exists(_.startsWith("count")))
+            s"""[{"count": "${filtered.size}"}]"""
+          else {
+            val off = params.get("$offset").map(_.toInt).getOrElse(0)
+            val lim = params.get("$limit").map(_.toInt).getOrElse(filtered.size)
+            filtered.slice(off, off + lim)
+              .map(r => r.map { case (k, v) => s"${json(k)}: ${json(v)}" }
+                .mkString("{", ", ", "}"))
+              .mkString("[", ",\n", "]")
+          }
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes)
+        x.close()
+      }
+    })
+    val flakyUrl = s"http://127.0.0.1:${server.getAddress.getPort}/flaky"
+    val df = spark.read.format("paged-json")
+      .option("url", flakyUrl).option("pageSize", 1000).load()
+    assert(df.count() == 2500)
+  }
+
   test("HTTP and file endpoints agree row-for-row on the same data") {
     val p = java.nio.file.Files.createTempFile("pagedjson-http", ".jsonl")
     val lines = rows.map(r =>
