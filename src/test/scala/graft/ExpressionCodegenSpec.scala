@@ -119,6 +119,30 @@ class ExpressionCodegenSpec extends SparkSpec {
     }
   }
 
+  test("shingles_in_hash_set: equal hash sets give equal expressions " +
+      "(canonicalization) and rehydrate exactly the matching grams") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // Equality must be elementwise (Seq), not Array reference identity —
+    // reference-based equals breaks expression canonicalization and
+    // plan-cache matching for reused expressions.
+    val child = Literal.create("one two three", org.apache.spark.sql.types.StringType)
+    val e1 = graft.expressions.ShinglesInHashSet(child, 2, Seq(1L, 2L, 3L))
+    val e2 = graft.expressions.ShinglesInHashSet(child, 2, Seq(1L, 2L, 3L))
+    assert(e1 == e2 && e1.semanticEquals(e2) &&
+      e1.canonicalized == e2.canonicalized)
+    // round trip: winner hashes from the counting pass rehydrate their grams
+    val texts = Seq("one two three", "two three four", "unrelated words here")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val winner = texts
+      .select(explode(graft.expressions.HashedShingles.shingles(col("text"), 2)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") === 2).collect().map(_.getLong(0)) // "two three" in docs 0,1
+    val grams = texts.select(explode(
+        graft.expressions.HashedShingles.shinglesInSet(col("text"), 2, winner)).as("g"))
+      .collect().map(_.getString(0)).toSeq
+    assert(grams == Seq("two three", "two three"))
+  }
+
   test("minhash_sig_hashed: signature of hashed shingles is deterministic " +
       "and k-wide") {
     val sig = docs.select(
