@@ -36,4 +36,28 @@ object Split {
     val t = tag(id, frac)
     (df.filter(t === "test"), df.filter(t === "train"))
   }
+
+  /** Threshold with the [0,1] edges admitted: 0 keeps nothing (no hex
+    * pair sorts below "00"), 1 keeps everything ("zz" sorts above every
+    * hex pair). */
+  private[operators] def hexThresholdOrEdge(frac: Double): String =
+    if (frac <= 0) "00" else if (frac >= 1) "zz" else hexThreshold(frac)
+
+  /** Deterministic stratified sampling — the corpus-mixing primitive of
+    * a training-data pipeline: each stratum (source, language, quality
+    * band) keeps its own fraction of rows, selected by the md5 of the
+    * row id. Same row kept on any engine / partitioning / run; stable
+    * under corpus growth; SQL-expressible for oracles and non-Spark
+    * consumers. Evaluated as a plain pushable filter — no sampler state,
+    * no shuffle. `rates` maps stratum value → keep fraction in [0, 1];
+    * unlisted strata use `defaultRate` (granularity 1/256, like [[tag]]). */
+  def stratifiedSample(
+      df: DataFrame, stratum: Column, id: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit(hexThresholdOrEdge(defaultRate))) {
+      case (acc, (value, frac)) =>
+        when(stratum === value, lit(hexThresholdOrEdge(frac))).otherwise(acc)
+    }
+    df.filter(substring(md5(id.cast("string")), 1, 2) < threshold)
+  }
 }

@@ -262,6 +262,41 @@ object PipelineQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** q62 — n-gram repetition score (the Gopher/C4-style repetitiveness
+    * quality rule): per document, the fraction of its 2-grams occupied by
+    * the single most frequent 2-gram. Unlike the dedup family this keeps
+    * MULTIPLICITY (no distinct) — a doc that repeats one phrase scores
+    * toward 1.0. Two hash aggregations, exact small-integer ratio. */
+  def q62Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = when(size(toks) < 2, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
+        array_join(slice(toks, i + 1, lit(2)), " ")))
+    Dedup.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_count"))
+      .withColumn("rep_ratio",
+        col("top_count").cast("double") / col("n_grams"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** q63 — deterministic stratified sampling (corpus mixing): per-source
+    * keep fractions via [[graft.operators.Split.stratifiedSample]]
+    * (md5-of-id, engine-portable, a plain pushable filter), then
+    * per-source kept-volume stats — the "mix 50% of src0 with 10% of the
+    * web crawl" step of training-data assembly. */
+  def q63StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Split.stratifiedSample(
+        Tables.documents(spark, dir), col("source"), col("doc_id"),
+        rates = Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy(asc_nulls_first("source"))
+
   /** q46 — rolling-hash document fingerprints: polynomial hash over the
     * text bytes with per-step modular reduction (exact in both engines). */
   def q46RollingHash(spark: SparkSession, dir: String): DataFrame =
@@ -287,6 +322,8 @@ object PipelineQueries {
     "q40_top_ngrams"      -> q40TopNgrams _,
     "q43_contamination"   -> q43Contamination _,
     "q46_rolling_hash"    -> q46RollingHash _,
+    "q62_repetition"      -> q62Repetition _,
+    "q63_stratified_sample" -> q63StratifiedSample _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -348,6 +385,28 @@ object PipelineQueries {
         |     i -> CAST(ord(text[i]) AS BIGINT)),
         |   (acc, b) -> (acc * 31 + b) % 1000000007) AS fp
         | FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q62_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | g AS (SELECT doc_id, CASE WHEN len(toks) < 2
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_transform(range(len(toks) - 1),
+        |          i -> toks[i+1] || ' ' || toks[i+2]) END AS gs FROM t),
+        | ex AS (SELECT doc_id, unnest(gs) AS g FROM g),
+        | cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY doc_id, g)
+        |SELECT doc_id,
+        | CAST(sum(c) AS BIGINT) AS n_grams,
+        | CAST(max(c) AS BIGINT) AS top_count,
+        | CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS rep_ratio
+        | FROM cnt GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q63_stratified_sample" ->
+      """SELECT source,
+        | count(*) AS n_kept,
+        | CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        | FROM documents
+        | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |   CASE source WHEN 'src0' THEN '80' WHEN 'src1' THEN '40'
+        |        ELSE '1a' END
+        | GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
     "q43_contamination" ->
       s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
         | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3

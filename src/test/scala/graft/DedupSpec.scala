@@ -119,6 +119,30 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("stratifiedSample keeps per-stratum fractions, deterministically") {
+    val rows = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("id", "stratum")
+    val rates = Map("src0" -> 0.5, "src1" -> 0.25)
+    val kept = graft.operators.Split.stratifiedSample(
+      rows, col("stratum"), col("id"), rates, defaultRate = 0.1)
+    val bySrc = kept.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 rows per stratum; md5 threshold granularity is 1/256, so the
+    // realized fraction concentrates near the target (binomial, ±~5%).
+    assert(math.abs(bySrc("src0") - 500) < 75, s"src0: ${bySrc("src0")}")
+    assert(math.abs(bySrc("src1") - 250) < 75, s"src1: ${bySrc("src1")}")
+    assert(math.abs(bySrc.getOrElse("src2", 0L) - 100) < 60)
+    // invariant under repartitioning (pure function of the id)
+    val again = graft.operators.Split.stratifiedSample(
+      rows.repartition(7), col("stratum"), col("id"), rates, defaultRate = 0.1)
+    assert(again.collect().map(_.getLong(0)).sorted.toSeq ==
+      kept.collect().map(_.getLong(0)).sorted.toSeq)
+    // edge rates: 0 keeps nothing, 1 keeps everything
+    assert(graft.operators.Split.stratifiedSample(
+      rows, col("stratum"), col("id"), Map.empty, defaultRate = 0.0).count() == 0)
+    assert(graft.operators.Split.stratifiedSample(
+      rows, col("stratum"), col("id"), Map.empty, defaultRate = 1.0).count() == 4000)
+  }
+
   test("containmentPairs (prefix-filtered) equals the naive shared-shingle join") {
     // The one-sided prefix filter rests on a pigeonhole argument (the
     // smallest shared hash lies in the SMALLER doc's prefix); pin it
