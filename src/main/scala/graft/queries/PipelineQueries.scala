@@ -266,7 +266,11 @@ object PipelineQueries {
     * quality rule): per document, the fraction of its 2-grams occupied by
     * the single most frequent 2-gram. Unlike the dedup family this keeps
     * MULTIPLICITY (no distinct) — a doc that repeats one phrase scores
-    * toward 1.0. Two hash aggregations, exact small-integer ratio. */
+    * toward 1.0. Two hash aggregations, exact small-integer ratio.
+    * Grams are hashed to 64-bit longs BEFORE the first aggregation (the
+    * map-side projection), so the shuffle carries (doc_id, hash) pairs,
+    * never gram strings — the dedup family's standard trade (collision
+    * probability ~2⁻⁶⁴ per in-doc gram pair). */
   def q62Repetition(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val grams = when(size(toks) < 2, array(array_join(toks, " ")))
@@ -274,7 +278,7 @@ object PipelineQueries {
         array_join(slice(toks, i + 1, lit(2)), " ")))
     Dedup.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(grams).as("g"))
-      .groupBy(col("doc_id"), col("g"))
+      .groupBy(col("doc_id"), xxhash64(col("g")).as("h"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_grams"),

@@ -12,18 +12,24 @@ import graft.ml.TrafficModels
   * each analysis returns (and `main` prints) the exact table the
   * reference's matplotlib figures consume.
   *
-  * Usage: `runMain graft.traffic.TrafficPipeline <landing.jsonl> [--ml]`
-  * — the input is a paged-JSON landing file (the DSv2 source stands in
-  * for the Socrata API; SURVEY.md A1).
+  * Usage: `runMain graft.traffic.TrafficPipeline <source> [--ml]` —
+  * `source` is an `http(s)://` endpoint speaking the Socrata paging
+  * dialect (the reference's live mode, `TrafficAnalysis.py:31-53`) or a
+  * local JSONL landing file (SURVEY.md A1).
   */
 object TrafficPipeline {
 
-  /** Stage 1-2: acquire via the paged source + normalize. */
-  def load(spark: SparkSession, jsonlPath: String, pageSize: Int = 1000): DataFrame =
-    Normalize(spark.read.format("paged-json")
-      .option("path", jsonlPath)
-      .option("pageSize", pageSize)
-      .load())
+  /** Stage 1-2: acquire via the paged source + normalize. An
+    * `http(s)://` source selects the HTTP page endpoint (live Socrata
+    * mode); anything else is read as a local JSONL landing file. */
+  def load(spark: SparkSession, source: String, pageSize: Int = 1000): DataFrame = {
+    val reader = spark.read.format("paged-json").option("pageSize", pageSize)
+    val bound =
+      if (source.startsWith("http://") || source.startsWith("https://"))
+        reader.option("url", source)
+      else reader.option("path", source)
+    Normalize(bound.load())
+  }
 
   /** Stage 4: the seven batch analyses (TA:455-468 order). */
   def analyses(norm: DataFrame): Seq[(String, DataFrame)] = Seq(

@@ -52,13 +52,12 @@ class PagedJsonHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   private var server: HttpServer = _
   private var url: String = _
 
-  override def beforeAll(): Unit = {
-    super.beforeAll()
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/data", (x: HttpExchange) => {
+  /** A Socrata-dialect handler over an in-memory row set. */
+  private def socrataHandler(data: Seq[Map[String, String]]): com.sun.net.httpserver.HttpHandler =
+    (x: HttpExchange) => {
       val params = parseQuery(x.getRequestURI.getRawQuery)
       requests.synchronized { requests += Req(params) }
-      val filtered = applyWhere(rows, params.get("$where"))
+      val filtered = applyWhere(data, params.get("$where"))
       val body =
         if (params.get("$select").exists(_.startsWith("count")))
           s"""[{"count": "${filtered.size}"}]"""
@@ -75,7 +74,12 @@ class PagedJsonHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       x.sendResponseHeaders(200, bytes.length)
       x.getResponseBody.write(bytes)
       x.close()
-    })
+    }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data", socrataHandler(rows))
     server.setExecutor(null)
     server.start()
     url = s"http://127.0.0.1:${server.getAddress.getPort}/data"
@@ -175,6 +179,28 @@ class PagedJsonHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val df = spark.read.format("paged-json")
       .option("url", flakyUrl).option("pageSize", 1000).load()
     assert(df.count() == 2500)
+  }
+
+  test("TrafficPipeline live mode: acquire-over-HTTP equals local normalize") {
+    // The reference's end-to-end shape: point the pipeline at a (stub)
+    // Socrata endpoint serving the adversarial traffic fixture; the
+    // normalized result must equal normalizing the same rows locally.
+    val raw = graft.traffic.TrafficFixture.raw(spark, 200)
+    val cols = raw.columns
+    // ListMap keeps landing-schema key order, so HTTP schema inference
+    // (union of keys, first-occurrence order) matches the local frame.
+    val fixtureRows: Seq[Map[String, String]] = raw.collect().toSeq.map { r =>
+      scala.collection.immutable.ListMap(
+        cols.indices.flatMap(i => Option(r.getString(i)).map(v => cols(i) -> v)): _*)
+    }
+    server.createContext("/traffic", socrataHandler(fixtureRows))
+    val live = graft.traffic.TrafficPipeline.load(
+      spark, s"http://127.0.0.1:${server.getAddress.getPort}/traffic")
+    val local = graft.traffic.Normalize(raw)
+    assert(live.columns.toSeq == local.columns.toSeq)
+    assert(live.count() == local.count())
+    assert(live.select("request_id", "borough", "volume")
+      .exceptAll(local.select("request_id", "borough", "volume")).isEmpty)
   }
 
   test("HTTP and file endpoints agree row-for-row on the same data") {
