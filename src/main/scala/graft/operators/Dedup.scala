@@ -25,15 +25,20 @@ object Dedup {
     * single-file parquet scan arrives as ONE partition locally — without
     * this, the expensive projection runs as one task.
     *
-    * Gated on `graft.spread.enabled` (default true) rather than probing
+    * Gated on `graft.spread.enabled` rather than probing
     * `df.rdd.getNumPartitions`: the probe forced plan conversion and cut
-    * AQE out of the frame's lineage. On a cluster where scans already
-    * arrive wide, set the conf to false (or tune
-    * `spark.sql.files.maxPartitionBytes`) and this is an exact no-op. */
+    * AQE out of the frame's lineage. The default is the deployment mode:
+    * local[(n)] runs spread (single-file scans arrive as one partition),
+    * cluster runs are an exact no-op (scans already arrive wide; an
+    * unconditional repartition there would shuffle the full corpus and
+    * could DOWN-partition it to defaultParallelism). Set the conf to
+    * override either way. */
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    if (spark.conf.get("graft.spread.enabled", "true").toBoolean)
-      df.repartition(spark.sparkContext.defaultParallelism)
+    val enabled = spark.conf.getOption("graft.spread.enabled")
+      .map(_.toBoolean)
+      .getOrElse(spark.sparkContext.isLocal)
+    if (enabled) df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
 

@@ -101,7 +101,15 @@ case class FilePageEndpoint(path: String) extends PageEndpoint {
   * failures (IO errors, 5xx, 429) retry up to `maxAttempts` with linear
   * backoff — a paged ingest issues thousands of requests, so one blip
   * must not fail the whole scan; 4xx fails fast (the request is wrong,
-  * not the moment). */
+  * not the moment).
+  *
+  * Consistency caveat (inherent to offset paging, same as the
+  * reference's sequential loop): partitions are planned from a count(*)
+  * taken at plan time, and offsets index the server's CURRENT result
+  * set — a row inserted/deleted mid-scan shifts later offsets, which can
+  * duplicate or drop a boundary row. Exactly-once ingestion from a live
+  * dataset needs a server-side snapshot/stable cursor; for an
+  * append-only feed, filter to a closed time window. */
 case class HttpPageEndpoint(
     url: String, connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000,
     maxAttempts: Int = 3, retryBackoffMs: Long = 200)

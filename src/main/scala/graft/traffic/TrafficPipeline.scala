@@ -67,7 +67,8 @@ object TrafficPipeline {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: TrafficPipeline <landing.jsonl> [--ml]")
+    require(args.nonEmpty,
+      "usage: TrafficPipeline <http(s)://endpoint | landing.jsonl> [--ml]")
     val spark = GraftSession.local()
     val norm = load(spark, args(0)).persist()
     println(s"normalized rows: ${norm.count()}")

@@ -41,13 +41,23 @@ class IngestSpec extends SparkSpec {
     // the scan (directory pruning), not as a row-level data filter.
     assert("PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(plan).isDefined,
       s"no partition filter on o_year in plan:\n$plan")
-    // and the pruned result equals the flat-table computation
+    // and the pruned result equals the flat-table computation. Compared
+    // with a 1-cent tolerance, not exceptAll: the two plans sum doubles
+    // in different partition orders, and a true sum within one ULP of a
+    // .xx5 boundary could round apart — layout-dependent flakiness, not
+    // a defect (the oracle gate compares like-ordered plans).
     val expect = Tables.orders(spark, sf)
       .filter(year(col("o_orderdate")) === 1996)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total_price"))
-    assert(df.exceptAll(expect).isEmpty && expect.exceptAll(df).isEmpty)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (n, total)) =>
+      assert(n == expect(k)._1, s"count mismatch for $k")
+      assert(math.abs(total - expect(k)._2) <= 0.011, s"sum mismatch for $k")
+    }
   }
 
   test("bucketed tables join without a shuffle exchange") {
