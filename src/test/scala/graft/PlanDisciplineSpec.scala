@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Whole-surface plan tripwire: the scale-critical physical-plan
+  * properties the engine's design leans on, asserted so a refactor that
+  * silently degrades a plan (a lost pushdown, an accidental cartesian, a
+  * global sort where a top-k belongs) fails CI instead of surfacing as a
+  * 100 TB incident. Plans are built at sf0.001 — plan shape, not data,
+  * is under test. */
+class PlanDisciplineSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** The only queries allowed a BroadcastNestedLoopJoin, each with a
+    * one-row (or documented-baseline) broadcast side:
+    *   - q9/q10/q32/q33: broadcast-SCALAR stats frames (1-row aggregate
+    *     joined keylessly under the whole input — constant-size broadcast),
+    *   - q22: the single query vector (1 row),
+    *   - q23: the brute-force exact pair baseline (quadratic BY DESIGN;
+    *     `embeddingPairsLsh` is the scale path, measured 37× faster at
+    *     32 k vectors in BASELINE.md). */
+  private val allowedNestedLoop = Set(
+    "q9_peak_flag", "q10_outliers", "q32_histogram", "q33_minmax_norm",
+    "q22_knn_cosine", "q23_embed_neardup")
+
+  test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!allowedNestedLoop(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join")
+    }
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    for (name <- Seq("q1_top_suppliers", "q4_top_dates")) {
+      val plan = planOf(name)
+      assert(plan.contains("TakeOrderedAndProject"), s"$name: $plan")
+    }
+  }
+
+  test("dimension join broadcasts the small side (q16)") {
+    val plan = planOf("q16_join_agg")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("scan-level filter pushdown reaches parquet (q6)") {
+    val plan = planOf("q6_latest_day_clicks")
+    assert("PushedFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"event_type filter not pushed:\n$plan")
+  }
+
+  test("column pruning reaches parquet: q2 reads only its two columns") {
+    val plan = planOf("q2_by_priority")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$plan"))
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("o_orderpriority", "o_totalprice"), s"read: $cols")
+  }
+}
