@@ -177,6 +177,80 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("verified-LSH pairs equal exact prefix-join pairs on seeded random corpora") {
+    // The central equivalence claim of the dedup family: LSH banding +
+    // exact verification produces the SAME pair set as the exhaustive
+    // prefix-filtered exact join (miss probability ~4e-12 per j>=0.9
+    // pair at k=60/b=20). Seeded random corpora (not just the fixed
+    // fixtures): base docs from a 60-word vocab, near-dups planted by
+    // 1-2 token mutations (j >= ~0.85), exact dups, plus short docs that
+    // exercise the <n-token whole-text shingle path.
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = (0 until 60).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val base = (0 until 40).map { i =>
+        (i.toLong,
+          (0 until (8 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val mutated = base.take(12).map { case (id, text) =>
+        val toks = text.split(" ").toBuffer
+        toks(rnd.nextInt(toks.size)) = vocab(rnd.nextInt(vocab.size))
+        (id + 1000L, toks.mkString(" "))
+      }
+      val exactDups = base.slice(12, 18).map { case (id, t) => (id + 2000L, t) }
+      val shorties = Seq((3001L, "w1"), (3002L, "w1"), (3003L, "w1 w2"))
+      val corpus = (base ++ mutated ++ exactDups ++ shorties).toDF("id", "text")
+      val exact = Dedup.ngramJaccardPairs(corpus, col("id"), col("text"), 3, 0.8)
+        .collect().map(_.toSeq).toSet
+      val lsh = Dedup.minhashLshVerifiedPairs(corpus, col("id"), col("text"), 3, 0.8)
+        .collect().map(_.toSeq).toSet
+      assert(lsh == exact, s"trial $trial")
+      assert(exact.nonEmpty, s"trial $trial planted no qualifying pairs")
+    }
+  }
+
+  test("containmentPairs equals the naive join on seeded random corpora") {
+    val rnd = new scala.util.Random(42424242L)
+    val vocab = (0 until 40).map(i => s"t$i")
+    for (trial <- 0 until 3) {
+      // containers: long docs; contained: contiguous slices of them
+      // (containment ~1.0 with very different sizes), plus noise docs.
+      val long = (0 until 15).map { i =>
+        (i.toLong,
+          (0 until (30 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val contained = long.take(6).map { case (id, text) =>
+        val toks = text.split(" ")
+        val start = rnd.nextInt(toks.length / 2)
+        (id + 500L, toks.slice(start, start + 8 + rnd.nextInt(6)).mkString(" "))
+      }
+      val noise = (0 until 10).map(i =>
+        (700L + i, (0 until 5).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val corpus = (long ++ contained ++ noise).toDF("id", "text")
+      for (thr <- Seq(0.7, 0.95)) {
+        val got = Dedup.containmentPairs(corpus, col("id"), col("text"), 3, thr)
+          .collect().map(_.toSeq).toSet
+        val sh = corpus.select(col("id").cast("long").as("id"),
+          graft.expressions.HashedShingles.shingles(col("text"), 3).as("hs"))
+          .withColumn("n_sh", size(col("hs")))
+        val ex = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("h"))
+        val naive = ex.as("a").join(ex.as("b"),
+            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+          .agg(count(lit(1)).as("n_inter"))
+          .withColumn("containment",
+            col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+          .filter(col("containment") >= thr)
+          .select(col("id_a"), col("id_b"), col("containment"))
+          .collect().map(_.toSeq).toSet
+        assert(got == naive, s"trial $trial thr $thr")
+      }
+    }
+  }
+
   test("simhashPairs equals brute-force bit_count(xor) <= 3 on real data") {
     // The chunked pigeonhole blocking must be COMPLETE, not just find the
     // planted dups: on the real sf0.001 documents, the blocked pair set
