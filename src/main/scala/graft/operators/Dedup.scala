@@ -432,24 +432,49 @@ object Dedup {
   }
 
   /** One-call corpus dedup: exact + near-dup (n-gram Jaccard) detection,
-    * cluster resolution, keep the min-id survivor per cluster — returns
-    * the deduplicated corpus rows. The composed form of the pipeline a
+    * cluster resolution, keep one survivor per cluster — returns the
+    * deduplicated corpus rows. The composed form of the pipeline a
     * pretraining corpus actually runs.
     *
     * `useLsh = true` swaps the exhaustive prefix-filtered pair join for
     * [[minhashLshVerifiedPairs]] (identical verified pairs up to ~1e-6
     * LSH miss probability; measured ~3× faster at 40k docs and the gap
-    * widens with corpus size — the default at real scale). */
+    * widens with corpus size — the default at real scale).
+    *
+    * `keepBy` picks the survivor per duplicate cluster: `None` (default)
+    * keeps the min-id doc; `Some(score)` keeps the doc with the HIGHEST
+    * score (ties → min id) — e.g. `Some(length(col("text")))` for
+    * keep-longest, or a quality score. The scored path is one extra
+    * aggregation over cluster members (max-score argmax), no window. */
   def dedupCorpus(
       docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.8,
-      useLsh: Boolean = false): DataFrame = {
+      useLsh: Boolean = false,
+      keepBy: Option[Column] = None): DataFrame = {
     val pairs =
       if (useLsh) minhashLshVerifiedPairs(docs, id, text, n, threshold)
       else ngramJaccardPairs(docs, id, text, n, threshold)
     val clusters = resolveClusters(pairs.select(col("id_a"), col("id_b")))
-    val losers = clusters.filter(col("id") =!= col("cluster"))
-      .select(col("id").as("__loser_id"))
+    val losers = keepBy match {
+      case None =>
+        clusters.filter(col("id") =!= col("cluster"))
+          .select(col("id").as("__loser_id"))
+      case Some(score) =>
+        // Survivor = argmax(score) per cluster, min id on ties: one
+        // broadcast-sized join (clusters only hold docs IN a duplicate
+        // group) + max over a (score, -id) struct — partial+final agg,
+        // no per-cluster sort.
+        val scored = docs.select(
+            id.cast("long").as("id"), score.cast("double").as("__score"))
+          .join(clusters, "id")
+        val winners = scored
+          .groupBy(col("cluster"))
+          .agg(max(struct(col("__score"), (-col("id")).as("__negid"))).as("w"))
+          .select((-col("w.__negid")).cast("long").as("__winner_id"))
+        clusters.select(col("id"))
+          .join(winners, col("id") === col("__winner_id"), "left_anti")
+          .select(col("id").as("__loser_id"))
+    }
     docs.join(losers, id.cast("long") === col("__loser_id"), "left_anti")
   }
 

@@ -177,6 +177,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpus keepBy keeps the highest-scoring doc per cluster") {
+    // Cluster {0,1,2}: doc 2 is one word different ("today") — make it
+    // the longest by scoring on text length with a planted longer twin.
+    val extended = docs.unionByName(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog while the sun sets behind quiet hills and birds sing softly tonight extra tail words")) // near-dup of 0/1, longest
+      .toDF("id", "text"))
+    val kept = Dedup.dedupCorpus(extended, col("id"), col("text"),
+        threshold = 0.5, keepBy = Some(length(col("text"))))
+      .collect().map(_.getAs[Long]("id")).toSet
+    // cluster {0,1,2,6} -> survivor 6 (longest); 3/4/5 untouched
+    assert(kept == Set(6L, 3L, 4L, 5L), s"kept: $kept")
+    // default min-id behavior unchanged
+    val keptMin = Dedup.dedupCorpus(extended, col("id"), col("text"),
+        threshold = 0.5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(keptMin == Set(0L, 3L, 4L, 5L), s"kept: $keptMin")
+    // tie on score -> min id survives
+    val tied = Seq(
+      (10L, "same exact text here padded to shingle width now"),
+      (11L, "same exact text here padded to shingle width now"),
+      (12L, "unrelated totally different content words entirely apart")).toDF("id", "text")
+    val keptTied = Dedup.dedupCorpus(tied, col("id"), col("text"),
+        threshold = 0.5, keepBy = Some(length(col("text"))))
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(keptTied == Set(10L, 12L), s"kept: $keptTied")
+  }
+
   test("verified-LSH pairs equal exact prefix-join pairs on seeded random corpora") {
     // The central equivalence claim of the dedup family: LSH banding +
     // exact verification produces the SAME pair set as the exhaustive

@@ -86,6 +86,34 @@ object ScaleStress {
     time("embedding pairs (LSH-bucketed)") {
       Dedup.embeddingPairsLsh(bigEmb, col("vec_id"), col("embedding"), 0.999).count()
     }
+    // ANN single-query stress: exact scan vs hyperplane-LSH probe vs IVF
+    // probe on the K× corpus, with recall against the exact top-10.
+    import spark.implicits._
+    val qv = emb.filter(col("vec_id") === 7).head().getSeq[Float](1).toArray
+    val qdf = Seq(Tuple1(qv)).toDF("qv")
+    val exactTop = time("ANN exact top-10 scan") {
+      graft.operators.Similarity
+        .bruteForceTopK(bigEmb, col("vec_id"), col("embedding"), qdf, 10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val bucketed = graft.operators.Similarity
+      .bucketize(bigEmb, col("vec_id"), col("embedding"), 16).cache()
+    bucketed.count()
+    val lshTop = time("ANN lsh top-10 (probe<=1 bit)") {
+      graft.operators.Similarity.lshTopK(bucketed, qdf, 10, 16)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val (cents, indexed0) = time("IVF index build (k-means 64 lists)") {
+      graft.operators.Similarity.ivfIndex(bigEmb, col("vec_id"), col("embedding"), 64)
+    }
+    val indexed = indexed0.cache()
+    indexed.count()
+    val ivfTop = time("ANN ivf top-10 (nProbe=8)") {
+      graft.operators.Similarity.ivfTopK(cents, indexed, qv, 10, 8)
+        .collect().map(_.getLong(0)).toSet
+    }
+    println(f"ANN recall@10 vs exact: lsh=${(lshTop & exactTop).size / 10.0}%.2f " +
+      f"ivf=${(ivfTop & exactTop).size / 10.0}%.2f")
     spark.stop()
   }
 }
