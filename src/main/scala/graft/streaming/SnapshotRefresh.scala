@@ -52,6 +52,39 @@ object SnapshotRefresh {
       .trigger(trigger)
       .start()
 
+  /** Live-poll mapping — the reference's ACTUAL daemon shape
+    * (`Dash.py:119-131`): re-execute a batch source builder every
+    * `intervalMs` and atomically publish the aggregated snapshot. The
+    * builder's plan re-executes from scratch each tick, so a paged-JSON
+    * HTTP source re-fetches the CURRENT upstream dataset — the
+    * reference's refetch-the-world loop, minus its unsynchronized global
+    * (atomic swap) and with a failed tick keeping the last good snapshot
+    * instead of crashing the daemon. Close the returned handle to stop. */
+  def pollSnapshot(
+      build: () => DataFrame,
+      aggregate: DataFrame => DataFrame,
+      store: SnapshotStore,
+      intervalMs: Long): AutoCloseable = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-snapshot-poll")
+        t.setDaemon(true)
+        t
+      })
+    val task = exec.scheduleAtFixedRate(
+      () => {
+        try store.publish(aggregate(build()).collect().toSeq)
+        catch { case _: Throwable => () } // keep polling; last snapshot stands
+      },
+      0L, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    new AutoCloseable {
+      override def close(): Unit = {
+        task.cancel(false)
+        exec.shutdownNow()
+      }
+    }
+  }
+
   /** Snapshot-replacement mapping: aggregate only the newest snapshot in
     * each micro-batch and publish atomically to `store`. `aggregate` maps
     * one snapshot's rows to the published result (e.g.

@@ -52,12 +52,12 @@ class PagedJsonHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   private var server: HttpServer = _
   private var url: String = _
 
-  /** A Socrata-dialect handler over an in-memory row set. */
-  private def socrataHandler(data: Seq[Map[String, String]]): com.sun.net.httpserver.HttpHandler =
+  /** A Socrata-dialect handler over an (optionally mutable) row set. */
+  private def socrataHandler(currentData: () => Seq[Map[String, String]]): com.sun.net.httpserver.HttpHandler =
     (x: HttpExchange) => {
       val params = parseQuery(x.getRequestURI.getRawQuery)
       requests.synchronized { requests += Req(params) }
-      val filtered = applyWhere(data, params.get("$where"))
+      val filtered = applyWhere(currentData(), params.get("$where"))
       val body =
         if (params.get("$select").exists(_.startsWith("count")))
           s"""[{"count": "${filtered.size}"}]"""
@@ -79,7 +79,7 @@ class PagedJsonHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     super.beforeAll()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/data", socrataHandler(rows))
+    server.createContext("/data", socrataHandler(() => rows))
     server.setExecutor(null)
     server.start()
     url = s"http://127.0.0.1:${server.getAddress.getPort}/data"
@@ -193,7 +193,7 @@ class PagedJsonHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       scala.collection.immutable.ListMap(
         cols.indices.flatMap(i => Option(r.getString(i)).map(v => cols(i) -> v)): _*)
     }
-    server.createContext("/traffic", socrataHandler(fixtureRows))
+    server.createContext("/traffic", socrataHandler(() => fixtureRows))
     val live = graft.traffic.TrafficPipeline.load(
       spark, s"http://127.0.0.1:${server.getAddress.getPort}/traffic")
     val local = graft.traffic.Normalize(raw)
@@ -201,6 +201,32 @@ class PagedJsonHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(live.count() == local.count())
     assert(live.select("request_id", "borough", "volume")
       .exceptAll(local.select("request_id", "borough", "volume")).isEmpty)
+  }
+
+  test("pollSnapshot over HTTP picks up upstream changes (live dashboard loop)") {
+    // The reference's full live loop: daemon refetches the API, dashboard
+    // reads an atomically swapped snapshot. The stub's dataset CHANGES
+    // mid-run; the published snapshot must follow it.
+    @volatile var live: Seq[Map[String, String]] = rows.take(100)
+    server.createContext("/live", socrataHandler(() => live))
+    val liveUrl = s"http://127.0.0.1:${server.getAddress.getPort}/live"
+    val store = new graft.streaming.SnapshotRefresh.SnapshotStore
+    def totalN: Long = store.latest.map(_.getLong(1)).sum
+    def waitUntil(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 20L * 1000000000L
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(cond, s"snapshot store: ${store.latest}")
+    }
+    val handle = graft.streaming.SnapshotRefresh.pollSnapshot(
+      () => spark.read.format("paged-json")
+        .option("url", liveUrl).option("pageSize", 50).load(),
+      df => df.groupBy(col("boro")).agg(count(lit(1)).as("n")).orderBy("boro"),
+      store, intervalMs = 300)
+    try {
+      waitUntil(totalN == 100)
+      live = rows.take(400) // upstream grows; next tick must refetch
+      waitUntil(totalN == 400)
+    } finally handle.close()
   }
 
   test("HTTP and file endpoints agree row-for-row on the same data") {
