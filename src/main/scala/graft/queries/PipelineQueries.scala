@@ -276,7 +276,16 @@ object PipelineQueries {
     val grams = when(size(toks) < 2, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
         array_join(slice(toks, i + 1, lit(2)), " ")))
-    Dedup.spread(Tables.documents(spark, dir))
+    // Hash-partition by doc_id up front (not round-robin spread): a
+    // doc_id partitioning satisfies BOTH aggregations' distribution
+    // requirements — (doc_id, h) groups and doc_id groups are each
+    // colocated — so the whole query runs on ONE exchange. The explicit
+    // partition count matters: a bare repartition(col) is AQE-coalescible,
+    // and the PRE-explode bytes are small, so AQE would collapse it to ~1
+    // partition and serialize the expensive shingling that follows.
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(grams).as("g"))
       .groupBy(col("doc_id"), xxhash64(col("g")).as("h"))
       .agg(count(lit(1)).as("c"))
