@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
 object Split {
 
   /** Two-hex-digit threshold below which a row is in the held-out split:
-    * fraction ≈ frac with 1/256 granularity. */
+    * fraction ≈ frac with 1/256 granularity, clamped to [1/256, 255/256].
+    * The upper clamp matters: frac ≥ 255.5/256 would otherwise round to
+    * 256 and format as the THREE-char "100", which sorts below "11" and
+    * silently keeps ~6.6% instead of ~100%. */
   private[operators] def hexThreshold(frac: Double): String = {
     require(frac > 0 && frac < 1, "frac must be in (0, 1)")
-    f"${math.max(1, math.round(frac * 256).toInt)}%02x"
+    f"${math.min(255, math.max(1, math.round(frac * 256).toInt))}%02x"
   }
 
   /** Split tag column: `heldOutName` for ~`frac` of rows (by id hash),

@@ -45,8 +45,14 @@ object Ingest {
   private val landings = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def ordersByYearLanding(spark: SparkSession, dir: String): String =
     landings.computeIfAbsent(dir, _ => {
+      // The path carries a sanitized source-dir component: the cache is
+      // keyed per source dir, so the landing location must be too — a
+      // shared fixed path would let one dataset's landing silently serve
+      // (or clobber) another's.
       val path = spark.conf.getOption("graft.landing.dir") match {
-        case Some(root) => s"${root.stripSuffix("/")}/orders_by_year"
+        case Some(root) =>
+          val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+          s"${root.stripSuffix("/")}/orders_by_year_$tag"
         case None =>
           java.nio.file.Files.createTempDirectory("graft-orders-by-year-").toString
       }

@@ -71,10 +71,20 @@ object SnapshotRefresh {
         t.setDaemon(true)
         t
       })
-    val task = exec.scheduleAtFixedRate(
+    // Fixed DELAY, not fixed rate: a tick slower than the interval must
+    // not queue make-up executions into a zero-gap hot loop against the
+    // upstream API — a poll always rests `intervalMs` after finishing.
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val task = exec.scheduleWithFixedDelay(
       () => {
         try store.publish(aggregate(build()).collect().toSeq)
-        catch { case _: Throwable => () } // keep polling; last snapshot stands
+        catch {
+          // Keep polling on recoverable failures (the last good snapshot
+          // stands) but say so — a silent catch can't be told apart from
+          // a healthy feed; fatal errors propagate and kill the daemon.
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"snapshot poll tick failed; serving last snapshot: $e")
+        }
       },
       0L, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     new AutoCloseable {

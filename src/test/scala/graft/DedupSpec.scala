@@ -141,6 +141,11 @@ class DedupSpec extends SparkSpec {
       rows, col("stratum"), col("id"), Map.empty, defaultRate = 0.0).count() == 0)
     assert(graft.operators.Split.stratifiedSample(
       rows, col("stratum"), col("id"), Map.empty, defaultRate = 1.0).count() == 4000)
+    // near-1 rates clamp to 255/256 — round(0.999*256)=256 would format
+    // as the 3-char "100", which sorts below "11" and kept only ~6.6%
+    val near1 = graft.operators.Split.stratifiedSample(
+      rows, col("stratum"), col("id"), Map.empty, defaultRate = 0.999).count()
+    assert(near1 > 3900, s"near-1 rate kept only $near1 of 4000")
   }
 
   test("containmentPairs (prefix-filtered) equals the naive shared-shingle join") {

@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   * is under test. */
 class PlanDisciplineSpec extends SparkSpec {
 
-  private def planOf(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  // Memoized: some builders run eager driver jobs at construction (q40's
+  // counting pass, q36's cluster resolution), so each query is built at
+  // most once across the whole suite.
+  private val planCache = scala.collection.mutable.Map.empty[String, String]
+  private def planOf(name: String): String = planCache.getOrElseUpdate(name,
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString)
 
   /** The only queries allowed a BroadcastNestedLoopJoin, each with a
     * one-row (or documented-baseline) broadcast side:

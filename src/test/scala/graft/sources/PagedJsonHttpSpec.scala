@@ -149,31 +149,14 @@ class PagedJsonHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // attempt and succeeds on retry — the scan must complete without
     // surfacing any failure.
     val seen = mutable.Set.empty[String]
+    val healthy = socrataHandler(() => rows)
     server.createContext("/flaky", (x: HttpExchange) => {
       val raw = Option(x.getRequestURI.getRawQuery).getOrElse("")
       val firstAttempt = seen.synchronized { seen.add(raw) }
       if (firstAttempt) {
         x.sendResponseHeaders(503, -1)
         x.close()
-      } else {
-        val params = parseQuery(raw)
-        val filtered = applyWhere(rows, params.get("$where"))
-        val body =
-          if (params.get("$select").exists(_.startsWith("count")))
-            s"""[{"count": "${filtered.size}"}]"""
-          else {
-            val off = params.get("$offset").map(_.toInt).getOrElse(0)
-            val lim = params.get("$limit").map(_.toInt).getOrElse(filtered.size)
-            filtered.slice(off, off + lim)
-              .map(r => r.map { case (k, v) => s"${json(k)}: ${json(v)}" }
-                .mkString("{", ", ", "}"))
-              .mkString("[", ",\n", "]")
-          }
-        val bytes = body.getBytes(StandardCharsets.UTF_8)
-        x.sendResponseHeaders(200, bytes.length)
-        x.getResponseBody.write(bytes)
-        x.close()
-      }
+      } else healthy.handle(x) // one dialect implementation, wrapped
     })
     val flakyUrl = s"http://127.0.0.1:${server.getAddress.getPort}/flaky"
     val df = spark.read.format("paged-json")
