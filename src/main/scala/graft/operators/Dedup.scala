@@ -83,14 +83,7 @@ object Dedup {
     // far below any other error source). HashedShingles is the native
     // one-pass form of the lower/split/n-gram/distinct/xxhash64/sort
     // chain (codegen'd; parity pinned in ExpressionCodegenSpec).
-    // Persisted: the shingle relation feeds the prefix explode AND both
-    // sides of the verification join — without caching, the self-join
-    // re-runs the shingling three times.
-    val sh = spread(docs).select(
-      id.cast("long").as("id"),
-      graft.expressions.HashedShingles.shingles(text, n).as("hs"))
-      .withColumn("n_sh", size(col("hs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingleRelation(docs, id, text, n)
     // Prefix filtering (AllPairs/PPJoin family): under ANY global total
     // order — here the hash order, which needs no frequency pass — a pair
     // with Jaccard ≥ τ must share one of each side's first
@@ -102,18 +95,12 @@ object Dedup {
       (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))
     val prefix0 = prefixed.select(col("id"), col("n_sh"),
       explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    // Optional stop-shingle cap: frequent shingles stop generating
+    // candidates (trades completeness for skew immunity; verified
+    // pairs keep their exact Jaccard). Anti join against the small HOT
+    // set — heavy hitters are few, so AQE plans a broadcast anti join.
     val prefix = maxShingleFreq match {
-      case Some(cap) =>
-        // Optional stop-shingle cap: frequent shingles stop generating
-        // candidates (trades completeness for skew immunity; verified
-        // pairs keep their exact Jaccard). Formulated as an anti join
-        // against the HOT set — heavy hitters are few, so AQE plans a
-        // broadcast anti join; the complementary rare set is nearly the
-        // whole shingle table and could never broadcast.
-        val hot = sh.select(explode(col("hs")).as("h"))
-          .groupBy("h").agg(count(lit(1)).as("f"))
-          .filter(col("f") > cap).select("h")
-        prefix0.join(hot, Seq("h"), "left_anti")
+      case Some(cap) => prefix0.join(hotShingles(sh, cap), Seq("h"), "left_anti")
       case None => prefix0
     }
     val a = prefix.as("a")
@@ -276,68 +263,134 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold over
-    * hashed shingle sets — catches the one-document-contains-the-other
-    * duplicates that symmetric Jaccard under-scores (a doc pasted inside
-    * a larger page scores ~|A|/|B| Jaccard but ~1.0 containment).
-    *
-    * Exact and complete, block-then-verify like the Jaccard family. The
-    * symmetric prefix filter of [[ngramJaccardPairs]] does not transfer
-    * (a doc's required overlap depends on the PARTNER's size), but a
-    * one-sided version does: the overlap is ≥ ⌈τ·min(|A|,|B|)⌉, so the
-    * globally smallest shared hash lies within the SMALLER doc's first
-    * n−⌈τ·n⌉+1 sorted shingles (pigeonhole). Candidates therefore come
-    * from smaller-doc PREFIX shingles ⋈ larger-doc FULL shingle sets —
-    * a τ-fraction of the old full×full self-join — and each candidate
-    * pair is verified with the exact `array_intersect` on the complete
-    * sets. "Smaller" is made total by (n_sh, id) ordering so equal-size
-    * pairs are generated exactly once.
-    *
-    * `maxShingleFreq` caps stop-shingle fan-out in CANDIDATE GENERATION
-    * only (verification always computes the exact containment): shingles
-    * occurring in more than that many docs stop generating candidates,
-    * which can lose only pairs all of whose prefix-overlap shingles are
-    * ubiquitous — the knob that bounds the join at corpus scale, where a
-    * boilerplate shingle shared by millions of docs would otherwise fan
-    * out quadratically.
-    * Output: (id_a, id_b, containment) with id_a < id_b. */
-  def containmentPairs(
-      docs: DataFrame, id: Column, text: Column,
-      n: Int, threshold: Double,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
-    // Persisted: feeds the prefix explode, the full explode, and both
-    // sides of the verification join.
-    val sh = spread(docs).select(
+  /** Shared (id, hs, n_sh) hashed-shingle relation of the containment
+    * family, persisted because it feeds the probe explode, the full-side
+    * explode, and both sides of the verification join. `hs` is sorted
+    * ascending by hash — prefixes under this order are what the
+    * pigeonhole/bottom-k arguments below rely on. */
+  private def shingleRelation(
+      docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    spread(docs).select(
       id.cast("long").as("id"),
       graft.expressions.HashedShingles.shingles(text, n).as("hs"))
       .withColumn("n_sh", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pref0 = sh.select(col("id"), col("n_sh"),
-      explode(slice(col("hs"), lit(1),
-        (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))).as("h"))
-    val full0 = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("h"))
-    val (pref, full) = maxShingleFreq match {
+
+  /** Shingle hashes with doc frequency above `cap` — the stop-shingle
+    * (boilerplate) set. One aggregation over the exploded shingle
+    * relation; `hs` is per-doc distinct, so counts ARE doc frequencies. */
+  private def hotShingles(sh: DataFrame, cap: Int): DataFrame =
+    sh.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("f"))
+      .filter(col("f") > cap).select("h")
+
+  /** Probe/full pruning shared by the containment candidate generators:
+    * both sides are semi-joined against ONE shared `allowed` hash set —
+    * the DISTINCT probe hashes, minus shingles whose doc frequency
+    * exceeds `maxShingleFreq` (the stop-shingle cap — candidate
+    * generation only; verification always computes exact containment).
+    * Only hashes that occur in some smaller-doc probe can seed a
+    * candidate, so the dominant shuffle (the full explode is
+    * |corpus shingles| rows; probes are a small fraction) carries only
+    * joinable shingles. `allowed` is one subtree feeding both semi joins
+    * — the hot-frequency aggregation runs once and the broadcast
+    * exchange is reused; it is a runtime-sized aggregate, so AQE
+    * broadcasts it when small and the pruning applies MAP-SIDE before
+    * any full-side shuffle, and when it is too large to broadcast the
+    * semi join shares its hash partitioning with the candidate join that
+    * follows (no extra full-side shuffle). */
+  /** Shared candidate-then-verify core of the containment family. The
+    * two public variants differ ONLY in the probe window width:
+    * `windowLen(plen)` maps the pigeonhole prefix length p to how many of
+    * the smaller doc's bottom hashes probe the join (exact: min(2p−1, n);
+    * banded: min(k, n)).
+    *
+    * Pipeline, shaped to minimize stages:
+    *  1. The full-side explode — the dominant relation, |corpus
+    *     shingles| rows — is semi-joined against the DISTINCT probe
+    *     hashes: only hashes in some smaller-doc probe window can seed a
+    *     candidate. The distinct set is a runtime-sized aggregate, so
+    *     AQE broadcasts it when small and the pruning applies MAP-SIDE
+    *     before any full-side shuffle (and typically shrinks the pruned
+    *     side under the broadcast threshold, making the candidate join
+    *     itself shuffle-free); too large to broadcast, the semi join
+    *     shares its hash partitioning with the candidate join that
+    *     follows (no extra full-side shuffle).
+    *  2. Hot capping (`maxShingleFreq`): doc frequencies are counted
+    *     over the PRUNED full side — a hash can only generate fan-out if
+    *     it is probed at all, so capping only probed hashes is exactly
+    *     equivalent to capping corpus-wide, at a fraction of the
+    *     aggregation cost (measured 0.9 s → ~0.1 s at sf0.1, where the
+    *     naive corpus-wide frequency pass cost half the query). The
+    *     >cap hashes are folded to a single ARRAY row and broadcast —
+    *     the scalar-subquery pattern — so the probe window is pruned
+    *     with one codegen'd `array_except` per doc (no probe-side join
+    *     or shuffle) and the surviving width J′ falls out as `size(w)`
+    *     in the same projection (no per-doc width aggregation either).
+    *     The hot set at any sane cap is tiny by definition (heavy
+    *     hitters), the same size class as a broadcast anti-join build
+    *     side.
+    *  3. Candidate join probe ⋈ pruned full on the hash; "smaller" is
+    *     made total by (n_sh, id) ordering so equal-size pairs are
+    *     generated exactly once. Matches are COUNTED per pair and pairs
+    *     below m ≥ max(J′−(p−1), 1) are dropped: at most p−1 of the
+    *     smaller doc's shingles can miss the larger one, so a
+    *     qualifying pair always passes (one-sided bound, self-adjusting
+    *     under hot capping — removing probe entries lowers J′ and the
+    *     requirement in step), while the noise pairs sharing one or two
+    *     shingles — the overwhelming bulk of a bare shares-one-hash
+    *     join's output (measured ~550× the qualifying pairs at sf0.1)
+    *     — fall far short of it.
+    *  4. Exact verification (`array_intersect` on the complete sets)
+    *     runs on the ~true-pair-sized survivor set only. */
+  private def containmentByProbeWindow(
+      sh: DataFrame, windowLen: Column => Column, threshold: Double,
+      maxShingleFreq: Option[Int]): DataFrame = {
+    val plen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
+    val window = slice(col("hs"), lit(1), windowLen(plen))
+    val probe0 = sh.select(col("id"), col("n_sh"),
+      (plen - 1).as("slack"), window.as("w"))
+    val probedHashes = probe0.select(explode(col("w")).as("h")).distinct()
+    val fullPruned = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("h"))
+      .join(probedHashes, Seq("h"), "left_semi")
+    val (probe, full) = maxShingleFreq match {
       case Some(cap) =>
-        // Anti join against the small HOT set (see ngramJaccardPairs) —
-        // only the prefix side needs it: a candidate exists iff some
-        // uncapped shingle of the smaller doc's prefix matches, and the
-        // full side matching a hot shingle is harmless once the prefix
-        // side can't emit it.
-        val hot = full0.groupBy("h").agg(count(lit(1)).as("f"))
-          .filter(col("f") > cap).select("h")
-        (pref0.join(hot, Seq("h"), "left_anti"), full0)
-      case None => (pref0, full0)
+        val hotArr = fullPruned.groupBy("h").agg(count(lit(1)).as("f"))
+          .filter(col("f") > cap)
+          .agg(collect_list(col("h")).as("hot"))
+        val p = probe0.crossJoin(broadcast(hotArr))
+          .select(col("id"), col("n_sh"), col("slack"),
+            array_except(col("w"), col("hot")).as("w"))
+        // Hot rows on the full side can no longer match once the probe
+        // dropped them; filtering keeps them out of the join build.
+        val f = fullPruned.crossJoin(broadcast(hotArr))
+          .filter(!array_contains(col("hot"), col("h")))
+          .select(col("id"), col("n_sh"), col("h"))
+        (p, f)
+      case None => (probe0, fullPruned)
     }
-    // Equal sizes: the pigeonhole holds for EITHER doc's prefix, so the
-    // min-id doc can always play the prefix side — each pair generated
-    // from exactly one orientation.
-    val cand = pref.as("s").join(full.as("l"),
+    val probeEx = probe.select(col("id"), col("n_sh"), col("slack"),
+      size(col("w")).as("jq"), explode(col("w")).as("h"))
+    val cand = probeEx.as("s").join(full.as("l"),
         col("s.h") === col("l.h") &&
           (col("s.n_sh") < col("l.n_sh") ||
             (col("s.n_sh") === col("l.n_sh") && col("s.id") < col("l.id"))))
-      .select(least(col("s.id"), col("l.id")).as("id_a"),
-        greatest(col("s.id"), col("l.id")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .groupBy(col("s.id").as("sid"), col("l.id").as("lid"),
+        col("s.slack").as("slack"), col("s.jq").as("jq"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= greatest(col("jq") - col("slack"), lit(1)))
+      .select(least(col("sid"), col("lid")).as("id_a"),
+        greatest(col("sid"), col("lid")).as("id_b"))
+    verifyContainment(cand, sh, threshold)
+  }
+
+  /** Exact verification shared by both containment candidate generators:
+    * join candidates back to the complete shingle sets and keep pairs
+    * with |A∩B| / min(|A|,|B|) ≥ threshold (exact `array_intersect` on
+    * sorted long arrays; small-integer division, bit-identical across
+    * engines). */
+  private def verifyContainment(
+      cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     cand
       .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a"),
         col("n_sh").as("n_a")), "id_a")
@@ -348,6 +401,101 @@ object Dedup {
         col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold over
+    * hashed shingle sets — catches the one-document-contains-the-other
+    * duplicates that symmetric Jaccard under-scores (a doc pasted inside
+    * a larger page scores ~|A|/|B| Jaccard but ~1.0 containment).
+    *
+    * Exact and complete, block-then-verify like the Jaccard family. The
+    * symmetric prefix filter of [[ngramJaccardPairs]] does not transfer
+    * (a doc's required overlap depends on the PARTNER's size), but a
+    * one-sided version does: with p = n−⌈τ·n⌉+1, at most p−1 of the
+    * SMALLER doc's shingles lie outside the larger one, so under the
+    * hash sort order the smallest shared hash lies within the smaller
+    * doc's first p shingles (pigeonhole). Candidates therefore come from
+    * smaller-doc BOTTOM-J shingles (J = min(2p−1, n)) ⋈ larger-doc FULL
+    * shingle sets — a τ-complement fraction of the old full×full
+    * self-join, with the full side semi-join-pruned to joinable shingles
+    * only (see [[prunedProbeAndFull]]).
+    *
+    * The probe window is 2p−1 wide (not the minimal p) to buy a COUNT
+    * filter: among the smaller doc's bottom J′ surviving probe shingles
+    * (J′ ≤ J after hot-capping), at most p−1 can miss the larger doc, so
+    * a qualifying pair matches ≥ J′−(p−1) of them. Noise pairs sharing
+    * one or two boilerplate-ish shingles — the overwhelming bulk of
+    * what a bare shares-one-prefix-hash join emits (measured ~550× the
+    * qualifying pairs at sf0.1) — fall far short of that bound, so the
+    * expensive exact verification (two joins carrying the full shingle
+    * arrays + `array_intersect`) runs on ~the true pairs only. The
+    * bound never drops a qualifying pair (one-sided, and self-adjusting
+    * under the cap: removing probe rows lowers the requirement in step),
+    * so the result stays exact and complete.
+    *
+    * The probe width grows with doc size (~2(1−τ)·|A|), so candidate
+    * volume tracks the qualifying-pair count times the probe width; at
+    * mass-duplication scale prefer [[containmentPairsLsh]], whose
+    * fixed-width bottom-k probes cut that constant (same verified
+    * output, probabilistic recall ≥ 1−(1−τ)^k).
+    *
+    * `maxShingleFreq` caps stop-shingle fan-out in CANDIDATE GENERATION
+    * only (verification always computes the exact containment): shingles
+    * occurring in more than that many docs stop generating candidates,
+    * which can lose only pairs all of whose probe-overlap shingles are
+    * ubiquitous — the knob that bounds the join at corpus scale, where a
+    * boilerplate shingle shared by millions of docs would otherwise fan
+    * out quadratically.
+    * Output: (id_a, id_b, containment) with id_a < id_b. */
+  def containmentPairs(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double,
+      maxShingleFreq: Option[Int] = None): DataFrame =
+    containmentByProbeWindow(
+      shingleRelation(docs, id, text, n),
+      plen => least(plen * 2 - 1, col("n_sh")).cast("int"),
+      threshold, maxShingleFreq)
+
+  /** Banded approximate containment — the mass-duplication scale path for
+    * [[containmentPairs]], mirroring the q24-vs-q21 pattern of the
+    * Jaccard family: cheap banded candidates, exact verification, so any
+    * emitted pair carries its TRUE containment and false positives are
+    * impossible; only recall is probabilistic.
+    *
+    * Banding scheme: the SMALLER doc's bottom-k minhash sketch. `hs` is
+    * sorted by hash, so its first `sampleK` entries are the k smallest
+    * hashes = a uniform k-sample of the doc's shingle set (the hash
+    * induces a random permutation) = a one-permutation minhash sketch
+    * banded at r=1, b=k. A band "fires" when the larger doc contains
+    * that sampled shingle, which for a pair with true containment c
+    * happens per band with probability ~c — detection probability is
+    * ≥ 1−(1−c)^k (without-replacement sampling does slightly better):
+    * at τ=0.9, k=16 a qualifying pair is missed with p ≤ 1e-16.
+    * Moreover, when the doc is small enough that the sketch covers the
+    * exact path's pigeonhole prefix (|A| ≤ (sampleK−1)/(1−τ)), the
+    * candidate set is a SUPERSET of the exact path's — deterministically
+    * complete, which is what makes this variant oracle-checkable against
+    * the same exhaustive SQL on real corpora.
+    *
+    * Versus the exact path the probe side shrinks from ~2(1−τ)·|A| rows
+    * per doc to a FIXED k, so the candidate join's output volume per
+    * qualifying pair is bounded by k instead of growing with doc size —
+    * the knob that wins once mass duplication makes pair count, not doc
+    * count, the dominant term (measured in the ScaleStress K-sweep).
+    * When the sketch covers the exact path's widened probe window
+    * (n ≤ (sampleK+1)/(2(1−τ)), roughly), the exact count bound applies
+    * and noise pairs are pre-filtered like the exact path's; for larger
+    * docs any single sampled match makes a candidate (recall over
+    * precision — verification owns correctness).
+    * Output: (id_a, id_b, containment ≥ threshold), exact values. */
+  def containmentPairsLsh(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double, sampleK: Int = 8,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    require(sampleK >= 1, "sampleK must be >= 1")
+    containmentByProbeWindow(
+      shingleRelation(docs, id, text, n),
+      _ => least(lit(sampleK), col("n_sh")).cast("int"),
+      threshold, maxShingleFreq)
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with

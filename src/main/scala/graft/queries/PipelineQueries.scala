@@ -310,6 +310,38 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
       .orderBy(asc_nulls_first("source"))
 
+  /** q64 — composed corpus dedup end to end: exact n-gram-Jaccard pairs →
+    * connected-component clusters → keep-LONGEST survivor per cluster
+    * ([[Dedup.dedupCorpus]] with `keepBy` = text length, ties → min id) —
+    * the single most-used entry point of the dedup family, oracle-checked
+    * as a whole: DuckDB mirrors the pipeline with the shared pair CTE,
+    * the recursive-CTE connected components (q36's), and a per-cluster
+    * argmax window. Output is the surviving corpus (id + size), so any
+    * divergence in pairs, clustering, or survivor choice flips the hash. */
+  def q64DedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, threshold = 0.8,
+        keepBy = Some(length(col("text"))))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(asc_nulls_first("doc_id"))
+
+  /** q65 — batch exact KNN through the CUSTOM physical operator
+    * ([[graft.plans.GroupTopK]]): every query vector (vec_id < 5) against
+    * the whole corpus, exact cosine top-5 each. Partial bounded heaps
+    * bound the shuffle to ≤k rows per (query, partition) — the
+    * row_number window that assigns `rank` only ever sees the ≤k
+    * survivors. Oracle = the window formulation over the exhaustive
+    * scored join (the two plans must agree row for row, q57-vs-q53
+    * style); scores are rounded to 4 dp with id tie-break, so ordering
+    * is deterministic across engines. */
+  def q65BatchKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopKBatch(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 5)
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+
   /** q46 — rolling-hash document fingerprints: polynomial hash over the
     * text bytes with per-step modular reduction (exact in both engines). */
   def q46RollingHash(spark: SparkSession, dir: String): DataFrame =
@@ -337,6 +369,8 @@ object PipelineQueries {
     "q46_rolling_hash"    -> q46RollingHash _,
     "q62_repetition"      -> q62Repetition _,
     "q63_stratified_sample" -> q63StratifiedSample _,
+    "q64_dedup_corpus"    -> q64DedupCorpus _,
+    "q65_batch_knn"       -> q65BatchKnn _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -438,6 +472,43 @@ object PipelineQueries {
         | FROM sh p LEFT JOIN hits h USING (doc_id)
         | WHERE p.source = 'src0'
         | ORDER BY p.doc_id NULLS FIRST""".stripMargin,
+    "q64_dedup_corpus" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |   UNION ALL SELECT id_b, id_a FROM pairs),
+        | nodes AS (SELECT DISTINCT src AS id FROM edges),
+        | reach AS (
+        |   SELECT id, id AS r FROM nodes
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        | clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        | scored AS (SELECT c.id, c.cluster, len(d.text) AS score
+        |   FROM clusters c JOIN documents d ON d.doc_id = c.id),
+        | ranked AS (SELECT id, cluster,
+        |     row_number() OVER (PARTITION BY cluster
+        |       ORDER BY score DESC, id) AS rn
+        |   FROM scored),
+        | losers AS (SELECT id FROM ranked WHERE rn > 1)
+        |SELECT doc_id, n_chars FROM documents
+        | WHERE doc_id NOT IN (SELECT id FROM losers)
+        | ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q65_batch_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |   FROM embeddings WHERE vec_id < 5),
+        | s AS (SELECT q.query_id, e.vec_id AS id, round(
+        |   list_sum(list_transform(range(len(e.embedding)),
+        |     i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+        |       i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(range(len(q.qv)),
+        |       i -> CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))))), 4)
+        |   AS sim
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+        | r AS (SELECT query_id, id, sim,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY sim DESC, id) AS rank FROM s)
+        |SELECT query_id, id, sim, CAST(rank AS INTEGER) AS rank
+        | FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

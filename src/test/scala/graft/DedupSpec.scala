@@ -283,6 +283,59 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairsLsh equals the exact containment path") {
+    // Banded bottom-k candidates + exact verify must reproduce the exact
+    // path's pairs AND values: for docs whose probe window fits the
+    // sketch the candidate set is a deterministic superset of the exact
+    // path's; beyond it the per-pair miss probability is (1-c)^k
+    // (~1e-8 at c=0.9, k=8), and the fixed hash makes the outcome
+    // reproducible. Fixtures: the real corpus, the planted doc-inside-doc
+    // set, and a LARGE container pair (smaller doc >> sampleK shingles)
+    // exercising the probabilistic regime.
+    val bigBase = (0 until 300).map(i => s"tok$i").mkString(" ")
+    val fixtures = Seq(
+      graft.sources.Tables.documents(spark, sf).select(
+        col("doc_id").as("id"), col("text")),
+      docs.unionByName(Seq(
+        (6L, "one two three four five six seven"),
+        (7L, "zero one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+        (8L, bigBase),
+        (9L, bigBase + " plus an unrelated long tail " +
+          (0 until 40).map(i => s"tail$i").mkString(" "))).toDF("id", "text")))
+    for (frame <- fixtures; thr <- Seq(0.7, 0.9)) {
+      val exact = Dedup.containmentPairs(frame, col("id"), col("text"), 3, thr)
+        .collect().map(_.toSeq).toSet
+      val banded = Dedup.containmentPairsLsh(frame, col("id"), col("text"), 3, thr)
+        .collect().map(_.toSeq).toSet
+      assert(banded == exact, s"thr $thr")
+      assert(exact.nonEmpty, s"thr $thr planted no qualifying pairs")
+    }
+  }
+
+  test("containment maxShingleFreq caps candidate generation, keeps exact values") {
+    // 10 docs sharing one ubiquitous shingle (freq 10 > cap 5) plus a
+    // genuine container pair: capping must drop the boilerplate-only
+    // pairs but keep the real pair with its exact containment.
+    val many = ((0 until 10).map(i =>
+        (i.toLong, s"common shingle here unique$i word$i tail$i"))
+      :+ (100L, "real duplicate text body one two three")
+      :+ (101L, "real duplicate text body one two three plus extra tail words here"))
+      .toDF("id", "text")
+    for (variant <- Seq(
+        (d: org.apache.spark.sql.DataFrame, cap: Option[Int]) =>
+          Dedup.containmentPairs(d, col("id"), col("text"), 3, 0.2, cap),
+        (d: org.apache.spark.sql.DataFrame, cap: Option[Int]) =>
+          Dedup.containmentPairsLsh(d, col("id"), col("text"), 3, 0.2, 8, cap))) {
+      val uncapped = variant(many, None).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val capped = variant(many, Some(5)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(uncapped.size > capped.size, "cap should drop boilerplate-only pairs")
+      assert(capped.contains((100L, 101L)), "real pair survives the cap")
+      assert(capped((100L, 101L)) == 1.0, "verification stays exact under cap")
+    }
+  }
+
   test("simhashPairs equals brute-force bit_count(xor) <= 3 on real data") {
     // The chunked pigeonhole blocking must be COMPLETE, not just find the
     // planted dups: on the real sf0.001 documents, the blocked pair set

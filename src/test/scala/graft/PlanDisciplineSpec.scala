@@ -22,12 +22,15 @@ class PlanDisciplineSpec extends SparkSpec {
     *   - q9/q10/q32/q33: broadcast-SCALAR stats frames (1-row aggregate
     *     joined keylessly under the whole input — constant-size broadcast),
     *   - q22: the single query vector (1 row),
+    *   - q65: the broadcast batch-query set (5 rows; the corpus side
+    *     streams once past it, then the custom GroupTopK bounds what
+    *     survives),
     *   - q23: the brute-force exact pair baseline (quadratic BY DESIGN;
     *     `embeddingPairsLsh` is the scale path, measured 37× faster at
     *     32 k vectors in BASELINE.md). */
   private val allowedNestedLoop = Set(
     "q9_peak_flag", "q10_outliers", "q32_histogram", "q33_minmax_norm",
-    "q22_knn_cosine", "q23_embed_neardup")
+    "q22_knn_cosine", "q23_embed_neardup", "q65_batch_knn")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
@@ -44,6 +47,14 @@ class PlanDisciplineSpec extends SparkSpec {
       val plan = planOf(name)
       assert(plan.contains("TakeOrderedAndProject"), s"$name: $plan")
     }
+  }
+
+  test("q65 batch KNN runs through the custom GroupTopK physical operator") {
+    // The oracle-gated batch-KNN row must exercise the custom plan: both
+    // the map-side bounded heap and the post-shuffle final heap.
+    val plan = planOf("q65_batch_knn")
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    assert(plan.contains("TopKPerGroupFinal"), plan)
   }
 
   test("dimension join broadcasts the small side (q16)") {

@@ -12,16 +12,26 @@ import graft.sources.Tables
 object Q59Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
-    val docs = Tables.documents(spark, "/root/testdata/sf0.1").cache()
+    def docs = Tables.documents(spark, "/root/testdata/sf0.1")
     println(s"docs: ${docs.count()}")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      // The operators persist their shingle relation internally; start
+      // every timed run from the same cold-cache state or run2/run3 would
+      // partly measure cache hits under accumulating memory pressure.
+      spark.catalog.clearCache()
     }
     for (i <- 1 to 3) {
       time(s"containmentPairs run$i") {
         Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+          n = 3, threshold = 0.9, maxShingleFreq = Some(500)).count()
+      }
+    }
+    for (i <- 1 to 3) {
+      time(s"containmentPairsLsh run$i") {
+        Dedup.containmentPairsLsh(docs, col("doc_id"), col("text"),
           n = 3, threshold = 0.9, maxShingleFreq = Some(500)).count()
       }
     }

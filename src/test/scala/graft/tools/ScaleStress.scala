@@ -44,6 +44,10 @@ object ScaleStress {
       Dedup.containmentPairs(big, col("doc_id"), col("text"),
         n = 3, threshold = 0.9, maxShingleFreq = Some(500)).count()
     }
+    time("containment pairs (banded k=8)") {
+      Dedup.containmentPairsLsh(big, col("doc_id"), col("text"),
+        n = 3, threshold = 0.9, maxShingleFreq = Some(500)).count()
+    }
     // Hot-band skew: plant k*125 IDENTICAL docs — one (band, bh) key then
     // carries a quadratic pair load in every band. Salting spreads that
     // key's pair generation across tasks; output is identical.
