@@ -345,7 +345,7 @@ object Dedup {
     *     runs on the ~true-pair-sized survivor set only. */
   private def containmentByProbeWindow(
       sh: DataFrame, windowLen: Column => Column, threshold: Double,
-      maxShingleFreq: Option[Int]): DataFrame = {
+      maxShingleFreq: Option[Int], sampledBound: Boolean = false): DataFrame = {
     val plen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
     val window = slice(col("hs"), lit(1), windowLen(plen))
     val probe0 = sh.select(col("id"), col("n_sh"),
@@ -378,7 +378,24 @@ object Dedup {
       .groupBy(col("s.id").as("sid"), col("l.id").as("lid"),
         col("s.slack").as("slack"), col("s.jq").as("jq"))
       .agg(count(lit(1)).as("m"))
-      .filter(col("m") >= greatest(col("jq") - col("slack"), lit(1)))
+      // Deterministic pigeonhole bound: ≤ slack probe hashes can miss B
+      // (valid for ANY probe window — it bounds the smaller doc's total
+      // non-members). The banded variant additionally applies a
+      // concentration bound (`sampledBound`): its probe is a uniform
+      // J′-sample of the doc's shingles, so a qualifying pair's match
+      // count concentrates at ≥ τ·J′ (hypergeometric); 5σ below that
+      // the miss probability is ~3e-7 per pair — the q24-vs-q21 recall
+      // class. The exact path must NOT use it: for wide windows the
+      // concentration term can exceed the pigeonhole guarantee and
+      // would trade away the deterministic completeness the oracle
+      // check relies on.
+      .filter(col("m") >= greatest(
+        col("jq") - col("slack"),
+        if (sampledBound)
+          floor(lit(threshold) * col("jq") -
+            lit(5.0) * sqrt(col("jq") * lit(threshold * (1 - threshold))))
+        else lit(1),
+        lit(1)))
       .select(least(col("sid"), col("lid")).as("id_a"),
         greatest(col("sid"), col("lid")).as("id_b"))
     verifyContainment(cand, sh, threshold)
@@ -495,7 +512,7 @@ object Dedup {
     containmentByProbeWindow(
       shingleRelation(docs, id, text, n),
       _ => least(lit(sampleK), col("n_sh")).cast("int"),
-      threshold, maxShingleFreq)
+      threshold, maxShingleFreq, sampledBound = true)
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with

@@ -180,38 +180,42 @@ object PipelineQueries {
     * deterministic tie-break (the corpus-level counting pass of any
     * n-gram LM / contamination check).
     *
-    * Scale shape — count on hashes, rehydrate only winners, ONE native
-    * shingling kernel per pass: job 1 counts document frequencies of
-    * hashed shingles ([[graft.expressions.HashedShingles]] — the shuffle
-    * carries fixed-width longs, never gram strings) and collects the
-    * winner hashes (20th-highest count, ties included — a driver-bounded
-    * top-k result, same size class as a broadcast). Job 2 re-scans the
-    * persisted text column with [[graft.expressions.ShinglesInHashSet]],
-    * which filters against the winner set INSIDE the codegen'd kernel —
-    * non-winner grams never materialize as strings, so the rehydration
-    * pass emits ~20 rows per matching doc and shuffles almost nothing.
-    * Tie-break by gram text happens after rehydration, giving
-    * byte-identical results to the direct string aggregation.
+    * Scale shape — count on hashes, rehydrate only winners from only
+    * REPRESENTATIVE docs, ONE native shingling kernel per pass: job 1
+    * counts document frequencies of hashed shingles
+    * ([[graft.expressions.HashedShingles]] — the shuffle carries
+    * fixed-width longs, never gram strings) and, in the same
+    * aggregation, the min doc id containing each hash; the TakeOrdered
+    * collect returns the winner hashes (20th-highest count, ties
+    * included — a driver-bounded top-k result, same size class as a
+    * broadcast) WITH one representative doc id each. Job 2 then scans
+    * ONLY those ≤100 representative docs (a pushed-down id filter — at
+    * corpus scale the second pass reads a constant number of documents,
+    * not the corpus) with [[graft.expressions.ShinglesInHashSet]], which
+    * filters against the winner set INSIDE the codegen'd kernel — each
+    * winner gram is guaranteed to surface because its representative doc
+    * contains it by construction, and non-winner grams never materialize
+    * as strings. Tie-break by gram text happens after rehydration,
+    * giving byte-identical results to the direct string aggregation.
     *
     * NOTE — eager + snapshot semantics: calling this runs the counting
     * job (one driver-bounded TakeOrdered collect) at CONSTRUCTION time,
-    * and the returned plan embeds the winner-hash set frozen at that
-    * moment — rebuild the DataFrame if the source data changes. The text
-    * column is deliberately NOT cached between the two passes: both read
-    * the column-pruned parquet scan, which at corpus scale is far cheaper
-    * than pinning the full text column in executor memory. */
+    * and the returned plan embeds the winner set frozen at that moment —
+    * rebuild the DataFrame if the source data changes (the `prepare()`
+    * step of this operator, fused into the builder). */
   def q40TopNgrams(spark: SparkSession, dir: String): DataFrame = {
     val docs = Dedup.spread(Tables.documents(spark, dir))
-      .select(col("text"))
+      .select(col("doc_id"), col("text"))
     val counts = docs
-      .select(explode(graft.expressions.HashedShingles.shingles(col("text"), 3)).as("h"))
+      .select(col("doc_id"),
+        explode(graft.expressions.HashedShingles.shingles(col("text"), 3)).as("h"))
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
     // Winners = every hash whose count >= the 20th-highest count (ties
     // included, covering all tie-break outcomes). ONE TakeOrdered job
-    // collects the top-100 (h, n): if the 100th count is strictly below
-    // the 20th, every possible boundary tie is already in hand and the
-    // winner set is provably complete on the driver — the counting
+    // collects the top-100 (h, n, rep): if the 100th count is strictly
+    // below the 20th, every possible boundary tie is already in hand and
+    // the winner set is provably complete on the driver — the counting
     // aggregation runs exactly once.
     val top = counts.orderBy(desc("n"), asc("h")).limit(100).collect()
     val thr =
@@ -233,12 +237,18 @@ object PipelineQueries {
     } else {
       val winners = top.filter(_.getLong(1) >= thr)
       val winnerHashes = winners.map(_.getLong(0))
+      val repIds = winners.map(_.getLong(2)).distinct.toSeq
       val winnersDf = spark.createDataFrame(
-        java.util.Arrays.asList(winners: _*),
+        java.util.Arrays.asList(winners.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))): _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false))))
-      docs
+      // No spread here: the rep-doc scan reads ≤100 rows through a
+      // pushed-down id filter — repartitioning it would cost more than
+      // the work it spreads.
+      Tables.documents(spark, dir)
+        .filter(col("doc_id").isin(repIds: _*))
         .select(explode(
           graft.expressions.HashedShingles.shinglesInSet(col("text"), 3, winnerHashes)).as("gram"))
         .withColumn("h", xxhash64(col("gram")))
