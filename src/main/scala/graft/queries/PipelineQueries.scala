@@ -262,9 +262,14 @@ object PipelineQueries {
 
   /** q43 — benchmark decontamination: per src0 ("held-out") document, the
     * fraction of its 3-gram shingles occurring anywhere in the rest of
-    * the corpus. */
+    * the corpus. Reads the source-partitioned landing
+    * ([[graft.sources.Ingest.documentsBySourceLanding]]): both source
+    * predicates become partition PRUNING — the held-out probe opens one
+    * directory, the corpus side skips it — instead of full-corpus scans
+    * (IngestSpec asserts the `PartitionFilters`). */
   def q43Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = spark.read.parquet(
+      graft.sources.Ingest.documentsBySourceLanding(spark, dir))
     Dedup.crossCorpusOverlap(
         docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
         docs.filter(col("source") =!= "src0"), col("text"), n = 3)

@@ -63,6 +63,31 @@ object Ingest {
       path
     })
 
+  /** Once-per-JVM source-partitioned landing of the `documents` corpus:
+    * every real corpus query slices on `source` (held-out vs web-crawl,
+    * per-source mixing rates), so at 100 TB the corpus lives partitioned
+    * by it — a `source = 'src0'` probe opens ONE directory instead of
+    * scanning the corpus. Same cache/path discipline as
+    * [[ordersByYearLanding]] (keyed per source dir; landing root from
+    * `graft.landing.dir` on a cluster, driver temp dir in local mode).
+    * `source` has bounded cardinality by construction (it names corpora,
+    * not documents), so the layout cannot degenerate into per-row
+    * directories. */
+  def documentsBySourceLanding(spark: SparkSession, dir: String): String =
+    landings.computeIfAbsent(s"documents#$dir", _ => {
+      val path = spark.conf.getOption("graft.landing.dir") match {
+        case Some(root) =>
+          val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+          s"${root.stripSuffix("/")}/documents_by_source_$tag"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft-documents-by-source-").toString
+      }
+      Tables.documents(spark, dir)
+        .repartition(col("source"))
+        .write.mode(SaveMode.Overwrite).partitionBy("source").parquet(path)
+      path
+    })
+
   /** Bucketed layout for co-located joins (§4.3): both sides of a
     * frequently joined pair written bucketed+sorted on the join key join
     * WITHOUT a shuffle — the bucket layout pre-satisfies the join's

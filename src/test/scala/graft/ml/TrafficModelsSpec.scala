@@ -71,14 +71,16 @@ class TrafficModelsSpec extends SparkSpec {
     // Floors sit below the measured values (COVERAGE.md I75) to absorb
     // jitter; the RF comparison pins boosting's capacity edge.
     val (tr, _) = TrafficModels.split(norm)
-    val (gbtModel, _) = TrafficModels.gbtRegression(
+    // gbtRegression/rfRegression already return predictions on their
+    // second argument (tr here) — reuse them instead of transforming again.
+    val (_, gbtPred) = TrafficModels.gbtRegression(
       tr, tr, Seq("segment_id", "hour"), "volume", maxIter = 100)
     val (gbtMse, gbtR2) =
-      TrafficModels.regressionMetricsSql(gbtModel.transform(tr), "volume")
-    val (rfModel, _) = TrafficModels.rfRegression(
+      TrafficModels.regressionMetricsSql(gbtPred, "volume")
+    val (_, rfPred) = TrafficModels.rfRegression(
       tr, tr, Seq("segment_id", "hour"), "volume", numTrees = 40)
     val (rfMse, rfR2) =
-      TrafficModels.regressionMetricsSql(rfModel.transform(tr), "volume")
+      TrafficModels.regressionMetricsSql(rfPred, "volume")
     info(f"in-sample GBT mse=$gbtMse%.2f r2=$gbtR2%.4f | RF mse=$rfMse%.2f r2=$rfR2%.4f")
     assert(gbtR2 > 0.8, s"GBT in-sample r2 $gbtR2")
     assert(gbtR2 >= rfR2, s"GBT in-sample r2 $gbtR2 vs RF $rfR2")

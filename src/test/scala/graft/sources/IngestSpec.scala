@@ -60,6 +60,26 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("q43 reads the source-partitioned documents landing with pruning on both sides") {
+    val df = graft.queries.PipelineQueries.q43Contamination(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // Both the src0 probe and the corpus complement must prune on the
+    // `source` partition column (directory pruning, not row filters).
+    val filters = "PartitionFilters: \\[[^\\]]*source[^\\]]*\\]".r
+      .findAllIn(plan).toSeq
+    assert(filters.size >= 2, s"expected >=2 source partition filters, got" +
+      s" ${filters.size} in plan:\n$plan")
+    // and the landed computation matches the flat-table one exactly (the
+    // overlap ratio is an integer-over-integer division — deterministic).
+    val docs = Tables.documents(spark, sf)
+    val expect = graft.operators.Dedup.crossCorpusOverlap(
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") =!= "src0"), col("text"), n = 3)
+      .orderBy(asc_nulls_first("id"))
+      .collect().toSeq
+    assert(df.collect().toSeq == expect)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = graft.sources.Tables.orders(spark, sf)
     val c = graft.sources.Tables.customer(spark, sf)
