@@ -444,10 +444,16 @@ object Dedup {
     * what a bare shares-one-prefix-hash join emits (measured ~550× the
     * qualifying pairs at sf0.1) — fall far short of that bound, so the
     * expensive exact verification (two joins carrying the full shingle
-    * arrays + `array_intersect`) runs on ~the true pairs only. The
-    * bound never drops a qualifying pair (one-sided, and self-adjusting
-    * under the cap: removing probe rows lowers the requirement in step),
-    * so the result stays exact and complete.
+    * arrays + `array_intersect`) runs on ~the true pairs only. Uncapped,
+    * the bound never drops a qualifying pair (one-sided, and
+    * self-adjusting as window entries fall away), so the result is exact
+    * and complete — this is q59's configuration. With `maxShingleFreq`
+    * set the window is 2p−1 wide precisely so it absorbs up to p−1 hot
+    * removals before the guarantee erodes; past that (mass-duplication
+    * regimes where most of a doc's window exceeds the cap) recall
+    * degrades — measured in the round-7 K-sweep at K=32/cap 500, where
+    * this path missed 0.04% of qualifying pairs and the banded variant's
+    * fixed-k sample recovered them (BASELINE.md).
     *
     * The probe width grows with doc size (~2(1−τ)·|A|), so candidate
     * volume tracks the qualifying-pair count times the probe width; at
