@@ -83,45 +83,35 @@ object Dedup {
     // far below any other error source). HashedShingles is the native
     // one-pass form of the lower/split/n-gram/distinct/xxhash64/sort
     // chain (codegen'd; parity pinned in ExpressionCodegenSpec).
-    val sh = shingleRelation(docs, id, text, n)
-    // Prefix filtering (AllPairs/PPJoin family): under ANY global total
-    // order — here the hash order, which needs no frequency pass — a pair
-    // with Jaccard ≥ τ must share one of each side's first
-    // n-⌈τ·n⌉+1 shingles (the globally smallest element of A∩B lies in
-    // both prefixes, by pigeonhole on the required overlap ⌈τ·n⌉). Only
-    // the prefix explodes into the candidate join, so the join touches a
-    // τ-fraction of the data and the result is still EXACT.
-    val prefixed = sh.withColumn("plen",
-      (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))
-    val prefix0 = prefixed.select(col("id"), col("n_sh"),
-      explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
-    // Optional stop-shingle cap: frequent shingles stop generating
-    // candidates (trades completeness for skew immunity; verified
-    // pairs keep their exact Jaccard). Anti join against the small HOT
-    // set — heavy hitters are few, so AQE plans a broadcast anti join.
-    val prefix = maxShingleFreq match {
-      case Some(cap) => prefix0.join(hotShingles(sh, cap), Seq("h"), "left_anti")
-      case None => prefix0
-    }
-    val a = prefix.as("a")
-    val b = prefix.as("b")
-    // Size pruning: |A| and |B| must be within a factor τ of each other.
-    val cand = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-        col("a.n_sh") >= ceil(col("b.n_sh") * threshold) &&
-        col("b.n_sh") >= ceil(col("a.n_sh") * threshold))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // Exact verification on the candidate set only (sorted long arrays).
-    cand
-      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a"),
-        col("n_sh").as("n_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b"),
-        col("n_sh").as("n_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    //
+    // Candidate generation runs the shared probe-window core
+    // ([[pairsByProbeWindow]]; round 7 — previously a PPJoin-style
+    // prefix-prefix join whose every shares-one-hash pair went to
+    // verification). Jaccard's bounds, under the hash total order:
+    // for a pair with J(A,B) ≥ τ and |A| ≤ |B|, the overlap is
+    // ≥ ⌈τ(|A|+|B|)/(1+τ)⌉, so at most |A|−⌈τ(|A|+|B|)/(1+τ)⌉ ≤
+    // |A|−⌈2τ|A|/(1+τ)⌉ =: p−1 of A's shingles miss B — the probe
+    // window min(2p−1, |A|) guarantees every qualifying pair passes the
+    // per-pair match-count filter m ≥ J′ − slack(|A|,|B|), while noise
+    // pairs sharing one or two shingles never reach verification. Note
+    // Jaccard's probe is NARROWER than the classic prefix
+    // (|A|−⌈τ|A|⌉+1): probing against the larger doc's FULL set
+    // tightens the pigeonhole to the (1−τ)/(1+τ) fraction.
+    pairsByProbeWindow(
+      shingleRelation(docs, id, text, n),
+      nsh => {
+        val p = (nsh - ceil(nsh * (2 * threshold / (1 + threshold))) + 1).cast("int")
+        least(p * 2 - 1, nsh).cast("int")
+      },
+      slack = (sn, ln) =>
+        (sn - ceil((sn + ln) * (threshold / (1 + threshold)))).cast("int"),
+      // Size pruning: |A| and |B| must be within a factor τ of each
+      // other ("s" is the smaller side by the join's total order).
+      sizeCond = (sn, ln) => sn >= ceil(ln * threshold),
+      score = (inter, na, nb) =>
+        inter.cast("double") / (na + nb - inter),
+      scoreName = "jaccard",
+      threshold = threshold, maxShingleFreq = maxShingleFreq)
   }
 
   /** MinHash signature: k min-hashes of the shingle set via the native
@@ -276,14 +266,6 @@ object Dedup {
       .withColumn("n_sh", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Shingle hashes with doc frequency above `cap` — the stop-shingle
-    * (boilerplate) set. One aggregation over the exploded shingle
-    * relation; `hs` is per-doc distinct, so counts ARE doc frequencies. */
-  private def hotShingles(sh: DataFrame, cap: Int): DataFrame =
-    sh.select(explode(col("hs")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("f"))
-      .filter(col("f") > cap).select("h")
-
   /** Probe/full pruning shared by the containment candidate generators:
     * both sides are semi-joined against ONE shared `allowed` hash set —
     * the DISTINCT probe hashes, minus shingles whose doc frequency
@@ -299,11 +281,21 @@ object Dedup {
     * any full-side shuffle, and when it is too large to broadcast the
     * semi join shares its hash partitioning with the candidate join that
     * follows (no extra full-side shuffle). */
-  /** Shared candidate-then-verify core of the containment family. The
-    * two public variants differ ONLY in the probe window width:
-    * `windowLen(plen)` maps the pigeonhole prefix length p to how many of
-    * the smaller doc's bottom hashes probe the join (exact: min(2p−1, n);
-    * banded: min(k, n)).
+  /** Shared candidate-then-verify core of the set-similarity family
+    * (containment AND Jaccard — the measures differ only in three
+    * expressions, injected below). Variants differ in:
+    *   - `windowLen`: how many of the smaller doc's bottom hashes probe
+    *     the join, as a function of its set size n (containment exact:
+    *     min(2p−1, n) for pigeonhole prefix p; jaccard exact: same shape
+    *     with its tighter p; banded: min(k, n));
+    *   - `slack(sn, ln)`: for a qualifying pair, the maximum number of
+    *     the SMALLER doc's shingles absent from the larger — containment:
+    *     sn−⌈τ·sn⌉ (independent of ln); jaccard: sn−⌈τ(sn+ln)/(1+τ)⌉
+    *     (per-pair, tighter);
+    *   - `sizeCond(sn, ln)`: size pruning in the join — jaccard requires
+    *     sn ≥ ⌈τ·ln⌉ (sizes within a τ factor), containment admits any;
+    *   - `score(inter, na, nb)`: the verified similarity —
+    *     inter/min(na,nb) vs inter/(na+nb−inter).
     *
     * Pipeline, shaped to minimize stages:
     *  1. The full-side explode — the dominant relation, |corpus
@@ -343,13 +335,15 @@ object Dedup {
     *     — fall far short of it.
     *  4. Exact verification (`array_intersect` on the complete sets)
     *     runs on the ~true-pair-sized survivor set only. */
-  private def containmentByProbeWindow(
-      sh: DataFrame, windowLen: Column => Column, threshold: Double,
-      maxShingleFreq: Option[Int], sampledBound: Boolean = false): DataFrame = {
-    val plen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
-    val window = slice(col("hs"), lit(1), windowLen(plen))
-    val probe0 = sh.select(col("id"), col("n_sh"),
-      (plen - 1).as("slack"), window.as("w"))
+  private def pairsByProbeWindow(
+      sh: DataFrame, windowLen: Column => Column,
+      slack: (Column, Column) => Column,
+      sizeCond: (Column, Column) => Column,
+      score: (Column, Column, Column) => Column, scoreName: String,
+      threshold: Double, maxShingleFreq: Option[Int],
+      sampledBound: Boolean = false): DataFrame = {
+    val window = slice(col("hs"), lit(1), windowLen(col("n_sh")))
+    val probe0 = sh.select(col("id"), col("n_sh"), window.as("w"))
     val probedHashes = probe0.select(explode(col("w")).as("h")).distinct()
     val fullPruned = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("h"))
       .join(probedHashes, Seq("h"), "left_semi")
@@ -359,7 +353,7 @@ object Dedup {
           .filter(col("f") > cap)
           .agg(collect_list(col("h")).as("hot"))
         val p = probe0.crossJoin(broadcast(hotArr))
-          .select(col("id"), col("n_sh"), col("slack"),
+          .select(col("id"), col("n_sh"),
             array_except(col("w"), col("hot")).as("w"))
         // Hot rows on the full side can no longer match once the probe
         // dropped them; filtering keeps them out of the join build.
@@ -369,28 +363,33 @@ object Dedup {
         (p, f)
       case None => (probe0, fullPruned)
     }
-    val probeEx = probe.select(col("id"), col("n_sh"), col("slack"),
+    val probeEx = probe.select(col("id"), col("n_sh"),
       size(col("w")).as("jq"), explode(col("w")).as("h"))
+    val sn = col("s_n")
+    val ln = col("l_n")
     val cand = probeEx.as("s").join(full.as("l"),
         col("s.h") === col("l.h") &&
           (col("s.n_sh") < col("l.n_sh") ||
-            (col("s.n_sh") === col("l.n_sh") && col("s.id") < col("l.id"))))
+            (col("s.n_sh") === col("l.n_sh") && col("s.id") < col("l.id"))) &&
+          sizeCond(col("s.n_sh"), col("l.n_sh")))
       .groupBy(col("s.id").as("sid"), col("l.id").as("lid"),
-        col("s.slack").as("slack"), col("s.jq").as("jq"))
+        col("s.n_sh").as("s_n"), col("l.n_sh").as("l_n"),
+        col("s.jq").as("jq"))
       .agg(count(lit(1)).as("m"))
-      // Deterministic pigeonhole bound: ≤ slack probe hashes can miss B
-      // (valid for ANY probe window — it bounds the smaller doc's total
-      // non-members). The banded variant additionally applies a
-      // concentration bound (`sampledBound`): its probe is a uniform
-      // J′-sample of the doc's shingles, so a qualifying pair's match
-      // count concentrates at ≥ τ·J′ (hypergeometric); 5σ below that
-      // the miss probability is ~3e-7 per pair — the q24-vs-q21 recall
-      // class. The exact path must NOT use it: for wide windows the
-      // concentration term can exceed the pigeonhole guarantee and
+      // Deterministic pigeonhole bound: for a qualifying pair, at most
+      // `slack(sn, ln)` of the smaller doc's shingles — hence of ANY
+      // probe window drawn from them — can miss the larger doc, so its
+      // match count m is ≥ J′ − slack. The banded variant additionally
+      // applies a concentration bound (`sampledBound`): its probe is a
+      // uniform J′-sample of the doc's shingles, so a qualifying pair's
+      // match count concentrates at ≥ τ·J′ (hypergeometric); 5σ below
+      // that the miss probability is ~3e-7 per pair — the q24-vs-q21
+      // recall class. The exact paths must NOT use it: for wide windows
+      // the concentration term can exceed the pigeonhole guarantee and
       // would trade away the deterministic completeness the oracle
       // check relies on.
       .filter(col("m") >= greatest(
-        col("jq") - col("slack"),
+        col("jq") - slack(sn, ln),
         if (sampledBound)
           floor(lit(threshold) * col("jq") -
             lit(5.0) * sqrt(col("jq") * lit(threshold * (1 - threshold))))
@@ -398,26 +397,27 @@ object Dedup {
         lit(1)))
       .select(least(col("sid"), col("lid")).as("id_a"),
         greatest(col("sid"), col("lid")).as("id_b"))
-    verifyContainment(cand, sh, threshold)
+    verifyPairs(cand, sh, score, scoreName, threshold)
   }
 
-  /** Exact verification shared by both containment candidate generators:
-    * join candidates back to the complete shingle sets and keep pairs
-    * with |A∩B| / min(|A|,|B|) ≥ threshold (exact `array_intersect` on
-    * sorted long arrays; small-integer division, bit-identical across
-    * engines). */
-  private def verifyContainment(
-      cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+  /** Exact verification shared by every probe-window candidate
+    * generator: join candidates back to the complete shingle sets and
+    * keep pairs whose `score(|A∩B|, |A|, |B|)` meets the threshold
+    * (exact `array_intersect` on sorted long arrays; small-integer
+    * division, bit-identical across engines). */
+  private def verifyPairs(
+      cand: DataFrame, sh: DataFrame,
+      score: (Column, Column, Column) => Column, scoreName: String,
+      threshold: Double): DataFrame =
     cand
       .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a"),
         col("n_sh").as("n_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b"),
         col("n_sh").as("n_b")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("containment",
-        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("containment"))
+      .withColumn(scoreName, score(col("n_inter"), col("n_a"), col("n_b")))
+      .filter(col(scoreName) >= threshold)
+      .select(col("id_a"), col("id_b"), col(scoreName))
 
   /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold over
     * hashed shingle sets — catches the one-document-contains-the-other
@@ -473,10 +473,17 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double,
       maxShingleFreq: Option[Int] = None): DataFrame =
-    containmentByProbeWindow(
+    pairsByProbeWindow(
       shingleRelation(docs, id, text, n),
-      plen => least(plen * 2 - 1, col("n_sh")).cast("int"),
-      threshold, maxShingleFreq)
+      nsh => {
+        val p = (nsh - ceil(nsh * threshold) + 1).cast("int")
+        least(p * 2 - 1, nsh).cast("int")
+      },
+      slack = (sn, _) => (sn - ceil(sn * threshold)).cast("int"),
+      sizeCond = (_, _) => lit(true),
+      score = (inter, na, nb) => inter.cast("double") / least(na, nb),
+      scoreName = "containment",
+      threshold = threshold, maxShingleFreq = maxShingleFreq)
 
   /** Banded approximate containment — the mass-duplication scale path for
     * [[containmentPairs]], mirroring the q24-vs-q21 pattern of the
@@ -515,10 +522,15 @@ object Dedup {
       n: Int, threshold: Double, sampleK: Int = 8,
       maxShingleFreq: Option[Int] = None): DataFrame = {
     require(sampleK >= 1, "sampleK must be >= 1")
-    containmentByProbeWindow(
+    pairsByProbeWindow(
       shingleRelation(docs, id, text, n),
-      _ => least(lit(sampleK), col("n_sh")).cast("int"),
-      threshold, maxShingleFreq, sampledBound = true)
+      nsh => least(lit(sampleK), nsh).cast("int"),
+      slack = (sn, _) => (sn - ceil(sn * threshold)).cast("int"),
+      sizeCond = (_, _) => lit(true),
+      score = (inter, na, nb) => inter.cast("double") / least(na, nb),
+      scoreName = "containment",
+      threshold = threshold, maxShingleFreq = maxShingleFreq,
+      sampledBound = true)
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with
