@@ -154,24 +154,34 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     // One-pass native shingle hashing feeds the signature mixes directly
-    // (no shingle strings ever materialize).
+    // (no shingle strings ever materialize). Persisted: it feeds the
+    // band explode AND both sides of the estimate join below.
     val sig = spread(docs).select(
       id.cast("long").as("id"),
       graft.expressions.MinHashSig.minhashSigFromHashes(
         graft.expressions.HashedShingles.shingles(text, n), k).as("sig"))
-    val banded = bandedRows(sig, k, bands, carry = Seq("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The band self-join carries ONLY (id, band, bh): a banded row with
+    // the k-long signature attached would push ~k·8 bytes per row — on
+    // BOTH sides — through the join shuffle and duplicate two signatures
+    // onto every pre-dedup collision row (a pair colliding in c bands
+    // pays c times). Signatures are joined back per DISTINCT pair
+    // instead, mirroring the verified path's shape (measured 41 s → on
+    // par with the verified path at the K=32 stress).
+    val banded = bandedRows(sig, k, bands, carry = Seq.empty)
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Codegen'd signature agreement (graft.expressions.SigAgree): the HOF
     // formulation (size(filter(zip_with(...)))) is CodegenFallback and
     // allocates per pair — measured ~3.5x slower on the candidate set.
     cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         graft.expressions.SigAgree.agree(col("sig_a"), col("sig_b"))
           .cast("double") / k)
