@@ -55,6 +55,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("probe-window jaccard and containment equal brute-force all-pairs on random corpora") {
+    // Guards the pairsByProbeWindow pigeonhole bounds (probe width,
+    // per-pair slack, size pruning) against the edges the sf fixtures
+    // don't hit: 1-3-shingle docs, equal-size pairs, thresholds at and
+    // away from the slack breakpoints. Vocab of 12 words & short docs
+    // force heavy overlap, so qualifying pairs exist at every τ.
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val doc = Gen.choose(3, 12).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(14, doc)
+    for ((texts, i) <- samples(corpus, 6).zipWithIndex; tau <- Seq(0.5, 0.8, 0.95)) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("id", "text")
+      val sh = docs.select(col("id"),
+        graft.expressions.HashedShingles.shingles(col("text"), 2).as("hs"))
+        .withColumn("n_sh", size(col("hs")))
+      val brute = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+        .withColumn("inter", size(array_intersect(col("a.hs"), col("b.hs"))))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (col("inter").cast("double") /
+            (col("a.n_sh") + col("b.n_sh") - col("inter"))).as("jaccard"),
+          (col("inter").cast("double") /
+            least(col("a.n_sh"), col("b.n_sh"))).as("containment"))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val bruteJ = pairs(brute.filter(col("jaccard") >= tau)
+        .select("id_a", "id_b", "jaccard"))
+      val gotJ = pairs(graft.operators.Dedup.ngramJaccardPairs(
+        docs, col("id"), col("text"), n = 2, threshold = tau))
+      assert(gotJ == bruteJ, s"jaccard corpus=$i tau=$tau")
+      val bruteC = pairs(brute.filter(col("containment") >= tau)
+        .select("id_a", "id_b", "containment"))
+      val gotC = pairs(graft.operators.Dedup.containmentPairs(
+        docs, col("id"), col("text"), n = 2, threshold = tau))
+      assert(gotC == bruteC, s"containment corpus=$i tau=$tau")
+    }
+  }
+
   test("top-k is a prefix of the full descending sort") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 1000), Gen.choose(0L, 500L)))
     for (rows <- samples(gen, 5) if rows.nonEmpty) {
