@@ -671,6 +671,90 @@ object Dedup {
     docs.join(losers, id.cast("long") === col("__loser_id"), "left_anti")
   }
 
+  /** Prepared MinHash index over a reference corpus, built ONCE and
+    * reused across many incremental lookups (the daily-shard / streaming
+    * ingest shape — see [[nearDupAgainstIndex]] and
+    * [[graft.streaming.StreamingDedup]]). Both relations are persisted:
+    * in a stream-static join the static subtree re-executes every
+    * micro-batch, so an unpersisted index would re-shingle the whole
+    * corpus per batch.
+    *
+    * `rel`: (id, hs, n_sh, sig) — verification side; `banded`:
+    * (id, n_sh, band, bh) — candidate side. `n`/`k`/`bands` pin the
+    * shingle/signature scheme so lookups band new docs identically. */
+  final case class CorpusIndex(
+      rel: DataFrame, banded: DataFrame, n: Int, k: Int, bands: Int) {
+    def unpersist(): Unit = { rel.unpersist(); banded.unpersist() }
+  }
+
+  /** Build a [[CorpusIndex]]: one shingle pass per corpus doc feeds both
+    * the exact-verification sets and the MinHash signatures (same
+    * single-hash-pass discipline as [[minhashLshVerifiedPairs]]). */
+  def corpusIndex(
+      corpus: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 60, bands: Int = 20): CorpusIndex = {
+    require(k % bands == 0, "k must divide into bands")
+    val rel = spread(corpus).select(
+      id.cast("long").as("id"),
+      graft.expressions.HashedShingles.shingles(text, n).as("hs"))
+      .select(col("id"), col("hs"),
+        graft.expressions.MinHashSig.minhashSigFromHashes(col("hs"), k).as("sig"))
+      .withColumn("n_sh", size(col("hs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedRows(rel, k, bands, carry = Seq("n_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CorpusIndex(rel, banded, n, k, bands)
+  }
+
+  /** Near-dup pairs between NEW docs and an indexed reference corpus —
+    * the incremental half of corpus dedup: band the new docs with the
+    * index's scheme, join banded-new × banded-corpus on (band, bh)
+    * (size-pruned both ways), then verify candidates with the EXACT
+    * n-gram Jaccard, exactly like [[minhashLshVerifiedPairs]] but
+    * cross-set (new docs are NOT compared to each other — compose with
+    * [[dedupCorpus]] on the shard for that half). Same recall: a
+    * qualifying pair is missed with p = (1−τ^r)^b ≈ 6e-7 at defaults —
+    * oracle-checkable against the exhaustive cross join (q66).
+    *
+    * `persistNewRel = false` skips caching the new-side shingle relation
+    * (it feeds the banded AND verify subtrees, so it is computed twice):
+    * pass false from per-micro-batch callers that already cache the
+    * batch rows and must not leak cache entries per batch.
+    * Output: (new_id, corpus_id, jaccard ≥ threshold). */
+  def nearDupAgainstIndex(
+      newDocs: DataFrame, id: Column, text: Column,
+      index: CorpusIndex, threshold: Double,
+      persistNewRel: Boolean = true): DataFrame = {
+    val rel0 = spread(newDocs).select(
+      id.cast("long").as("id"),
+      graft.expressions.HashedShingles.shingles(text, index.n).as("hs"))
+      .select(col("id"), col("hs"),
+        graft.expressions.MinHashSig.minhashSigFromHashes(col("hs"), index.k).as("sig"))
+      .withColumn("n_sh", size(col("hs")))
+    val rel =
+      if (persistNewRel)
+        rel0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rel0
+    val banded = bandedRows(rel, index.k, index.bands, carry = Seq("n_sh"))
+    val cand = banded.as("a").join(index.banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id") &&
+          col("a.n_sh") >= ceil(col("b.n_sh") * threshold) &&
+          col("b.n_sh") >= ceil(col("a.n_sh") * threshold))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    cand
+      .join(rel.select(col("id").as("new_id"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), "new_id")
+      .join(index.rel.select(col("id").as("corpus_id"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), "corpus_id")
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Resolve near-dup pairs into clusters: connected components by
     * iterative min-label propagation (each node adopts the smallest id
     * reachable; converges in O(diameter) rounds — near-dup clusters are

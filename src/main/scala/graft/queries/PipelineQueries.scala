@@ -357,6 +357,26 @@ object PipelineQueries {
       .orderBy(asc("query_id"), asc("rank"))
   }
 
+  /** q66 — incremental shard-vs-corpus near-dup: the src0 slice plays
+    * the arriving shard, everything else the indexed reference corpus
+    * ([[graft.operators.Dedup.corpusIndex]] built once + banded lookup
+    * with exact verification — the batch form of
+    * [[graft.streaming.StreamingDedup]]'s per-micro-batch work, so this
+    * oracle row gates the streaming path's arithmetic too). Both slices
+    * read the source-partitioned landing (partition pruning on each
+    * side). LSH recall at τ=0.8 defaults is 1−6e-7, so the banded result
+    * equals the exhaustive cross join the DuckDB oracle runs. */
+  def q66IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(
+      graft.sources.Ingest.documentsBySourceLanding(spark, dir))
+    val index = Dedup.corpusIndex(
+      docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"))
+    Dedup.nearDupAgainstIndex(
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        index, threshold = 0.8)
+      .orderBy(asc("new_id"), asc("corpus_id"))
+  }
+
   /** q46 — rolling-hash document fingerprints: polynomial hash over the
     * text bytes with per-step modular reduction (exact in both engines). */
   def q46RollingHash(spark: SparkSession, dir: String): DataFrame =
@@ -386,6 +406,7 @@ object PipelineQueries {
     "q63_stratified_sample" -> q63StratifiedSample _,
     "q64_dedup_corpus"    -> q64DedupCorpus _,
     "q65_batch_knn"       -> q65BatchKnn _,
+    "q66_incremental_neardup" -> q66IncrementalNearDup _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -524,6 +545,26 @@ object PipelineQueries {
         |     ORDER BY sim DESC, id) AS rank FROM s)
         |SELECT query_id, id, sim, CAST(rank AS INTEGER) AS rank
         | FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q66_incremental_neardup" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+        | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM t),
+        | ex AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+        | sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        | inter AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |     count(*) AS i
+        |   FROM ex a JOIN ex b ON a.g = b.g
+        |     AND a.source = 'src0' AND b.source <> 'src0'
+        |   GROUP BY 1, 2)
+        |SELECT new_id, corpus_id,
+        |   CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+        | FROM inter JOIN sz x ON x.doc_id = new_id
+        |   JOIN sz y ON y.doc_id = corpus_id
+        | WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8
+        | ORDER BY new_id, corpus_id""".stripMargin,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
