@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, CoreQueries, FunctionQueries, PipelineQueries}
+import graft.queries.{AdvancedQueries, CoreQueries, CorpusQueries, FunctionQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ PipelineQueries.all ++ FunctionQueries.all ++
-      AdvancedQueries.all
+      AdvancedQueries.all ++ CorpusQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ PipelineQueries.oracle ++ FunctionQueries.oracle ++
-      AdvancedQueries.oracle
+      AdvancedQueries.oracle ++ CorpusQueries.oracle
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Corpus-level term weighting, retrieval scoring, and statistical LM
+  * quality scoring — the ranking half of a training-data pipeline
+  * (quality weighting, retrieval-based curation, decontamination triage,
+  * perplexity-proxy filtering, domain-shift diagnostics).
+  *
+  * All operators follow the same scale shape: tokenize once, aggregate
+  * term counts per (doc, term) — partial+final hash aggregation, the
+  * shuffle key is the pair — then join the (small) per-term document
+  * frequencies back. Corpus-wide scalars (N, avgdl) are 1-row broadcast
+  * crossJoins, never a re-shuffle of the token table. Nothing here
+  * collects to the driver.
+  *
+  * Float discipline (see CoreQueries scaladoc): every division and
+  * multiplication is IEEE-exact given equal inputs; `ln` is the one
+  * libm-dependent op, so scores are rounded (4 dp) before ranking and
+  * emission, with ties broken on the term / doc id.
+  */
+object Ranking {
+
+  /** Per-(doc, term) term frequencies over whitespace tokens. */
+  private def termFreqs(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("__id"), explode(tokens(text)).as("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`k` TF-IDF terms per document (smoothed sklearn-style idf:
+    * `ln((N+1)/(df+1)) + 1`). Output: (id, rank, term, score), score
+    * rounded to 4 dp, rank by (score desc, term asc).
+    *
+    * The per-document window ranks at most |vocabulary ∩ doc| rows per
+    * key — a partitioned window over the aggregated frame, never over
+    * raw tokens. */
+  def tfIdfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tf = termFreqs(df, id, text)
+    // df(term) counts (doc, term) pairs — tf is already distinct on the pair.
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__id"), col("rank"), col("term"), col("score"))
+  }
+
+  /** BM25 relevance of every document against a bag of query `terms`:
+    * `Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`. Returns the `topN` docs
+    * as (id, score) — score rounded to 4 dp, ties broken by id — via
+    * `orderBy.limit` (TakeOrderedAndProject, no global sort
+    * materialization).
+    *
+    * Only tokens matching a query term survive the first aggregation, so
+    * the joined frame is ≤ |terms| rows per doc; dl/avgdl come from an
+    * exact integer token-count aggregate (sum/count division is
+    * bit-deterministic). */
+  def bm25(
+      df: DataFrame, id: Column, text: Column, terms: Seq[String],
+      topN: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val lens = df.select(id.as("__id"), size(tokens(text)).as("dl"))
+    // avgdl as sum/count of exact integers; N alongside — one tiny broadcast.
+    val corpus = lens.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n_docs"))
+    val tf = termFreqs(df, id, text)
+      .filter(col("term").isin(terms: _*))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(docFreq), "term")
+      .join(lens, "__id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+      .groupBy(col("__id"))
+      .agg(round(sum(col("part")), 4).as("score"))
+    scored.orderBy(col("score").desc, col("__id").asc).limit(topN)
+  }
+
+  /** Corpus term counts (ctf) from a per-(doc, term) tf frame. */
+  private def corpusFreqs(tf: DataFrame): DataFrame =
+    tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+
+  /** Mean unigram log-probability per document — the cheapest useful
+    * perplexity proxy for corpus quality filtering: documents made of
+    * globally rare words score low, documents of common words score
+    * high. `score(d) = Σ_t tf_{d,t} · ln(ctf_t / T) / dl_d`, with ctf
+    * the corpus term count and T the total token count — the unigram
+    * MLE, which is nonzero for every term that occurs. Output:
+    * (id, n_tokens, logprob), logprob rounded to 4 dp.
+    *
+    * Scale shape: the (doc, term) aggregation is the only corpus-sized
+    * shuffle; corpus counts are a vocabulary-sized frame joined back on
+    * the term, and T rides along as a 1-row broadcast. The per-doc sum
+    * is a second hash aggregation on the doc id. Summation order across
+    * a doc's terms is engine-dependent (same last-ulp class as the BM25
+    * sum — rounded away at 4 dp). */
+  def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tf = termFreqs(df, id, text)
+    val corpus = corpusFreqs(tf)
+    val total = corpus.agg(sum(col("ctf")).as("total_tokens"))
+    tf.join(corpus, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("part",
+        col("tf").cast("double") *
+          log(col("ctf").cast("double") / col("total_tokens").cast("double")))
+      .groupBy(col("__id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        round(sum(col("part")) / sum(col("tf")).cast("double"), 4).as("logprob"))
+  }
+
+  /** Out-of-vocabulary token rate per document against the corpus's own
+    * top-`vocabSize` terms (count desc, term asc tie-break) — the
+    * tokenizer-coverage / vocabulary-pruning diagnostic. Output:
+    * (id, n_tokens, oov_rate), rate rounded to 4 dp.
+    *
+    * The vocabulary is selected with `orderBy.limit` —
+    * TakeOrderedAndProject over the vocabulary-sized count frame, no
+    * global sort — and broadcast back; in-vocab token mass is an exact
+    * integer sum, so the rate is a single IEEE division. */
+  def oovRate(df: DataFrame, id: Column, text: Column, vocabSize: Int): DataFrame = {
+    val tf = termFreqs(df, id, text)
+    val vocab = corpusFreqs(tf)
+      .orderBy(col("ctf").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        round(
+          (sum(col("tf")) -
+            sum(when(col("__in_vocab").isNotNull, col("tf")).otherwise(lit(0L))))
+            .cast("double") / sum(col("tf")).cast("double"), 4).as("oov_rate"))
+  }
+
+  /** KL divergence of each group's unigram distribution from the whole
+    * corpus's — the domain-shift / mixture-diagnostic score (how far a
+    * source or language strays from the blend it is mixed into):
+    * `KL(p_g ‖ p) = Σ_t p_g(t) · ln(p_g(t) / p(t))`, both MLE
+    * distributions, so every term of the sum is finite (p ≥ p_g·T_g/T >
+    * 0 wherever p_g > 0). Output: (group, n_tokens, kl), kl rounded to
+    * 4 dp.
+    *
+    * Scale shape: one (group, term) hash aggregation over tokens, a
+    * vocabulary-sized join for the corpus counts, and two broadcast
+    * scalars — no shuffle wider than the (group, term) count frame. */
+  def klDivergence(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val gf = df.select(group.as("group"), explode(tokens(text)).as("term"))
+      .groupBy(col("group"), col("term"))
+      .agg(count(lit(1)).as("gtf"))
+    val corpus = gf.groupBy(col("term")).agg(sum(col("gtf")).as("ctf"))
+    val total = corpus.agg(sum(col("ctf")).as("total_tokens"))
+    val groupTotals = gf.groupBy(col("group")).agg(sum(col("gtf")).as("gtot"))
+    gf.join(corpus, "term")
+      .join(broadcast(groupTotals), "group")
+      .crossJoin(broadcast(total))
+      .withColumn("pg", col("gtf").cast("double") / col("gtot").cast("double"))
+      .withColumn("p",
+        col("ctf").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("part", col("pg") * log(col("pg") / col("p")))
+      .groupBy(col("group"))
+      .agg(
+        max(col("gtot")).cast("long").as("n_tokens"),
+        round(sum(col("part")), 4).as("kl"))
+  }
+}

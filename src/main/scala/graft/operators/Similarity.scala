@@ -139,4 +139,56 @@ object Similarity {
       .limit(k)
       .select(col("id"), col("sim"))
   }
+
+  /** Per-group embedding centroids: mean vector over each `group`'s
+    * rows, as `array<double>`.
+    *
+    * Scale shape: posexplode → (group, dim) hash aggregation — partial
+    * aggregation reduces the shuffle to ≤ |groups|·d rows per input
+    * partition regardless of corpus size — then |groups| tiny rows are
+    * reassembled into arrays with a sort-by-dim collect. No driver
+    * collect; the result is broadcast-sized by construction.
+    *
+    * Cross-engine floats: each component is a cross-row double sum whose
+    * order is engine-dependent, so components are rounded to 6 dp here
+    * (and identically in oracle SQL) — downstream cosines then consume
+    * bit-identical centroids on either engine. */
+  def groupCentroids(df: DataFrame, group: Column, vec: Column): DataFrame =
+    df.select(group.as("group"), posexplode(vec).as(Seq("dim", "x")))
+      .groupBy(col("group"), col("dim"))
+      .agg(round(sum(col("x").cast("double")) / count(lit(1)), 6).as("m"))
+      .groupBy(col("group"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** Cosine of every row against its own group's centroid — the
+    * embedding-space outlier/quality score of a curation pipeline (rows
+    * far from their language/domain centroid are mislabeled or noise).
+    * Output: (id, group, score), score rounded to 4 dp.
+    *
+    * One aggregation pass builds the centroids ([[groupCentroids]]),
+    * which broadcast-join back on the group key: the corpus itself is
+    * never shuffled. The dot/norm folds run in index order in double
+    * (zip_with + sequential aggregate, same association as
+    * [[VectorFunctions.cosine]]), mirrored in oracle SQL. */
+  def centroidCosineScores(
+      df: DataFrame, id: Column, group: Column, vec: Column): DataFrame = {
+    val cents = groupCentroids(df, group, vec)
+    val dotCol = {
+      val prods = zip_with(col("v"), col("centroid"),
+        (a, b) => a.cast("double") * b)
+      aggregate(prods, lit(0.0d), (acc, x) => acc + x)
+    }
+    val vNormSq = aggregate(
+      transform(col("v"), a => a.cast("double") * a.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val cNormSq = aggregate(
+      transform(col("centroid"), b => b * b), lit(0.0d), (acc, x) => acc + x)
+    df.select(id.as("id"), group.as("group"), vec.as("v"))
+      .join(broadcast(cents), "group")
+      .withColumn("score",
+        round(dotCol / (sqrt(vNormSq) * sqrt(cNormSq)), 4))
+      .select(col("id"), col("group"), col("score"))
+  }
 }

@@ -46,6 +46,82 @@ object Split {
   private[operators] def hexThresholdOrEdge(frac: Double): String =
     if (frac <= 0) "00" else if (frac >= 1) "zz" else hexThreshold(frac)
 
+  /** Uniform-in-[0,1) hash fraction of an id: the first 8 md5 hex digits
+    * as an integer over 2^32. Unlike the 2-hex-digit [[tag]] threshold
+    * (1/256 granularity, fine for human-chosen fractions), this carries
+    * 32 bits — enough to compare against DATA-DERIVED rates. Engine
+    * -portable: DuckDB `('0x' || substr(md5(x), 1, 8))::BIGINT / 2^32`
+    * produces the identical double. */
+  def hashFraction(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Temperature-weighted corpus resampling — the mixing step that
+    * up-weights rare strata (languages, sources) relative to their raw
+    * frequency: stratum `s` with `c_s` rows gets expected share
+    * `c_s^alpha / Σ c_t^alpha` of the `targetFrac · N` kept rows, i.e.
+    * per-row keep rate `min(1, targetFrac · N · c_s^(alpha−1) / Σ c_t^alpha)`.
+    * `alpha = 1` reproduces the input mix, `alpha → 0` approaches
+    * uniform-over-strata; `alpha = 0.5` (the common "temperature" choice)
+    * uses `sqrt`, which is IEEE-exact and therefore engine-portable.
+    *
+    * Scale shape: one partial+final count per stratum (tiny frame), the
+    * corpus totals as a 1-row broadcast, rates broadcast-joined back, and
+    * the keep decision is a pushable per-row hash filter — no shuffle of
+    * the corpus itself, no sampler state, reproducible on any engine or
+    * partitioning. Rates are doubles: the stratum-sum Σ c_t^alpha may
+    * differ across engines in the last ulp (summation order), which flips
+    * a row only if its 32-bit hash fraction lands within that ulp —
+    * negligible, same class as the stddev/corr rounding rationale. */
+  def temperatureSample(
+      df: DataFrame, stratum: Column, id: Column,
+      alpha: Double, targetFrac: Double): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac must be in (0, 1]")
+    require(alpha >= 0, "alpha must be >= 0")
+    val weight: Column => Column =
+      if (alpha == 0.5) sqrt(_)
+      else if (alpha == 1.0) identity
+      else c => pow(c, lit(alpha))
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__cnt"))
+    val totals = counts.agg(
+      sum(col("__cnt")).as("__n"),
+      sum(weight(col("__cnt").cast("double"))).as("__wsum"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("__stratum"),
+        least(lit(1.0),
+          lit(targetFrac) * col("__n") * weight(col("__cnt").cast("double")) /
+            col("__wsum") / col("__cnt")).as("__rate"))
+    df.join(broadcast(rates), stratum === col("__stratum"))
+      .filter(hashFraction(id) < col("__rate"))
+      .drop("__stratum", "__rate")
+  }
+
+  /** Deterministic global shuffle order — the "shuffle the corpus before
+    * training" step, reproducible across engines and runs: rank every row
+    * by the md5 of its id. Computed without a single-partition window via
+    * [[ScalableWindow.runningTotal]] (range partition on the hash, local
+    * cumsum, broadcast prefix offsets). Appends `as` = 1-based position. */
+  def shuffleOrder(df: DataFrame, id: Column, as: String, partitions: Int): DataFrame =
+    ScalableWindow.runningTotal(
+      df.withColumn("__shuffle_key", md5(id.cast("string"))),
+      col("__shuffle_key"), lit(1L), as, partitions)
+      .drop("__shuffle_key")
+
+  /** Cap every stratum at its `k` smallest-hash rows — the fixed-size
+    * counterpart of rate-based sampling (e.g. "at most k docs per
+    * domain"), deterministic by the same md5 order. Runs through the
+    * custom bounded-heap [[graft.plans.GroupTopK]] physical operator:
+    * ≤ k rows per (stratum × input partition) are shuffled, no full
+    * per-group sort — semantically `row_number() over (partition by
+    * stratum order by md5(id), id) <= k`. */
+  def capPerStratum(df: DataFrame, stratum: Column, id: Column, k: Int): DataFrame = {
+    val withKey = df.withColumn("__cap_key", md5(id.cast("string")))
+    graft.plans.GroupTopK.topK(
+      withKey, Seq(stratum), Seq(col("__cap_key").asc, id.asc), k)
+      .drop("__cap_key")
+  }
+
   /** Deterministic stratified sampling — the corpus-mixing primitive of
     * a training-data pipeline: each stratum (source, language, quality
     * band) keeps its own fraction of rows, selected by the md5 of the

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Ranking, Similarity, Split}
+import graft.sources.Tables
+
+/** Corpus curation surface: term weighting / retrieval scoring and the
+  * mixing-side sampling primitives (temperature resampling, deterministic
+  * global shuffle, per-stratum caps). Extends the training-data-pipeline
+  * family of [[PipelineQueries]]; same oracle discipline (see the
+  * [[CoreQueries]] float notes — scores round to 4 dp before ranking,
+  * sampling decisions compare 32-bit md5 fractions against rates whose
+  * every step is IEEE-exact except one documented stratum sum).
+  */
+object CorpusQueries {
+
+  /** q67 — top-3 TF-IDF terms per document (smoothed idf), the classic
+    * keyword/term-weighting pass over a corpus. */
+  def q67TfIdf(spark: SparkSession, dir: String): DataFrame =
+    Ranking.tfIdfTopTerms(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), col("text"), k = 3)
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(asc_nulls_first("doc_id"), asc("rank"))
+
+  /** Query bag for q68 — terms present in the synthetic vocabulary. */
+  private val Bm25Terms = Seq("spark", "window", "hash")
+
+  /** q68 — BM25 top-20 documents for a fixed query bag (retrieval-scored
+    * curation / decontamination triage). */
+  def q68Bm25(spark: SparkSession, dir: String): DataFrame =
+    Ranking.bm25(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), col("text"), Bm25Terms, topN = 20)
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(desc("score"), asc("doc_id"))
+
+  /** q69 — deterministic global shuffle order (1-based rank by md5 of the
+    * id) via the two-phase scalable window — no single-partition sort. */
+  def q69ShuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    Split.shuffleOrder(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), as = "shuffle_pos", partitions = 32)
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy(asc_nulls_first("doc_id"))
+
+  /** q70 — temperature-weighted resampling by language (α = 0.5, target
+    * half the corpus): rare languages keep proportionally more of their
+    * rows than the head language. */
+  def q70TemperatureSample(spark: SparkSession, dir: String): DataFrame =
+    Split.temperatureSample(Dedup.spread(Tables.documents(spark, dir)),
+        col("lang"), col("doc_id"), alpha = 0.5, targetFrac = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(asc_nulls_first("doc_id"))
+
+  /** q71 — cap every source at its 10 smallest-hash docs through the
+    * custom bounded-heap TopKPerGroup physical operator. */
+  def q71StratumCap(spark: SparkSession, dir: String): DataFrame =
+    Split.capPerStratum(Dedup.spread(Tables.documents(spark, dir)),
+        col("source"), col("doc_id"), k = 10)
+      .select(col("source"), col("doc_id"))
+      .orderBy(asc_nulls_first("source"), asc("doc_id"))
+
+  /** q72 — mean unigram log-probability per document (perplexity-proxy
+    * quality score from the corpus's own unigram LM). */
+  def q72UnigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    Ranking.unigramLogProb(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), col("text"))
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(asc_nulls_first("doc_id"))
+
+  /** q73 — out-of-vocabulary token rate vs the corpus's top-20 terms
+    * (tokenizer-coverage / vocab-pruning diagnostic). */
+  def q73OovRate(spark: SparkSession, dir: String): DataFrame =
+    Ranking.oovRate(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), col("text"), vocabSize = 20)
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(asc_nulls_first("doc_id"))
+
+  /** q74 — cosine of every embedding against its own label's centroid
+    * (embedding-space outlier / mislabel score). */
+  def q74CentroidScores(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidCosineScores(Dedup.spread(Tables.embeddings(spark, dir)),
+        col("vec_id"), col("label"), col("embedding"))
+      .withColumnRenamed("id", "vec_id")
+      .withColumnRenamed("group", "label")
+      .orderBy(asc("vec_id"))
+
+  /** q75 — KL divergence of each source's unigram distribution from the
+    * whole corpus (domain-shift / mixture diagnostic). */
+  def q75SourceKl(spark: SparkSession, dir: String): DataFrame =
+    Ranking.klDivergence(Dedup.spread(Tables.documents(spark, dir)),
+        col("source"), col("text"))
+      .withColumnRenamed("group", "source")
+      .orderBy(asc_nulls_first("source"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_tfidf"              -> q67TfIdf _,
+    "q68_bm25"               -> q68Bm25 _,
+    "q69_shuffle_order"      -> q69ShuffleOrder _,
+    "q70_temperature_sample" -> q70TemperatureSample _,
+    "q71_stratum_cap"        -> q71StratumCap _,
+    "q72_unigram_logprob"    -> q72UnigramLogProb _,
+    "q73_oov_rate"           -> q73OovRate _,
+    "q74_centroid_scores"    -> q74CentroidScores _,
+    "q75_source_kl"          -> q75SourceKl _,
+  )
+
+  /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+  /** DuckDB decimal-literal trap: `1.2` parses as DECIMAL, so naive
+    * arithmetic would run in decimal, not IEEE double. Every fractional
+    * constant below is CAST to DOUBLE so both engines perform the same
+    * double ops on the same parsed values (integer±0.5/±1.0 sums are
+    * exact in either representation, so casting after the add is safe). */
+  private val hashFracSql =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) " +
+      "/ CAST(4294967296.0 AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q67_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        | tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | scored AS (SELECT doc_id, term,
+        |     round(CAST(tf AS DOUBLE) *
+        |       (ln(CAST(n_docs + 1.0 AS DOUBLE) / CAST(df + 1.0 AS DOUBLE))
+        |        + CAST(1.0 AS DOUBLE)), 4) AS score
+        |   FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+        | rk AS (SELECT doc_id, term, score,
+        |     row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY score DESC, term) AS rank FROM scored)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score FROM rk
+        | WHERE rank <= 3 ORDER BY doc_id NULLS FIRST, rank""".stripMargin,
+    "q68_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | lens AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS dl FROM t),
+        | corpus AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |     count(*) AS n_docs FROM lens),
+        | tfc AS (SELECT doc_id, term, count(*) AS tf
+        |   FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        |   WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+        | dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        | parts AS (SELECT tfc.doc_id,
+        |     ln(CAST(1.0 AS DOUBLE) +
+        |        CAST(n_docs - df + 0.5 AS DOUBLE) / CAST(df + 0.5 AS DOUBLE)) *
+        |       (CAST(tf AS DOUBLE) *
+        |        (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |       (CAST(tf AS DOUBLE) +
+        |         CAST(1.2 AS DOUBLE) *
+        |           ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+        |            CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))) AS part
+        |   FROM tfc JOIN dfc USING (term) JOIN lens USING (doc_id)
+        |   CROSS JOIN corpus)
+        |SELECT doc_id, round(sum(part), 4) AS score FROM parts
+        | GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q69_shuffle_order" ->
+      """SELECT doc_id, row_number() OVER
+        |   (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS shuffle_pos
+        | FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q70_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        | tot AS (SELECT sum(cnt) AS n,
+        |     sum(sqrt(CAST(cnt AS DOUBLE))) AS wsum FROM c),
+        | r AS (SELECT lang,
+        |     least(CAST(1.0 AS DOUBLE),
+        |       CAST(0.5 AS DOUBLE) * n * sqrt(CAST(cnt AS DOUBLE))
+        |         / wsum / cnt) AS rate FROM c CROSS JOIN tot)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        | WHERE $hashFracSql < r.rate
+        | ORDER BY d.doc_id NULLS FIRST""".stripMargin,
+    "q71_stratum_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        | WHERE rn <= 10 ORDER BY source NULLS FIRST, doc_id""".stripMargin,
+    "q72_unigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        | tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | cf AS (SELECT term, sum(tf) AS ctf FROM tfc GROUP BY 1),
+        | tot AS (SELECT sum(ctf) AS total_tokens FROM cf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(CAST(tf AS DOUBLE) *
+        |      ln(CAST(ctf AS DOUBLE) / CAST(total_tokens AS DOUBLE)))
+        |    / CAST(sum(tf) AS DOUBLE), 4) AS logprob
+        | FROM tfc JOIN cf USING (term) CROSS JOIN tot
+        | GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q73_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        | tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | cf AS (SELECT term, sum(tf) AS ctf FROM tfc GROUP BY 1),
+        | vocab AS (SELECT term FROM cf ORDER BY ctf DESC, term LIMIT 20)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(tf) - sum(CASE WHEN term IN (SELECT term FROM vocab)
+        |        THEN tf ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(tf) AS DOUBLE), 4) AS oov_rate
+        | FROM tfc GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q74_centroid_scores" ->
+      """WITH u AS (SELECT label,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings),
+        | c AS (SELECT label, dim, round(sum(x) / count(*), 6) AS m
+        |  FROM u GROUP BY 1, 2),
+        | cent AS (SELECT label, list(m ORDER BY dim) AS centroid
+        |  FROM c GROUP BY label),
+        | s AS (SELECT e.vec_id, e.label,
+        |   list_sum(list_transform(range(len(e.embedding)),
+        |     i -> CAST(e.embedding[i+1] AS DOUBLE) * centroid[i+1]))
+        |   / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+        |       i -> CAST(e.embedding[i+1] AS DOUBLE)
+        |              * CAST(e.embedding[i+1] AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(range(len(centroid)),
+        |       i -> centroid[i+1] * centroid[i+1])))) AS sc
+        |  FROM embeddings e JOIN cent USING (label))
+        |SELECT vec_id, label, round(sc, 4) AS score FROM s
+        | ORDER BY vec_id""".stripMargin,
+    "q75_source_kl" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+        | tok AS (SELECT source, unnest(toks) AS term FROM t),
+        | gf AS (SELECT source, term, count(*) AS gtf FROM tok GROUP BY 1, 2),
+        | cf AS (SELECT term, sum(gtf) AS ctf FROM gf GROUP BY 1),
+        | tot AS (SELECT sum(ctf) AS total_tokens FROM cf),
+        | gt AS (SELECT source, sum(gtf) AS gtot FROM gf GROUP BY 1),
+        | parts AS (SELECT gf.source, gtot,
+        |   (CAST(gtf AS DOUBLE) / CAST(gtot AS DOUBLE)) *
+        |     ln((CAST(gtf AS DOUBLE) / CAST(gtot AS DOUBLE)) /
+        |        (CAST(ctf AS DOUBLE) / CAST(total_tokens AS DOUBLE))) AS part
+        |  FROM gf JOIN cf USING (term) JOIN gt USING (source) CROSS JOIN tot)
+        |SELECT source, CAST(max(gtot) AS BIGINT) AS n_tokens,
+        |  round(sum(part), 4) AS kl
+        | FROM parts GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+  )
+}

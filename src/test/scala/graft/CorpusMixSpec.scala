@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ranking, Split}
+
+/** Pins the corpus-curation operators: TF-IDF / BM25 ranking, temperature
+  * resampling, deterministic global shuffle order, and per-stratum caps.
+  * Hand-computed micro-fixtures pin the arithmetic; equivalence tests pin
+  * the scalable formulations against their single-window references.
+  */
+class CorpusMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "cat sat mat", "en"),
+    (2L, "cat cat dog", "en"),
+    (3L, "dog runs far", "en"),
+    (4L, "mat mat mat cat", "es"),
+  ).toDF("id", "text", "lang")
+
+  // ---- TF-IDF ----
+
+  test("tfIdfTopTerms: hand-computed scores and ranks on a micro corpus") {
+    val got = Ranking.tfIdfTopTerms(docs, col("id"), col("text"), k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // N=4. df: cat=3, mat=2, dog=2, sat=1, runs=1, far=1.
+    def idf(df: Int) = math.log(5.0 / (df + 1.0)) + 1.0
+    def s(tf: Int, df: Int) =
+      BigDecimal(tf * idf(df)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc1: sat=idf(1)≈1.916, mat=idf(2)≈1.511, cat=idf(3)≈1.223.
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((1, "sat", s(1, 1)), (2, "mat", s(1, 2))))
+    // doc2: cat tf=2 (2.446) beats dog (1.511).
+    assert(got.filter(_._1 == 2L).map(t => (t._3, t._4)).toSeq ==
+      Seq(("cat", s(2, 3)), ("dog", s(1, 2))))
+    // doc4: mat tf=3 wins over cat.
+    assert(got.filter(_._1 == 4L).head._3 == "mat")
+  }
+
+  test("tfIdfTopTerms: rank ties break by term ascending") {
+    val tied = Seq((1L, "b a"), (2L, "a c"), (3L, "b c")).toDF("id", "text")
+    // All terms have df=2 and tf=1 → equal scores; rank must follow term.
+    val got = Ranking.tfIdfTopTerms(tied, col("id"), col("text"), k = 2)
+      .filter(col("__id") === 1L).orderBy("rank")
+      .collect().map(_.getString(2)).toSeq
+    assert(got == Seq("a", "b"))
+  }
+
+  // ---- BM25 ----
+
+  test("bm25: exact single-term score on a micro corpus") {
+    val got = Ranking.bm25(docs, col("id"), col("text"), Seq("cat"), topN = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // dl: doc1=3 doc2=3 doc3=3 doc4=4, avgdl=13/4=3.25, N=4, df(cat)=3.
+    val idf = math.log(1.0 + (4 - 3 + 0.5) / 3.5)
+    def score(tf: Int, dl: Int) = {
+      val raw = idf * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / 3.25)))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L) == score(1, 3))
+    assert(got(2L) == score(2, 3))
+    assert(got(4L) == score(1, 4))
+    assert(!got.contains(3L)) // no "cat" → no row
+  }
+
+  test("bm25: multi-term scores sum per doc and rank descending") {
+    val got = Ranking.bm25(docs, col("id"), col("text"),
+        Seq("cat", "dog"), topN = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc2 has both terms (cat tf=2, dog tf=1) → strictly top.
+    assert(got.head._1 == 2L)
+    // Scores are non-increasing in output order.
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+  }
+
+  // ---- temperature sampling ----
+
+  private lazy val skewed = {
+    // 400 rows of lang "en", 100 of "fr" — 4:1 skew.
+    val rows = (0L until 400L).map(i => (i, "en")) ++
+      (400L until 500L).map(i => (i, "fr"))
+    rows.toDF("id", "lang")
+  }
+
+  test("temperatureSample(α=0.5) up-weights the rare stratum") {
+    val kept = Split.temperatureSample(
+        skewed, col("lang"), col("id"), alpha = 0.5, targetFrac = 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Expected rates: wsum = 20+10 = 30; en: 250*20/30/400 ≈ 0.4167,
+    // fr: 250*10/30/100 ≈ 0.8333 — the md5 fraction is uniform, so kept
+    // counts concentrate near 167/83. Wide tolerance: binomial ±4σ.
+    assert(math.abs(kept("en") - 166.7) < 4 * 10.0, s"en kept ${kept("en")}")
+    assert(math.abs(kept("fr") - 83.3) < 4 * 5.3, s"fr kept ${kept("fr")}")
+    // The rare stratum's keep RATE must exceed the common one's.
+    assert(kept("fr") / 100.0 > kept("en") / 400.0)
+  }
+
+  test("temperatureSample(α=1) reproduces plain rate sampling") {
+    val kept = Split.temperatureSample(
+        skewed, col("lang"), col("id"), alpha = 1.0, targetFrac = 0.5)
+    val plain = skewed.filter(Split.hashFraction(col("id")) < 0.5)
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      plain.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("temperatureSample is deterministic across partitionings") {
+    val a = Split.temperatureSample(
+        skewed.repartition(7), col("lang"), col("id"), 0.5, 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Split.temperatureSample(
+        skewed.coalesce(1), col("lang"), col("id"), 0.5, 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  // ---- global shuffle order ----
+
+  test("shuffleOrder is the md5-rank permutation, no single-partition window") {
+    val df = (0L until 300L).toDF("id").repartition(5)
+    val got = Split.shuffleOrder(df, col("id"), "pos", partitions = 4)
+      .select("id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // A permutation of 1..300 …
+    assert(got.map(_._2).sorted.toSeq == (1L to 300L).toSeq)
+    // … equal to the reference single-window row_number by md5.
+    val ref = df.withColumn("h", md5(col("id").cast("string")))
+      .withColumn("pos", row_number().over(Window.orderBy("h")).cast("long"))
+      .select("id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (id, pos) => assert(ref(id) == pos, s"id=$id") }
+  }
+
+  // ---- per-stratum cap ----
+
+  test("capPerStratum equals the row_number window formulation") {
+    val df = skewed // 400 en / 100 fr
+    val got = Split.capPerStratum(df, col("lang"), col("id"), k = 10)
+      .select("lang", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    val ref = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("lang", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == ref)
+    assert(got.count(_._1 == "en") == 10 && got.count(_._1 == "fr") == 10)
+  }
+
+  test("capPerStratum keeps whole groups smaller than k") {
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val got = Split.capPerStratum(tiny, col("g"), col("id"), k = 5)
+    assert(got.count() == 3)
+  }
+
+  // ---- unigram LM quality score ----
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("unigramLogProb: hand-computed corpus-LM scores") {
+    val got = Ranking.unigramLogProb(docs, col("id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // T=13; ctf: cat=4 sat=1 mat=4 dog=2 runs=1 far=1.
+    def lp(ctf: Int) = math.log(ctf / 13.0)
+    assert(got(1L) == ((3L, r4((lp(4) + lp(1) + lp(4)) / 3))))
+    assert(got(2L) == ((3L, r4((2 * lp(4) + lp(2)) / 3))))
+    assert(got(3L) == ((3L, r4((lp(2) + lp(1) + lp(1)) / 3))))
+    assert(got(4L) == ((4L, r4((3 * lp(4) + lp(4)) / 4))))
+    // The all-common-words doc must outscore the rare-words doc.
+    assert(got(4L)._2 > got(3L)._2)
+  }
+
+  test("oovRate: top-2 vocab is {cat, mat}; rates are exact fractions") {
+    val got = Ranking.oovRate(docs, col("id"), col("text"), vocabSize = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((3L, r4(1.0 / 3)))) // sat is OOV
+    assert(got(2L) == ((3L, r4(1.0 / 3)))) // dog is OOV
+    assert(got(3L) == ((3L, 1.0)))         // dog runs far — all OOV
+    assert(got(4L) == ((4L, 0.0)))         // mat×3 cat — fully in-vocab
+  }
+
+  test("klDivergence: two-group hand computation; uniform split gives 0") {
+    // en: docs 1-3 (9 tokens), es: doc 4 (4 tokens), T=13.
+    val got = Ranking.klDivergence(docs, col("lang"), col("text"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val en = Map("cat" -> 3, "sat" -> 1, "mat" -> 1, "dog" -> 2, "runs" -> 1, "far" -> 1)
+    val es = Map("mat" -> 3, "cat" -> 1)
+    val ctf = Map("cat" -> 4, "sat" -> 1, "mat" -> 4, "dog" -> 2, "runs" -> 1, "far" -> 1)
+    def kl(g: Map[String, Int], tot: Int) = g.map { case (t, c) =>
+      val pg = c.toDouble / tot
+      pg * math.log(pg / (ctf(t) / 13.0))
+    }.sum
+    assert(got("en") == ((9L, r4(kl(en, 9)))))
+    assert(got("es") == ((4L, r4(kl(es, 4)))))
+    // A group identical to the corpus distribution diverges by 0.
+    val same = Seq((1L, "a b", "x"), (2L, "a b", "y")).toDF("id", "text", "g")
+    val zero = Ranking.klDivergence(same, col("g"), col("text"))
+      .collect().map(_.getDouble(2))
+    assert(zero.forall(_ == 0.0))
+  }
+
+  // ---- embedding centroid scores ----
+
+  test("centroidCosineScores: hand-computed centroids and cosines") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, "a", Array(1.0f, 0.0f)),
+      (2L, "a", Array(0.0f, 1.0f)),
+      (3L, "b", Array(3.0f, 4.0f)),
+    ).toDF("id", "g", "v")
+    val got = Similarity.centroidCosineScores(vecs, col("id"), col("g"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // Group a centroid = (0.5, 0.5): cos = 0.5/(1·√0.5) = √0.5 → 0.7071.
+    assert(got(1L) == 0.7071 && got(2L) == 0.7071)
+    // Singleton group: cosine with itself = 1.
+    assert(got(3L) == 1.0)
+  }
+
+  test("groupCentroids is partition-invariant (rounded components)") {
+    import graft.operators.Similarity
+    val vecs = (0L until 100L)
+      .map(i => (i, (i % 3).toString, Array(i / 7.0f, 1.0f - i / 13.0f)))
+      .toDF("id", "g", "v")
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      Similarity.groupCentroids(df, col("g"), col("v"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(vecs.repartition(13)) == cents(vecs.coalesce(1)))
+  }
+}

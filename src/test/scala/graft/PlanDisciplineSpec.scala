@@ -28,9 +28,16 @@ class PlanDisciplineSpec extends SparkSpec {
     *   - q23: the brute-force exact pair baseline (quadratic BY DESIGN;
     *     `embeddingPairsLsh` is the scale path, measured 37× faster at
     *     32 k vectors in BASELINE.md). */
+  /**   - q67/q68/q70: broadcast-scalar corpus frames (1-row N / avgdl
+    *     aggregates; q70's rate build crosses the ≤|strata|-row count
+    *     frame with its 1-row total) — constant-size broadcasts again,
+    *   - q72/q75: the 1-row total-token-count broadcast of the corpus
+    *     unigram LM (LM term joins themselves are hash joins). */
   private val allowedNestedLoop = Set(
     "q9_peak_flag", "q10_outliers", "q32_histogram", "q33_minmax_norm",
-    "q22_knn_cosine", "q23_embed_neardup", "q65_batch_knn")
+    "q22_knn_cosine", "q23_embed_neardup", "q65_batch_knn",
+    "q67_tfidf", "q68_bm25", "q70_temperature_sample",
+    "q72_unigram_logprob", "q75_source_kl")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
@@ -55,6 +62,27 @@ class PlanDisciplineSpec extends SparkSpec {
     val plan = planOf("q65_batch_knn")
     assert(plan.contains("TopKPerGroupPartial"), plan)
     assert(plan.contains("TopKPerGroupFinal"), plan)
+  }
+
+  test("q71 stratum cap runs through the custom GroupTopK physical operator") {
+    val plan = planOf("q71_stratum_cap")
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+  }
+
+  test("q68 BM25 top-N plans TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q68_bm25").contains("TakeOrderedAndProject"),
+      planOf("q68_bm25"))
+  }
+
+  test("q73 vocab selection is a top-V, not a global sort of the vocabulary") {
+    assert(planOf("q73_oov_rate").contains("TakeOrderedAndProject"),
+      planOf("q73_oov_rate"))
+  }
+
+  test("q74 joins centroids back by broadcast — the corpus is not shuffled") {
+    assert(planOf("q74_centroid_scores").contains("BroadcastHashJoin"),
+      planOf("q74_centroid_scores"))
   }
 
   test("dimension join broadcasts the small side (q16)") {
