@@ -13,10 +13,12 @@ import graft.functions.TextFunctions.tokens
   *
   * All operators follow the same scale shape: tokenize once, aggregate
   * term counts per (doc, term) — partial+final hash aggregation, the
-  * shuffle key is the pair — then join the (small) per-term document
-  * frequencies back. Corpus-wide scalars (N, avgdl) are 1-row broadcast
-  * crossJoins, never a re-shuffle of the token table. Nothing here
-  * collects to the driver.
+  * shuffle key is the pair — then join the vocabulary-sized per-term
+  * frequency frame back (AQE broadcasts it when it fits, the typical
+  * case; else a term-hash join moves the frequency frame, and re-keys
+  * the count frame, never the raw token stream). Corpus-wide scalars
+  * (N, avgdl, T) are 1-row broadcast crossJoins. Nothing here collects
+  * to the driver.
   *
   * Float discipline (see CoreQueries scaladoc): every division and
   * multiplication is IEEE-exact given equal inputs; `ln` is the one
@@ -107,9 +109,10 @@ object Ranking {
     * MLE, which is nonzero for every term that occurs. Output:
     * (id, n_tokens, logprob), logprob rounded to 4 dp.
     *
-    * Scale shape: the (doc, term) aggregation is the only corpus-sized
-    * shuffle; corpus counts are a vocabulary-sized frame joined back on
-    * the term, and T rides along as a 1-row broadcast. The per-doc sum
+    * Scale shape: the (doc, term) aggregation shuffles the corpus once;
+    * the vocabulary-sized corpus-count frame joins back on the term
+    * (broadcast under AQE when it fits, else re-keying the count frame
+    * by term), and T rides along as a 1-row broadcast. The per-doc sum
     * is a second hash aggregation on the doc id. Summation order across
     * a doc's terms is engine-dependent (same last-ulp class as the BM25
     * sum — rounded away at 4 dp). */
