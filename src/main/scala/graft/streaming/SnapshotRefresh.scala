@@ -95,10 +95,25 @@ object SnapshotRefresh {
     }
   }
 
-  /** Snapshot-replacement mapping: aggregate only the newest snapshot in
-    * each micro-batch and publish atomically to `store`. `aggregate` maps
-    * one snapshot's rows to the published result (e.g.
-    * [[graft.traffic.TrafficAnalytics.boroughTraffic]]). */
+  /** Snapshot-replacement mapping: on every arrival of new snapshot
+    * files, aggregate the newest complete snapshot on disk and publish
+    * atomically to `store`. `aggregate` maps one snapshot's rows to the
+    * published result (e.g.
+    * [[graft.traffic.TrafficAnalytics.boroughTraffic]]).
+    *
+    * The micro-batch is used only as a CHANGE SIGNAL: one snapshot's
+    * part files can straddle two micro-batches (the file source's
+    * directory listing races the writer under load), so aggregating the
+    * batch's own rows could publish — and leave standing — a torn
+    * snapshot. Instead each trigger re-reads the directory as a batch
+    * source and republishes the newest snapshot it sees: the
+    * reference's recompute-world-per-refresh, and self-healing — if a
+    * listing ever catches half a snapshot, the remaining files arrive
+    * as the next batch and the re-read publishes the complete set. The
+    * snapshot-id equality filter prunes old snapshots via parquet
+    * min/max row-group stats (or partition pruning if the landing is
+    * partitioned by the id), so a refresh scans one snapshot, not the
+    * directory's history. */
   def latestSnapshotQuery(
       spark: SparkSession, inputDir: String, schema: StructType,
       snapshotIdCol: String,
@@ -110,8 +125,9 @@ object SnapshotRefresh {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val latest = batch.agg(max(col(snapshotIdCol))).collect().head.get(0)
-          val snap = batch.filter(col(snapshotIdCol) === lit(latest))
+          val all = spark.read.schema(schema).parquet(inputDir)
+          val latest = all.agg(max(col(snapshotIdCol))).collect().head.get(0)
+          val snap = all.filter(col(snapshotIdCol) === lit(latest))
           store.publish(aggregate(snap).collect().toSeq)
         }
       }

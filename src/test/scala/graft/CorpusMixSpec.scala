@@ -238,4 +238,97 @@ class CorpusMixSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
     assert(cents(vecs.repartition(13)) == cents(vecs.coalesce(1)))
   }
+
+  // ---- randomized equivalence vs plain-Scala references ----
+
+  /** Deterministic pseudo-random corpus: ~120 docs over a 12-word
+    * vocabulary with skewed frequencies, 3 languages, empty-doc free
+    * (the operators assume tokenizable text; blank handling is pinned
+    * separately by the TextFunctions suite). */
+  private lazy val randomDocs: Seq[(Long, String, String)] = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rnd = new scala.util.Random(20260813L)
+    (0L until 120L).map { i =>
+      val len = 3 + rnd.nextInt(12)
+      // Skew: square the uniform draw so low-index words dominate.
+      val words = Seq.fill(len) {
+        val u = rnd.nextDouble()
+        vocab(((u * u) * vocab.size).toInt.min(vocab.size - 1))
+      }
+      (i, words.mkString(" "), s"L${i % 3}")
+    }
+  }
+
+  private def tokenize(s: String): Seq[String] =
+    s.trim.toLowerCase.split("\\s+").toSeq
+
+  test("unigramLogProb equals the plain-Scala corpus LM on a random corpus") {
+    val df = randomDocs.toDF("id", "text", "lang")
+    val got = Ranking.unigramLogProb(df, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val toks = randomDocs.map { case (i, t, _) => i -> tokenize(t) }.toMap
+    val ctf = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = ctf.values.sum.toDouble
+    for ((i, ts) <- toks) {
+      // Mirror the operator's per-distinct-term tf·ln(p) form (integer
+      // multiply, not repeated addition — not bit-identical in general).
+      val exp = ts.groupBy(identity).map { case (t, occ) =>
+        occ.size * math.log(ctf(t) / total)
+      }.sum / ts.size
+      assert(got(i) == ((ts.size.toLong, r4(exp))), s"doc $i")
+    }
+  }
+
+  test("oovRate equals the plain-Scala top-V computation on a random corpus") {
+    val df = randomDocs.toDF("id", "text", "lang")
+    val got = Ranking.oovRate(df, col("id"), col("text"), vocabSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val toks = randomDocs.map { case (i, t, _) => i -> tokenize(t) }.toMap
+    val ctf = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val top5 = ctf.toSeq.sortBy { case (t, c) => (-c, t) }.take(5).map(_._1).toSet
+    for ((i, ts) <- toks) {
+      val exp = ts.count(t => !top5(t)).toDouble / ts.size
+      assert(got(i) == r4(exp), s"doc $i")
+    }
+  }
+
+  test("tfIdfTopTerms top-1 equals the plain-Scala argmax on a random corpus") {
+    val df = randomDocs.toDF("id", "text", "lang")
+    val got = Ranking.tfIdfTopTerms(df, col("id"), col("text"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val toks = randomDocs.map { case (i, t, _) => i -> tokenize(t) }.toMap
+    val n = toks.size
+    val docFreq = toks.values.map(_.distinct).flatten
+      .groupBy(identity).view.mapValues(_.size).toMap
+    for ((i, ts) <- toks) {
+      val scores = ts.groupBy(identity).view.mapValues(_.size).toMap.map {
+        case (t, tf) =>
+          t -> r4(tf * (math.log((n + 1.0) / (docFreq(t) + 1.0)) + 1.0))
+      }
+      // Same tie-break as the operator: score desc, then term asc.
+      val exp = scores.toSeq.sortBy { case (t, s) => (-s, t) }.head._1
+      assert(got(i) == exp, s"doc $i: got ${got(i)}, expected $exp ($scores)")
+    }
+  }
+
+  test("klDivergence equals the plain-Scala computation on a random corpus") {
+    val df = randomDocs.toDF("id", "text", "lang")
+    val got = Ranking.klDivergence(df, col("lang"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val byLang = randomDocs.groupBy(_._3).view
+      .mapValues(_.flatMap { case (_, t, _) => tokenize(t) }).toMap
+    val all = byLang.values.flatten.toSeq
+    val ctf = all.groupBy(identity).view.mapValues(_.size).toMap
+    val total = all.size.toDouble
+    for ((lang, ts) <- byLang) {
+      val gtf = ts.groupBy(identity).view.mapValues(_.size).toMap
+      val gtot = ts.size.toDouble
+      val exp = gtf.map { case (t, c) =>
+        val pg = c / gtot
+        pg * math.log(pg / (ctf(t) / total))
+      }.sum
+      assert(got(lang) == r4(exp), s"lang $lang")
+    }
+  }
 }
