@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -36,17 +36,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong it lands as Long nanos-since-epoch
-    * and is converted here to a micro-precision timestamp (`div` keeps the
-    * arithmetic integral — a double division loses precision at 1e18 nanos).
-    * DuckDB performs the same nanos→micros truncation on read, so the oracle
-    * sees identical instants. */
+  /** `events.ts` has shipped under three physical parquet encodings across
+    * testdata generations, and the loader normalizes all of them to a plain
+    * micro-precision `TimestampType` so downstream `unix_micros`/window
+    * arithmetic never cares which writer produced the file:
+    *
+    *  - TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong it lands
+    *    as Long nanos-since-epoch → `timestamp_micros(ts div 1000)` (`div`
+    *    keeps the arithmetic integral — a double division loses precision at
+    *    1e18 nanos). DuckDB performs the same nanos→micros truncation on
+    *    read, so the oracle sees identical instants.
+    *  - timestamp[us] with no timezone: Spark 4 infers TIMESTAMP_NTZ
+    *    (spark.sql.parquet.inferTimestampNTZ.enabled defaults true) →
+    *    cast to TimestampType. The session timezone is pinned to UTC
+    *    (GraftSession), so the cast is instant-preserving and the oracle
+    *    (DuckDB, also tz-naive UTC) is unaffected.
+    *  - timestamp[us] UTC-adjusted: already TimestampType, pass through.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
