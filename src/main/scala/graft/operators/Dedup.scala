@@ -122,6 +122,14 @@ object Dedup {
   def minhashSignature(shingleCol: Column, k: Int): Column =
     graft.expressions.MinHashSig.minhashSig(shingleCol, k)
 
+  /** Pair outputs are duplicate-sized (orders of magnitude smaller than
+    * the corpus), so the shared [[Materialize]] discipline applies: the
+    * output is checkpointed eagerly and every operator-internal persist
+    * is released before returning. */
+  private def materializeAndRelease(
+      result: DataFrame, interned: DataFrame*): DataFrame =
+    Materialize.andRelease(result, interned: _*)
+
   /** One row per (doc, band) with the band's hash — the SHARED banding
     * formula for both LSH pair paths (estimate-only and verified); any
     * change to the band-hash scheme lands in exactly one place.
@@ -179,14 +187,16 @@ object Dedup {
     // Codegen'd signature agreement (graft.expressions.SigAgree): the HOF
     // formulation (size(filter(zip_with(...)))) is CodegenFallback and
     // allocates per pair — measured ~3.5x slower on the candidate set.
-    cand
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard",
-        graft.expressions.SigAgree.agree(col("sig_a"), col("sig_b"))
-          .cast("double") / k)
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    materializeAndRelease(
+      cand
+        .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .withColumn("est_jaccard",
+          graft.expressions.SigAgree.agree(col("sig_a"), col("sig_b"))
+            .cast("double") / k)
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("est_jaccard")),
+      sig)
   }
 
   /** MinHash+LSH near-dup pairs WITH exact verification — the full
@@ -251,16 +261,18 @@ object Dedup {
           col("b.n_sh") >= ceil(col("a.n_sh") * threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
-      .join(base.select(col("id").as("id_a"), col("hs").as("hs_a"),
-        col("n_sh").as("n_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("hs").as("hs_b"),
-        col("n_sh").as("n_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(
+      cand
+        .join(base.select(col("id").as("id_a"), col("hs").as("hs_a"),
+          col("n_sh").as("n_a")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("hs").as("hs_b"),
+          col("n_sh").as("n_b")), "id_b")
+        .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+      base)
   }
 
   /** Shared (id, hs, n_sh) hashed-shingle relation of the containment
@@ -407,7 +419,7 @@ object Dedup {
         lit(1)))
       .select(least(col("sid"), col("lid")).as("id_a"),
         greatest(col("sid"), col("lid")).as("id_b"))
-    verifyPairs(cand, sh, score, scoreName, threshold)
+    materializeAndRelease(verifyPairs(cand, sh, score, scoreName, threshold), sh)
   }
 
   /** Exact verification shared by every probe-window candidate
@@ -743,7 +755,7 @@ object Dedup {
           col("b.n_sh") >= ceil(col("a.n_sh") * threshold))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
-    cand
+    val verified = cand
       .join(rel.select(col("id").as("new_id"), col("hs").as("hs_a"),
         col("n_sh").as("n_a")), "new_id")
       .join(index.rel.select(col("id").as("corpus_id"), col("hs").as("hs_b"),
@@ -753,6 +765,10 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    // persistNewRel = false callers (per-micro-batch) stay fully lazy —
+    // nothing to release, and an eager checkpoint per batch would defeat
+    // the stream-static join shape.
+    if (persistNewRel) materializeAndRelease(verified, rel) else verified
   }
 
   /** Resolve near-dup pairs into clusters: connected components by
@@ -766,11 +782,14 @@ object Dedup {
       pairs: DataFrame, maxIters: Int = 20,
       driverThreshold: Long = 1000000L): DataFrame = {
     val p = pairs.select(col("id_a"), col("id_b")).persist()
-    val nEdges = p.count()
-    val out =
+    try {
+      val nEdges = p.count()
+      // Both paths return MATERIALIZED frames (driver path: a local
+      // toDF; distributed path: the last round's localCheckpoint), so
+      // the edge persist is releasable before returning.
       if (nEdges <= driverThreshold) resolveClustersDriver(p)
       else resolveClustersDistributed(p, maxIters)
-    out
+    } finally p.unpersist(false)
   }
 
   /** Near-dup edge sets are orders of magnitude smaller than the corpus

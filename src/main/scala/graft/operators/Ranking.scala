@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions.tokens
 
@@ -20,6 +21,20 @@ import graft.functions.TextFunctions.tokens
   * (N, avgdl, T) are 1-row broadcast crossJoins. Nothing here collects
   * to the driver.
   *
+  * Tokenize-once discipline (round 9): each operator consumes its
+  * (doc, term) count frame 2–4 times (doc frequencies, corpus counts,
+  * the score join), and Catalyst's exchange reuse only dedupes the
+  * consumers that share an identical exchange — measured 3–7 separate
+  * corpus scans per query before this round, i.e. the corpus was
+  * re-tokenized per consumer, the dominant avoidable cost at scale. By
+  * default (`materialize = true`) each operator therefore persists its
+  * count frame, eagerly materializes its (per-doc / per-group, orders
+  * of magnitude smaller than the corpus) output, and releases the
+  * persist before returning — the [[Materialize]] discipline, no cache
+  * entry outlives the call. Pass `materialize = false` for a fully lazy
+  * composable plan that leaves caching to the caller (and re-tokenizes
+  * per consumer if the caller does nothing).
+  *
   * Float discipline (see CoreQueries scaladoc): every division and
   * multiplication is IEEE-exact given equal inputs; `ln` is the one
   * libm-dependent op, so scores are rounded (4 dp) before ranking and
@@ -33,31 +48,47 @@ object Ranking {
       .groupBy(col("__id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Build `result` from a count frame, under the tokenize-once
+    * discipline: persisted + output-materialized + released when
+    * `materialize` is set, fully lazy otherwise. */
+  private def withCounts(
+      counts: DataFrame, materialize: Boolean)(
+      build: DataFrame => DataFrame): DataFrame =
+    if (!materialize) build(counts)
+    else {
+      val c = counts.persist(StorageLevel.MEMORY_AND_DISK)
+      Materialize.andRelease(build(c), c)
+    }
+
   /** Top-`k` TF-IDF terms per document (smoothed sklearn-style idf:
     * `ln((N+1)/(df+1)) + 1`). Output: (id, rank, term, score), score
     * rounded to 4 dp, rank by (score desc, term asc).
     *
     * The per-document window ranks at most |vocabulary ∩ doc| rows per
     * key — a partitioned window over the aggregated frame, never over
-    * raw tokens. */
-  def tfIdfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    val tf = termFreqs(df, id, text)
-    // df(term) counts (doc, term) pairs — tf is already distinct on the pair.
-    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf
-      .join(docFreq, "term")
-      .crossJoin(broadcast(n))
-      .withColumn("score",
-        round(col("tf").cast("double") *
-          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("score").desc, col("term").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("__id"), col("rank"), col("term"), col("score"))
-  }
+    * raw tokens. The `n_docs` scalar scans the raw input a second time,
+    * but column-pruned to nothing (a parquet metadata count) — no
+    * second tokenize. */
+  def tfIdfTopTerms(
+      df: DataFrame, id: Column, text: Column, k: Int,
+      materialize: Boolean = true): DataFrame =
+    withCounts(termFreqs(df, id, text), materialize) { tf =>
+      // df(term) counts (doc, term) pairs — tf is already distinct on the pair.
+      val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = df.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(docFreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf").cast("double") *
+            (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4))
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("score").desc, col("term").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("__id"), col("rank"), col("term"), col("score"))
+    }
 
   /** BM25 relevance of every document against a bag of query `terms`:
     * `Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
@@ -66,34 +97,46 @@ object Ranking {
     * `orderBy.limit` (TakeOrderedAndProject, no global sort
     * materialization).
     *
-    * Only tokens matching a query term survive the first aggregation, so
-    * the joined frame is ≤ |terms| rows per doc; dl/avgdl come from an
-    * exact integer token-count aggregate (sum/count division is
-    * bit-deterministic). */
+    * Single-pass shape: ONE tokenize projection yields a compact per-doc
+    * frame (dl = full token count — every doc keeps a row, so avgdl and
+    * N cover zero-match docs exactly as the oracle does — plus the
+    * query-term tokens only, a ≤|terms|-ish array per doc), which is the
+    * frame the discipline persists; everything else (corpus scalars,
+    * per-term tf, doc frequencies) derives from it without touching the
+    * raw text again. The materialized stage is the per-doc score frame;
+    * the final top-N stays lazy so it plans TakeOrderedAndProject at the
+    * call site (asserted in PlanDisciplineSpec). */
   def bm25(
       df: DataFrame, id: Column, text: Column, terms: Seq[String],
-      topN: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      topN: Int, k1: Double = 1.2, b: Double = 0.75,
+      materialize: Boolean = true): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val lens = df.select(id.as("__id"), size(tokens(text)).as("dl"))
-    // avgdl as sum/count of exact integers; N alongside — one tiny broadcast.
-    val corpus = lens.agg(
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
-      count(lit(1)).as("n_docs"))
-    val tf = termFreqs(df, id, text)
-      .filter(col("term").isin(terms: _*))
-    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(docFreq), "term")
-      .join(lens, "__id")
-      .crossJoin(broadcast(corpus))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("part",
-        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
-      .groupBy(col("__id"))
-      .agg(round(sum(col("part")), 4).as("score"))
+    val perDoc = df.select(id.as("__id"), tokens(text).as("toks"))
+      .select(col("__id"), size(col("toks")).as("dl"),
+        filter(col("toks"), t => t.isin(terms: _*)).as("qtoks"))
+    val scored = withCounts(perDoc, materialize) { pd =>
+      val lens = pd.select(col("__id"), col("dl"))
+      // avgdl as sum/count of exact integers; N alongside — one tiny broadcast.
+      val corpus = lens.agg(
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        count(lit(1)).as("n_docs"))
+      val tf = pd.select(col("__id"), explode(col("qtoks")).as("term"))
+        .groupBy(col("__id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf
+        .join(broadcast(docFreq), "term")
+        .join(lens, "__id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("part",
+          col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+        .groupBy(col("__id"))
+        .agg(round(sum(col("part")), 4).as("score"))
+    }
     scored.orderBy(col("score").desc, col("__id").asc).limit(topN)
   }
 
@@ -116,20 +159,22 @@ object Ranking {
     * is a second hash aggregation on the doc id. Summation order across
     * a doc's terms is engine-dependent (same last-ulp class as the BM25
     * sum — rounded away at 4 dp). */
-  def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val tf = termFreqs(df, id, text)
-    val corpus = corpusFreqs(tf)
-    val total = corpus.agg(sum(col("ctf")).as("total_tokens"))
-    tf.join(corpus, "term")
-      .crossJoin(broadcast(total))
-      .withColumn("part",
-        col("tf").cast("double") *
-          log(col("ctf").cast("double") / col("total_tokens").cast("double")))
-      .groupBy(col("__id"))
-      .agg(
-        sum(col("tf")).cast("long").as("n_tokens"),
-        round(sum(col("part")) / sum(col("tf")).cast("double"), 4).as("logprob"))
-  }
+  def unigramLogProb(
+      df: DataFrame, id: Column, text: Column,
+      materialize: Boolean = true): DataFrame =
+    withCounts(termFreqs(df, id, text), materialize) { tf =>
+      val corpus = corpusFreqs(tf)
+      val total = corpus.agg(sum(col("ctf")).as("total_tokens"))
+      tf.join(corpus, "term")
+        .crossJoin(broadcast(total))
+        .withColumn("part",
+          col("tf").cast("double") *
+            log(col("ctf").cast("double") / col("total_tokens").cast("double")))
+        .groupBy(col("__id"))
+        .agg(
+          sum(col("tf")).cast("long").as("n_tokens"),
+          round(sum(col("part")) / sum(col("tf")).cast("double"), 4).as("logprob"))
+    }
 
   /** Out-of-vocabulary token rate per document against the corpus's own
     * top-`vocabSize` terms (count desc, term asc tie-break) — the
@@ -140,21 +185,23 @@ object Ranking {
     * TakeOrderedAndProject over the vocabulary-sized count frame, no
     * global sort — and broadcast back; in-vocab token mass is an exact
     * integer sum, so the rate is a single IEEE division. */
-  def oovRate(df: DataFrame, id: Column, text: Column, vocabSize: Int): DataFrame = {
-    val tf = termFreqs(df, id, text)
-    val vocab = corpusFreqs(tf)
-      .orderBy(col("ctf").desc, col("term").asc)
-      .limit(vocabSize)
-      .select(col("term"), lit(1).as("__in_vocab"))
-    tf.join(broadcast(vocab), Seq("term"), "left")
-      .groupBy(col("__id"))
-      .agg(
-        sum(col("tf")).cast("long").as("n_tokens"),
-        round(
-          (sum(col("tf")) -
-            sum(when(col("__in_vocab").isNotNull, col("tf")).otherwise(lit(0L))))
-            .cast("double") / sum(col("tf")).cast("double"), 4).as("oov_rate"))
-  }
+  def oovRate(
+      df: DataFrame, id: Column, text: Column, vocabSize: Int,
+      materialize: Boolean = true): DataFrame =
+    withCounts(termFreqs(df, id, text), materialize) { tf =>
+      val vocab = corpusFreqs(tf)
+        .orderBy(col("ctf").desc, col("term").asc)
+        .limit(vocabSize)
+        .select(col("term"), lit(1).as("__in_vocab"))
+      tf.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("__id"))
+        .agg(
+          sum(col("tf")).cast("long").as("n_tokens"),
+          round(
+            (sum(col("tf")) -
+              sum(when(col("__in_vocab").isNotNull, col("tf")).otherwise(lit(0L))))
+              .cast("double") / sum(col("tf")).cast("double"), 4).as("oov_rate"))
+    }
 
   /** KL divergence of each group's unigram distribution from the whole
     * corpus's — the domain-shift / mixture-diagnostic score (how far a
@@ -167,23 +214,27 @@ object Ranking {
     * Scale shape: one (group, term) hash aggregation over tokens, a
     * vocabulary-sized join for the corpus counts, and two broadcast
     * scalars — no shuffle wider than the (group, term) count frame. */
-  def klDivergence(df: DataFrame, group: Column, text: Column): DataFrame = {
-    val gf = df.select(group.as("group"), explode(tokens(text)).as("term"))
-      .groupBy(col("group"), col("term"))
-      .agg(count(lit(1)).as("gtf"))
-    val corpus = gf.groupBy(col("term")).agg(sum(col("gtf")).as("ctf"))
-    val total = corpus.agg(sum(col("ctf")).as("total_tokens"))
-    val groupTotals = gf.groupBy(col("group")).agg(sum(col("gtf")).as("gtot"))
-    gf.join(corpus, "term")
-      .join(broadcast(groupTotals), "group")
-      .crossJoin(broadcast(total))
-      .withColumn("pg", col("gtf").cast("double") / col("gtot").cast("double"))
-      .withColumn("p",
-        col("ctf").cast("double") / col("total_tokens").cast("double"))
-      .withColumn("part", col("pg") * log(col("pg") / col("p")))
-      .groupBy(col("group"))
-      .agg(
-        max(col("gtot")).cast("long").as("n_tokens"),
-        round(sum(col("part")), 4).as("kl"))
-  }
+  def klDivergence(
+      df: DataFrame, group: Column, text: Column,
+      materialize: Boolean = true): DataFrame =
+    withCounts(
+      df.select(group.as("group"), explode(tokens(text)).as("term"))
+        .groupBy(col("group"), col("term"))
+        .agg(count(lit(1)).as("gtf")),
+      materialize) { gf =>
+      val corpus = gf.groupBy(col("term")).agg(sum(col("gtf")).as("ctf"))
+      val total = corpus.agg(sum(col("ctf")).as("total_tokens"))
+      val groupTotals = gf.groupBy(col("group")).agg(sum(col("gtf")).as("gtot"))
+      gf.join(corpus, "term")
+        .join(broadcast(groupTotals), "group")
+        .crossJoin(broadcast(total))
+        .withColumn("pg", col("gtf").cast("double") / col("gtot").cast("double"))
+        .withColumn("p",
+          col("ctf").cast("double") / col("total_tokens").cast("double"))
+        .withColumn("part", col("pg") * log(col("pg") / col("p")))
+        .groupBy(col("group"))
+        .agg(
+          max(col("gtot")).cast("long").as("n_tokens"),
+          round(sum(col("part")), 4).as("kl"))
+    }
 }

@@ -422,4 +422,49 @@ class DedupSpec extends SparkSpec {
     val cp = capped.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(cp.contains((100L, 101L)), "real dups survive the frequency cap")
   }
+
+  test("pair operators release every internal persist (no session cache leak)") {
+    // The library contract (round-6/7/8 advice): a long-lived session
+    // composing dedup operators must not accumulate dead SQL-cache
+    // entries. Each persist-using operator materializes its pair output
+    // and releases its internals, so after any sequence of calls the
+    // cache manager is empty — without any harness-side clearCache.
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different document about spark caching"),
+      (4L, "a completely different document about spark caching discipline"))
+      .toDF("id", "text")
+    Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 3, 0.5).count()
+    Dedup.minhashLshPairs(docs, col("id"), col("text")).count()
+    Dedup.minhashLshVerifiedPairs(docs, col("id"), col("text")).count()
+    Dedup.containmentPairs(docs, col("id"), col("text"), 3, 0.5).count()
+    Dedup.containmentPairsLsh(docs, col("id"), col("text"), 3, 0.5).count()
+    Dedup.resolveClusters(
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")).count()
+    Dedup.dedupCorpus(docs, col("id"), col("text"), 3, 0.5).count()
+    val index = Dedup.corpusIndex(docs.filter(col("id") <= 2), col("id"), col("text"))
+    Dedup.nearDupAgainstIndex(
+      docs.filter(col("id") > 2), col("id"), col("text"), index, 0.5).count()
+    index.unpersist() // the one documented caller-owned handle
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operators leaked SQL cache entries into the session")
+  }
+
+  test("ranking operators release every internal persist (no session cache leak)") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Seq(
+      (1L, "spark window hash spark"),
+      (2L, "hash join shuffle spark"),
+      (3L, "the quick brown fox"))
+      .toDF("id", "text")
+    graft.operators.Ranking.tfIdfTopTerms(docs, col("id"), col("text"), 2).count()
+    graft.operators.Ranking.bm25(docs, col("id"), col("text"), Seq("spark"), 3).count()
+    graft.operators.Ranking.unigramLogProb(docs, col("id"), col("text")).count()
+    graft.operators.Ranking.oovRate(docs, col("id"), col("text"), 2).count()
+    graft.operators.Ranking.klDivergence(docs, col("id") % 2, col("text")).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ranking operators leaked SQL cache entries into the session")
+  }
 }

@@ -76,8 +76,14 @@ class PlanDisciplineSpec extends SparkSpec {
   }
 
   test("q73 vocab selection is a top-V, not a global sort of the vocabulary") {
-    assert(planOf("q73_oov_rate").contains("TakeOrderedAndProject"),
-      planOf("q73_oov_rate"))
+    // The materialized query ends in an RDD scan (tokenize-once
+    // discipline checkpoints the output), so assert on the LAZY form —
+    // the identical plan the materialization executes.
+    val lazyPlan = graft.operators.Ranking.oovRate(
+        graft.sources.Tables.documents(spark, sf),
+        col("doc_id"), col("text"), vocabSize = 20, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(lazyPlan.contains("TakeOrderedAndProject"), lazyPlan)
   }
 
   test("q74 joins centroids back by broadcast — the corpus is not shuffled") {
