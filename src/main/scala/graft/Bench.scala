@@ -15,12 +15,25 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * accumulates dead MEMORY_AND_DISK entries across queries (the round-7
   * bench died of exactly that accumulation plus a degraded sandbox).
   *
+  * Composed-query semantics (round 9): q64 and q66 are END-TO-END
+  * compositions, timed as such. q64 is the full dedup pipeline (pairs →
+  * clusters → survivors) — there is nothing to amortize. q66's time
+  * INCLUDES the one-time corpus-index build that the operator exists to
+  * amortize across many shard lookups: measured split at sf0.1
+  * (tools/Q66Split, same warmup+cold-cache methodology) is ~1.3 s build
+  * + ~1.0 s per warm probe, so steady-state incremental cost is the
+  * probe number, not the benched cold number. The bench keeps the
+  * composed time because the oracle-gated query is the composition.
+  *
   * Robustness contract (round-7 rc 124 post-mortem):
   *   - Per-query wall budget (`SPARK_GRAFT_BENCH_BUDGET` seconds,
   *     default 120): a watchdog cancels the query's job group at the
   *     deadline and the query is recorded in `"failed"` as
   *     `name:reason` — one pathological query can no longer hang the
-  *     whole run.
+  *     whole run. The watchdog only cancels SUBMITTED Spark jobs; a
+  *     query that hangs driver-side (analysis/codegen, before any job)
+  *     is not interrupted — the driver's outer timeout is the backstop
+  *     for that class.
   *   - Incremental evidence: each finished query appends a line to
   *     stderr and rewrites `bench_partial.json` (cwd) with everything
   *     measured so far, so even a SIGKILL leaves per-query data.
@@ -41,17 +54,21 @@ object Bench {
     def runOnce(name: String): Either[String, Double] = {
       val group = s"bench-$name-${System.nanoTime()}"
       sc.setJobGroup(group, name, interruptOnCancel = true)
+      // Classification is by whether the watchdog actually FIRED, not by
+      // comparing elapsed time to the budget: timer scheduling and
+      // cancellation latency would otherwise mislabel a near-deadline
+      // genuine failure as budget_exceeded (and vice versa).
+      @volatile var timedOut = false
       val watchdog = new java.util.Timer("bench-watchdog", true)
       watchdog.schedule(new java.util.TimerTask {
-        override def run(): Unit = sc.cancelJobGroup(group)
+        override def run(): Unit = { timedOut = true; sc.cancelJobGroup(group) }
       }, (budgetSec * 1000).toLong)
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
-        case _: Throwable if (System.nanoTime() - t0) / 1e9 >= budgetSec =>
-          Left("budget_exceeded")
+        case _: Throwable if timedOut => Left("budget_exceeded")
         case e: Throwable => Left(e.getClass.getSimpleName)
       } finally {
         watchdog.cancel()

@@ -22,6 +22,13 @@ object Verify {
     // kill the 2-pass bench — these timings are the judge's fallback
     // evidence when BENCH_r{N} fails (round-7 VERDICT item 6).
     var timings = Vector.empty[(String, Double)]
+    // Rewritten after EVERY query (not once at the end): these timings
+    // exist precisely to survive the conditions that kill a run — a hang
+    // or SIGKILL mid-loop must leave the queries measured so far.
+    def writeTimings(): Unit =
+      Files.writeString(Paths.get(s"$outDir/timings.json"),
+        timings.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}"))
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -36,10 +43,8 @@ object Verify {
       // Same hygiene as Bench: dedup/index queries persist intermediates;
       // without this the 75-query sweep accumulates dead cache entries.
       spark.catalog.clearCache()
+      writeTimings()
     }
-    Files.writeString(Paths.get(s"$outDir/timings.json"),
-      timings.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
