@@ -331,4 +331,24 @@ class CorpusMixSpec extends SparkSpec {
       assert(got(lang) == r4(exp), s"lang $lang")
     }
   }
+
+  test("materialize=false yields identical results to the default path") {
+    // The lazy form is the same plan minus the persist/checkpoint
+    // discipline — outputs must be row-for-row identical for every
+    // operator that offers the flag.
+    val df = randomDocs.toDF("id", "text", "lang")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(Ranking.tfIdfTopTerms(df, col("id"), col("text"), 2)) ==
+      rows(Ranking.tfIdfTopTerms(df, col("id"), col("text"), 2, materialize = false)))
+    assert(rows(Ranking.bm25(df, col("id"), col("text"), Seq("cat", "dog"), 5)) ==
+      rows(Ranking.bm25(df, col("id"), col("text"), Seq("cat", "dog"), 5,
+        materialize = false)))
+    assert(rows(Ranking.unigramLogProb(df, col("id"), col("text"))) ==
+      rows(Ranking.unigramLogProb(df, col("id"), col("text"), materialize = false)))
+    assert(rows(Ranking.oovRate(df, col("id"), col("text"), 3)) ==
+      rows(Ranking.oovRate(df, col("id"), col("text"), 3, materialize = false)))
+    assert(rows(Ranking.klDivergence(df, col("lang"), col("text"))) ==
+      rows(Ranking.klDivergence(df, col("lang"), col("text"), materialize = false)))
+  }
 }
