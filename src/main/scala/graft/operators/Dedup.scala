@@ -76,7 +76,8 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
+      maxShingleFreq: Option[Int] = None,
+      materialize: Boolean = true): DataFrame = {
     // Shingles are hashed to 64-bit longs up front: every downstream
     // shuffle/compare/intersect runs on fixed-width longs instead of
     // strings (collision probability over the corpus is ~|shingles|²/2⁶⁴,
@@ -98,7 +99,7 @@ object Dedup {
     // (|A|−⌈τ|A|⌉+1): probing against the larger doc's FULL set
     // tightens the pigeonhole to the (1−τ)/(1+τ) fraction.
     pairsByProbeWindow(
-      shingleRelation(docs, id, text, n),
+      shingleRelation(docs, id, text, n, materialize),
       nsh => {
         val p = (nsh - ceil(nsh * (2 * threshold / (1 + threshold))) + 1).cast("int")
         least(p * 2 - 1, nsh).cast("int")
@@ -111,7 +112,8 @@ object Dedup {
       score = (inter, na, nb) =>
         inter.cast("double") / (na + nb - inter),
       scoreName = "jaccard",
-      threshold = threshold, maxShingleFreq = maxShingleFreq)
+      threshold = threshold, maxShingleFreq = maxShingleFreq,
+      materialize = materialize)
   }
 
   /** MinHash signature: k min-hashes of the shingle set via the native
@@ -159,16 +161,20 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      materialize: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     // One-pass native shingle hashing feeds the signature mixes directly
     // (no shingle strings ever materialize). Persisted: it feeds the
     // band explode AND both sides of the estimate join below.
-    val sig = spread(docs).select(
+    val sig0 = spread(docs).select(
       id.cast("long").as("id"),
       graft.expressions.MinHashSig.minhashSigFromHashes(
         graft.expressions.HashedShingles.shingles(text, n), k).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig =
+      if (materialize)
+        sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sig0
     // The band self-join carries ONLY (id, band, bh): a banded row with
     // the k-long signature attached would push ~k·8 bytes per row — on
     // BOTH sides — through the join shuffle and duplicate two signatures
@@ -187,16 +193,15 @@ object Dedup {
     // Codegen'd signature agreement (graft.expressions.SigAgree): the HOF
     // formulation (size(filter(zip_with(...)))) is CodegenFallback and
     // allocates per pair — measured ~3.5x slower on the candidate set.
-    materializeAndRelease(
-      cand
-        .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-        .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-        .withColumn("est_jaccard",
-          graft.expressions.SigAgree.agree(col("sig_a"), col("sig_b"))
-            .cast("double") / k)
-        .filter(col("est_jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("est_jaccard")),
-      sig)
+    val result = cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        graft.expressions.SigAgree.agree(col("sig_a"), col("sig_b"))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    if (materialize) materializeAndRelease(result, sig) else result
   }
 
   /** MinHash+LSH near-dup pairs WITH exact verification — the full
@@ -229,7 +234,8 @@ object Dedup {
   def minhashLshVerifiedPairs(
       docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.8,
-      k: Int = 60, bands: Int = 20, bandSalts: Int = 1): DataFrame = {
+      k: Int = 60, bands: Int = 20, bandSalts: Int = 1,
+      materialize: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     require(bandSalts >= 1, "bandSalts must be >= 1")
     // One pass computes the hashed shingle set (exact verification), and
@@ -237,13 +243,16 @@ object Dedup {
     // generation) — each shingle string is hashed exactly once, and no
     // shingle strings survive past the projection; persisted because it
     // feeds the band explode AND both sides of the verify join.
-    val base = spread(docs).select(
+    val base0 = spread(docs).select(
       id.cast("long").as("id"),
       graft.expressions.HashedShingles.shingles(text, n).as("hs"))
       .select(col("id"), col("hs"),
         graft.expressions.MinHashSig.minhashSigFromHashes(col("hs"), k).as("sig"))
       .withColumn("n_sh", size(col("hs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base =
+      if (materialize)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
     val banded = bandedRows(base, k, bands, carry = Seq("n_sh"))
     val (a, b, saltCond) =
       if (bandSalts <= 1) (banded.as("a"), banded.as("b"), lit(true))
@@ -261,18 +270,17 @@ object Dedup {
           col("b.n_sh") >= ceil(col("a.n_sh") * threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    materializeAndRelease(
-      cand
-        .join(base.select(col("id").as("id_a"), col("hs").as("hs_a"),
-          col("n_sh").as("n_a")), "id_a")
-        .join(base.select(col("id").as("id_b"), col("hs").as("hs_b"),
-          col("n_sh").as("n_b")), "id_b")
-        .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-        .withColumn("jaccard",
-          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard")),
-      base)
+    val result = cand
+      .join(base.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (materialize) materializeAndRelease(result, base) else result
   }
 
   /** Shared (id, hs, n_sh) hashed-shingle relation of the containment
@@ -281,12 +289,16 @@ object Dedup {
     * ascending by hash — prefixes under this order are what the
     * pigeonhole/bottom-k arguments below rely on. */
   private def shingleRelation(
-      docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    spread(docs).select(
+      docs: DataFrame, id: Column, text: Column, n: Int,
+      materialize: Boolean = true): DataFrame = {
+    val rel = spread(docs).select(
       id.cast("long").as("id"),
       graft.expressions.HashedShingles.shingles(text, n).as("hs"))
       .withColumn("n_sh", size(col("hs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (materialize)
+      rel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else rel
+  }
 
   /** Probe/full pruning shared by the containment candidate generators:
     * both sides are semi-joined against ONE shared `allowed` hash set —
@@ -363,7 +375,8 @@ object Dedup {
       sizeCond: (Column, Column) => Column,
       score: (Column, Column, Column) => Column, scoreName: String,
       threshold: Double, maxShingleFreq: Option[Int],
-      sampledBound: Boolean = false): DataFrame = {
+      sampledBound: Boolean = false,
+      materialize: Boolean = true): DataFrame = {
     val window = slice(col("hs"), lit(1), windowLen(col("n_sh")))
     val probe0 = sh.select(col("id"), col("n_sh"), window.as("w"))
     val probedHashes = probe0.select(explode(col("w")).as("h")).distinct()
@@ -419,7 +432,8 @@ object Dedup {
         lit(1)))
       .select(least(col("sid"), col("lid")).as("id_a"),
         greatest(col("sid"), col("lid")).as("id_b"))
-    materializeAndRelease(verifyPairs(cand, sh, score, scoreName, threshold), sh)
+    val verified = verifyPairs(cand, sh, score, scoreName, threshold)
+    if (materialize) materializeAndRelease(verified, sh) else verified
   }
 
   /** Exact verification shared by every probe-window candidate
@@ -494,9 +508,10 @@ object Dedup {
   def containmentPairs(
       docs: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double,
-      maxShingleFreq: Option[Int] = None): DataFrame =
+      maxShingleFreq: Option[Int] = None,
+      materialize: Boolean = true): DataFrame =
     pairsByProbeWindow(
-      shingleRelation(docs, id, text, n),
+      shingleRelation(docs, id, text, n, materialize),
       nsh => {
         val p = (nsh - ceil(nsh * threshold) + 1).cast("int")
         least(p * 2 - 1, nsh).cast("int")
@@ -505,7 +520,8 @@ object Dedup {
       sizeCond = (_, _) => lit(true),
       score = (inter, na, nb) => inter.cast("double") / least(na, nb),
       scoreName = "containment",
-      threshold = threshold, maxShingleFreq = maxShingleFreq)
+      threshold = threshold, maxShingleFreq = maxShingleFreq,
+      materialize = materialize)
 
   /** Banded approximate containment — the mass-duplication scale path for
     * [[containmentPairs]], mirroring the q24-vs-q21 pattern of the
@@ -542,17 +558,19 @@ object Dedup {
   def containmentPairsLsh(
       docs: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double, sampleK: Int = 8,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
+      maxShingleFreq: Option[Int] = None,
+      materialize: Boolean = true): DataFrame = {
     require(sampleK >= 1, "sampleK must be >= 1")
     pairsByProbeWindow(
-      shingleRelation(docs, id, text, n),
+      shingleRelation(docs, id, text, n, materialize),
       nsh => least(lit(sampleK), nsh).cast("int"),
       slack = (sn, _) => (sn - ceil(sn * threshold)).cast("int"),
       sizeCond = (_, _) => lit(true),
       score = (inter, na, nb) => inter.cast("double") / least(na, nb),
       scoreName = "containment",
       threshold = threshold, maxShingleFreq = maxShingleFreq,
-      sampledBound = true)
+      sampledBound = true,
+      materialize = materialize)
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with

@@ -452,6 +452,25 @@ class DedupSpec extends SparkSpec {
       "operators leaked SQL cache entries into the session")
   }
 
+  test("dedup pair operators: materialize=false yields identical pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "a completely different document about spark caching"),
+      (4L, "a completely different document about spark caching discipline"))
+      .toDF("id", "text")
+    def pairs(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    assert(pairs(Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 3, 0.5)) ==
+      pairs(Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 3, 0.5,
+        materialize = false)))
+    assert(pairs(Dedup.minhashLshVerifiedPairs(docs, col("id"), col("text"), 3, 0.5)) ==
+      pairs(Dedup.minhashLshVerifiedPairs(docs, col("id"), col("text"), 3, 0.5,
+        materialize = false)))
+    assert(pairs(Dedup.containmentPairs(docs, col("id"), col("text"), 3, 0.5)) ==
+      pairs(Dedup.containmentPairs(docs, col("id"), col("text"), 3, 0.5,
+        materialize = false)))
+  }
+
   test("ranking operators release every internal persist (no session cache leak)") {
     spark.sharedState.cacheManager.clearCache()
     val docs = Seq(

@@ -86,6 +86,48 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(lazyPlan.contains("TakeOrderedAndProject"), lazyPlan)
   }
 
+  test("operator-internal plans (lazy forms) stay cartesian-free") {
+    // The materialize-by-default discipline (round 9) ends the PUBLIC
+    // plans of the dedup/ranking operators in an RDD scan, which would
+    // blind the whole-surface cartesian tripwire to their internals.
+    // The lazy forms are the identical plans the materialization
+    // executes — assert the discipline on those. (The capped
+    // containment path's broadcast(hotArr) crossJoin is a deliberate
+    // 1-row scalar broadcast, BroadcastNestedLoopJoin — not a
+    // CartesianProduct — so the assertion below still holds for it.)
+    import graft.operators.{Dedup, Ranking}
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val lazyPlans = Seq(
+      "ngramJaccardPairs" -> Dedup.ngramJaccardPairs(
+        docs, col("doc_id"), col("text"), 3, 0.8, materialize = false),
+      "ngramJaccardPairs capped" -> Dedup.ngramJaccardPairs(
+        docs, col("doc_id"), col("text"), 3, 0.8,
+        maxShingleFreq = Some(500), materialize = false),
+      "minhashLshPairs" -> Dedup.minhashLshPairs(
+        docs, col("doc_id"), col("text"), materialize = false),
+      "minhashLshVerifiedPairs" -> Dedup.minhashLshVerifiedPairs(
+        docs, col("doc_id"), col("text"), materialize = false),
+      "containmentPairs" -> Dedup.containmentPairs(
+        docs, col("doc_id"), col("text"), 3, 0.9, materialize = false),
+      "containmentPairsLsh" -> Dedup.containmentPairsLsh(
+        docs, col("doc_id"), col("text"), 3, 0.9, materialize = false),
+      "tfIdfTopTerms" -> Ranking.tfIdfTopTerms(
+        docs, col("doc_id"), col("text"), 3, materialize = false),
+      "bm25" -> Ranking.bm25(
+        docs, col("doc_id"), col("text"), Seq("spark"), 10, materialize = false),
+      "unigramLogProb" -> Ranking.unigramLogProb(
+        docs, col("doc_id"), col("text"), materialize = false),
+      "oovRate" -> Ranking.oovRate(
+        docs, col("doc_id"), col("text"), 20, materialize = false),
+      "klDivergence" -> Ranking.klDivergence(
+        docs, col("source"), col("text"), materialize = false))
+    for ((name, df) <- lazyPlans) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
   test("q74 joins centroids back by broadcast — the corpus is not shuffled") {
     assert(planOf("q74_centroid_scores").contains("BroadcastHashJoin"),
       planOf("q74_centroid_scores"))
