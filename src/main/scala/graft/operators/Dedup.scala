@@ -654,6 +654,59 @@ object Dedup {
       .select(col("id"), col("n_sh"), col("n_hit"), col("overlap"))
   }
 
+  /** Bloom-filtered variant of [[crossCorpusOverlap]] — the
+    * decontamination shape where the REFERENCE side (benchmark/eval
+    * suites) is bounded and the probe side is the 100 TB training
+    * corpus. The reference's distinct shingles are folded into a Bloom
+    * filter in ONE shuffle-free `treeAggregate` pass (duplicate inserts
+    * are idempotent, so no distinct aggregation is needed), and the
+    * probe side is filtered MAP-SIDE by the codegen'd
+    * [[graft.expressions.BloomMightContain]] probe — the huge side
+    * never shuffles for the membership test, only for its own per-doc
+    * count aggregation.
+    *
+    * Versus the exact path's semi join (which AQE already turns into a
+    * broadcast hash join when the reference is small): the broadcast
+    * hash set costs 8+ bytes per element plus table overhead, the Bloom
+    * filter ~1.2 bytes per element at fpp = 1% — roughly an order of
+    * magnitude more reference-set reach for the same broadcast budget.
+    * The trade is one-sided error: `overlap` can only be INFLATED (per
+    * probed shingle, by at most fpp in expectation), never deflated —
+    * a contamination SCREEN, with the exact path as the confirmation
+    * pass on the flagged slice. `expectedItems` sizes the filter
+    * (default: one HLL pass over the reference grams); the filter must
+    * fit the driver and the plan broadcast — at fpp 1% that is ~120 MB
+    * per 1e8 distinct shingles, the practical ceiling of this variant.
+    * Output: (id, n_sh, n_hit, overlap) — same shape as the exact path.
+    */
+  def crossCorpusOverlapBloom(
+      probe: DataFrame, probeId: Column, probeText: Column,
+      corpus: DataFrame, corpusText: Column, n: Int,
+      fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
+    val corpusGrams = spread(corpus)
+      .select(explode(graft.expressions.HashedShingles.shingles(corpusText, n)).as("g"))
+    val expected = expectedItems.getOrElse(
+      math.max(1L,
+        corpusGrams.select(approx_count_distinct(col("g")))
+          .collect().head.getLong(0)))
+    val bf = graft.expressions.BloomMightContain.serialize(
+      corpusGrams.stat.bloomFilter("g", expected, fpp))
+    val probeSh = spread(probe).select(
+      probeId.cast("long").as("id"),
+      graft.expressions.HashedShingles.shingles(probeText, n).as("s"))
+      .withColumn("n_sh", size(col("s")))
+    val hits = probeSh.select(col("id"), col("n_sh"), explode(col("s")).as("g"))
+      .filter(graft.expressions.BloomMightContain.mightContain(col("g"), bf))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hit"))
+    probeSh.select(col("id"), col("n_sh"))
+      .join(hits, Seq("id"), "left")   // zero-hit docs keep a row
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("overlap", col("n_hit").cast("double") / col("n_sh"))
+      .select(col("id"), col("n_sh"), col("n_hit"), col("overlap"))
+  }
+
   /** One-call corpus dedup: exact + near-dup (n-gram Jaccard) detection,
     * cluster resolution, keep one survivor per cluster — returns the
     * deduplicated corpus rows. The composed form of the pipeline a

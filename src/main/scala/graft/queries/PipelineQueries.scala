@@ -277,6 +277,30 @@ object PipelineQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** q76 — Bloom-screened decontamination: q43's shape through
+    * [[Dedup.crossCorpusOverlapBloom]] — the corpus side folds into a
+    * broadcast Bloom filter (one shuffle-free treeAggregate pass;
+    * ~1.2 bytes per distinct shingle at fpp 1% vs 8+ for a broadcast
+    * hash set) and the probe side is screened MAP-SIDE by the codegen'd
+    * `bloom_might_contain` probe. One-sided error: overlap can only be
+    * inflated, never deflated, so the screen never misses contamination
+    * — DedupSpec pins `bloom ≥ exact` per doc and the exact-1.0 flag on
+    * fully contaminated docs. NOT oracle-checkable by necessity (the
+    * filter's bit pattern is Spark's Murmur3 Bloom, not expressible in
+    * DuckDB SQL), same declared class as q25: driver records a
+    * rows-only check; the Spark-side spec is the gate. Output is
+    * deterministic (fixed filter seed, order-independent bitset OR). */
+  def q76BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(
+      graft.sources.Ingest.documentsBySourceLanding(spark, dir))
+    Dedup.crossCorpusOverlapBloom(
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") =!= "src0"), col("text"), n = 3,
+        fpp = 0.001)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   /** q62 — n-gram repetition score (the Gopher/C4-style repetitiveness
     * quality rule): per document, the fraction of its 2-grams occupied by
     * the single most frequent 2-gram. Unlike the dedup family this keeps
@@ -407,6 +431,7 @@ object PipelineQueries {
     "q39_seq_packing"     -> q39SequencePacking _,
     "q40_top_ngrams"      -> q40TopNgrams _,
     "q43_contamination"   -> q43Contamination _,
+    "q76_bloom_decontam"  -> q76BloomDecontam _,
     "q46_rolling_hash"    -> q46RollingHash _,
     "q62_repetition"      -> q62Repetition _,
     "q63_stratified_sample" -> q63StratifiedSample _,

@@ -452,6 +452,35 @@ class DedupSpec extends SparkSpec {
       "operators leaked SQL cache entries into the session")
   }
 
+  test("crossCorpusOverlapBloom: no false negatives vs the exact path") {
+    val corpus = Seq(
+      (10L, "the benchmark question about spark shuffles and joins"),
+      (11L, "another held out evaluation prompt concerning windows"))
+      .toDF("cid", "ctext")
+    val probes = Seq(
+      (100L, "the benchmark question about spark shuffles and joins"), // contaminated
+      (101L, "totally novel training document with fresh content here"), // novel
+      (102L, "another held out evaluation prompt concerning windows plus extra tail"))
+      .toDF("id", "text")
+    def byId(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("overlap"))).toMap
+    val exact = byId(Dedup.crossCorpusOverlap(
+      probes, col("id"), col("text"), corpus, col("ctext"), n = 3))
+    val bloom = byId(Dedup.crossCorpusOverlapBloom(
+      probes, col("id"), col("text"), corpus, col("ctext"), n = 3, fpp = 0.001))
+    // One-sided error: the screen may inflate, never deflate.
+    for ((id, (hits, ov)) <- exact) {
+      assert(bloom(id)._1 >= hits, s"doc $id lost hits: bloom=${bloom(id)._1} exact=$hits")
+      assert(bloom(id)._2 >= ov, s"doc $id deflated overlap")
+    }
+    // Fully contaminated doc is flagged at exactly 1.0 either way.
+    assert(exact(100L)._2 == 1.0 && bloom(100L)._2 == 1.0)
+    // At fpp=0.001 on a ~50-shingle novel doc, expected false hits ≈ 0.05:
+    // the screen stays discriminative, not saturated.
+    assert(bloom(101L)._2 <= 0.2, s"novel doc saturated: ${bloom(101L)}")
+  }
+
   test("dedup pair operators: materialize=false yields identical pairs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

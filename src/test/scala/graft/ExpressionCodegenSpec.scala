@@ -210,4 +210,29 @@ class ExpressionCodegenSpec extends SparkSpec {
     // '*(n)' prefixes mark whole-stage-codegen'd operators in this format
     assert(plan.contains("*(1) Project [simhash64"), s"plan:\n$plan")
   }
+
+  test("bloom_might_contain: codegen equals interpreted, no false negatives") {
+    import graft.expressions.BloomMightContain
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(1000, 0.01)
+    (0L until 500L).foreach(i => bf.putLong(i * 37L))
+    val bytes = BloomMightContain.serialize(bf)
+    val ids = (0 until 1000).map(i => i.toLong * 37L) ++
+      (0 until 1000).map(i => i.toLong * 37L + 1L)
+    val df = ids.toDF("h").repartition(3)
+    val got = df
+      .select(col("h"), BloomMightContain.mightContain(col("h"), bytes).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // no false negatives: every inserted hash answers true
+    (0L until 500L).foreach(i => assert(got(i * 37L), s"false negative at $i"))
+    // interpreted path agrees with the codegen'd projection
+    ids.foreach { h =>
+      assert(got(h) == bf.mightContainLong(h), s"codegen/driver mismatch at $h")
+    }
+    // the bitset must not leak into plan strings
+    val plan = df.select(BloomMightContain.mightContain(col("h"), bytes))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("bytes>"), plan)
+    assert(plan.length < 10000, s"plan string embeds the filter: ${plan.length}")
+  }
 }
