@@ -4,9 +4,10 @@ import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Membership probe of a 64-bit hash against a pre-built Bloom filter —
@@ -35,6 +36,26 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
+
+  // Enforced at analysis, not discovered at runtime: without this, a
+  // non-long child passes analysis and dies per-row in a
+  // ClassCastException inside nullSafeEval/codegen.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a LONG (64-bit hash) input, got ${child.dataType.catalogString}")
+
+  // Array[Byte] under case-class equals is reference equality, which
+  // would make two semantically identical probes never compare equal —
+  // Catalyst canonicalization (subexpression elimination, exchange
+  // reuse) keys on expression equality. Compare filter CONTENTS.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
 
   // Deserialized at most once per (de)serialized plan copy — i.e. once
   // per executor, not per row/partition.

@@ -686,12 +686,25 @@ object Dedup {
       expectedItems: Option[Long] = None): DataFrame = {
     val corpusGrams = spread(corpus)
       .select(explode(graft.expressions.HashedShingles.shingles(corpusText, n)).as("g"))
-    val expected = expectedItems.getOrElse(
-      math.max(1L,
-        corpusGrams.select(approx_count_distinct(col("g")))
-          .collect().head.getLong(0)))
-    val bf = graft.expressions.BloomMightContain.serialize(
-      corpusGrams.stat.bloomFilter("g", expected, fpp))
+    // The default path needs TWO actions over the reference grams (the
+    // HLL sizing pass, then the filter-build pass): persist across them
+    // so the scan+tokenization runs once, and release immediately — the
+    // filter bytes are what outlives this call, not the frame. An
+    // explicit `expectedItems` skips the sizing action entirely.
+    val bf = expectedItems match {
+      case Some(exp) =>
+        graft.expressions.BloomMightContain.serialize(
+          corpusGrams.stat.bloomFilter("g", math.max(1L, exp), fpp))
+      case None =>
+        corpusGrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val expected = math.max(1L,
+            corpusGrams.select(approx_count_distinct(col("g")))
+              .collect().head.getLong(0))
+          graft.expressions.BloomMightContain.serialize(
+            corpusGrams.stat.bloomFilter("g", expected, fpp))
+        } finally corpusGrams.unpersist(blocking = false)
+    }
     val probeSh = spread(probe).select(
       probeId.cast("long").as("id"),
       graft.expressions.HashedShingles.shingles(probeText, n).as("s"))

@@ -22,6 +22,16 @@ import org.apache.spark.sql.DataFrame
   * durable blocks). Callers that need a fully LAZY composable plan use
   * the handle-managed paths ([[Dedup.corpusIndex]]) or the streaming
   * entry points, which never persist per batch.
+  *
+  * Reclamation timing: localCheckpoint blocks are freed when the result
+  * frame becomes unreferenced AND a driver GC cycle lets the
+  * ContextCleaner see it — they are invisible to
+  * `catalog.clearCache()`. In a long multi-query session (Verify's
+  * full-surface sweep, bench loops) blocks from earlier queries can
+  * linger until GC; `spark.cleaner.periodicGC.interval` (default 30min)
+  * bounds the lag. If memory pressure appears in such a session,
+  * suspect this lag before diagnosing a cache leak — the
+  * MEMORY_AND_DISK level means lingering blocks spill rather than OOM.
   */
 private[graft] object Materialize {
   def andRelease(result: DataFrame, interned: DataFrame*): DataFrame =

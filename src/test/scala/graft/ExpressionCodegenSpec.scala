@@ -235,4 +235,32 @@ class ExpressionCodegenSpec extends SparkSpec {
     assert(plan.contains("bytes>"), plan)
     assert(plan.length < 10000, s"plan string embeds the filter: ${plan.length}")
   }
+
+  test("bloom_might_contain: content equality + analysis-time type check") {
+    import graft.expressions.BloomMightContain
+    import org.apache.spark.util.sketch.BloomFilter
+    def mkBytes(): Array[Byte] = {
+      val bf = BloomFilter.create(100, 0.01)
+      (0L until 50L).foreach(bf.putLong)
+      BloomMightContain.serialize(bf)
+    }
+    // Two filters built identically serialize to equal-content but
+    // DISTINCT arrays: expression equality must compare contents, or
+    // Catalyst canonicalization (subexpression elimination, exchange
+    // reuse) never matches two semantically identical probes.
+    val (b1, b2) = (mkBytes(), mkBytes())
+    assert(!(b1 eq b2) && java.util.Arrays.equals(b1, b2))
+    val child = org.apache.spark.sql.GraftBridge.expression(col("h"))
+    val (e1, e2) = (graft.expressions.BloomMightContain(child, b1),
+      graft.expressions.BloomMightContain(child, b2))
+    assert(e1 == e2, "content-equal filters must compare equal")
+    assert(e1.hashCode == e2.hashCode)
+    // A non-long child must fail ANALYSIS, not die per-row at runtime.
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("s")
+        .select(BloomMightContain.mightContain(col("s"), b1))
+        .collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("long"), bad.getMessage)
+  }
 }
