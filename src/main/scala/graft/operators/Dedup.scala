@@ -720,6 +720,60 @@ object Dedup {
       .select(col("id"), col("n_sh"), col("n_hit"), col("overlap"))
   }
 
+  /** Substring-level cross-document dedup — the third dedup modality a
+    * training pipeline runs alongside doc-level exact ([[exact]]) and
+    * near-dup ([[ngramJaccardPairs]]/[[minhashLshVerifiedPairs]]):
+    * detect every maximal span of k-token windows whose text also occurs
+    * in at least `minDocs - 1` OTHER documents (the repeated-substring
+    * removal pass of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499, at window granularity —
+    * the cross-document composition of the per-document fingerprint
+    * primitive [[graft.functions.TextFunctions.rollingHash]] / q46).
+    *
+    * Shape: tokenize → slide a k-token window per position → 64-bit-hash
+    * each window (the shuffle carries 8-byte keys, never k-token
+    * strings) → count DISTINCT docs per window hash (partial+final agg)
+    * → semi-join the positions of windows seen in ≥ minDocs docs →
+    * collapse adjacent positions into maximal spans with a
+    * gaps-and-islands window function PARTITIONED BY doc (per-doc state
+    * only — no global window, so the collapse scales with the corpus).
+    * Intra-doc repetition alone does NOT flag a span (that is q62's
+    * repetition metric); the count is distinct-doc.
+    *
+    * Output: (doc_id, span_start, span_end, n_windows) — token-index
+    * spans (inclusive, 0-based) a pipeline would cut or use to down-weight
+    * docs. xxhash64 window collisions could in principle flag a clean
+    * span (~1e-9 at 1e5 windows); the exact-text verify pass of the
+    * near-dup operators is the template if that ever matters. */
+  def repeatedSpans(
+      docs: DataFrame, id: Column, text: Column,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = TextFunctions.tokens(text)
+    val base = spread(docs)
+      .select(id.cast("long").as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+    // posexplode over the transform output: pos is the array index, which
+    // is exactly the window's 0-based start token position.
+    val wins = base.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("toks")) - k), i =>
+        array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("col")).as("h"))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val dupWins = wins.join(dupHashes, Seq("h"), "left_semi")
+    val island = col("pos") -
+      row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    dupWins.withColumn("grp", island)
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** One-call corpus dedup: exact + near-dup (n-gram Jaccard) detection,
     * cluster resolution, keep one survivor per cluster — returns the
     * deduplicated corpus rows. The composed form of the pipeline a

@@ -414,6 +414,14 @@ object PipelineQueries {
       .select(col("doc_id"), rollingHash(col("text")).as("fp"))
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** q77 — substring-level cross-doc dedup: maximal spans of 8-token
+    * windows whose text recurs in ≥2 distinct documents (the
+    * repeated-substring modality; [[Dedup.repeatedSpans]]). */
+  def q77RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), k = 8)
+      .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("span_start"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_text_stats"      -> q18TextStats _,
     "q19_langid"          -> q19LangId _,
@@ -433,6 +441,7 @@ object PipelineQueries {
     "q43_contamination"   -> q43Contamination _,
     "q76_bloom_decontam"  -> q76BloomDecontam _,
     "q46_rolling_hash"    -> q46RollingHash _,
+    "q77_repeated_spans"  -> q77RepeatedSpans _,
     "q62_repetition"      -> q62Repetition _,
     "q63_stratified_sample" -> q63StratifiedSample _,
     "q64_dedup_corpus"    -> q64DedupCorpus _,
@@ -499,6 +508,22 @@ object PipelineQueries {
         |     i -> CAST(ord(text[i]) AS BIGINT)),
         |   (acc, b) -> (acc * 31 + b) % 1000000007) AS fp
         | FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q77_repeated_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | w AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 7),
+        |     i -> struct_pack(pos := i,
+        |       w := array_to_string(toks[i+1:i+8], ' ')))) AS u
+        |   FROM t WHERE len(toks) >= 8),
+        | wx AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM w),
+        | d AS (SELECT w FROM wx GROUP BY w
+        |   HAVING count(DISTINCT doc_id) >= 2),
+        | dw AS (SELECT wx.doc_id, wx.pos FROM wx JOIN d USING (w)),
+        | isl AS (SELECT doc_id, pos, pos - row_number()
+        |     OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dw)
+        |SELECT doc_id, min(pos) AS span_start,
+        |   max(pos) + 7 AS span_end, count(*) AS n_windows
+        | FROM isl GROUP BY doc_id, grp
+        | ORDER BY doc_id NULLS FIRST, span_start NULLS FIRST""".stripMargin,
     "q62_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | g AS (SELECT doc_id, CASE WHEN len(toks) < 2

@@ -515,4 +515,41 @@ class DedupSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "ranking operators leaked SQL cache entries into the session")
   }
+
+  test("repeatedSpans: cross-doc shared run becomes one maximal span; intra-doc repeats don't flag") {
+    // Docs A and B share tokens 3..10 (an 8-token run → exactly one
+    // k=4 window chain); C repeats a phrase INTERNALLY only; D is clean.
+    val shared = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val corpus = Seq(
+      (10L, s"aa bb cc $shared dd ee"),
+      (20L, s"xx yy zz $shared qq"),
+      (30L, "one two three four one two three four one two three four"),
+      (40L, "entirely unrelated text with no overlap at all whatsoever"))
+      .toDF("id", "text")
+    val got = Dedup.repeatedSpans(corpus, col("id"), col("text"), k = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_windows")))
+      .sortBy(t => (t._1, t._2))
+    // The 8 shared tokens start at position 3 in both docs: five k=4
+    // windows (positions 3..7) collapse into ONE maximal span covering
+    // token indices 3..10. Doc 30's intra-doc repetition and doc 40
+    // must not appear (distinct-doc count gate).
+    assert(got.toSeq == Seq((10L, 3L, 10L, 5L), (20L, 3L, 10L, 5L)), got.toSeq)
+  }
+
+  test("repeatedSpans: minDocs=3 requires the window in three distinct docs") {
+    val phrase = "alpha beta gamma delta"
+    val corpus = Seq(
+      (1L, s"$phrase one"), (2L, s"$phrase two"), (3L, s"three $phrase"))
+      .toDF("id", "text")
+    val pairsOnly = Dedup.repeatedSpans(corpus, col("id"), col("text"),
+      k = 4, minDocs = 3)
+    // the 4-token phrase occurs in all three docs → flagged in each
+    assert(pairsOnly.count() == 3)
+    val strict = Dedup.repeatedSpans(
+      corpus.filter(col("id") =!= 3), col("id"), col("text"),
+      k = 4, minDocs = 3)
+    assert(strict.count() == 0) // only two docs share it now
+  }
 }
