@@ -140,6 +140,22 @@ object Similarity {
       .select(col("id"), col("sim"))
   }
 
+  /** 1-row recall summary of an approximate result against its exact
+    * baseline, joined on `on`: (n_exact, n_approx, n_hit) where n_hit
+    * counts exact rows the approximate result reproduced. All three
+    * inputs are top-k / pair-set sized, so the three single-row
+    * aggregates and their cross joins are trivially broadcast. This is
+    * the declared-surface gate for the approximate ANN paths (q78/q79):
+    * the driver sees recall as data, not just as a spec assertion. */
+  def recallStats(exact: DataFrame, approx: DataFrame, on: Seq[String]): DataFrame = {
+    val e = exact.select(on.map(col): _*)
+    val a = approx.select(on.map(col): _*)
+    val nE = e.agg(count(lit(1)).as("n_exact"))
+    val nA = a.agg(count(lit(1)).as("n_approx"))
+    val nH = e.join(a, on, "left_semi").agg(count(lit(1)).as("n_hit"))
+    nE.crossJoin(nA).crossJoin(nH)
+  }
+
   /** Per-group embedding centroids: mean vector over each `group`'s
     * rows, as `array<double>`.
     *

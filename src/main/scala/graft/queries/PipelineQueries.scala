@@ -381,6 +381,80 @@ object PipelineQueries {
       .orderBy(asc("query_id"), asc("rank"))
   }
 
+  /** q78 — IVF ANN recall gate, the approximate path promoted into the
+    * declared surface: exact brute-force top-10 for query vec 0 is the
+    * baseline; probing ALL posting lists must reproduce it exactly
+    * (completeness — deterministic, so a hard equality), and a 3-of-8
+    * partial probe must keep recall ≥ 0.5 (the quality floor
+    * `SimilaritySpec` pins; centroids can shift with partitioning, the
+    * floor cannot). The 1-row collect is the query vector itself — the
+    * IVF probe's driver-side input, same bounded class as every scalar
+    * subquery. DuckDB verifies n_exact from the exact side; the two
+    * booleans are the recall CONTRACT (literal true in the oracle): if
+    * the approximate path regresses, Spark emits false → hash mismatch. */
+  def q78IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+      corpus, col("vec_id"), col("embedding"), q, k = 10)
+    val (centroids, indexed) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    val full = Similarity.ivfTopK(centroids, indexed, qv, k = 10, nProbe = 8)
+    val partial = Similarity.ivfTopK(centroids, indexed, qv, k = 10, nProbe = 3)
+    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+      .select(col("n_hit").as("n_hit_partial"))
+    fullStats.crossJoin(partStats).select(
+      col("n_exact"),
+      (col("n_approx") === col("n_exact") &&
+        col("n_hit") === col("n_exact")).as("full_probe_exact"),
+      (col("n_hit_partial") >= col("n_exact") * 0.5).as("partial_recall_ok"))
+  }
+
+  /** q79 — hyperplane-LSH recall gate (top-k and near-dup pairs):
+    * probing every bucket (probeHamming = nBits) must equal brute-force
+    * exactly; a Hamming-6 multi-probe must keep top-10 recall ≥ 0.3
+    * (testdata's neighbors sit at cosine ~0.5 — 16·θ/π ≈ 5.6 expected
+    * bit flips, so Hamming-6 probing is the honest mid-recall regime,
+    * NOT the ≥0.99-cosine regime where LSH recall ≈ 1); and
+    * [[Dedup.embeddingPairsLsh]] must be SOUND — every pair it emits
+    * appears in the exact pair set with the identical verified cosine
+    * (blocking loses pairs, the verify pass must never invent one).
+    * Oracle contract as in q78: n_exact from data, booleans literal. */
+  def q79LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+      corpus, col("vec_id"), col("embedding"), q, k = 10)
+    val bucketed = Similarity.bucketize(
+      corpus, col("vec_id"), col("embedding"), nBits = 16)
+    val full = Similarity.lshTopK(bucketed, q, k = 10, nBits = 16,
+      probeHamming = 16)
+    val partial = Similarity.lshTopK(bucketed, q, k = 10, nBits = 16,
+      probeHamming = 6)
+    val exactPairs = Dedup.embeddingPairs(
+        emb, col("vec_id"), col("embedding"), threshold = 0.45)
+      .withColumn("cosine", round(col("cosine"), 4))
+    val lshPairs = Dedup.embeddingPairsLsh(
+        emb, col("vec_id"), col("embedding"), threshold = 0.45, nBits = 4)
+      .withColumn("cosine", round(col("cosine"), 4))
+    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+      .select(col("n_hit").as("n_hit_partial"))
+    val pairStats = Similarity
+      .recallStats(exactPairs, lshPairs, Seq("id_a", "id_b", "cosine"))
+      .select(col("n_approx").as("n_lsh_pairs"), col("n_hit").as("n_pair_hit"))
+    fullStats.crossJoin(partStats).crossJoin(pairStats).select(
+      col("n_exact"),
+      (col("n_approx") === col("n_exact") &&
+        col("n_hit") === col("n_exact")).as("full_probe_exact"),
+      (col("n_hit_partial") >= col("n_exact") * 0.3).as("partial_recall_ok"),
+      (col("n_pair_hit") === col("n_lsh_pairs")).as("pairs_sound"))
+  }
+
   /** q66 — incremental shard-vs-corpus near-dup: the src0 slice plays
     * the arriving shard, everything else the indexed reference corpus
     * ([[graft.operators.Dedup.corpusIndex]] built once + banded lookup
@@ -446,6 +520,8 @@ object PipelineQueries {
     "q63_stratified_sample" -> q63StratifiedSample _,
     "q64_dedup_corpus"    -> q64DedupCorpus _,
     "q65_batch_knn"       -> q65BatchKnn _,
+    "q78_ivf_recall"      -> q78IvfRecall _,
+    "q79_lsh_recall"      -> q79LshRecall _,
     "q66_incremental_neardup" -> q66IncrementalNearDup _,
   )
 
@@ -456,6 +532,22 @@ object PipelineQueries {
 
   /** Shared SQL fragments mirroring TextFunctions exactly. */
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** The exact brute-force top-10 of q22's oracle, shared by the
+    * q78/q79 recall-gate oracles (their n_exact column must be verified
+    * by the same real exact-side compute, not a shortcut count). */
+  private val exactTop10Sql =
+    """q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      | s AS (SELECT e.vec_id AS id, round(
+      |   list_sum(list_transform(range(len(e.embedding)),
+      |     i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+      |       i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(range(len(q.qv)),
+      |       i -> CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))))), 4)
+      |   AS sim
+      |  FROM embeddings e, q WHERE e.vec_id <> 0),
+      | top AS (SELECT id, sim FROM s ORDER BY sim DESC, id LIMIT 10)""".stripMargin
   private def nTokSql(toks: String) =
     s"CASE WHEN len(trim(text)) = 0 THEN 0 ELSE CAST(len($toks) AS INTEGER) END"
   private def hitsSql(toks: String, set: String) =
@@ -601,6 +693,22 @@ object PipelineQueries {
         |     ORDER BY sim DESC, id) AS rank FROM s)
         |SELECT query_id, id, sim, CAST(rank AS INTEGER) AS rank
         | FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q78/q79 oracle contract: n_exact is verified from the data by
+    // running the SAME exact brute-force top-10 the Spark baseline runs
+    // (q22's oracle shape) — not a shortcut count — so the oracle pays
+    // the comparable exact-side compute. The booleans are the recall
+    // contract as literals: a recall regression makes Spark emit false
+    // and the driver's hash compare flags it. (The Spark side runs the
+    // exact baseline PLUS index build PLUS two approximate probes, so
+    // its bench time is by design a multiple of the oracle's.)
+    "q78_ivf_recall" ->
+      s"""WITH $exactTop10Sql
+        |SELECT count(*) AS n_exact, true AS full_probe_exact,
+        | true AS partial_recall_ok FROM top""".stripMargin,
+    "q79_lsh_recall" ->
+      s"""WITH $exactTop10Sql
+        |SELECT count(*) AS n_exact, true AS full_probe_exact,
+        | true AS partial_recall_ok, true AS pairs_sound FROM top""".stripMargin,
     "q66_incremental_neardup" ->
       s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
         | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3

@@ -32,12 +32,16 @@ class PlanDisciplineSpec extends SparkSpec {
     *     aggregates; q70's rate build crosses the ≤|strata|-row count
     *     frame with its 1-row total) — constant-size broadcasts again,
     *   - q72/q75: the 1-row total-token-count broadcast of the corpus
-    *     unigram LM (LM term joins themselves are hash joins). */
+    *     unigram LM (LM term joins themselves are hash joins),
+    *   - q78/q79: the recall gates — the exact baselines they measure
+    *     against are q22/q23's broadcast shapes, and the final result is
+    *     a cross of 1-row recallStats aggregates. */
   private val allowedNestedLoop = Set(
     "q9_peak_flag", "q10_outliers", "q32_histogram", "q33_minmax_norm",
     "q22_knn_cosine", "q23_embed_neardup", "q65_batch_knn",
     "q67_tfidf", "q68_bm25", "q70_temperature_sample",
-    "q72_unigram_logprob", "q75_source_kl")
+    "q72_unigram_logprob", "q75_source_kl",
+    "q78_ivf_recall", "q79_lsh_recall")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

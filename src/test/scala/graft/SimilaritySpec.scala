@@ -84,4 +84,16 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getAs[Long]("id")).toSeq
     assert(got.take(2).toSet == Set(10L, 11L))
   }
+
+  test("recallStats counts exact/approx/hit over the join columns") {
+    import spark.implicits._
+    val exact = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "sim")
+    val approx = Seq((1L, 0.9), (3L, 0.7), (9L, 0.5)).toDF("id", "sim")
+    val r = Similarity.recallStats(exact, approx, Seq("id", "sim")).collect().head
+    assert((r.getAs[Long]("n_exact"), r.getAs[Long]("n_approx"),
+      r.getAs[Long]("n_hit")) == ((3L, 3L, 2L)))
+    // id-only join ignores score mismatches
+    val r2 = Similarity.recallStats(exact, approx, Seq("id")).collect().head
+    assert(r2.getAs[Long]("n_hit") == 2L)
+  }
 }
