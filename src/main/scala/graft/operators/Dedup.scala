@@ -774,6 +774,45 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** The remediation half of [[repeatedSpans]]: remove every token
+    * covered by a repeated cross-doc span and return the cleaned corpus
+    * — (doc_id, n_before, n_after, text_clean). This is the actual cut
+    * step of substring-level dedup (detect → cut), so a pipeline can run
+    * it as one operator instead of re-implementing the span algebra.
+    *
+    * Shape: [[repeatedSpans]] runs as-is; its per-doc spans (tiny —
+    * maximal disjoint islands) collect into ONE array per doc and join
+    * back LEFT onto the tokenized corpus, so clean docs pass through
+    * untouched and the cut itself is a single codegen'd
+    * filter-by-position HOF projection per doc — no extra shuffle beyond
+    * the span detection and the doc-keyed join. Span arrays per doc are
+    * bounded by n_tokens/k, so `collect_list` here cannot blow up. */
+  def removeRepeatedSpans(
+      docs: DataFrame, id: Column, text: Column,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = repeatedSpans(docs, id, text, k, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+    val base = spread(docs).select(
+      id.cast("long").as("doc_id"), TextFunctions.tokens(text).as("toks"))
+    base.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        filter(
+          zip_with(col("toks"), sequence(lit(0), size(col("toks")) - 1),
+            (t, i) => struct(t.as("t"), i.as("i"))),
+          p => coalesce(
+            !exists(col("spans"), s =>
+              p.getField("i") >= s.getField("s") &&
+                p.getField("i") <= s.getField("e")),
+            lit(true))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        array_join(transform(col("kept"), p => p.getField("t")), " ")
+          .as("text_clean"))
+  }
+
   /** One-call corpus dedup: exact + near-dup (n-gram Jaccard) detection,
     * cluster resolution, keep one survivor per cluster — returns the
     * deduplicated corpus rows. The composed form of the pipeline a

@@ -70,20 +70,39 @@ object Similarity {
       id.cast("long").as("id"), vec.as("v"),
       VectorFunctions.hyperplaneBucket(vec, nBits).as("bucket"))
 
-  /** IVF index: k-means centroids trained on (a sample of) the corpus,
-    * every vector assigned to its nearest centroid (the "inverted list"
-    * it lives in). Persist/bucket the result by `list` for repeated
-    * querying; at 100 TB each posting list is a partition-prunable
-    * stripe. Returns (centroids, corpus+list). */
+  /** IVF index: k-means centroids trained on a bounded SAMPLE of the
+    * corpus, every vector assigned to its nearest centroid (the
+    * "inverted list" it lives in). Persist/bucket the result by `list`
+    * for repeated querying; at 100 TB each posting list is a
+    * partition-prunable stripe.
+    *
+    * Sample fit is the scale design, not an approximation shortcut: the
+    * centroid ESTIMATE converges with the sample (IVF quality needs
+    * representative centroids, not centroids that saw every row — the
+    * FAISS training convention), while the fit's per-iteration cost is
+    * bounded by `fitSampleRows` instead of growing with the corpus. The
+    * ASSIGNMENT pass still covers every vector — one broadcast-centroid
+    * map pass, embarrassingly parallel. Corpora at or under
+    * `fitSampleRows` fit on everything (sampling would only discard
+    * signal). Returns (centroids, corpus+list). */
   def ivfIndex(
       corpus: DataFrame, id: Column, vec: Column,
-      nLists: Int, seed: Long = 42L): (Array[Array[Float]], DataFrame) = {
+      nLists: Int, seed: Long = 42L,
+      fitSampleRows: Long = 100000L): (Array[Array[Float]], DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = Dedup.spread(corpus).select(id.cast("long").as("id"), vec.as("v"))
     val assembled = c.withColumn("features", array_to_vector(col("v")))
+    // countApprox-free sizing: one cheap count on the narrow projection.
+    // (The fit below iterates ~10× over its input; paying one count to
+    // bound that input is the right trade at every scale.)
+    val total = assembled.count()
+    val fitInput =
+      if (total <= fitSampleRows) assembled
+      else assembled.sample(withReplacement = false,
+        fitSampleRows.toDouble / total, seed)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(assembled)
+      .fit(fitInput)
     val centroids = model.clusterCenters
       .map(_.toArray.map(_.toFloat))
     val indexed = model.transform(assembled)

@@ -381,6 +381,18 @@ object PipelineQueries {
       .orderBy(asc("query_id"), asc("rank"))
   }
 
+  /** q80 — repeated-span REMOVAL, the cut step of substring-level dedup
+    * ([[Dedup.removeRepeatedSpans]]): per doc, token counts before/after
+    * cutting every cross-doc repeated span, plus the md5 of the cleaned
+    * text — so the oracle gates the actual reconstruction, not just the
+    * arithmetic. */
+  def q80SpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpans(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), k = 8)
+      .select(col("doc_id"), col("n_before"), col("n_after"),
+        md5(col("text_clean")).as("clean_md5"))
+      .orderBy(asc_nulls_first("doc_id"))
+
   /** q78 — IVF ANN recall gate, the approximate path promoted into the
     * declared surface: exact brute-force top-10 for query vec 0 is the
     * baseline; probing ALL posting lists must reproduce it exactly
@@ -516,6 +528,7 @@ object PipelineQueries {
     "q76_bloom_decontam"  -> q76BloomDecontam _,
     "q46_rolling_hash"    -> q46RollingHash _,
     "q77_repeated_spans"  -> q77RepeatedSpans _,
+    "q80_span_removal"    -> q80SpanRemoval _,
     "q62_repetition"      -> q62Repetition _,
     "q63_stratified_sample" -> q63StratifiedSample _,
     "q64_dedup_corpus"    -> q64DedupCorpus _,
@@ -616,6 +629,32 @@ object PipelineQueries {
         |   max(pos) + 7 AS span_end, count(*) AS n_windows
         | FROM isl GROUP BY doc_id, grp
         | ORDER BY doc_id NULLS FIRST, span_start NULLS FIRST""".stripMargin,
+    "q80_span_removal" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | w AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 7),
+        |     i -> struct_pack(pos := i,
+        |       w := array_to_string(toks[i+1:i+8], ' ')))) AS u
+        |   FROM t WHERE len(toks) >= 8),
+        | wx AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM w),
+        | d AS (SELECT w FROM wx GROUP BY w
+        |   HAVING count(DISTINCT doc_id) >= 2),
+        | dw AS (SELECT wx.doc_id, wx.pos FROM wx JOIN d USING (w)),
+        | isl AS (SELECT doc_id, pos, pos - row_number()
+        |     OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dw),
+        | spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |   FROM isl GROUP BY doc_id, grp),
+        | pos AS (SELECT doc_id, unnest(range(len(toks))) AS i FROM t),
+        | keptpos AS (SELECT p.doc_id, p.i FROM pos p
+        |   WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |     WHERE s.doc_id = p.doc_id AND p.i BETWEEN s.s AND s.e)),
+        | clean AS (SELECT k.doc_id, count(*) AS n_after,
+        |     string_agg(t2.toks[k.i + 1], ' ' ORDER BY k.i) AS text_clean
+        |   FROM keptpos k JOIN t t2 USING (doc_id) GROUP BY k.doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_before,
+        |   CAST(coalesce(c.n_after, 0) AS BIGINT) AS n_after,
+        |   md5(coalesce(c.text_clean, '')) AS clean_md5
+        | FROM t LEFT JOIN clean c USING (doc_id)
+        | ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q62_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | g AS (SELECT doc_id, CASE WHEN len(toks) < 2

@@ -538,6 +538,27 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 3L, 10L, 5L), (20L, 3L, 10L, 5L)), got.toSeq)
   }
 
+  test("removeRepeatedSpans cuts exactly the spanned tokens, leaves clean docs intact") {
+    val shared = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val corpus = Seq(
+      (10L, s"aa bb cc $shared dd ee"),
+      (20L, s"xx yy zz $shared qq"),
+      (40L, "entirely unrelated text with no overlap at all whatsoever"))
+      .toDF("id", "text")
+    val got = Dedup.removeRepeatedSpans(corpus, col("id"), col("text"), k = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_before"), r.getAs[Long]("n_after"),
+          r.getAs[String]("text_clean"))))
+      .toMap
+    // spans cover token indices 3..10 (the 8 shared tokens) in both docs
+    assert(got(10L) == ((13L, 5L, "aa bb cc dd ee")), got(10L))
+    assert(got(20L) == ((12L, 4L, "xx yy zz qq")), got(20L))
+    // the clean doc passes through byte-identical
+    assert(got(40L) == ((9L, 9L,
+      "entirely unrelated text with no overlap at all whatsoever")), got(40L))
+  }
+
   test("repeatedSpans: minDocs=3 requires the window in three distinct docs") {
     val phrase = "alpha beta gamma delta"
     val corpus = Seq(
