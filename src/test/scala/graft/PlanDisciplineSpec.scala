@@ -79,6 +79,27 @@ class PlanDisciplineSpec extends SparkSpec {
       planOf("q68_bm25"))
   }
 
+  test("q77/q80 substring dedup: reused scan, partial distinct agg, doc-partitioned window, broadcast span join") {
+    // Final (adaptive) plans — these properties only exist post-execution.
+    val q77 = SparkEntry.queries("q77_repeated_spans")(spark, sf)
+    q77.collect()
+    val p77 = q77.queryExecution.executedPlan.toString
+    // both explode sides re-read ONE scan+spread exchange, not two scans
+    assert(p77.contains("ReusedExchange"), p77.take(3000))
+    // distinct-doc count is partial+final (one row per (hash,doc) per
+    // partition reaches the shuffle, never one per occurrence)
+    assert(p77.contains("partial_count(distinct"), p77.take(3000))
+    // islands window is per-doc, never a global window
+    assert(p77.contains("windowspecdefinition(doc_id"), p77.take(3000))
+    val q80 = SparkEntry.queries("q80_span_removal")(spark, sf)
+    q80.collect()
+    val p80 = q80.queryExecution.executedPlan.toString
+    // per-doc span arrays broadcast back onto the corpus (hash join on
+    // doc_id; AQE would shuffle-join if spans ever outgrew broadcast)
+    assert(p80.contains("BroadcastHashJoin") && p80.contains("LeftOuter"),
+      p80.take(3000))
+  }
+
   test("q73 vocab selection is a top-V, not a global sort of the vocabulary") {
     // The materialized query ends in an RDD scan (tokenize-once
     // discipline checkpoints the output), so assert on the LAZY form —
