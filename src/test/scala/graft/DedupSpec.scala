@@ -559,6 +559,62 @@ class DedupSpec extends SparkSpec {
       "entirely unrelated text with no overlap at all whatsoever")), got(40L))
   }
 
+  test("repeatedSpans + removeRepeatedSpans equal a driver-side reference on seeded random corpora") {
+    // Independent reimplementation of the span semantics in plain Scala
+    // (window-string maps, no hashing): the operators must match it on
+    // random corpora with a SMALL vocab so cross-doc window repeats
+    // arise naturally (plus planted shared runs and short docs).
+    val rnd = new scala.util.Random(20260813L)
+    val k = 4
+    for (trial <- 0 until 3) {
+      val vocab = (0 until 12).map(i => s"v$i") // tiny vocab → organic repeats
+      val base = (0 until 30).map { i =>
+        (i.toLong,
+          (0 until (k + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val sharedRun = (0 until k + 3).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val planted = Seq((100L, s"v0 $sharedRun v1"), (101L, s"$sharedRun v2 v3"))
+      val shorties = Seq((200L, "v1 v2"), (201L, "v1 v2")) // < k tokens: no windows
+      val corpus = base ++ planted ++ shorties
+      // reference: window -> set of docs, then per-doc covered positions
+      val toks = corpus.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+      val winDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+      for ((id, ts) <- toks if ts.size >= k; i <- 0 to ts.size - k)
+        winDocs.updateWith(ts.slice(i, i + k).mkString(" "))(
+          o => Some(o.getOrElse(Set.empty) + id))
+      val expectSpans = (for ((id, ts) <- toks.toSeq if ts.size >= k) yield {
+        val flagged = (0 to ts.size - k).filter(i =>
+          winDocs(ts.slice(i, i + k).mkString(" ")).size >= 2)
+        // collapse adjacent flagged positions into maximal islands
+        val islands = flagged.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.reverse
+        islands.map { case (s, e) => (id, s.toLong, (e + k - 1).toLong, (e - s + 1).toLong) }
+      }).flatten.toSet
+      val gotSpans = Dedup.repeatedSpans(
+          corpus.toDF("id", "text"), col("id"), col("text"), k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(gotSpans == expectSpans, s"trial $trial spans")
+      assert(expectSpans.nonEmpty, s"trial $trial produced no spans")
+      // removal: cut covered token indices per doc
+      val covered = expectSpans.groupBy(_._1).view.mapValues(
+        _.flatMap { case (_, s, e, _) => s.toInt to e.toInt }.toSet).toMap
+      val expectClean = toks.map { case (id, ts) =>
+        val keep = ts.indices.filterNot(covered.getOrElse(id, Set.empty))
+        (id, ts.size.toLong, keep.size.toLong, keep.map(ts).mkString(" "))
+      }.toSet
+      val gotClean = Dedup.removeRepeatedSpans(
+          corpus.toDF("id", "text"), col("id"), col("text"), k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(gotClean == expectClean, s"trial $trial clean")
+    }
+  }
+
   test("repeatedSpans: minDocs=3 requires the window in three distinct docs") {
     val phrase = "alpha beta gamma delta"
     val corpus = Seq(
