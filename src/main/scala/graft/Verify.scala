@@ -41,7 +41,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Same hygiene as Bench: dedup/index queries persist intermediates;
-      // without this the 75-query sweep accumulates dead cache entries.
+      // without this the full-surface sweep accumulates dead cache entries.
       spark.catalog.clearCache()
       writeTimings()
     }
