@@ -139,4 +139,61 @@ object Split {
     }
     df.filter(substring(md5(id.cast("string")), 1, 2) < threshold)
   }
+
+  /** Token-budget corpus selection — the curation step that fills a
+    * training-token budget best-first: rank docs by quality (desc, id
+    * tie-break) and keep the prefix whose cumulative token count stays
+    * within `budgetFrac` of the corpus's total tokens. Output:
+    * (doc_id, quality, n_tokens, cum_tokens) for the selected prefix.
+    *
+    * Scale shape: the per-doc scoring is one codegen'd projection; the
+    * corpus total is a 1-row broadcast scalar; the global ordered
+    * cumulative sum runs through [[ScalableWindow.runningTotal]] (range
+    * partition + local cumsum + broadcast prefix offsets — never a
+    * single-partition window); the budget cut is then a plain filter.
+    * Quality (0..4) and doc id fold into ONE ascending range key, so
+    * the range exchange is the only corpus shuffle. */
+  def tokenBudgetSelect(
+      df: DataFrame, id: Column, text: Column,
+      budgetFrac: Double, partitions: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    val scored = df.select(id.cast("long").as("doc_id"),
+      TextFunctions.qualityScore(text).as("quality"),
+      TextFunctions.tokenCount(text).cast("long").as("n_tokens"))
+    // quality desc + id asc as one ascending key: ids stay far below
+    // the 1e12 band width, so bands never collide.
+    val ranked = scored.withColumn("__key",
+      (lit(4) - col("quality")).cast("long") * lit(1000000000000L)
+        + col("doc_id"))
+    val withCum = ScalableWindow.runningTotal(
+      ranked, col("__key"), col("n_tokens"), "cum_tokens", partitions)
+    val budget = scored.agg(
+      floor(sum(col("n_tokens")) * budgetFrac).cast("long").as("__budget"))
+    withCum.crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
+  /** Leakage-safe split: near-duplicate documents must land in the SAME
+    * split, or test contamination silently inflates eval scores. Every
+    * doc's split key is its duplicate-cluster representative (min id via
+    * [[Dedup.resolveClusters]]) when it has near-dups, its own id
+    * otherwise; [[tag]] then assigns the split from the key — so an
+    * entire dup cluster moves as one unit, deterministically.
+    *
+    * `pairs` is any verified near-dup pair set ((id_a, id_b) — e.g.
+    * [[Dedup.minhashLshVerifiedPairs]]'s output); cluster resolution and
+    * the back-join are bounded by the DUPLICATE volume, not the corpus.
+    * Output: one row per input doc — (doc_id, split_key, split). */
+  def leakageSafeTag(
+      docs: DataFrame, id: Column, pairs: DataFrame,
+      frac: Double): DataFrame = {
+    val clusters = Dedup.resolveClusters(pairs)
+    docs.select(id.cast("long").as("doc_id"))
+      .join(clusters, col("doc_id") === col("id"), "left")
+      .withColumn("split_key", coalesce(col("cluster"), col("doc_id")))
+      .select(col("doc_id"), col("split_key"),
+        tag(col("split_key"), frac).as("split"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{AsOf, Dedup, Multimodal, Similarity}
+import graft.operators.{AsOf, Dedup, Multimodal, Similarity, Split}
 import graft.sources.Tables
 
 /** Training-data-pipeline query surface (beyond the reference, per the
@@ -393,6 +393,28 @@ object PipelineQueries {
         md5(col("text_clean")).as("clean_md5"))
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** q81 — token-budget corpus selection ([[Split.tokenBudgetSelect]]):
+    * fill half the corpus's token budget best-first by quality score
+    * (doc-id tie-break), cumulative sum through the two-phase scalable
+    * window. */
+  def q81TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Split.tokenBudgetSelect(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), col("text"), budgetFrac = 0.5, partitions = 32)
+      .orderBy(desc("quality"), asc_nulls_first("doc_id"))
+
+  /** q82 — leakage-safe train/test split ([[Split.leakageSafeTag]]):
+    * near-dup clusters (LSH + exact verify, ≡ the exhaustive exact pairs
+    * — q24's gate) move between splits as one unit keyed by their min-id
+    * representative, so no near-duplicate can straddle train and test. */
+  def q82LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLshVerifiedPairs(
+      docs, col("doc_id"), col("text"), n = 3, threshold = 0.8)
+    Split.leakageSafeTag(docs, col("doc_id"),
+        pairs.select(col("id_a"), col("id_b")), frac = 0.16)
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   /** q78 — IVF ANN recall gate, the approximate path promoted into the
     * declared surface: exact brute-force top-10 for query vec 0 is the
     * baseline; probing ALL posting lists must reproduce it exactly
@@ -529,6 +551,8 @@ object PipelineQueries {
     "q46_rolling_hash"    -> q46RollingHash _,
     "q77_repeated_spans"  -> q77RepeatedSpans _,
     "q80_span_removal"    -> q80SpanRemoval _,
+    "q81_token_budget"    -> q81TokenBudget _,
+    "q82_leakage_split"   -> q82LeakageSafeSplit _,
     "q62_repetition"      -> q62Repetition _,
     "q63_stratified_sample" -> q63StratifiedSample _,
     "q64_dedup_corpus"    -> q64DedupCorpus _,
@@ -732,6 +756,48 @@ object PipelineQueries {
         |     ORDER BY sim DESC, id) AS rank FROM s)
         |SELECT query_id, id, sim, CAST(rank AS INTEGER) AS rank
         | FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q81_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        | m AS (SELECT doc_id,
+        |   ${nTokSql("toks")} AS n_tokens,
+        |   CAST(len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INTEGER)
+        |     / greatest(len(text), 1) AS punct_ratio,
+        |   ${hitsSql("toks", stopEnSql)}
+        |     / greatest(${nTokSql("toks")}, 1) AS stop_ratio,
+        |   CAST(list_sum(list_transform(toks, t -> len(t))) AS INTEGER)
+        |     / greatest(${nTokSql("toks")}, 1) AS avg_token_len
+        |  FROM t),
+        | s AS (SELECT doc_id,
+        |   CAST((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END
+        |    + CASE WHEN punct_ratio < 0.3 THEN 1 ELSE 0 END
+        |    + CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END
+        |    + CASE WHEN avg_token_len BETWEEN 2.0 AND 15.0 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS quality,
+        |   CAST(n_tokens AS BIGINT) AS n_tokens FROM m),
+        | tot AS (SELECT CAST(floor(sum(n_tokens) * 0.5) AS BIGINT)
+        |   AS budget FROM s),
+        | r AS (SELECT doc_id, quality, n_tokens,
+        |   CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s)
+        |SELECT doc_id, quality, n_tokens, cum_tokens FROM r, tot
+        | WHERE cum_tokens <= budget
+        | ORDER BY quality DESC, doc_id NULLS FIRST""".stripMargin,
+    "q82_leakage_split" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |   UNION ALL SELECT id_b, id_a FROM pairs),
+        | nodes AS (SELECT DISTINCT src AS id FROM edges),
+        | reach AS (
+        |   SELECT id, id AS r FROM nodes
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        | clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS split_key,
+        | CASE WHEN substr(md5(CAST(coalesce(c.cluster, d.doc_id)
+        |     AS VARCHAR)), 1, 2) < '29' THEN 'test' ELSE 'train' END AS split
+        | FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+        | ORDER BY d.doc_id NULLS FIRST""".stripMargin,
     // q78/q79 oracle contract: n_exact is verified from the data by
     // running the SAME exact brute-force top-10 the Spark baseline runs
     // (q22's oracle shape) — not a shortcut count — so the oracle pays

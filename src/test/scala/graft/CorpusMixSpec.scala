@@ -351,4 +351,63 @@ class CorpusMixSpec extends SparkSpec {
     assert(rows(Ranking.klDivergence(df, col("lang"), col("text"))) ==
       rows(Ranking.klDivergence(df, col("lang"), col("text"), materialize = false)))
   }
+
+  // ---- token-budget selection ----
+
+  test("tokenBudgetSelect keeps the quality-ordered prefix within budget") {
+    // Quality ordering on this corpus: good (quality ≥ 1 via length
+    // band) before bad (0-token / punct-only docs score lower); id
+    // breaks ties. Budget 0.5 of total tokens.
+    val docs = Seq(
+      (1L, "the quick brown fox and a dog"),          // 7 tokens, decent quality
+      (2L, "of to in is it and or the a an"),         // 10 tokens, all stopwords
+      (3L, "!!! ??? ... ;;; :::"),                    // punct-only, low quality
+      (4L, "the sun sets and it is quiet here now"))  // 9 tokens, decent
+      .toDF("id", "text")
+    val got = Split.tokenBudgetSelect(docs, col("id"), col("text"),
+      budgetFrac = 0.5, partitions = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // reference: same selection computed driver-side from the operator's
+    // own scoring columns (the scoring itself is q37-oracle-gated)
+    val scored = docs.select(col("id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val budget = scored.map(_._3).sum / 2
+    val expect = scored.sortBy(t => (-t._2, t._1))
+      .scanLeft((0L, 0, 0L, 0L)) { case ((_, _, _, cum), (id, q, n)) => (id, q, n, cum + n) }
+      .drop(1).takeWhile(_._4 <= budget)
+      .map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(got.toSet == expect, s"got ${got.toSeq} expect $expect")
+    assert(got.nonEmpty && got.map(_._3).sum <= budget)
+  }
+
+  // ---- leakage-safe split ----
+
+  test("leakageSafeTag keeps every dup cluster in one split") {
+    val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // clusters: {1,2,3}, {10,11}; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Split.leakageSafeTag(docs, col("id"), pairs, frac = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 50)
+    val byId = got.map(t => t._1 -> t).toMap
+    // cluster members share the min-id key AND the split
+    for (m <- Seq(2L, 3L)) {
+      assert(byId(m)._2 == 1L, s"member $m key")
+      assert(byId(m)._3 == byId(1L)._3, s"member $m split")
+    }
+    assert(byId(11L)._2 == 10L && byId(11L)._3 == byId(10L)._3)
+    // singletons key by their own id and match the plain tag
+    assert(byId(7L)._2 == 7L)
+    val plain = docs.select(col("id"),
+        Split.tag(col("id"), 0.3).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.filter(t => t._1 == t._2).foreach { case (id, _, s) =>
+      assert(plain(id) == s, s"singleton $id")
+    }
+    // both splits non-empty at this frac
+    assert(got.map(_._3).toSet == Set("train", "test"))
+  }
 }
