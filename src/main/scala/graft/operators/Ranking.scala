@@ -176,6 +176,63 @@ object Ranking {
           round(sum(col("part")) / sum(col("tf")).cast("double"), 4).as("logprob"))
     }
 
+  /** Mean BIGRAM log-probability per document under a Jelinek-Mercer
+    * interpolated corpus bigram LM — the step up from [[unigramLogProb]]
+    * that catches word-salad documents whose unigrams are all common but
+    * whose transitions are not (the shuffled-token failure mode a
+    * unigram proxy cannot see):
+    *
+    *   P(w2|w1) = λ·c(w1,w2)/c(w1,·) + (1−λ)·c(·,w2)/T
+    *
+    * with all counts derived from the corpus's bigram events in ONE
+    * aggregation chain (c(·,w2) is w2's bigram-right count, T the total
+    * bigram count), so the corpus is tokenized and shuffled once. The
+    * interpolation term makes P strictly positive for every observed
+    * bigram event. Docs shorter than 2 tokens have no bigram events and
+    * emit no row. Output: (id, n_bigrams, logprob), logprob rounded to
+    * 4 dp (mean per bigram; log is the one libm op — same discipline as
+    * [[unigramLogProb]]).
+    *
+    * Scale shape: the (doc, bigram) aggregation shuffles the corpus
+    * once; the bigram-vocabulary frames (pair, left-marginal,
+    * right-marginal) derive from it by further partial+final
+    * aggregations and join back on their keys (AQE broadcasts when they
+    * fit); T rides as a 1-row broadcast. */
+  def bigramLogProb(
+      df: DataFrame, id: Column, text: Column,
+      lambdaJm: Double = 0.75,
+      materialize: Boolean = true): DataFrame = {
+    val toks = tokens(text)
+    val docBg = df.select(id.as("__id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("__id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 2), i => struct(
+          element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .groupBy(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    withCounts(docBg, materialize) { tf =>
+      val pairCnt = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
+      val leftCnt = pairCnt.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+      val rightCnt = pairCnt.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
+      val total = rightCnt.agg(sum(col("cu")).as("t"))
+      tf.join(pairCnt, Seq("w1", "w2"))
+        .join(leftCnt, Seq("w1"))
+        .join(rightCnt, Seq("w2"))
+        .crossJoin(broadcast(total))
+        .withColumn("p",
+          lit(lambdaJm) * (col("cb").cast("double") / col("cl").cast("double"))
+            + lit(1.0 - lambdaJm) *
+              (col("cu").cast("double") / col("t").cast("double")))
+        .withColumn("part", col("tf").cast("double") * log(col("p")))
+        .groupBy(col("__id"))
+        .agg(
+          sum(col("tf")).cast("long").as("n_bigrams"),
+          round(sum(col("part")) / sum(col("tf")).cast("double"), 4)
+            .as("logprob"))
+    }
+  }
+
   /** Out-of-vocabulary token rate per document against the corpus's own
     * top-`vocabSize` terms (count desc, term asc tie-break) — the
     * tokenizer-coverage / vocabulary-pruning diagnostic. Output:

@@ -68,6 +68,16 @@ object CorpusQueries {
       .withColumnRenamed("__id", "doc_id")
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** q83 — mean bigram log-probability per document under a
+    * Jelinek-Mercer interpolated corpus bigram LM (λ = 0.75): the
+    * transition-aware perplexity proxy that catches word-salad docs
+    * whose unigram stats look fine ([[Ranking.bigramLogProb]]). */
+  def q83BigramLm(spark: SparkSession, dir: String): DataFrame =
+    Ranking.bigramLogProb(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), col("text"))
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(asc_nulls_first("doc_id"))
+
   /** q73 — out-of-vocabulary token rate vs the corpus's top-20 terms
     * (tokenizer-coverage / vocab-pruning diagnostic). */
   def q73OovRate(spark: SparkSession, dir: String): DataFrame =
@@ -100,6 +110,7 @@ object CorpusQueries {
     "q70_temperature_sample" -> q70TemperatureSample _,
     "q71_stratum_cap"        -> q71StratumCap _,
     "q72_unigram_logprob"    -> q72UnigramLogProb _,
+    "q83_bigram_lm"          -> q83BigramLm _,
     "q73_oov_rate"           -> q73OovRate _,
     "q74_centroid_scores"    -> q74CentroidScores _,
     "q75_source_kl"          -> q75SourceKl _,
@@ -188,6 +199,27 @@ object CorpusQueries {
         |    / CAST(sum(tf) AS DOUBLE), 4) AS logprob
         | FROM tfc JOIN cf USING (term) CROSS JOIN tot
         | GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q83_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | g AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+        |     i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS u
+        |   FROM t WHERE len(toks) >= 2),
+        | tf AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, count(*) AS tf
+        |   FROM g GROUP BY 1, 2, 3),
+        | cb AS (SELECT w1, w2, sum(tf) AS cb FROM tf GROUP BY 1, 2),
+        | cl AS (SELECT w1, sum(cb) AS cl FROM cb GROUP BY 1),
+        | cu AS (SELECT w2, sum(cb) AS cu FROM cb GROUP BY 1),
+        | tot AS (SELECT sum(cu) AS t FROM cu),
+        | scored AS (SELECT tf.doc_id, tf.tf,
+        |   CAST(0.75 AS DOUBLE) * (CAST(cb.cb AS DOUBLE) / CAST(cl.cl AS DOUBLE))
+        |   + CAST(0.25 AS DOUBLE) * (CAST(cu.cu AS DOUBLE) / CAST(tot.t AS DOUBLE))
+        |     AS p
+        |  FROM tf JOIN cb USING (w1, w2) JOIN cl USING (w1)
+        |    JOIN cu USING (w2) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(sum(CAST(tf AS DOUBLE) * ln(p)) / CAST(sum(tf) AS DOUBLE), 4)
+        |    AS logprob
+        | FROM scored GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q73_oov_rate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | tok AS (SELECT doc_id, unnest(toks) AS term FROM t),

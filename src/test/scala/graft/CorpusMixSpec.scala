@@ -352,6 +352,42 @@ class CorpusMixSpec extends SparkSpec {
       rows(Ranking.klDivergence(df, col("lang"), col("text"), materialize = false)))
   }
 
+  // ---- bigram LM ----
+
+  test("bigramLogProb: hand-computed interpolated scores on a micro corpus") {
+    // corpus bigram events: (a b) ×2 [docs 1, 2], (b a) ×1 [doc 2]
+    // cb(a,b)=2 cl(a)=2 cu(b)=2; cb(b,a)=1 cl(b)=1 cu(a)=1; T=3
+    val docs = Seq((1L, "a b"), (2L, "a b a"), (3L, "x"))
+      .toDF("id", "text")
+    val got = graft.operators.Ranking.bigramLogProb(
+        docs, col("id"), col("text"))
+      .collect().map(r => r.getAs[Long]("__id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("logprob")))).toMap
+    val pAB = 0.75 * (2.0 / 2.0) + 0.25 * (2.0 / 3.0)
+    val pBA = 0.75 * (1.0 / 1.0) + 0.25 * (1.0 / 3.0)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((1L, r4(math.log(pAB)))), got(1L))
+    assert(got(2L) == ((2L, r4((math.log(pAB) + math.log(pBA)) / 2.0))), got(2L))
+    assert(!got.contains(3L), "single-token doc has no bigram events")
+  }
+
+  test("bigramLogProb ranks word-salad below natural order, unigram LM cannot") {
+    // Same unigram bag, scrambled transitions: 12 docs share the fluent
+    // word order, one doc reverses it. Every unigram count is identical
+    // across docs, so the unigram LM gives all docs the same score; the
+    // bigram LM must rank the scrambled doc strictly lower.
+    val fluent = "the cat sat on the mat"
+    val salad = "mat the on sat cat the"
+    val docs = ((1L to 12L).map(i => (i, fluent)) :+ (99L, salad))
+      .toDF("id", "text")
+    val bg = graft.operators.Ranking.bigramLogProb(docs, col("id"), col("text"))
+      .collect().map(r => r.getAs[Long]("__id") -> r.getAs[Double]("logprob")).toMap
+    assert(bg(99L) < bg(1L), s"salad ${bg(99L)} should score below fluent ${bg(1L)}")
+    val uni = graft.operators.Ranking.unigramLogProb(docs, col("id"), col("text"))
+      .collect().map(r => r.getAs[Long]("__id") -> r.getAs[Double]("logprob")).toMap
+    assert(uni(99L) == uni(1L), "unigram LM is blind to word order by construction")
+  }
+
   // ---- token-budget selection ----
 
   test("tokenBudgetSelect keeps the quality-ordered prefix within budget") {
