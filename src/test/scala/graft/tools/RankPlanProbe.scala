@@ -21,6 +21,7 @@ object RankPlanProbe {
       "tfIdfTopTerms" -> (m => Ranking.tfIdfTopTerms(docs, col("doc_id"), col("text"), 3, materialize = m)),
       "bm25" -> (m => Ranking.bm25(docs, col("doc_id"), col("text"), Seq("spark", "window", "hash"), 20, materialize = m)),
       "unigramLogProb" -> (m => Ranking.unigramLogProb(docs, col("doc_id"), col("text"), materialize = m)),
+      "bigramLogProb" -> (m => Ranking.bigramLogProb(docs, col("doc_id"), col("text"), materialize = m)),
       "oovRate" -> (m => Ranking.oovRate(docs, col("doc_id"), col("text"), 20, materialize = m)),
       "klDivergence" -> (m => Ranking.klDivergence(docs, col("source"), col("text"), materialize = m)))
     for ((name, op) <- ops) {

@@ -41,6 +41,8 @@ object RankStress {
           Seq("spark", "window", "hash"), 20).count())
       time("unigram logprob")(
         Ranking.unigramLogProb(big, col("doc_id"), col("text")).count())
+      time("bigram logprob")(
+        Ranking.bigramLogProb(big, col("doc_id"), col("text")).count())
       time("oov rate (V=20)")(
         Ranking.oovRate(big, col("doc_id"), col("text"), 20).count())
       time("kl by source")(
