@@ -19,13 +19,15 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * the full query surface never accumulates dead MEMORY_AND_DISK
   * entries across queries.
   *
-  * The timed action is `collect()`, not `count()` (round 10): DuckDB's
-  * comparator times `fetchall()`, and under a count action Catalyst may
-  * prune result-only projections above the last aggregation (expensive
-  * `round`/`log` output columns would never execute), flattering the
-  * Spark side. Every declared query's result is aggregate- or
-  * top-k-sized, so materializing rows to the driver is cheap and makes
-  * the two engines compute the same thing.
+  * The timed action is a NOOP-SINK WRITE, not `count()` (round 10):
+  * DuckDB's comparator times `fetchall()`, and under a count action
+  * Catalyst may prune result-only projections above the last
+  * aggregation (expensive `round`/`log` output columns would never
+  * execute), flattering the Spark side. The noop sink consumes every
+  * output column — same honesty as a `collect()` — without shipping
+  * rows to the driver, which matters because a third of the surface is
+  * per-document output (q46/q72/q77/q80/…): at a larger SF a collect
+  * would OOM the driver where the noop write still completes.
   *
   * Load evidence: the output JSON carries `loadavg` (the three
   * /proc/loadavg samples taken at start, mid-run is visible via
@@ -88,9 +90,11 @@ object Bench {
       }, (budgetSec * 1000).toLong)
       val t0 = System.nanoTime()
       try {
-        // collect(), not count(): see methodology scaladoc. Results are
-        // aggregate/top-k-sized by construction, so this is driver-cheap.
-        SparkEntry.queries(name)(spark, sfDir).collect()
+        // Noop-sink write: forces every output column (no projection
+        // pruning) without collecting rows to the driver — see the
+        // methodology scaladoc.
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
@@ -153,9 +157,14 @@ object Bench {
             case (Left(reason), Right(b)) =>
               done :+= (n -> b)
               System.err.println(f"[bench] $n $b%.3f s (first pass failed: $reason)")
-            case (Left(r1), Left(_)) =>
-              failed :+= s"$n:$r1"
-              System.err.println(s"[bench] $n FAILED measured: $r1")
+            case (Left(r1), Left(r2)) =>
+              // Record BOTH reasons when they differ — a budget timeout
+              // on one pass and an OOM on the other are different
+              // diagnoses, and this artifact exists to be read, not
+              // re-run.
+              val reason = if (r1 == r2) r1 else s"$r1+$r2"
+              failed :+= s"$n:$reason"
+              System.err.println(s"[bench] $n FAILED measured: $reason")
           }
       }
       spark.catalog.clearCache()    // no cross-query cache accumulation

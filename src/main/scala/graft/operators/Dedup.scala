@@ -742,16 +742,32 @@ object Dedup {
     *
     * Output: (doc_id, span_start, span_end, n_windows) — token-index
     * spans (inclusive, 0-based) a pipeline would cut or use to down-weight
-    * docs. xxhash64 window collisions could in principle flag a clean
+    * docs. Islands are disjoint in WINDOW-position space; their token
+    * ranges can still overlap by up to k−1 tokens when flagged windows
+    * sit fewer than k positions apart across an unflagged gap — so
+    * consumers must union span ranges per doc before counting covered
+    * tokens ([[removeRepeatedSpans]] does exactly that), never sum span
+    * lengths. xxhash64 window collisions could in principle flag a clean
     * span (~1e-9 at 1e5 windows); the exact-text verify pass of the
     * near-dup operators is the template if that ever matters. */
   def repeatedSpans(
       docs: DataFrame, id: Column, text: Column,
-      k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val toks = TextFunctions.tokens(text)
-    val base = spread(docs)
-      .select(id.cast("long").as("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= k)
+      k: Int = 8, minDocs: Int = 2): DataFrame =
+    spansFromTokens(tokenizedDocs(docs, id, text), k, minDocs)
+
+  /** Shared tokenized projection for the span pair: (doc_id, toks). */
+  private def tokenizedDocs(
+      docs: DataFrame, id: Column, text: Column): DataFrame =
+    spread(docs).select(
+      id.cast("long").as("doc_id"), TextFunctions.tokens(text).as("toks"))
+
+  /** Span detection over an already-tokenized (doc_id, toks) frame —
+    * split out so [[removeRepeatedSpans]] shares ONE tokenize/spread
+    * subtree between detection and the cut join (Catalyst exchange reuse
+    * then dedupes the scans). */
+  private def spansFromTokens(
+      base0: DataFrame, k: Int, minDocs: Int): DataFrame = {
+    val base = base0.filter(size(col("toks")) >= k)
     // posexplode over the transform output: pos is the array index, which
     // is exactly the window's 0-based start token position.
     val wins = base.select(col("doc_id"),
@@ -780,22 +796,31 @@ object Dedup {
     * step of substring-level dedup (detect → cut), so a pipeline can run
     * it as one operator instead of re-implementing the span algebra.
     *
-    * Shape: [[repeatedSpans]] runs as-is; its per-doc spans (tiny —
-    * maximal disjoint islands) collect into ONE array per doc and join
-    * back LEFT onto the tokenized corpus, so clean docs pass through
-    * untouched and the cut itself is a single codegen'd
-    * filter-by-position HOF projection per doc — no extra shuffle beyond
-    * the span detection and the doc-keyed join. Span arrays per doc are
-    * bounded by n_tokens/k, so `collect_list` here cannot blow up. */
+    * Shape: span detection and the cut join share ONE tokenized-frame
+    * DEFINITION (`spansFromTokens` over the same projection — a
+    * semantic edit moves both sides together). Physically the plan
+    * keeps TWO pruned scans on purpose: the detection side's
+    * `size(toks) >= k` filter pushes down to its scan (short docs never
+    * leave the files), which makes the two scan subtrees non-identical
+    * — and re-scanning a 2-column columnar source beats persisting a
+    * corpus-wide tokens array just to dedupe them. The per-doc spans
+    * (tiny — islands disjoint in
+    * window space, token ranges possibly overlapping, which the
+    * position-membership test below handles by construction) collect
+    * into ONE array per doc and join back LEFT onto the tokenized
+    * corpus, so clean docs pass through untouched and the cut itself is
+    * a single filter-by-position HOF projection per doc — no extra
+    * shuffle beyond the span detection and the doc-keyed join. Span
+    * arrays per doc are bounded by the doc's window count, so
+    * `collect_list` here cannot blow up. */
   def removeRepeatedSpans(
       docs: DataFrame, id: Column, text: Column,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val spans = repeatedSpans(docs, id, text, k, minDocs)
+    val base = tokenizedDocs(docs, id, text)
+    val spans = spansFromTokens(base, k, minDocs)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(
         col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
-    val base = spread(docs).select(
-      id.cast("long").as("doc_id"), TextFunctions.tokens(text).as("toks"))
     base.join(spans, Seq("doc_id"), "left")
       .withColumn("kept",
         filter(

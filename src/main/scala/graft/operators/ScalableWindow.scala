@@ -42,12 +42,23 @@ object ScalableWindow {
 
   def runningTotal(
       df: DataFrame, orderCol: Column, valueCol: Column,
+      as: String, partitions: Int): DataFrame =
+    runningTotalBy(df, Seq(orderCol), valueCol, as, partitions)
+
+  /** Multi-column ordering variant: order by `orderCols` left-to-right
+    * (each may carry its own asc/desc). Prefer this over folding several
+    * columns into one synthetic numeric key — composite keys silently
+    * mis-order once a component leaves its assumed band (e.g. hash ids
+    * above the band width, or negative), while range partitioning and
+    * window ordering take the column list natively. */
+  def runningTotalBy(
+      df: DataFrame, orderCols: Seq[Column], valueCol: Column,
       as: String, partitions: Int): DataFrame = {
     // Pin one physical partitioning for all downstream jobs (see scaladoc).
-    val ranged = df.repartitionByRange(partitions, orderCol)
+    val ranged = df.repartitionByRange(partitions, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val w = Window.partitionBy(col("__pid")).orderBy(orderCol)
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__local", sum(valueCol).over(w))
     // Exclusive prefix offsets over the (tiny) per-partition totals,

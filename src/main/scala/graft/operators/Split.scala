@@ -147,12 +147,15 @@ object Split {
     * (doc_id, quality, n_tokens, cum_tokens) for the selected prefix.
     *
     * Scale shape: the per-doc scoring is one codegen'd projection; the
-    * corpus total is a 1-row broadcast scalar; the global ordered
-    * cumulative sum runs through [[ScalableWindow.runningTotal]] (range
-    * partition + local cumsum + broadcast prefix offsets — never a
-    * single-partition window); the budget cut is then a plain filter.
-    * Quality (0..4) and doc id fold into ONE ascending range key, so
-    * the range exchange is the only corpus shuffle. */
+    * global ordered cumulative sum runs through
+    * [[ScalableWindow.runningTotalBy]] on (quality desc, id asc)
+    * natively (range partition + local cumsum + broadcast prefix
+    * offsets — never a single-partition window, and no synthetic
+    * composite key that could mis-order out-of-band ids); the corpus
+    * token total is read back off the cumsum frame itself (its global
+    * max — the frame is already checkpointed, so this is one cheap
+    * aggregate, not a second scan+tokenize of the corpus); the budget
+    * cut is then a plain filter under the 1-row broadcast scalar. */
   def tokenBudgetSelect(
       df: DataFrame, id: Column, text: Column,
       budgetFrac: Double, partitions: Int): DataFrame = {
@@ -160,15 +163,12 @@ object Split {
     val scored = df.select(id.cast("long").as("doc_id"),
       TextFunctions.qualityScore(text).as("quality"),
       TextFunctions.tokenCount(text).cast("long").as("n_tokens"))
-    // quality desc + id asc as one ascending key: ids stay far below
-    // the 1e12 band width, so bands never collide.
-    val ranked = scored.withColumn("__key",
-      (lit(4) - col("quality")).cast("long") * lit(1000000000000L)
-        + col("doc_id"))
-    val withCum = ScalableWindow.runningTotal(
-      ranked, col("__key"), col("n_tokens"), "cum_tokens", partitions)
-    val budget = scored.agg(
-      floor(sum(col("n_tokens")) * budgetFrac).cast("long").as("__budget"))
+    val withCum = ScalableWindow.runningTotalBy(
+      scored, Seq(col("quality").desc, col("doc_id").asc),
+      col("n_tokens"), "cum_tokens", partitions)
+    // The LAST cumulative value is the corpus token total.
+    val budget = withCum.agg(
+      floor(max(col("cum_tokens")) * budgetFrac).cast("long").as("__budget"))
     withCum.crossJoin(broadcast(budget))
       .filter(col("cum_tokens") <= col("__budget"))
       .select(col("doc_id"), col("quality"), col("n_tokens"),

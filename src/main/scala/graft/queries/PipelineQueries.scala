@@ -590,6 +590,24 @@ object PipelineQueries {
   private def hitsSql(toks: String, set: String) =
     s"CAST(len(list_filter($toks, t -> t IN ($set))) AS INTEGER)"
 
+  /** Shared CTEs producing the flagged-window islands of the
+    * substring-dedup pair (mirrors Dedup.repeatedSpans at k = 8,
+    * minDocs = 2; the ONE definition both q77 and q80 gate against —
+    * a semantic edit here moves both oracles together). Exposes `t`
+    * (doc_id, toks) and `isl` (doc_id, pos, grp). */
+  private val spanIslandCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      | w AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 7),
+      |     i -> struct_pack(pos := i,
+      |       w := array_to_string(toks[i+1:i+8], ' ')))) AS u
+      |   FROM t WHERE len(toks) >= 8),
+      | wx AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM w),
+      | d AS (SELECT w FROM wx GROUP BY w
+      |   HAVING count(DISTINCT doc_id) >= 2),
+      | dw AS (SELECT wx.doc_id, wx.pos FROM wx JOIN d USING (w)),
+      | isl AS (SELECT doc_id, pos, pos - row_number()
+      |     OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dw)""".stripMargin
+
   /** Shared CTE producing the exact 3-gram Jaccard ≥0.8 pairs (mirrors
     * Dedup.ngramJaccardPairs semantics; reused by q21 and q36). */
   private val jaccardPairsCte: String =
@@ -638,33 +656,13 @@ object PipelineQueries {
         |   (acc, b) -> (acc * 31 + b) % 1000000007) AS fp
         | FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q77_repeated_spans" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        | w AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 7),
-        |     i -> struct_pack(pos := i,
-        |       w := array_to_string(toks[i+1:i+8], ' ')))) AS u
-        |   FROM t WHERE len(toks) >= 8),
-        | wx AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM w),
-        | d AS (SELECT w FROM wx GROUP BY w
-        |   HAVING count(DISTINCT doc_id) >= 2),
-        | dw AS (SELECT wx.doc_id, wx.pos FROM wx JOIN d USING (w)),
-        | isl AS (SELECT doc_id, pos, pos - row_number()
-        |     OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dw)
+      s"""WITH $spanIslandCtes
         |SELECT doc_id, min(pos) AS span_start,
         |   max(pos) + 7 AS span_end, count(*) AS n_windows
         | FROM isl GROUP BY doc_id, grp
         | ORDER BY doc_id NULLS FIRST, span_start NULLS FIRST""".stripMargin,
     "q80_span_removal" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        | w AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 7),
-        |     i -> struct_pack(pos := i,
-        |       w := array_to_string(toks[i+1:i+8], ' ')))) AS u
-        |   FROM t WHERE len(toks) >= 8),
-        | wx AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM w),
-        | d AS (SELECT w FROM wx GROUP BY w
-        |   HAVING count(DISTINCT doc_id) >= 2),
-        | dw AS (SELECT wx.doc_id, wx.pos FROM wx JOIN d USING (w)),
-        | isl AS (SELECT doc_id, pos, pos - row_number()
-        |     OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dw),
+      s"""WITH $spanIslandCtes,
         | spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
         |   FROM isl GROUP BY doc_id, grp),
         | pos AS (SELECT doc_id, unnest(range(len(toks))) AS i FROM t),

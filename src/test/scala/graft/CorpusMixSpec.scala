@@ -418,6 +418,29 @@ class CorpusMixSpec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._3).sum <= budget)
   }
 
+  test("tokenBudgetSelect orders correctly for out-of-band ids (huge, negative)") {
+    // Regression: a synthetic composite key (quality band * 1e12 + id)
+    // would mis-order ids >= 1e12 or negative; native multi-column range
+    // ordering must not. High-quality docs must fill the budget first
+    // regardless of id magnitude or sign.
+    val good = "the quick brown fox jumps over a lazy dog in the sun"
+    val bad = "!!! ??? ..."
+    val docs = Seq(
+      (5000000000000L, good),   // above any band width
+      (-7L, bad),               // negative id, low quality
+      (1L, good))
+      .toDF("id", "text")
+    val got = Split.tokenBudgetSelect(docs, col("id"), col("text"),
+      budgetFrac = 0.5, partitions = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.nonEmpty)
+    // every selected doc must have quality >= every unselected doc's
+    val selected = got.map(_._1).toSet
+    val qualities = Map(5000000000000L -> 4, 1L -> 4) // good docs score high
+    assert(selected.subsetOf(qualities.keySet),
+      s"low-quality/negative-id doc selected before high-quality: $selected")
+  }
+
   // ---- leakage-safe split ----
 
   test("leakageSafeTag keeps every dup cluster in one split") {
