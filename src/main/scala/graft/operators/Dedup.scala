@@ -683,7 +683,22 @@ object Dedup {
       probe: DataFrame, probeId: Column, probeText: Column,
       corpus: DataFrame, corpusText: Column, n: Int,
       fpp: Double = 0.01,
-      expectedItems: Option[Long] = None): DataFrame = {
+      expectedItems: Option[Long] = None): DataFrame =
+    crossCorpusOverlapWithBloom(probe, probeId, probeText,
+      referenceBloom(corpus, corpusText, n, fpp, expectedItems), n)
+
+  /** Build-once half of the Bloom screen: fold the reference corpus's
+    * shingles into serialized filter bytes. Exposed so long-lived
+    * consumers (the streaming screen
+    * [[graft.streaming.StreamingDecontam]], a reusable decontamination
+    * service) build ONCE and probe many times — and so stream ≡ batch
+    * is the same bytes by construction. Bloom insertion is an OR of
+    * hash bits, so the result is independent of partitioning and
+    * insertion order. */
+  def referenceBloom(
+      corpus: DataFrame, corpusText: Column, n: Int,
+      fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): Array[Byte] = {
     val corpusGrams = spread(corpus)
       .select(explode(graft.expressions.HashedShingles.shingles(corpusText, n)).as("g"))
     // The default path needs TWO actions over the reference grams (the
@@ -691,7 +706,7 @@ object Dedup {
     // so the scan+tokenization runs once, and release immediately — the
     // filter bytes are what outlives this call, not the frame. An
     // explicit `expectedItems` skips the sizing action entirely.
-    val bf = expectedItems match {
+    expectedItems match {
       case Some(exp) =>
         graft.expressions.BloomMightContain.serialize(
           corpusGrams.stat.bloomFilter("g", math.max(1L, exp), fpp))
@@ -705,12 +720,20 @@ object Dedup {
             corpusGrams.stat.bloomFilter("g", expected, fpp))
         } finally corpusGrams.unpersist(blocking = false)
     }
+  }
+
+  /** Probe half of the Bloom screen against pre-built filter bytes:
+    * (id, n_sh, n_hit, overlap) per probe doc — one map-side codegen'd
+    * probe pass, then the per-doc count aggregation's shuffle only. */
+  def crossCorpusOverlapWithBloom(
+      probe: DataFrame, probeId: Column, probeText: Column,
+      filterBytes: Array[Byte], n: Int): DataFrame = {
     val probeSh = spread(probe).select(
       probeId.cast("long").as("id"),
       graft.expressions.HashedShingles.shingles(probeText, n).as("s"))
       .withColumn("n_sh", size(col("s")))
     val hits = probeSh.select(col("id"), col("n_sh"), explode(col("s")).as("g"))
-      .filter(graft.expressions.BloomMightContain.mightContain(col("g"), bf))
+      .filter(graft.expressions.BloomMightContain.mightContain(col("g"), filterBytes))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hit"))
     probeSh.select(col("id"), col("n_sh"))
