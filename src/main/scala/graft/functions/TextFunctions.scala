@@ -117,4 +117,44 @@ object TextFunctions {
     aggregate(
       transform(tokens(c), t => greatest(lit(1), ceil(length(t) / lit(6.0)).cast("int"))),
       lit(0), (acc, x) => acc + x)
+
+  // --- PII redaction -------------------------------------------------
+  //
+  // Regex-class scrubbing of the three standard structured-PII shapes
+  // (emails, NANP-style phone numbers, IPv4 addresses) — the
+  // redaction pass every training-data pipeline runs before tokenizing.
+  // The patterns are deliberately restricted to constructs with
+  // IDENTICAL semantics in java.util.regex (Spark codegen) and RE2
+  // (DuckDB oracle): character classes, bounded/greedy quantifiers and
+  // ASCII \b word boundaries — no backreferences, no lookaround — so
+  // one pattern string literal serves both engines and the oracle can
+  // gate the actual rewritten text (q84 embeds THESE constants in its
+  // DuckDB SQL; there is exactly one definition of each pattern).
+
+  /** Email address. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** NANP-ish phone: 3-3-4 digit groups joined by '-' or '.'. */
+  val PhoneRe: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  /** Dotted-quad IPv4 (syntactic: octet range not enforced). */
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Occurrences of each PII class in the ORIGINAL text (counts are
+    * independent per class — a digit run inside an email's local part
+    * can legitimately count as both). Codegen'd builtins. */
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
+  def phoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe))
+  def ipv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Re))
+
+  /** Redact all three PII classes to typed placeholder tokens. Order is
+    * part of the contract — emails first (their local parts can contain
+    * phone/IP-shaped digit runs, and the whole address must become ONE
+    * `<EMAIL>`), then phones (3-3-4 digit runs would otherwise be eaten
+    * partially by the looser IPv4 dotted-quad shape), then IPv4. Three
+    * global `regexp_replace` passes, all codegen'd. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 }

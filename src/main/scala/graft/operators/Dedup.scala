@@ -844,18 +844,31 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(
         col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+    // Degenerate-input contract (public API; matches the q80 oracle):
+    // null text → (n_before NULL, n_after 0, text_clean "") — DuckDB's
+    // len(NULL)/coalesce arithmetic. An EMPTY token array cannot come
+    // from the default whitespace tokenizer (blank text yields [""]),
+    // but without the size guard `sequence(0, size-1)` would produce the
+    // descending [0,-1] (Spark auto-negative step) and a phantom
+    // n_after = 2 > n_before = 0.
+    val emptyKept = array().cast("array<struct<t:string,i:integer>>")
+    val positions = when(size(col("toks")) > 0,
+      sequence(lit(0), size(col("toks")) - 1))
+      .otherwise(array().cast("array<integer>"))
     base.join(spans, Seq("doc_id"), "left")
-      .withColumn("kept",
+      .withColumn("kept", coalesce(
         filter(
-          zip_with(col("toks"), sequence(lit(0), size(col("toks")) - 1),
+          zip_with(col("toks"), positions,
             (t, i) => struct(t.as("t"), i.as("i"))),
           p => coalesce(
             !exists(col("spans"), s =>
               p.getField("i") >= s.getField("s") &&
                 p.getField("i") <= s.getField("e")),
-            lit(true))))
+            lit(true))),
+        emptyKept))
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_before"),
+        when(col("toks").isNull, lit(null))
+          .otherwise(size(col("toks"))).cast("long").as("n_before"),
         size(col("kept")).cast("long").as("n_after"),
         array_join(transform(col("kept"), p => p.getField("t")), " ")
           .as("text_clean"))

@@ -530,6 +530,34 @@ object PipelineQueries {
         Tables.documents(spark, dir), col("doc_id"), col("text"), k = 8)
       .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("span_start"))
 
+  /** q84 — PII redaction ([[TextFunctions.redactPii]]): per-class match
+    * counts on the original text plus the md5 of the redacted text, so
+    * the oracle gates the actual rewrite (q80's rewrite-and-verify
+    * shape), not just the counts. The testdata's synthetic prose
+    * contains no natural PII, so each doc is first AUGMENTED with
+    * deterministic doc_id-derived PII (one email, one phone, one IPv4 —
+    * identical `||`/lpad arithmetic in the oracle SQL); natural text
+    * that happens to match still counts identically in both engines.
+    * The whole query is one codegen'd projection per doc — counts and
+    * redaction are regexp builtins, nothing shuffles but the output
+    * sort. */
+  def q84PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val piiText = concat_ws(" ", col("text"),
+      concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")),
+      concat(lit("555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")),
+      concat(lit("10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 250).cast("string")))
+    Dedup.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), piiText.as("ptext"))
+      .select(col("doc_id"),
+        emailCount(col("ptext")).cast("long").as("n_email"),
+        phoneCount(col("ptext")).cast("long").as("n_phone"),
+        ipv4Count(col("ptext")).cast("long").as("n_ip"),
+        md5(redactPii(col("ptext"))).as("red_md5"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_text_stats"      -> q18TextStats _,
     "q19_langid"          -> q19LangId _,
@@ -551,6 +579,7 @@ object PipelineQueries {
     "q46_rolling_hash"    -> q46RollingHash _,
     "q77_repeated_spans"  -> q77RepeatedSpans _,
     "q80_span_removal"    -> q80SpanRemoval _,
+    "q84_pii_redaction"   -> q84PiiRedaction _,
     "q81_token_budget"    -> q81TokenBudget _,
     "q82_leakage_split"   -> q82LeakageSafeSplit _,
     "q62_repetition"      -> q62Repetition _,
@@ -677,6 +706,28 @@ object PipelineQueries {
         |   md5(coalesce(c.text_clean, '')) AS clean_md5
         | FROM t LEFT JOIN clean c USING (doc_id)
         | ORDER BY doc_id NULLS FIRST""".stripMargin,
+    // q84: the regex literals are spliced from TextFunctions.{EmailRe,
+    // PhoneRe,Ipv4Re} — ONE pattern definition for both engines (the
+    // constants restrict themselves to java.regex/RE2-identical syntax).
+    // DuckDB regexp_replace needs the explicit 'g' flag (Spark's is
+    // global by default); counts via len(regexp_extract_all).
+    "q84_pii_redaction" ->
+      s"""WITH p AS (SELECT doc_id,
+        |   text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    || ' 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.' || CAST(doc_id % 250 AS VARCHAR) AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(ptext, '$EmailRe')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(ptext, '$PhoneRe')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(ptext, '$Ipv4Re')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+        |    '$EmailRe', '<EMAIL>', 'g'),
+        |    '$PhoneRe', '<PHONE>', 'g'),
+        |    '$Ipv4Re', '<IP>', 'g')) AS red_md5
+        | FROM p ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q62_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | g AS (SELECT doc_id, CASE WHEN len(toks) < 2

@@ -21,7 +21,12 @@ import graft.operators.Dedup
   * reference corpus is never rescanned, never joined, never broadcast
   * per batch. Same `foreachBatch` zero-streaming-state design as
   * [[StreamingDedup]] (no watermark, no state store; restart recovery
-  * via checkpointed offsets + append), and the per-batch arithmetic IS
+  * via checkpointed offsets + append). As there, `foreachBatch` +
+  * parquet append is exactly-once only WITHIN a batch id: a crash after
+  * a partial sink write replays the whole batch on restart and can
+  * duplicate flagged rows — downstream consumers dedupe on doc id, or
+  * write per-batch output under a batchId-keyed path for idempotent
+  * replay. The per-batch arithmetic IS
   * the batch operator's probe side, so stream ≡ batch by construction —
   * pinned in StreamingDecontamSpec. One-sided error inherited from the
   * screen: overlap can be inflated by the Bloom fpp, never deflated; the

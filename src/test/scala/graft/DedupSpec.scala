@@ -559,6 +559,22 @@ class DedupSpec extends SparkSpec {
       "entirely unrelated text with no overlap at all whatsoever")), got(40L))
   }
 
+  test("removeRepeatedSpans degenerate inputs: null and blank text (q80 oracle contract)") {
+    val corpus = Seq((1L, null: String), (2L, ""), (3L, "   "))
+      .toDF("id", "text")
+    val got = Dedup.removeRepeatedSpans(corpus, col("id"), col("text"), k = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[java.lang.Long]("n_before")).map(_.toLong),
+          r.getAs[Long]("n_after"), r.getAs[String]("text_clean"))))
+      .toMap
+    // Null text: DuckDB len(NULL) is NULL / coalesce 0 / md5('') — so
+    // (NULL, 0, "") here. Blank text tokenizes to [""]: one token kept.
+    assert(got(1L) == ((None, 0L, "")), got(1L))
+    assert(got(2L) == ((Some(1L), 1L, "")), got(2L))
+    assert(got(3L) == ((Some(1L), 1L, "")), got(3L))
+  }
+
   test("repeatedSpans + removeRepeatedSpans equal a driver-side reference on seeded random corpora") {
     // Independent reimplementation of the span semantics in plain Scala
     // (window-string maps, no hashing): the operators must match it on

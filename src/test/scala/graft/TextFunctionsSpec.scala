@@ -85,4 +85,42 @@ class TextFunctionsSpec extends SparkSpec {
     val df = Seq("hi internationalization").toDF("t") // 1 + ceil(20/6)=4
     assert(one[Int](df.select(subwordCount(col("t")))) == 5)
   }
+
+  test("redactPii: all three classes, counts on original text") {
+    val df = Seq(
+      "mail a.user+tag@sub.example.org now",
+      "call 555-123-4567 or 555.987.6543",
+      "host 10.0.0.1 peer 192.168.255.254",
+      "clean text with plain words 1234",
+      "").toDF("t")
+    val got = df.select(redactPii(col("t")),
+        emailCount(col("t")), phoneCount(col("t")), ipv4Count(col("t")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got(0) == (("mail <EMAIL> now", 1, 0, 0)))
+    assert(got(1) == (("call <PHONE> or <PHONE>", 0, 2, 0)))
+    assert(got(2) == (("host <IP> peer <IP>", 0, 0, 2)))
+    assert(got(3) == (("clean text with plain words 1234", 0, 0, 0)))
+    assert(got(4) == (("", 0, 0, 0)))
+  }
+
+  test("redactPii: email wins over embedded digit runs; ordering contract") {
+    // The local part contains a phone-shaped run; the whole address must
+    // become ONE <EMAIL>, not a partial <PHONE> inside a mangled email.
+    val df = Seq("x 555-123-4567@example.com y").toDF("t")
+    assert(one[String](df.select(redactPii(col("t")))) == "x <EMAIL> y")
+    // Phone before IPv4: a 3-3-4 dotted run is a phone, not a dotted-quad
+    // prefix match.
+    val df2 = Seq("n 555.123.4567 m").toDF("t")
+    assert(one[String](df2.select(redactPii(col("t")))) == "n <PHONE> m")
+  }
+
+  test("redactPii: word boundaries stop partial digit matches") {
+    // 5-digit leading run: no \b-aligned 3-3-4 match; longer dotted quads
+    // with 4-digit groups don't match the IPv4 shape either.
+    val df = Seq("a 55555-123-4567 b", "c 1.2.3.4567 d").toDF("t")
+    val got = df.select(phoneCount(col("t")), ipv4Count(col("t")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got(0) == ((0, 0)))
+    assert(got(1) == ((0, 0)))
+  }
 }
