@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Manual build-vs-probe split for q78's bench number (round-11 verdict
+  * item, Q66Split pattern): the benched q78 composes the exact
+  * baseline + IVF index build + a full probe + a partial probe — the
+  * whole recall CONTRACT — so its time is by design a multiple of any
+  * single piece. This times the pieces separately at a given SF:
+  * exact brute-force top-10, one-time `ivfIndex` build (KMeans fit +
+  * assignment, index persisted and forced), then N warm `ivfTopK`
+  * probes — build once / probe many is the operator's premise, and the
+  * steady-state per-query cost is the probe number.
+  * Run: sbt "Test/runMain graft.tools.Q78Split [sfDir] [probeReps]"
+  */
+object Q78Split {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = GraftSession.local()
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // warmup pass (codegen + page cache), mirroring Bench methodology
+    {
+      Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"), q,
+        k = 10).count()
+      val (c0, i0) = Similarity.ivfIndex(
+        corpus, col("vec_id"), col("embedding"), nLists = 8)
+      Similarity.ivfTopK(c0, i0, qv, k = 10, nProbe = 3).count()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    val (_, exactSec) = timed {
+      Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"), q,
+        k = 10).count()
+    }
+    println(f"== q78 exact baseline: $exactSec%.2f s")
+    val ((centroids, indexed), buildSec) = timed {
+      val (c, i) = Similarity.ivfIndex(
+        corpus, col("vec_id"), col("embedding"), nLists = 8)
+      val persisted = i.persist()
+      persisted.count() // force the assignment pass into the cache
+      (c, persisted)
+    }
+    println(f"== q78 build: $buildSec%.2f s (index persisted + forced)")
+    for (i <- 1 to reps) {
+      val (n, probeSec) = timed {
+        Similarity.ivfTopK(centroids, indexed, qv, k = 10, nProbe = 3).count()
+      }
+      println(f"== q78 warm probe #$i (nProbe=3): $probeSec%.2f s ($n rows)")
+    }
+    for (i <- 1 to reps) {
+      val (n, probeSec) = timed {
+        Similarity.ivfTopK(centroids, indexed, qv, k = 10, nProbe = 8).count()
+      }
+      println(f"== q78 warm probe #$i (nProbe=8): $probeSec%.2f s ($n rows)")
+    }
+    indexed.unpersist()
+    spark.stop()
+  }
+}
