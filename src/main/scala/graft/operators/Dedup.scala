@@ -1059,24 +1059,25 @@ object Dedup {
   private def resolveClustersDistributed(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    // localCheckpoint per round truncates the lineage — without it the
+    // Checkpoint per round truncates the lineage — without it the
     // logical plan doubles every iteration (the standard iterative-
     // algorithm trap) and the driver OOMs building the plan itself.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
-      .localCheckpoint()
+    // Materialize.pin: local by default, reliable under
+    // graft.checkpoint.reliable=true (long iterative jobs on big
+    // clusters are exactly where executor loss becomes likely).
+    var labels = Materialize.pin(edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       // neighbor's current label, take the min over (own, neighbors')
-      val next = edges
+      val next = Materialize.pin(edges
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "cluster" -> "ncluster")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("ncluster")).as("minNeighbor"))
         .join(labels, "id")
         .withColumn("next", least(col("cluster"), col("minNeighbor")))
-        .select(col("id"), col("next").as("cluster"))
-        .localCheckpoint()
+        .select(col("id"), col("next").as("cluster")))
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).count()
       labels = next

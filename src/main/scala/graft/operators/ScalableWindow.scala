@@ -19,14 +19,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType,
   *      collect of #partitions rows, broadcast back),
   *   4. global cumsum = local cumsum + partition offset.
   *
-  * The range-partitioned frame is materialized ONCE (localCheckpoint)
+  * The range-partitioned frame is materialized ONCE ([[Materialize.pin]])
   * before the totals collect: `RangePartitioner` samples afresh per
   * execution, so without pinning, the totals job and the final join
   * could see DIFFERENT partition bounds — broadcast offsets keyed to a
   * `__pid` assignment that no longer exists. The checkpoint makes both
-  * jobs read the same materialized partitioning. (On a cluster, swap
-  * `localCheckpoint` for a reliable `checkpoint`/`persist(DISK)` if
-  * executor loss during the query is a concern.) Checkpoint blocks live
+  * jobs read the same materialized partitioning. (On a cluster where
+  * executor loss during the query is a concern, set
+  * `graft.checkpoint.reliable=true` + a checkpoint dir — the pin then
+  * uses reliable `checkpoint()`.) Checkpoint blocks live
   * until the checkpointed RDD is garbage-collected on the driver, at
   * which point the ContextCleaner reclaims them — callers holding the
   * result long-term hold the blocks too; drop the reference (or copy the
@@ -55,9 +56,9 @@ object ScalableWindow {
       df: DataFrame, orderCols: Seq[Column], valueCol: Column,
       as: String, partitions: Int): DataFrame = {
     // Pin one physical partitioning for all downstream jobs (see scaladoc).
-    val ranged = df.repartitionByRange(partitions, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val ranged = Materialize.pin(
+      df.repartitionByRange(partitions, orderCols: _*)
+        .withColumn("__pid", spark_partition_id()))
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__local", sum(valueCol).over(w))

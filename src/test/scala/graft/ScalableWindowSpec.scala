@@ -61,4 +61,39 @@ class ScalableWindowSpec extends SparkSpec {
       .orderBy(desc("id")).select("cum").collect().head.getDouble(0)
     assert(out == 50.0)
   }
+
+  test("reliable checkpoint mode: same results, durable blocks under the checkpoint dir") {
+    val df = (0 until 300).map(i => (i.toLong, ((i * 7) % 40 + 1).toLong))
+      .toDF("id", "v").repartition(5)
+    val expected = ScalableWindow
+      .runningTotal(df, col("id"), col("v"), "cum", 6)
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-reliable-ckpt-").toString
+    spark.conf.set("graft.checkpoint.reliable", "true")
+    try {
+      // Without a checkpoint dir the switch must fail loudly, not fall
+      // back to local blocks the caller believes are durable.
+      val err = intercept[IllegalArgumentException] {
+        ScalableWindow.runningTotal(df, col("id"), col("v"), "cum", 6)
+      }
+      assert(err.getMessage.contains("setCheckpointDir"))
+      spark.sparkContext.setCheckpointDir(ckptDir)
+      val got = ScalableWindow
+        .runningTotal(df, col("id"), col("v"), "cum", 6)
+        .select("id", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+      // reliable checkpoint() writes RDD files under the dir
+      def files(p: java.io.File): Seq[java.io.File] = {
+        val kids = Option(p.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(new java.io.File(ckptDir)).nonEmpty,
+        s"no checkpoint files written under $ckptDir")
+    } finally {
+      spark.conf.unset("graft.checkpoint.reliable")
+    }
+  }
 }
