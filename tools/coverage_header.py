@@ -19,8 +19,8 @@ def qnum(name: str) -> int:
 
 
 def main() -> None:
-    spark_path = sys.argv[1] if len(sys.argv) > 1 else "bench_r10_local.json"
-    oracle_path = sys.argv[2] if len(sys.argv) > 2 else "bench_oracle_r10.json"
+    spark_path = sys.argv[1] if len(sys.argv) > 1 else "bench_r11_local.json"
+    oracle_path = sys.argv[2] if len(sys.argv) > 2 else "bench_oracle_r11.json"
     with open(spark_path) as f:
         spark = json.load(f)["queries"]
     with open(oracle_path) as f:
