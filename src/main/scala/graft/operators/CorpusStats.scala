@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level health statistics for a training-data pipeline: the
+  * numbers a curation run reports before anyone trains on the data.
+  */
+object CorpusStats {
+
+  /** Vocabulary-growth curve: for every document (in `id` order), the
+    * number of NOVEL tokens it introduces (tokens whose global first
+    * occurrence is this document) and the cumulative distinct-vocabulary
+    * size up to and including it — the Heaps-law curve that tells a
+    * pipeline whether more data is still buying new vocabulary.
+    *
+    * Scale shape: the naive formulation — `count(DISTINCT token) OVER
+    * (ORDER BY doc)` — is a global window over every token occurrence
+    * and cannot distribute. This one never windows raw tokens:
+    *   1. first-occurrence doc per token = `min(doc_id)` hash aggregate
+    *      (partial-agg friendly; shuffle carries ≤ |vocab| rows);
+    *   2. novel-count per doc = second tiny aggregate (≤ |docs| rows);
+    *   3. cumulative sum via [[ScalableWindow.runningTotal]]'s two-phase
+    *      range-partitioned cumsum — no single-partition sort.
+    * Output: (doc_id, novel_terms, vocab_size), one row per document.
+    */
+  def vocabGrowth(
+      docs: DataFrame, id: Column, text: Column,
+      partitions: Int = 32): DataFrame = {
+    val d = Dedup.spread(docs).select(id.cast("long").as("doc_id"), text.as("text"))
+    val firstDoc = d
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("doc_id"))
+    val novel = firstDoc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("novel_terms"))
+    val base = d.select(col("doc_id"))
+      .join(novel, Seq("doc_id"), "left")
+      .withColumn("novel_terms", coalesce(col("novel_terms"), lit(0L)))
+    ScalableWindow.runningTotal(base, col("doc_id").asc_nulls_first,
+        col("novel_terms"), as = "vocab_size", partitions = partitions)
+      .select(col("doc_id"), col("novel_terms"), col("vocab_size"))
+  }
+
+  /** Embedding-table audit: the per-group data-quality gate an embedding
+    * corpus passes before indexing/training — row counts, malformed
+    * vectors (null / wrong dimension / non-finite components / zero
+    * norm), and L2-norm range stats.
+    *
+    * One partial-aggregation pass; every check is a row-local HOF
+    * (`exists`, in-order double fold for the norm — the
+    * [[graft.functions.VectorFunctions]] association, mirrored in oracle
+    * SQL). Norm stats cover only the VALID population (non-null, all
+    * components finite) — a NaN norm would otherwise poison min/max/mean
+    * for the whole group. Norm aggregates are rounded to 6 dp (cross-row
+    * sum-order discipline, as [[Similarity.groupCentroids]]).
+    * Output: (group, n, n_null, n_bad_dim, n_nonfinite, n_zero_norm,
+    * min_norm, max_norm, mean_norm). */
+  def embeddingAudit(
+      emb: DataFrame, group: Column, vec: Column,
+      expectedDim: Int): DataFrame = {
+    val v = col("__v")
+    val nonFinite = exists(v, x =>
+      isnan(x) || abs(x.cast("double")) === lit(Double.PositiveInfinity))
+    val normSq = aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val norm = when(v.isNotNull && !nonFinite, sqrt(normSq))
+    Dedup.spread(emb).select(group.as("group"), vec.as("__v"))
+      .groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(v.isNull, 1)).as("n_null"),
+        count(when(v.isNotNull && size(v) =!= expectedDim, 1)).as("n_bad_dim"),
+        count(when(nonFinite, 1)).as("n_nonfinite"),
+        count(when(norm === 0.0d, 1)).as("n_zero_norm"),
+        round(min(norm), 6).as("min_norm"),
+        round(max(norm), 6).as("max_norm"),
+        round(sum(norm) / count(norm), 6).as("mean_norm"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Ranking, Similarity, Split}
+import graft.operators.{Cluster, CorpusStats, Dedup, Ranking, Similarity, Split}
 import graft.sources.Tables
 
 /** Corpus curation surface: term weighting / retrieval scoring and the
@@ -103,6 +103,41 @@ object CorpusQueries {
       .withColumnRenamed("group", "source")
       .orderBy(asc_nulls_first("source"))
 
+  /** q85 — vocabulary-growth curve (novel tokens per doc + cumulative
+    * vocab size in doc order; Heaps-law diagnostic) via the
+    * first-occurrence aggregate + two-phase cumsum — never a global
+    * window over raw token occurrences. */
+  def q85VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.vocabGrowth(Tables.documents(spark, dir),
+        col("doc_id"), col("text"))
+      .orderBy(asc_nulls_first("doc_id"))
+
+  /** q86 — per-label embedding-table audit: malformed-vector counts
+    * (null / wrong dim / non-finite / zero norm) + L2-norm range, the
+    * data-quality gate before indexing or training. */
+  def q86EmbedAudit(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.embeddingAudit(Tables.embeddings(spark, dir),
+        col("label"), col("embedding"), expectedDim = 64)
+      .withColumnRenamed("group", "label")
+      .orderBy(asc("label"))
+
+  /** k-means geometry shared by q87's Spark side and its unrolled
+    * oracle: k=8 lineages, 2 Lloyd recomputes, SemDeDup pair threshold
+    * at the q23 near-dup bar. */
+  private val SemK = 8
+  private val SemIters = 2
+  private val SemThreshold = 0.45
+
+  /** q87 — SemDeDup: deterministic Lloyd k-means buckets bound the
+    * quadratic search; within-cluster cosine ≥ 0.45 pairs resolve to
+    * components, survivor = min id. */
+  def q87SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Cluster.semanticDedup(Tables.embeddings(spark, dir),
+        col("vec_id"), col("embedding"),
+        k = SemK, iters = SemIters, threshold = SemThreshold)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(asc("vec_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_tfidf"              -> q67TfIdf _,
     "q68_bm25"               -> q68Bm25 _,
@@ -114,6 +149,9 @@ object CorpusQueries {
     "q73_oov_rate"           -> q73OovRate _,
     "q74_centroid_scores"    -> q74CentroidScores _,
     "q75_source_kl"          -> q75SourceKl _,
+    "q85_vocab_growth"       -> q85VocabGrowth _,
+    "q86_embed_audit"        -> q86EmbedAudit _,
+    "q87_semantic_dedup"     -> q87SemanticDedup _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -126,6 +164,42 @@ object CorpusQueries {
   private val hashFracSql =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) " +
       "/ CAST(4294967296.0 AS DOUBLE)"
+
+  /** Assignment cosine for the q87 oracle — double-cast lists, in-order
+    * list_sum folds, rounded to 6 dp: the SQL mirror of
+    * `Cluster.cosVD` ∘ round. */
+  private def cosSql(v: String, c: String): String =
+    s"round(list_sum(list_transform(range(len($v)), i -> $v[i+1]*$c[i+1]))" +
+      s" / (sqrt(list_sum(list_transform($v, x->x*x)))" +
+      s" * sqrt(list_sum(list_transform($c, x->x*x)))), 6)"
+
+  /** Unrolled Lloyd iterations for the q87 oracle: init = k smallest
+    * vec_ids (cl = 0-based rank), then `iters` ×
+    * (assign → recompute-rounded-centroids), then the final assignment
+    * `af` — the same schedule `Cluster.fitCentroids` runs, so the CTE
+    * chain is generated from (k, iters) instead of hand-unrolled. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val assign = (name: String, cent: String) =>
+      s"$name AS (SELECT vec_id, v, (min(struct_pack(" +
+        s"nc := -${cosSql("v", "c")}, cl := cl))).cl AS cluster" +
+        s" FROM e CROSS JOIN $cent GROUP BY vec_id, v)"
+    val sb = new StringBuilder
+    sb ++= "e AS (SELECT vec_id, list_transform(embedding," +
+      " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+    sb ++= "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1" +
+      s" AS INTEGER) AS cl, v AS c FROM (SELECT * FROM e ORDER BY vec_id LIMIT $k)),\n"
+    var cent = "c0"
+    for (i <- 0 until iters) {
+      sb ++= assign(s"a$i", cent) + ",\n"
+      sb ++= s"c${i + 1} AS (SELECT cluster AS cl, list(m ORDER BY dim) AS c" +
+        " FROM (SELECT cluster, dim, round(sum(x)/count(*), 6) AS m" +
+        " FROM (SELECT cluster, unnest(range(1, len(v)+1)) AS dim," +
+        s" unnest(v) AS x FROM a$i) GROUP BY 1, 2) GROUP BY cluster),\n"
+      cent = s"c${i + 1}"
+    }
+    sb ++= assign("af", cent)
+    sb.toString
+  }
 
   val oracle: Map[String, String] = Map(
     "q67_tfidf" ->
@@ -266,5 +340,61 @@ object CorpusQueries {
         |SELECT source, CAST(max(gtot) AS BIGINT) AS n_tokens,
         |  round(sum(part), 4) AS kl
         | FROM parts GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+    "q85_vocab_growth" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        | f AS (SELECT term, min(doc_id) AS doc_id FROM t GROUP BY 1),
+        | nv AS (SELECT doc_id, count(*) AS novel FROM f GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(nv.novel, 0) AS BIGINT) AS novel_terms,
+        |  CAST(sum(coalesce(nv.novel, 0)) OVER (ORDER BY d.doc_id)
+        |    AS BIGINT) AS vocab_size
+        | FROM documents d LEFT JOIN nv USING (doc_id)
+        | ORDER BY d.doc_id NULLS FIRST""".stripMargin,
+    "q86_embed_audit" ->
+      """WITH s0 AS (SELECT label, embedding AS v,
+        |   CASE WHEN embedding IS NULL THEN NULL
+        |     ELSE len(list_filter(embedding,
+        |       x -> isnan(x) OR isinf(x))) > 0 END AS nonfinite
+        |  FROM embeddings),
+        | s AS (SELECT label, v, nonfinite,
+        |   CASE WHEN v IS NULL OR nonfinite THEN NULL
+        |     ELSE sqrt(coalesce(list_sum(list_transform(v,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |       CAST(0.0 AS DOUBLE))) END AS nrm
+        |  FROM s0)
+        |SELECT label, count(*) AS n,
+        |  count(CASE WHEN v IS NULL THEN 1 END) AS n_null,
+        |  count(CASE WHEN v IS NOT NULL AND len(v) <> 64 THEN 1 END)
+        |    AS n_bad_dim,
+        |  count(CASE WHEN nonfinite THEN 1 END) AS n_nonfinite,
+        |  count(CASE WHEN nrm = 0 THEN 1 END) AS n_zero_norm,
+        |  round(min(nrm), 6) AS min_norm,
+        |  round(max(nrm), 6) AS max_norm,
+        |  round(sum(nrm) / count(nrm), 6) AS mean_norm
+        | FROM s GROUP BY label ORDER BY label""".stripMargin,
+    "q87_semantic_dedup" -> {
+      val pairCos =
+        "list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]))" +
+          " / (sqrt(list_sum(list_transform(a.v, x->x*x)))" +
+          " * sqrt(list_sum(list_transform(b.v, x->x*x))))"
+      s"""WITH RECURSIVE ${kmeansCtes(SemK, SemIters)},
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |   FROM af a JOIN af b
+        |     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |   WHERE $pairCos >= CAST($SemThreshold AS DOUBLE)),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |   UNION ALL SELECT id_b, id_a FROM p),
+        | nodes AS (SELECT DISTINCT src AS id FROM edges),
+        | reach AS (
+        |   SELECT id, id AS r FROM nodes
+        |   UNION
+        |   SELECT reach.id, g.dst FROM reach JOIN edges g ON reach.r = g.src),
+        | comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+        |SELECT af.vec_id, CAST(af.cluster AS INTEGER) AS cluster,
+        |  CAST(coalesce(comp.root, af.vec_id) AS BIGINT) AS root,
+        |  coalesce(comp.root, af.vec_id) = af.vec_id AS keep
+        | FROM af LEFT JOIN comp ON comp.id = af.vec_id
+        | ORDER BY af.vec_id""".stripMargin
+    },
   )
 }
