@@ -40,6 +40,16 @@ import graft.functions.VectorFunctions
   * n², with `k` chosen so clusters stay partition-sized. Within-cluster
   * cosine ≥ `threshold` edges resolve to connected components
   * ([[Dedup.resolveClusters]]); the survivor is the min id.
+  *
+  * Operating envelope (measured, `Q87Sweep` / BASELINE.md round 11):
+  * k must SCALE with the corpus — fixed k=8 at 64× the corpus hit the
+  * Σ|cluster|² wall (16× data from the prior point → 50× time). And
+  * because the flat assignment is n·k·d per scan (and the plan grows
+  * with k), past a few hundred centroids don't raise k further here:
+  * coarse-quantize first ([[Similarity.ivfIndex]]'s sample-fit
+  * two-level shape) and run this operator's deterministic machinery
+  * within each posting list. The flat literal is the oracle-checkable
+  * contract at moderate k, not the large-k fit.
   */
 object Cluster {
 
