@@ -54,6 +54,53 @@ class ClusterSpec extends SparkSpec {
     assert(got.size == 7)
   }
 
+  test("two-level with one cell IS flat k-means, relabeled 1:1") {
+    // k1 = 1 collapses the coarse level to a single cell, so the fine
+    // pass runs the flat schedule (same init rule, rounding, ties) over
+    // the whole corpus: labels must match lloydKMeans(k = k2) exactly
+    // (cell 0 ⇒ cluster = fl). This is the exactness gate that lets the
+    // two-level path claim the SAME semantics as the oracle-checked
+    // flat path, not merely similar clustering.
+    val flat = Cluster.lloydKMeans(emb, col("vec_id"), col("embedding"),
+        k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val two = Cluster.lloydKMeansTwoLevel(emb, col("vec_id"), col("embedding"),
+        k1 = 1, k2 = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(flat == two)
+    val dedupFlat = Cluster.semanticDedup(emb, col("vec_id"),
+        col("embedding"), k = 2, iters = 2, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    val dedupTwo = Cluster.semanticDedupTwoLevel(emb, col("vec_id"),
+        col("embedding"), k1 = 1, k2 = 2, iters = 2, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(dedupFlat == dedupTwo)
+  }
+
+  test("two-level refines within cells deterministically") {
+    // k1 = 2 separates the axis groups (as the flat test proves);
+    // k2 = 2 then splits within each cell. Cross-cell structure must
+    // be preserved: no label is shared across the two axis groups.
+    val got = Cluster.lloydKMeansTwoLevel(emb, col("vec_id"), col("embedding"),
+        k1 = 2, k2 = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val groupA = Set(0L, 1L, 2L).map(got)
+    val groupB = Set(10L, 11L, 12L, 13L).map(got)
+    assert(groupA.intersect(groupB).isEmpty)
+    val again = Cluster.lloydKMeansTwoLevel(emb, col("vec_id"), col("embedding"),
+        k1 = 2, k2 = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == again)
+    // Dedup over the two-level labels still collapses the planted dups
+    // (10/11/12 hug the same axis — they stay co-celled, and SemDeDup
+    // only ever claims within-cluster recall).
+    val dd = Cluster.semanticDedupTwoLevel(emb, col("vec_id"),
+        col("embedding"), k1 = 2, k2 = 2, iters = 2, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(dd(10L) == (10L, true))
+    assert(dd(11L) == (10L, false))
+  }
+
   test("vocabGrowth: novel counts and cumulative vocab in doc order") {
     val docs = Seq(
       (0L, "a b b c"),   // novel: a b c        → vocab 3
