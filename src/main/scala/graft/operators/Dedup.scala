@@ -1106,4 +1106,129 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** Character-level edit-distance near-dup pairs: every (id_a < id_b)
+    * with `levenshtein(text_a, text_b) <= maxDist`, exactly — the fuzzy
+    * modality the token-set family (Jaccard/MinHash) cannot express
+    * (transpositions, typos, small in-place edits that rewrite few
+    * characters but leave the token sets nearly disjoint shingles-wise,
+    * and vice versa).
+    *
+    * Candidate generation is the PassJoin segment pigeonhole (Li, Deng,
+    * Feng, "PASS-JOIN: a partition-based method for similarity joins",
+    * VLDB 2012 — public literature): split the SHORTER string of a
+    * candidate pair into d+1 contiguous segments (even split, the last
+    * `L mod (d+1)` segments one char longer). If ed(a,b) ≤ d, at least
+    * one segment is untouched by all d edits, so its image in b is an
+    * IDENTICAL substring whose start position is displaced by at most d
+    * (the net insert-delete drift of the edits before it). So:
+    *
+    *   - index side: every doc emits its d+1 segments, hashed to
+    *     xxhash64 longs keyed (hash, segment index, own length) —
+    *     O(n·(d+1)) rows, linear;
+    *   - probe side: every doc emits, for each in-band shorter length
+    *     La ∈ [L−d, L] and segment i, the substrings at start
+    *     p_i(La) ± d — ≤ (d+1)²(2d+1) hashes per doc, a CONSTANT
+    *     per-row fan-out (225 at d=4), never a function of corpus size;
+    *   - candidates come from the equi-join on (hash, i, La) — a
+    *     shuffle on 8-byte keys, O(candidates) like every other
+    *     block-then-verify variant in this file — and are verified with
+    *     the real banded `levenshtein(ta, tb, maxDist)` (threshold
+    *     form: O(L·d) per pair, early exit above d).
+    *
+    * The result is EXACT regardless of hash collisions: a collision can
+    * only ADD a candidate, and verification runs on the actual text.
+    * Strings shorter than d+1 chars have empty segments; pairs whose
+    * shorter side is that small (≤ d chars, so partners ≤ 2d) route
+    * through a direct length-banded candidate join instead — a set
+    * that is by definition the corpus's sub-(2d)-char sliver.
+    *
+    * At 100 TB: both sides are linear scans with constant fan-out, the
+    * join shuffles hashed longs, and the quadratic lives only inside
+    * the verified-candidate set. Skew: a segment hash shared by k docs
+    * fans out k× — the analogue of a hot shingle; pathological boiler-
+    * plate segments would need the [[ngramJaccardPairs]] hot-cap
+    * treatment, not present here because segments are length-keyed
+    * (a hot segment only meets probes of docs within ±d of its doc's
+    * length). Output: (id_a, id_b, dist), dist ∈ [0, maxDist].
+    */
+  def editDistancePairs(
+      docs: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val d = maxDist
+    val nSeg = d + 1
+    val base = spread(docs).filter(text.isNotNull)
+      .select(id.cast("long").as("id"), text.as("t"))
+      .withColumn("len", length(col("t")).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Even-split scheme for a string of length la: segment i ∈ [0, d]
+    // has length ⌊la/(d+1)⌋ (+1 for the last la mod (d+1) segments) and
+    // 0-based start i·⌊la/(d+1)⌋ + max(0, i − ((d+1) − la mod (d+1))).
+    def segStart(i: Column, la: Column): Column =
+      (i * floor(la / nSeg) +
+        greatest(lit(0), i - (lit(nSeg) - la % nSeg))).cast("int")
+    def segLen(i: Column, la: Column): Column =
+      (floor(la / nSeg) +
+        when(i >= lit(nSeg) - la % nSeg, lit(1)).otherwise(lit(0))).cast("int")
+
+    val main = base.filter(col("len") >= nSeg)
+    val segs = main.select(col("id"), col("len"),
+      posexplode(transform(sequence(lit(0), lit(d)), i =>
+        xxhash64(col("t").substr(segStart(i, col("len")) + 1,
+          segLen(i, col("len")))))).as(Seq("si", "h")))
+
+    // Probe fan-out: (La, i, shift) combos whose substring lies fully
+    // inside this doc. All three loops are literal-bounded, so the
+    // whole probe set is one codegen'd nested-transform projection.
+    val probeStructs = flatten(flatten(
+      transform(sequence(greatest(lit(nSeg), col("len") - d), col("len")),
+        la => transform(sequence(lit(0), lit(d)), i =>
+          filter(
+            transform(sequence(lit(-d), lit(d)), sh => {
+              val st = segStart(i, la) + sh
+              val ln = segLen(i, la)
+              struct(la.cast("int").as("la"), i.cast("int").as("si"),
+                xxhash64(col("t").substr(st + 1, ln)).as("h"),
+                (st >= 0 && (st + ln) <= col("len")).as("ok"))
+            }),
+            s => s.getField("ok"))))))
+    val probes = main.select(col("id").as("pid"), col("len").as("plen"),
+        explode(probeStructs).as("p"))
+      .select(col("pid"), col("plen"), col("p.la").as("la"),
+        col("p.si").as("psi"), col("p.h").as("ph"))
+
+    val candMain = segs.join(probes,
+        col("h") === col("ph") && col("si") === col("psi") &&
+          col("len") === col("la") &&
+          (col("len") < col("plen") ||
+            (col("len") === col("plen") && col("id") =!= col("pid"))))
+      .select(least(col("id"), col("pid")).as("id_a"),
+        greatest(col("id"), col("pid")).as("id_b"))
+
+    // Sub-(d+1)-char shorter sides: direct length-banded candidates
+    // against partners ≤ 2d chars (both sets are the tiny-string
+    // sliver of the corpus; the equi key is the exact shorter length).
+    val tinyA = base.filter(col("len") <= d)
+      .select(col("id"), col("len"))
+    val tinyProbe = base.filter(col("len") <= 2 * d)
+      .select(col("id").as("pid"), col("len").as("plen"),
+        explode(sequence(greatest(lit(0), col("len") - d), col("len")))
+          .as("la"))
+    val candTiny = tinyA.join(tinyProbe,
+        col("len") === col("la") &&
+          (col("len") < col("plen") ||
+            (col("len") === col("plen") && col("id") =!= col("pid"))))
+      .select(least(col("id"), col("pid")).as("id_a"),
+        greatest(col("id"), col("pid")).as("id_b"))
+
+    val cand = candMain.unionByName(candTiny).distinct()
+    val pairs = cand
+      .join(base.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), d))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+    materializeAndRelease(pairs, base)
+  }
 }

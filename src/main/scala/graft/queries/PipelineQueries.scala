@@ -558,7 +558,23 @@ object PipelineQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** q88 — character-level edit-distance near-dup pairs (levenshtein
+    * ≤ 4): the PassJoin segment-pigeonhole block + banded-levenshtein
+    * verify ([[Dedup.editDistancePairs]]). Exact by construction (the
+    * pigeonhole filter is proven lossless; hash collisions only add
+    * candidates, verification runs on real text), so fully
+    * oracle-checked — the DuckDB side applies the position-FREE form of
+    * the same lossless filter (one shorter-side segment must appear
+    * verbatim anywhere in the longer doc, via an equi-join of segments
+    * against all same-width substrings) before its own levenshtein, so
+    * the two engines block differently but verify identically. */
+  def q88EditDistPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), maxDist = 4)
+      .orderBy(asc("id_a"), asc("id_b"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_editdist_pairs"  -> q88EditDistPairs _,
     "q18_text_stats"      -> q18TextStats _,
     "q19_langid"          -> q19LangId _,
     "q20_dedup_exact"     -> q20DedupExact _,
@@ -657,6 +673,38 @@ object PipelineQueries {
       |   WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q88 oracle: exact edit-distance pairs under the position-free
+    // PassJoin pigeonhole (lossless: ed <= 4 forces one of the shorter
+    // doc's 5 even-split segments to appear verbatim in the longer doc,
+    // so the segment-to-substring equi-join is a candidate SUPERSET),
+    // then real levenshtein <= 4. Validated against the exhaustive
+    // length-banded scan (equal row sets at sf0.001/sf0.01); the
+    // substring widths span every possible in-band segment width
+    // [(L-4)//5, L//5 + 1].
+    "q88_editdist_pairs" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS L
+        |            FROM documents WHERE text IS NOT NULL),
+        | segs AS (SELECT doc_id, L, unnest(list_transform(range(5), i ->
+        |    substr(text, 1 + i*(L//5) + greatest(0, i-(5-(L%5))),
+        |           (L//5) + CASE WHEN i >= 5-(L%5) THEN 1 ELSE 0 END))) AS s
+        |   FROM d0),
+        | subs AS (SELECT doc_id, L, unnest(list_transform(
+        |    range(1, L + 2 - ((L-4)//5)),
+        |    p -> list_transform(range((L-4)//5, L//5 + 2),
+        |           w -> substr(text, p, w)))) AS ss
+        |   FROM d0),
+        | subx AS (SELECT doc_id, L, unnest(ss) AS s FROM subs),
+        | cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+        |     greatest(a.doc_id, b.doc_id) AS id_b
+        |   FROM segs a JOIN subx b ON a.s = b.s
+        |     AND (a.L < b.L OR (a.L = b.L AND a.doc_id <> b.doc_id))
+        |     AND b.L - a.L <= 4),
+        | j AS (SELECT id_a, id_b, x.text AS ta, y.text AS tb
+        |   FROM cand JOIN d0 x ON x.doc_id = id_a
+        |     JOIN d0 y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+        | FROM j WHERE levenshtein(ta, tb) <= 4
+        | ORDER BY id_a, id_b""".stripMargin,
     "q39_seq_packing" ->
       s"""WITH d AS (SELECT doc_id, ${nTokSql(toksSql)} AS n_tok
         |           FROM documents),

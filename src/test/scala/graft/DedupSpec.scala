@@ -444,6 +444,7 @@ class DedupSpec extends SparkSpec {
     Dedup.resolveClusters(
       Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")).count()
     Dedup.dedupCorpus(docs, col("id"), col("text"), 3, 0.5).count()
+    Dedup.editDistancePairs(docs, col("id"), col("text"), maxDist = 4).count()
     val index = Dedup.corpusIndex(docs.filter(col("id") <= 2), col("id"), col("text"))
     Dedup.nearDupAgainstIndex(
       docs.filter(col("id") > 2), col("id"), col("text"), index, 0.5).count()
@@ -644,5 +645,85 @@ class DedupSpec extends SparkSpec {
       corpus.filter(col("id") =!= 3), col("id"), col("text"),
       k = 4, minDocs = 3)
     assert(strict.count() == 0) // only two docs share it now
+  }
+
+  test("editDistancePairs: planted edits, equal lengths, tiny strings, misses") {
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (0L, base),
+      (1L, base),                                    // dist 0
+      (2L, base.replace("quick", "quack")),          // 1 substitution
+      (3L, base + " ok"),                            // 3 insertions
+      (4L, base.replace("brown fox", "brwn fx") ),   // 2 deletions
+      (5L, "a totally unrelated string about spark partitions"),
+      (6L, "abc"), (7L, "abd"), (8L, "abcd"),        // tiny path (< d+1 chars)
+      (9L, "zzzzzzzz"))                              // tiny-band partner, far
+      .toDF("id", "text")
+    val got = Dedup.editDistancePairs(corpus, col("id"), col("text"), maxDist = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((0L, 1L)) == 0L)
+    assert(got((0L, 2L)) == 1L)
+    assert(got((0L, 3L)) == 3L)
+    assert(got((0L, 4L)) == 2L)
+    assert(got((2L, 3L)) == 4L)        // transitive pair within budget
+    assert(got((6L, 7L)) == 1L && got((6L, 8L)) == 1L && got((7L, 8L)) == 1L)
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L), "unrelated")
+    assert(!got.keySet.exists(p => p._1 == 9L || p._2 == 9L), "tiny but far")
+  }
+
+  test("editDistancePairs equals the exhaustive levenshtein scan on real data") {
+    // Completeness gate for the PassJoin blocking: the segment-pigeonhole
+    // candidates + banded verify must reproduce the length-banded
+    // brute-force scan exactly (ids AND distances) on the sf0.001 corpus.
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val d = 4
+    val t = real.select(col("doc_id").cast("long").as("id"), col("text"))
+    val brute = t.as("a").join(t.as("b"),
+        col("a.id") < col("b.id") &&
+          abs(length(col("a.text")) - length(col("b.text"))) <= d)
+      .withColumn("dist", levenshtein(col("a.text"), col("b.text"), d))
+      .filter(col("dist") >= 0)
+      .select(col("a.id"), col("b.id"), col("dist").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Dedup.editDistancePairs(real, col("doc_id"), col("text"), d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.nonEmpty)
+  }
+
+  test("editDistancePairs equals brute force on seeded random mutation corpora") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefg "
+    for (trial <- 1 to 3) {
+      val originals = (0 until 30).map { i =>
+        (i.toLong, (0 until (10 + rnd.nextInt(40)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }
+      val mutated = originals.take(12).map { case (i, s) =>
+        var cur = s
+        (0 until rnd.nextInt(6)).foreach { _ =>  // 0-5 random edits
+          val p = rnd.nextInt(math.max(1, cur.length))
+          cur = rnd.nextInt(3) match {
+            case 0 if cur.nonEmpty => cur.patch(p, "", 1)               // delete
+            case 1 => cur.patch(p, alphabet(rnd.nextInt(8)).toString, 0) // insert
+            case _ if cur.nonEmpty =>
+              cur.patch(p, alphabet(rnd.nextInt(8)).toString, 1)         // sub
+            case _ => cur
+          }
+        }
+        (100L + i, cur)
+      }
+      val corpus = (originals ++ mutated).toDF("id", "text")
+      val d = 3
+      val brute = corpus.as("a").join(corpus.as("b"), col("a.id") < col("b.id"))
+        .withColumn("dist", levenshtein(col("a.text"), col("b.text"), d))
+        .filter(col("dist") >= 0)
+        .select(col("a.id"), col("b.id"), col("dist").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = Dedup.editDistancePairs(corpus, col("id"), col("text"), d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute,
+        s"trial $trial missing=${brute -- got} extra=${got -- brute}")
+    }
   }
 }
