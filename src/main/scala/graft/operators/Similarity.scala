@@ -175,6 +175,167 @@ object Similarity {
     nE.crossJoin(nA).crossJoin(nH)
   }
 
+  /** Product-quantization index (Jégou, Douze, Schmid, "Product
+    * quantization for nearest neighbor search", IEEE TPAMI 2011 —
+    * public literature; the FAISS IVFADC building block): unit-normalize
+    * each vector, split it into `m` contiguous subvectors, train an
+    * independent `ksub`-codeword codebook per subspace (deterministic
+    * Lloyd: init = the `ksub` smallest-id subvectors, L2 argmin with
+    * 6-dp rounding + codeword-index tie-break — the
+    * [[graft.operators.Cluster]] determinism discipline), and encode
+    * every vector as `m` codeword indices BIT-PACKED into one long
+    * (`b = log2(ksub)` bits each; requires `m·b ≤ 64`).
+    *
+    * This is the memory leg the brute/LSH/IVF trio lacks: the scan-side
+    * state per vector drops from d floats (256 B at d=64) to ONE long —
+    * 32× — so a 100 TB embedding corpus becomes a ~3 TB code table that
+    * scans at memory bandwidth, while the full vectors stay in cold
+    * storage and are fetched only for the final rerank join.
+    *
+    * Scale shape: training iterates on the (id, subspace, subvector)
+    * relation — per iteration one broadcast-join assignment pass and a
+    * (subspace, codeword, dim) partial aggregation collecting exactly
+    * m·ksub·dsub rows (parameter-bounded, never corpus-bound); encoding
+    * is one codegen'd map pass against the codebook literal. Driver
+    * collects: the ksub init vectors and the m·ksub·dsub centroid table
+    * — both parameter-sized.
+    *
+    * Returns (codebooks as (subspace, codeword, centroid), encoded
+    * (id, codes) with `codes` the packed long). Zero-norm vectors are
+    * excluded (they have no cosine to any query; [[graft.operators
+    * .CorpusStats.embeddingAudit]] is the upstream gate). */
+  def pqIndex(
+      corpus: DataFrame, id: Column, vec: Column,
+      m: Int, ksub: Int, iters: Int): (Seq[(Int, Int, Array[Double])], DataFrame) = {
+    require(ksub >= 2 && (ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
+    val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
+    require(m * bits <= 64, s"m*log2(ksub)=${m * bits} exceeds one long")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val v0 = Dedup.spread(corpus).select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+      .filter(col("nrm") > 0)
+    val un = v0.select(col("id"),
+      transform(col("v"), x => x.cast("double") / col("nrm")).as("u"))
+    val dsubCol = (size(col("u")) / m).cast("int")
+    val subs = un.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          slice(col("u"), j * dsubCol + 1, dsubCol))).as(Seq("j", "sub")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // L2 argmin against a candidate array<struct(cl, c)>: min over
+    // (round(||sub-c||², 6), cl) structs — deterministic tie-break.
+    def l2Assign(cands: Column, sub: Column): Column =
+      array_min(transform(cands, ct => struct(
+        round(aggregate(zip_with(sub, ct.getField("c"),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x),
+          6).as("d2"),
+        ct.getField("cl").as("cl")))).getField("cl")
+
+    val initIds = un.orderBy(col("id")).limit(ksub)
+      .select(col("id")).as[Long].collect().toSeq
+    val initRows = subs.filter(col("id").isin(initIds: _*))
+      .select(col("id"), col("j"), col("sub")).collect()
+    var cbs: Seq[(Int, Int, Array[Double])] = initRows
+      .groupBy(_.getInt(1)).toSeq.flatMap { case (j, rows) =>
+        rows.sortBy(_.getLong(0)).zipWithIndex.map { case (r, cl) =>
+          (j, cl, r.getSeq[Double](2).toArray)
+        }
+      }
+    def candDf(cs: Seq[(Int, Int, Array[Double])]): DataFrame =
+      cs.map { case (j, cl, c) => (j, cl, c.toSeq) }.toDF("j", "cl", "c")
+        .groupBy(col("j"))
+        .agg(collect_list(struct(col("cl"), col("c"))).as("cands"))
+    for (_ <- 1 to iters) {
+      val rows = subs.join(broadcast(candDf(cbs)), "j")
+        .withColumn("cl", l2Assign(col("cands"), col("sub")))
+        .select(col("j"), col("cl"), posexplode(col("sub")).as(Seq("dim", "x")))
+        .groupBy(col("j"), col("cl"), col("dim"))
+        .agg(round(sum(col("x")) / count(lit(1)), 6).as("c"))
+        .collect()
+      cbs = rows.groupBy(r => (r.getInt(0), r.getInt(1))).toSeq.sortBy(_._1)
+        .map { case ((j, cl), dims) =>
+          (j, cl, dims.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+        }
+    }
+    subs.unpersist()
+
+    // Encode: one map pass; per-subspace argmin against the codebook
+    // literal, shifted into the packed long.
+    val cbLit = array((0 until m).map { j =>
+      array(cbs.filter(_._1 == j).map { case (_, cl, c) =>
+        struct(lit(cl).as("cl"), typedLit(c.toSeq).as("c"))
+      }: _*)
+    }: _*)
+    val packed = (0 until m).map { j =>
+      shiftleft(
+        l2Assign(element_at(cbLit, j + 1),
+          slice(col("u"), lit(j) * dsubCol + 1, dsubCol)).cast("long"),
+        j * bits)
+    }.reduce(_ bitwiseOR _)
+    (cbs, un.select(col("id"), packed.as("codes")))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): score every packed code row
+    * with a driver-built lookup table (lut[j][c] = ⟨query subvector,
+    * codeword⟩ — m·ksub doubles, a literal), keep the `rerankN` best by
+    * approximate inner product, then rerank ONLY those with the exact
+    * cosine against the true vectors (`corpus` join) and return the
+    * top k — (id, sim) in [[bruteForceTopK]]'s exact output contract.
+    *
+    * The scan touches one long + one m-term LUT sum per row (codegen'd
+    * bit-extract + array lookups, no shuffle); the corpus's float
+    * vectors are read only for the rerankN survivors. `rerankN ≥ |corpus|`
+    * degenerates to exact brute force BY CONSTRUCTION (every row
+    * survives to the exact rerank) — the q89 completeness gate; finite
+    * rerankN trades recall for the 32× smaller scan. */
+  def pqTopK(
+      codebooks: Seq[(Int, Int, Array[Double])], encoded: DataFrame,
+      corpus: DataFrame, id: Column, vec: Column,
+      queryVec: Array[Float], k: Int, rerankN: Int): DataFrame = {
+    val m = codebooks.map(_._1).max + 1
+    val ksub = codebooks.map(_._2).max + 1
+    require((ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
+    val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
+    val dsub = codebooks.head._3.length
+    val lut: Seq[Seq[Double]] = (0 until m).map { j =>
+      (0 until ksub).map { c =>
+        codebooks.find(p => p._1 == j && p._2 == c) match {
+          case Some((_, _, cw)) =>
+            var s = 0.0; var i = 0
+            while (i < dsub) { s += queryVec(j * dsub + i) * cw(i); i += 1 }
+            s
+          case None => Double.NegativeInfinity // codeword died in training:
+          // unreachable at scoring time (encode never assigns it), the
+          // -inf keeps an accidental hit from ever ranking.
+        }
+      }
+    }
+    val lutLit = typedLit(lut)
+    val approx = round((0 until m).map { j =>
+      element_at(element_at(lutLit, j + 1),
+        shiftright(col("codes"), j * bits)
+          .bitwiseAND(lit((ksub - 1).toLong)).cast("int") + 1)
+    }.reduce(_ + _), 6)
+    val shortlist = encoded.select(col("id"), approx.as("approx"))
+      .orderBy(desc("approx"), asc("id"))
+      .limit(rerankN)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = Seq(Tuple1(queryVec)).toDF("qv")
+      .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
+    val vecs = corpus.select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+    shortlist.join(vecs, "id")
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(
+        VectorFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("sim"))
+  }
+
   /** Per-group embedding centroids: mean vector over each `group`'s
     * rows, as `array<double>`.
     *

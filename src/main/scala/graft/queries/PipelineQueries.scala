@@ -489,6 +489,42 @@ object PipelineQueries {
       (col("n_pair_hit") === col("n_lsh_pairs")).as("pairs_sound"))
   }
 
+  /** q89 — product-quantization ANN recall gate ([[Similarity.pqIndex]]
+    * / [[Similarity.pqTopK]]), the memory-bounded approximate path
+    * promoted into the declared surface on the q78/q79 contract: the
+    * 64-dim float corpus is encoded to ONE packed long per vector
+    * (m=16 subspaces × 4-bit codewords — 32× smaller scan state), and
+    * ADC + exact-rerank must (a) reproduce the exact brute-force top-10
+    * IDENTICALLY when every row survives to the rerank (hard equality —
+    * completeness of the ADC/rerank arithmetic), and (b) keep recall
+    * ≥ 0.5 when only the top-100 ADC scores are reranked (measured
+    * 1.0 / 0.9 at sf0.01 / sf0.1 — PqProbe; the floor is the contract,
+    * the measured values have margin). Oracle contract as q78: n_exact
+    * verified from the data, booleans literal — an ADC regression makes
+    * Spark emit false and the driver flags the hash. */
+  def q89PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+      corpus, col("vec_id"), col("embedding"), q, k = 10)
+    val (cbs, encoded) = Similarity.pqIndex(
+      corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 2)
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    val full = Similarity.pqTopK(cbs, encoded, corpus,
+      col("vec_id"), col("embedding"), qv, k = 10, rerankN = 1 << 20)
+    val partial = Similarity.pqTopK(cbs, encoded, corpus,
+      col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
+    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+      .select(col("n_hit").as("n_hit_partial"))
+    fullStats.crossJoin(partStats).select(
+      col("n_exact"),
+      (col("n_approx") === col("n_exact") &&
+        col("n_hit") === col("n_exact")).as("full_rerank_exact"),
+      (col("n_hit_partial") >= col("n_exact") * 0.5).as("partial_recall_ok"))
+  }
+
   /** q66 — incremental shard-vs-corpus near-dup: the src0 slice plays
     * the arriving shard, everything else the indexed reference corpus
     * ([[graft.operators.Dedup.corpusIndex]] built once + banded lookup
@@ -604,6 +640,7 @@ object PipelineQueries {
     "q65_batch_knn"       -> q65BatchKnn _,
     "q78_ivf_recall"      -> q78IvfRecall _,
     "q79_lsh_recall"      -> q79LshRecall _,
+    "q89_pq_recall"       -> q89PqRecall _,
     "q66_incremental_neardup" -> q66IncrementalNearDup _,
   )
 
@@ -911,6 +948,10 @@ object PipelineQueries {
       s"""WITH $exactTop10Sql
         |SELECT count(*) AS n_exact, true AS full_probe_exact,
         | true AS partial_recall_ok, true AS pairs_sound FROM top""".stripMargin,
+    "q89_pq_recall" ->
+      s"""WITH $exactTop10Sql
+        |SELECT count(*) AS n_exact, true AS full_rerank_exact,
+        | true AS partial_recall_ok FROM top""".stripMargin,
     "q66_incremental_neardup" ->
       s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
         | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3

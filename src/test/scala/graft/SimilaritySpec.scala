@@ -96,4 +96,48 @@ class SimilaritySpec extends SparkSpec {
     val r2 = Similarity.recallStats(exact, approx, Seq("id")).collect().head
     assert(r2.getAs[Long]("n_hit") == 2L)
   }
+
+  test("PQ: full-rerank ADC equals exact brute force; codes are one packed long") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    val exact = Similarity.bruteForceTopK(
+        corpus, col("vec_id"), col("embedding"), q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (cbs, encoded) = Similarity.pqIndex(
+      corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 2)
+    assert(encoded.schema("codes").dataType ==
+      org.apache.spark.sql.types.LongType, "one packed long per vector")
+    assert(encoded.count() == corpus.count())
+    val full = Similarity.pqTopK(cbs, encoded, corpus,
+        col("vec_id"), col("embedding"), qv, k = 10, rerankN = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact, s"full=$full exact=$exact")
+  }
+
+  test("PQ: partial-rerank recall holds the q89 floor; encode is deterministic") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    val exactIds = Similarity.bruteForceTopK(
+        corpus, col("vec_id"), col("embedding"), q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val (cbs, encoded) = Similarity.pqIndex(
+      corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 2)
+    val partialIds = Similarity.pqTopK(cbs, encoded, corpus,
+        col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exactIds.intersect(partialIds).size / exactIds.size.toDouble
+    assert(recall >= 0.5, s"recall=$recall below the q89 contract floor")
+    // Determinism: a second fit+encode reproduces codes bit-for-bit.
+    val (cbs2, encoded2) = Similarity.pqIndex(
+      corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 2)
+    assert(cbs2.map(c => (c._1, c._2, c._3.toSeq)) ==
+      cbs.map(c => (c._1, c._2, c._3.toSeq)))
+    val a = encoded.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = encoded2.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
 }
