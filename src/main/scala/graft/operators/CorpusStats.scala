@@ -43,6 +43,39 @@ object CorpusStats {
       .select(col("doc_id"), col("novel_terms"), col("vocab_size"))
   }
 
+  /** N-gram novelty per document: how much of each doc's distinct
+    * n-gram set is globally NEW (its first occurrence by `id` order is
+    * this doc) — [[vocabGrowth]]'s phrase-level sibling and the
+    * dedup-pressure diagnostic: a corpus whose per-doc novelty decays
+    * toward zero is re-crawling itself, and the decay curve says when
+    * additional raw data stops buying new n-grams.
+    *
+    * Scale shape identical to [[vocabGrowth]]: shingles are hashed
+    * 64-bit longs ([[graft.expressions.HashedShingles]], one codegen'd
+    * pass), first-occurrence is a `min(doc_id)` hash aggregate whose
+    * shuffle carries ≤ |distinct shingles| longs with map-side partial
+    * aggregation, novelty-count is a second ≤|docs| aggregate. No
+    * windows, no per-occurrence shuffle. The ratio is one IEEE double
+    * division of two small ints — bit-identical cross-engine, no
+    * rounding needed. Output: (doc_id, n_shingles, n_novel, novelty).
+    */
+  def ngramNovelty(
+      docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val sh = Dedup.spread(docs).select(id.cast("long").as("doc_id"),
+      graft.expressions.HashedShingles.shingles(text, n).as("hs"))
+    val sizes = sh.select(col("doc_id"),
+      size(col("hs")).cast("long").as("n_shingles"))
+    val novel = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    sizes.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        col("novelty"))
+  }
+
   /** Embedding-table audit: the per-group data-quality gate an embedding
     * corpus passes before indexing/training — row counts, malformed
     * vectors (null / wrong dimension / non-finite components / zero

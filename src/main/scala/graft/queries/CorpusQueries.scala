@@ -121,6 +121,15 @@ object CorpusQueries {
       .withColumnRenamed("group", "label")
       .orderBy(asc("label"))
 
+  /** q90 — per-document 3-gram novelty ([[CorpusStats.ngramNovelty]]):
+    * the share of each doc's distinct shingles whose global first
+    * occurrence (by doc_id) is that doc — the phrase-level
+    * dedup-pressure curve next to q85's token-level vocab growth. */
+  def q90NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.ngramNovelty(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3)
+      .orderBy(asc_nulls_first("doc_id"))
+
   /** k-means geometry shared by q87's Spark side and its unrolled
     * oracle: k=8 lineages, 2 Lloyd recomputes, SemDeDup pair threshold
     * at the q23 near-dup bar. */
@@ -152,6 +161,7 @@ object CorpusQueries {
     "q85_vocab_growth"       -> q85VocabGrowth _,
     "q86_embed_audit"        -> q86EmbedAudit _,
     "q87_semantic_dedup"     -> q87SemanticDedup _,
+    "q90_ngram_novelty"      -> q90NgramNovelty _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -350,6 +360,22 @@ object CorpusQueries {
         |    AS BIGINT) AS vocab_size
         | FROM documents d LEFT JOIN nv USING (doc_id)
         | ORDER BY d.doc_id NULLS FIRST""".stripMargin,
+    "q90_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM t),
+        | sz AS (SELECT doc_id, len(s) AS n_shingles FROM sh),
+        | ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        | fo AS (SELECT g, min(doc_id) AS doc_id FROM ex GROUP BY g),
+        | nv AS (SELECT doc_id, count(*) AS n_novel FROM fo GROUP BY doc_id)
+        |SELECT sz.doc_id, CAST(sz.n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / sz.n_shingles AS novelty
+        | FROM sz LEFT JOIN nv ON nv.doc_id = sz.doc_id
+        | ORDER BY sz.doc_id NULLS FIRST""".stripMargin,
     "q86_embed_audit" ->
       """WITH s0 AS (SELECT label, embedding AS v,
         |   CASE WHEN embedding IS NULL THEN NULL

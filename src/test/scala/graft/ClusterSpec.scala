@@ -115,6 +115,20 @@ class ClusterSpec extends SparkSpec {
       (3L, 1L, 5L)))
   }
 
+  test("ngramNovelty: first-occurrence shares per doc, short-doc whole-text shingle") {
+    val docs = Seq(
+      (0L, "a b c d"),       // shingles {abc, bcd} — both novel → 2/2
+      (1L, "a b c e"),       // {abc, bce} — abc seen → 1/2
+      (2L, "a b c d"),       // {abc, bcd} — none novel → 0/2
+      (3L, "x y")            // < 3 tokens → single whole-text shingle, novel
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(docs, col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 2L, 2L, 1.0), (1L, 2L, 1L, 0.5),
+      (2L, 2L, 0L, 0.0), (3L, 1L, 1L, 1.0)))
+  }
+
   test("embeddingAudit flags null / bad-dim / NaN / zero-norm vectors") {
     val rows: Seq[(Long, Int, Option[Array[Float]])] = Seq(
       (0L, 0, Some(Array(3.0f, 4.0f))),            // norm 5
