@@ -76,6 +76,50 @@ object CorpusStats {
         col("novelty"))
   }
 
+  /** Schema-driven table profile — the relational sibling of
+    * [[embeddingAudit]] (the Deequ/data-card shape): one row per column
+    * with row count, null count, EXACT distinct count, and numeric
+    * min/max (null for non-numeric columns — cross-engine string/
+    * timestamp formatting is not part of the contract).
+    *
+    * Scale shape: ONE scan. All per-column aggregates live in a single
+    * aggregation node; the multi-column exact `countDistinct` plans as
+    * Spark's Expand (one input row fans out once per distinct-counted
+    * column) — the canonical exact-profiling plan, column-count-bounded
+    * fan-out. At extreme widths or corpus sizes the drop-in swap is
+    * `approx_count_distinct` (HLL, one pass, no Expand), which trades
+    * the oracle-checkable exactness for a sketch; the exact form is the
+    * contract here. The melt to long format touches only the single
+    * 1-row aggregate output. Output: (col_name, n, n_null, n_distinct,
+    * min_num, max_num), one row per input column. */
+  def profileTable(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val fields = df.schema.fields.toSeq
+    def isNum(f: org.apache.spark.sql.types.StructField): Boolean =
+      f.dataType.isInstanceOf[NumericType]
+    val aggs = Seq(count(lit(1)).as("__n")) ++ fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).as(s"__nn_${f.name}"),
+        countDistinct(c).as(s"__nd_${f.name}")) ++
+        (if (isNum(f))
+          Seq(min(c).cast("double").as(s"__mn_${f.name}"),
+            max(c).cast("double").as(s"__mx_${f.name}"))
+        else Seq.empty)
+    }
+    val row = Dedup.spread(df).agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(fields.map { f =>
+        struct(lit(f.name).as("col_name"),
+          col("__n").as("n"),
+          (col("__n") - col(s"__nn_${f.name}")).as("n_null"),
+          col(s"__nd_${f.name}").as("n_distinct"),
+          (if (isNum(f)) col(s"__mn_${f.name}")
+           else lit(null).cast("double")).as("min_num"),
+          (if (isNum(f)) col(s"__mx_${f.name}")
+           else lit(null).cast("double")).as("max_num"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** Embedding-table audit: the per-group data-quality gate an embedding
     * corpus passes before indexing/training — row counts, malformed
     * vectors (null / wrong dimension / non-finite components / zero

@@ -1156,31 +1156,105 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     val d = maxDist
-    val nSeg = d + 1
     val base = spread(docs).filter(text.isNotNull)
       .select(id.cast("long").as("id"), text.as("t"))
       .withColumn("len", length(col("t")).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Self-join orientation: segment side shorter or equal; equal-length
+    // pairs are generated from both directions and collapse in the
+    // distinct(); self-pairs are dropped before it.
+    val cand = edCandidates(base, base, d, strictShorter = false)
+      .filter(col("sid") =!= col("pid"))
+      .select(least(col("sid"), col("pid")).as("id_a"),
+        greatest(col("sid"), col("pid")).as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(base.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), d))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+    materializeAndRelease(pairs, base)
+  }
 
-    // Even-split scheme for a string of length la: segment i ∈ [0, d]
-    // has length ⌊la/(d+1)⌋ (+1 for the last la mod (d+1) segments) and
-    // 0-based start i·⌊la/(d+1)⌋ + max(0, i − ((d+1) − la mod (d+1))).
+  /** Cross-corpus edit-distance lookup: every (new doc, reference doc)
+    * pair within `maxDist` edits — the character-level decontamination
+    * screen next to the n-gram q43 family (catches benchmark strings
+    * that were lightly reworded/typo-mutated into the training set,
+    * which shingle overlap under-scores).
+    *
+    * Same PassJoin machinery as [[editDistancePairs]] but DIRECTED: the
+    * pigeonhole segments whichever side of a pair is shorter, so
+    * candidates are the union of two directed runs — reference segments
+    * probed by new docs (ref <= new) and new-doc segments probed by
+    * reference docs (new < ref, strict so no pair is double-generated
+    * across directions). Within-side pairs are never generated (the
+    * self-dedup of either corpus is [[editDistancePairs]]'s job, not a
+    * hidden cost of every lookup). Output: (new_id, ref_id, dist). */
+  def editDistanceAgainstReference(
+      newDocs: DataFrame, id: Column, text: Column,
+      ref: DataFrame, refId: Column, refText: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val d = maxDist
+    def prep(df: DataFrame, i: Column, t: Column): DataFrame =
+      spread(df).filter(t.isNotNull)
+        .select(i.cast("long").as("id"), t.as("t"))
+        .withColumn("len", length(col("t")).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = prep(newDocs, id, text)
+    val r = prep(ref, refId, refText)
+    val cand =
+      edCandidates(r, n, d, strictShorter = false)
+        .select(col("pid").as("new_id"), col("sid").as("ref_id"))
+      .unionByName(
+        edCandidates(n, r, d, strictShorter = true)
+          .select(col("sid").as("new_id"), col("pid").as("ref_id")))
+      .distinct()
+    val pairs = cand
+      .join(n.select(col("id").as("new_id"), col("t").as("ta")), "new_id")
+      .join(r.select(col("id").as("ref_id"), col("t").as("tb")), "ref_id")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), d))
+      .filter(col("dist") >= 0)
+      .select(col("new_id"), col("ref_id"),
+        col("dist").cast("long").as("dist"))
+    materializeAndRelease(pairs, n, r)
+  }
+
+  /** Shared PassJoin candidate core: segment the `segSide` docs, probe
+    * with the `probeSide` docs, and return raw candidate id pairs
+    * (sid = segmented/shorter side, pid = probing/longer side).
+    * `strictShorter` controls whether equal lengths qualify. Both
+    * inputs need (id, t, len) and should be persisted by the caller
+    * (each side is scanned twice here: main + tiny path).
+    *
+    * Main path: even-split scheme for a string of length la — segment
+    * i in [0, d] has length floor(la/(d+1)) (+1 for the last
+    * la mod (d+1) segments), 0-based start i*floor(la/(d+1)) +
+    * max(0, i - ((d+1) - la mod (d+1))); probes cover La in
+    * [len-d, len], every segment index, start shifts +-d — a
+    * literal-bounded constant fan-out, one codegen'd nested-transform
+    * projection. Tiny path: shorter sides under d+1 chars (empty
+    * segments) fall back to a direct length-banded equi-join over the
+    * <=2d-char sliver. */
+  private def edCandidates(
+      segSide: DataFrame, probeSide: DataFrame, d: Int,
+      strictShorter: Boolean): DataFrame = {
+    val nSeg = d + 1
     def segStart(i: Column, la: Column): Column =
       (i * floor(la / nSeg) +
         greatest(lit(0), i - (lit(nSeg) - la % nSeg))).cast("int")
     def segLen(i: Column, la: Column): Column =
       (floor(la / nSeg) +
         when(i >= lit(nSeg) - la % nSeg, lit(1)).otherwise(lit(0))).cast("int")
+    def lenCond(sLen: Column, pLen: Column): Column =
+      if (strictShorter) sLen < pLen else sLen <= pLen
 
-    val main = base.filter(col("len") >= nSeg)
-    val segs = main.select(col("id"), col("len"),
-      posexplode(transform(sequence(lit(0), lit(d)), i =>
-        xxhash64(col("t").substr(segStart(i, col("len")) + 1,
-          segLen(i, col("len")))))).as(Seq("si", "h")))
-
-    // Probe fan-out: (La, i, shift) combos whose substring lies fully
-    // inside this doc. All three loops are literal-bounded, so the
-    // whole probe set is one codegen'd nested-transform projection.
+    val segs = segSide.filter(col("len") >= nSeg)
+      .select(col("id"), col("len"),
+        posexplode(transform(sequence(lit(0), lit(d)), i =>
+          xxhash64(col("t").substr(segStart(i, col("len")) + 1,
+            segLen(i, col("len")))))).as(Seq("si", "h")))
     val probeStructs = flatten(flatten(
       transform(sequence(greatest(lit(nSeg), col("len") - d), col("len")),
         la => transform(sequence(lit(0), lit(d)), i =>
@@ -1193,42 +1267,25 @@ object Dedup {
                 (st >= 0 && (st + ln) <= col("len")).as("ok"))
             }),
             s => s.getField("ok"))))))
-    val probes = main.select(col("id").as("pid"), col("len").as("plen"),
+    val probes = probeSide.filter(col("len") >= nSeg)
+      .select(col("id").as("pid"), col("len").as("plen"),
         explode(probeStructs).as("p"))
       .select(col("pid"), col("plen"), col("p.la").as("la"),
         col("p.si").as("psi"), col("p.h").as("ph"))
-
     val candMain = segs.join(probes,
         col("h") === col("ph") && col("si") === col("psi") &&
-          col("len") === col("la") &&
-          (col("len") < col("plen") ||
-            (col("len") === col("plen") && col("id") =!= col("pid"))))
-      .select(least(col("id"), col("pid")).as("id_a"),
-        greatest(col("id"), col("pid")).as("id_b"))
+          col("len") === col("la") && lenCond(col("len"), col("plen")))
+      .select(col("id").as("sid"), col("pid"))
 
-    // Sub-(d+1)-char shorter sides: direct length-banded candidates
-    // against partners ≤ 2d chars (both sets are the tiny-string
-    // sliver of the corpus; the equi key is the exact shorter length).
-    val tinyA = base.filter(col("len") <= d)
+    val tinyA = segSide.filter(col("len") <= d)
       .select(col("id"), col("len"))
-    val tinyProbe = base.filter(col("len") <= 2 * d)
+    val tinyProbe = probeSide.filter(col("len") <= 2 * d)
       .select(col("id").as("pid"), col("len").as("plen"),
         explode(sequence(greatest(lit(0), col("len") - d), col("len")))
           .as("la"))
     val candTiny = tinyA.join(tinyProbe,
-        col("len") === col("la") &&
-          (col("len") < col("plen") ||
-            (col("len") === col("plen") && col("id") =!= col("pid"))))
-      .select(least(col("id"), col("pid")).as("id_a"),
-        greatest(col("id"), col("pid")).as("id_b"))
-
-    val cand = candMain.unionByName(candTiny).distinct()
-    val pairs = cand
-      .join(base.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
-      .withColumn("dist", levenshtein(col("ta"), col("tb"), d))
-      .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
-    materializeAndRelease(pairs, base)
+        col("len") === col("la") && lenCond(col("len"), col("plen")))
+      .select(col("id").as("sid"), col("pid"))
+    candMain.unionByName(candTiny)
   }
 }

@@ -130,6 +130,15 @@ object CorpusQueries {
         col("doc_id"), col("text"), n = 3)
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** q91 — schema-driven table profile of `orders`
+    * ([[CorpusStats.profileTable]]): per column, row/null/exact-distinct
+    * counts + numeric min/max — the data-card pass a curation run emits
+    * before anyone trains on a table. One scan, single aggregation
+    * node (multi-distinct Expand). */
+  def q91Profile(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.profileTable(Tables.orders(spark, dir))
+      .orderBy(asc("col_name"))
+
   /** k-means geometry shared by q87's Spark side and its unrolled
     * oracle: k=8 lineages, 2 Lloyd recomputes, SemDeDup pair threshold
     * at the q23 near-dup bar. */
@@ -162,6 +171,7 @@ object CorpusQueries {
     "q86_embed_audit"        -> q86EmbedAudit _,
     "q87_semantic_dedup"     -> q87SemanticDedup _,
     "q90_ngram_novelty"      -> q90NgramNovelty _,
+    "q91_profile"            -> q91Profile _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -360,6 +370,32 @@ object CorpusQueries {
         |    AS BIGINT) AS vocab_size
         | FROM documents d LEFT JOIN nv USING (doc_id)
         | ORDER BY d.doc_id NULLS FIRST""".stripMargin,
+    "q91_profile" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+        |    min(o_orderkey) AS mn1, max(o_orderkey) AS mx1,
+        |  count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+        |    min(o_custkey) AS mn2, max(o_custkey) AS mx2,
+        |  count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS nd3,
+        |  count(o_totalprice) AS nn4, count(DISTINCT o_totalprice) AS nd4,
+        |    min(o_totalprice) AS mn4, max(o_totalprice) AS mx4,
+        |  count(o_orderdate) AS nn5, count(DISTINCT o_orderdate) AS nd5,
+        |  count(o_orderpriority) AS nn6, count(DISTINCT o_orderpriority) AS nd6
+        | FROM orders)
+        |SELECT * FROM (
+        | SELECT 'o_orderkey' AS col_name, n, n - nn1 AS n_null,
+        |   nd1 AS n_distinct, CAST(mn1 AS DOUBLE) AS min_num,
+        |   CAST(mx1 AS DOUBLE) AS max_num FROM a
+        | UNION ALL SELECT 'o_custkey', n, n - nn2, nd2,
+        |   CAST(mn2 AS DOUBLE), CAST(mx2 AS DOUBLE) FROM a
+        | UNION ALL SELECT 'o_orderstatus', n, n - nn3, nd3,
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+        | UNION ALL SELECT 'o_totalprice', n, n - nn4, nd4, mn4, mx4 FROM a
+        | UNION ALL SELECT 'o_orderdate', n, n - nn5, nd5,
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+        | UNION ALL SELECT 'o_orderpriority', n, n - nn6, nd6,
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a)
+        |ORDER BY col_name""".stripMargin,
     "q90_ngram_novelty" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3

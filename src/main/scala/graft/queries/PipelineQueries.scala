@@ -609,8 +609,25 @@ object PipelineQueries {
         col("doc_id"), col("text"), maxDist = 4)
       .orderBy(asc("id_a"), asc("id_b"))
 
+  /** q92 — character-level decontamination: src0 plays the arriving
+    * shard, every other source the reference corpus (q66's split), and
+    * [[Dedup.editDistanceAgainstReference]] reports each cross pair
+    * within 4 edits — typo-mutated contamination the n-gram overlap
+    * screens (q43/q76) under-score. Directed PassJoin blocking; both
+    * slices read the source-partitioned landing (partition pruning). */
+  def q92EditDistDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(
+      graft.sources.Ingest.documentsBySourceLanding(spark, dir))
+    Dedup.editDistanceAgainstReference(
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        maxDist = 4)
+      .orderBy(asc("new_id"), asc("ref_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_editdist_pairs"  -> q88EditDistPairs _,
+    "q92_editdist_decontam" -> q92EditDistDecontam _,
     "q18_text_stats"      -> q18TextStats _,
     "q19_langid"          -> q19LangId _,
     "q20_dedup_exact"     -> q20DedupExact _,
@@ -742,6 +759,37 @@ object PipelineQueries {
         |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
         | FROM j WHERE levenshtein(ta, tb) <= 4
         | ORDER BY id_a, id_b""".stripMargin,
+    // q92 oracle: q88's position-free lossless filter, restricted to
+    // cross-source pairs (shorter side segmented regardless of source).
+    "q92_editdist_decontam" ->
+      """WITH d0 AS (SELECT doc_id, source, text, length(text) AS L
+        |            FROM documents WHERE text IS NOT NULL),
+        | segs AS (SELECT doc_id, L, unnest(list_transform(range(5), i ->
+        |    substr(text, 1 + i*(L//5) + greatest(0, i-(5-(L%5))),
+        |           (L//5) + CASE WHEN i >= 5-(L%5) THEN 1 ELSE 0 END))) AS s
+        |   FROM d0),
+        | subs AS (SELECT doc_id, L, unnest(list_transform(
+        |    range(1, L + 2 - ((L-4)//5)),
+        |    p -> list_transform(range((L-4)//5, L//5 + 2),
+        |           w -> substr(text, p, w)))) AS ss
+        |   FROM d0),
+        | subx AS (SELECT doc_id, L, unnest(ss) AS s FROM subs),
+        | cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |   FROM segs a JOIN subx b ON a.s = b.s
+        |     AND a.doc_id <> b.doc_id AND b.L - a.L BETWEEN 0 AND 4),
+        | cc AS (SELECT DISTINCT
+        |     CASE WHEN x.source = 'src0' THEN x.doc_id ELSE y.doc_id END
+        |       AS new_id,
+        |     CASE WHEN x.source = 'src0' THEN y.doc_id ELSE x.doc_id END
+        |       AS ref_id
+        |   FROM cand JOIN d0 x ON x.doc_id = ia JOIN d0 y ON y.doc_id = ib
+        |   WHERE (x.source = 'src0') <> (y.source = 'src0')),
+        | j AS (SELECT new_id, ref_id, n.text AS ta, r.text AS tb
+        |   FROM cc JOIN d0 n ON n.doc_id = new_id
+        |     JOIN d0 r ON r.doc_id = ref_id)
+        |SELECT new_id, ref_id, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+        | FROM j WHERE levenshtein(ta, tb) <= 4
+        | ORDER BY new_id, ref_id""".stripMargin,
     "q39_seq_packing" ->
       s"""WITH d AS (SELECT doc_id, ${nTokSql(toksSql)} AS n_tok
         |           FROM documents),

@@ -129,6 +129,22 @@ class ClusterSpec extends SparkSpec {
       (2L, 2L, 0L, 0.0), (3L, 1L, 1L, 1.0)))
   }
 
+  test("profileTable: per-column nulls, exact distincts, numeric-only min/max") {
+    val df = Seq(
+      (Some(1L), Some(2.5), Some("x")),
+      (Some(1L), None, Some("y")),
+      (Some(3L), Some(-1.0), None),
+      (None, Some(2.5), Some("x")))
+      .toDF("k", "v", "s")
+    val got = CorpusStats.profileTable(df).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(got == Seq(
+      ("k", 4L, 1L, 2L, Some(1.0), Some(3.0)),
+      ("s", 4L, 1L, 2L, None, None),
+      ("v", 4L, 1L, 2L, Some(-1.0), Some(2.5))))
+  }
+
   test("embeddingAudit flags null / bad-dim / NaN / zero-norm vectors") {
     val rows: Seq[(Long, Int, Option[Array[Float]])] = Seq(
       (0L, 0, Some(Array(3.0f, 4.0f))),            // norm 5

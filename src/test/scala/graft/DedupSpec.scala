@@ -691,6 +691,39 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("editDistanceAgainstReference: cross pairs only, both orientations, ≡ brute") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an unrelated reference document about joins"),
+      (3L, "short one"))
+      .toDF("id", "text")
+    val nw = Seq(
+      (10L, "the quick brown fox jumps over the lazy dogs"),  // 1 edit, new longer
+      (11L, "the quick brown fox jump over the lazy do"),     // 2 edits, new shorter
+      (12L, "the quick brown fox jumps over the lazy dog"),   // exact dup of ref 1
+      (13L, "completely novel content nothing like reference"))
+      .toDF("id", "text")
+    val got = Dedup.editDistanceAgainstReference(
+        nw, col("id"), col("text"), ref, col("id"), col("text"), maxDist = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((10L, 1L) -> 1L, (11L, 1L) -> 2L, (12L, 1L) -> 0L))
+    // real-data gate: src0-vs-rest must equal the banded brute force
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val a = real.filter(col("source") === "src0")
+    val b = real.filter(col("source") =!= "src0")
+    val brute = a.as("a").join(b.as("b"),
+        abs(length(col("a.text")) - length(col("b.text"))) <= 4)
+      .withColumn("dist", levenshtein(col("a.text"), col("b.text"), 4))
+      .filter(col("dist") >= 0)
+      .select(col("a.doc_id"), col("b.doc_id"), col("dist").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cross = Dedup.editDistanceAgainstReference(
+        a, col("doc_id"), col("text"), b, col("doc_id"), col("text"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cross == brute, s"missing=${brute -- cross} extra=${cross -- brute}")
+    assert(brute.nonEmpty)
+  }
+
   test("editDistancePairs equals brute force on seeded random mutation corpora") {
     val rnd = new scala.util.Random(7)
     val alphabet = "abcdefg "
