@@ -194,10 +194,19 @@ object Ranking {
     * [[unigramLogProb]]).
     *
     * Scale shape: the (doc, bigram) aggregation shuffles the corpus
-    * once; the bigram-vocabulary frames (pair, left-marginal,
-    * right-marginal) derive from it by further partial+final
-    * aggregations and join back on their keys (AQE broadcasts when they
-    * fit); T rides as a 1-row broadcast. */
+    * once, and the smoothed probability is computed entirely at the
+    * BIGRAM-TYPE level before touching the per-doc frame: the
+    * left/right marginals (unigram-vocabulary-sized) join onto the
+    * pair-count frame (bigram-vocabulary-sized), never onto the
+    * per-doc event frame, so the only wide join is the single
+    * (w1,w2)-keyed probe of the doc frame against the finished
+    * per-bigram probability table — and both sides of that join hash
+    * by (w1,w2) already, so the doc frame's aggregation exchange is
+    * reused rather than re-shuffled. (The earlier shape joined the
+    * marginals onto the doc-level frame directly, re-partitioning the
+    * full corpus-event frame by w1 and again by w2 — two full-width
+    * shuffles that grow with the corpus, vs. marginal joins that grow
+    * only with the vocabulary.) T rides as a 1-row broadcast. */
   def bigramLogProb(
       df: DataFrame, id: Column, text: Column,
       lambdaJm: Double = 0.75,
@@ -216,14 +225,15 @@ object Ranking {
       val leftCnt = pairCnt.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
       val rightCnt = pairCnt.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
       val total = rightCnt.agg(sum(col("cu")).as("t"))
-      tf.join(pairCnt, Seq("w1", "w2"))
+      val pairP = pairCnt
         .join(leftCnt, Seq("w1"))
         .join(rightCnt, Seq("w2"))
         .crossJoin(broadcast(total))
-        .withColumn("p",
-          lit(lambdaJm) * (col("cb").cast("double") / col("cl").cast("double"))
+        .select(col("w1"), col("w2"),
+          (lit(lambdaJm) * (col("cb").cast("double") / col("cl").cast("double"))
             + lit(1.0 - lambdaJm) *
-              (col("cu").cast("double") / col("t").cast("double")))
+              (col("cu").cast("double") / col("t").cast("double"))).as("p"))
+      tf.join(pairP, Seq("w1", "w2"))
         .withColumn("part", col("tf").cast("double") * log(col("p")))
         .groupBy(col("__id"))
         .agg(

@@ -33,7 +33,7 @@ class PlanDisciplineSpec extends SparkSpec {
     *     frame with its 1-row total) — constant-size broadcasts again,
     *   - q72/q75: the 1-row total-token-count broadcast of the corpus
     *     unigram LM (LM term joins themselves are hash joins),
-    *   - q78/q79: the recall gates — the exact baselines they measure
+    *   - q78/q79/q89: the recall gates — the exact baselines they measure
     *     against are q22/q23's broadcast shapes, and the final result is
     *     a cross of 1-row recallStats aggregates,
     *   - q81: the 1-row token-budget scalar broadcast under the
@@ -43,7 +43,7 @@ class PlanDisciplineSpec extends SparkSpec {
     "q22_knn_cosine", "q23_embed_neardup", "q65_batch_knn",
     "q67_tfidf", "q68_bm25", "q70_temperature_sample",
     "q72_unigram_logprob", "q75_source_kl",
-    "q78_ivf_recall", "q79_lsh_recall", "q81_token_budget")
+    "q78_ivf_recall", "q79_lsh_recall", "q89_pq_recall", "q81_token_budget")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
