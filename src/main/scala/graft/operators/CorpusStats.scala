@@ -120,6 +120,106 @@ object CorpusStats {
       .select(col("p.*"))
   }
 
+  /** Corpus snapshot diff — the incremental-pipeline primitive: classify
+    * every document across two corpus versions as `added` (id only in
+    * the new snapshot), `removed` (id only in the old), or `changed`
+    * (same id, different content hash). Unchanged docs emit NO row, so
+    * the output is bounded by the CHURN, not the corpus — the property
+    * that makes "re-run only what moved" incremental curation possible.
+    *
+    * Scale shape: each side is projected to (id, md5) BEFORE the join —
+    * the shuffle carries 32-char hashes, never document text — and the
+    * single full-outer hash join on the id is the only exchange. Null
+    * text hashes as the empty string (a present-but-empty doc is a real
+    * state, distinct from an absent id). Ids are assumed unique per
+    * snapshot (the corpus-id contract everywhere else in this library).
+    * Output: (doc_id, status, old_md5, new_md5). */
+  def snapshotDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    def side(df: DataFrame, as: String): DataFrame =
+      Dedup.spread(df).select(id.cast("long").as("doc_id"),
+        md5(coalesce(text, lit(""))).as(as))
+    side(oldDocs, "old_md5")
+      .join(side(newDocs, "new_md5"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"), col("old_md5"), col("new_md5"))
+  }
+
+  /** Tokenizer fertility per group (language, source): tokens per doc
+    * and characters per token — the numbers that turn a per-language
+    * document budget into a TOKEN budget, and the standard diagnostic
+    * for scripts the whitespace tokenizer serves badly (chars/token far
+    * from the corpus norm). Uses the library's one tokenizer definition
+    * ([[TextFunctions.tokenCount]]) so the counts agree with every other
+    * token-denominated operator (q81's budget, q39's packing).
+    *
+    * One partial-agg pass; the ratios are single IEEE divisions of
+    * exact integer sums, rounded to 4 dp (null when a group has zero
+    * tokens — no 0/0). Output: (group, n_docs, n_tokens, n_chars,
+    * chars_per_token, tokens_per_doc). */
+  def tokenizerFertility(
+      docs: DataFrame, group: Column, text: Column): DataFrame = {
+    val t = coalesce(text, lit(""))
+    Dedup.spread(docs)
+      .select(group.as("group"),
+        TextFunctions.tokenCount(t).cast("long").as("__nt"),
+        length(t).cast("long").as("__nc"))
+      .groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"))
+      .select(col("group"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        when(col("n_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 4))
+          .as("chars_per_token"),
+        round(col("n_tokens").cast("double") / col("n_docs").cast("double"), 4)
+          .as("tokens_per_doc"))
+  }
+
+  /** Sequence-packing efficiency report per group: what a context window
+    * of `seqLen` tokens costs under pad-per-document batching versus
+    * concat-and-chunk packing (q39's layout) — the report that justifies
+    * (or kills) a packing stage before anyone pays for it. Per group:
+    * document/token counts, padded chunk count `Σ ⌈tokens_d / L⌉` with
+    * its waste fraction, and packed chunk count `⌈Σ tokens_d / L⌉` with
+    * its (near-zero) waste fraction.
+    *
+    * One partial-agg pass; chunk arithmetic is exact integer ceiling
+    * division on both engines (`floor((t + L − 1) / L)` over doubles is
+    * exact for any corpus below 2^53 tokens), waste fractions are single
+    * IEEE divisions rounded to 4 dp, null for an empty group (no 0/0).
+    * Empty docs contribute zero chunks. Output: (group, n_docs,
+    * n_tokens, pad_chunks, pad_waste, packed_chunks, packed_waste). */
+  def packingEfficiency(
+      docs: DataFrame, group: Column, text: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val l = lit(seqLen.toLong)
+    def chunksOf(tokens: Column): Column =
+      floor((tokens + l - lit(1L)).cast("double") / l.cast("double"))
+        .cast("long")
+    val perDoc = Dedup.spread(docs).select(group.as("group"),
+      TextFunctions.tokenCount(coalesce(text, lit(""))).cast("long").as("__nt"))
+    def waste(tokens: Column, chunks: Column): Column =
+      when(chunks > 0, round(
+        lit(1.0) - tokens.cast("double") /
+          (chunks.cast("double") * l.cast("double")), 4))
+    perDoc.groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(chunksOf(col("__nt"))).as("pad_chunks"))
+      .select(col("group"), col("n_docs"), col("n_tokens"), col("pad_chunks"),
+        waste(col("n_tokens"), col("pad_chunks")).as("pad_waste"),
+        chunksOf(col("n_tokens")).as("packed_chunks"),
+        waste(col("n_tokens"), chunksOf(col("n_tokens"))).as("packed_waste"))
+  }
+
   /** Embedding-table audit: the per-group data-quality gate an embedding
     * corpus passes before indexing/training — row counts, malformed
     * vectors (null / wrong dimension / non-finite components / zero

@@ -175,6 +175,47 @@ object Split {
         col("cum_tokens"))
   }
 
+  /** Resample the corpus toward an EXPLICIT target mixture — the
+    * curation step where the mix is a design decision ("40% en, 20%
+    * zh, …"), not a function of the observed counts (that derived form
+    * is [[temperatureSample]]). Stratum `s` with `n_s` rows and target
+    * share `t_s` gets per-row keep rate
+    * `min(1, budgetFrac · N · t_s / n_s)` where `N` is the total row
+    * count across TARGETED strata — so the kept sample approximates
+    * `budgetFrac · N` rows distributed as the target mix, rates above 1
+    * saturating honestly (an under-represented stratum cannot be
+    * up-sampled by filtering; the saturated stratum keeps everything
+    * and the realized mix shifts accordingly, which is the correct
+    * observable signal that the corpus cannot meet the target). Strata
+    * absent from `target` are dropped — a blocklist for free.
+    *
+    * Scale shape identical to [[temperatureSample]]: one partial+final
+    * count per stratum, the target table and totals as parameter-sized
+    * broadcasts, and the keep decision a pushable per-row
+    * [[hashFraction]] filter — the corpus itself is never shuffled. */
+  def matchTargetMix(
+      df: DataFrame, stratum: Column, id: Column,
+      target: Seq[(String, Double)], budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1, "budgetFrac must be in (0, 1]")
+    require(target.nonEmpty && target.forall(_._2 > 0),
+      "target shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targetDf = target.toDF("__stratum", "__target")
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__cnt"))
+      .join(broadcast(targetDf), Seq("__stratum"))
+    val total = counts.agg(sum(col("__cnt")).as("__n"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col("__stratum"),
+        least(lit(1.0),
+          lit(budgetFrac) * col("__n").cast("double") * col("__target") /
+            col("__cnt").cast("double")).as("__rate"))
+    df.join(broadcast(rates), stratum === col("__stratum"))
+      .filter(hashFraction(id) < col("__rate"))
+      .drop("__stratum", "__rate")
+  }
+
   /** Leakage-safe split: near-duplicate documents must land in the SAME
     * split, or test contamination silently inflates eval scores. Every
     * doc's split key is its duplicate-cluster representative (min id via

@@ -139,6 +139,58 @@ object CorpusQueries {
     CorpusStats.profileTable(Tables.orders(spark, dir))
       .orderBy(asc("col_name"))
 
+  /** q93 — corpus snapshot diff ([[CorpusStats.snapshotDiff]]): old =
+    * the documents table; new = the same corpus with every third doc
+    * deleted, every fifth surviving doc revised (` rev2` appended), and
+    * the sparse `doc_id % 97 = 0` slice re-ingested under shifted ids —
+    * the deterministic churn fixture. Output rows only for the churn
+    * (added / removed / changed), never the unchanged bulk. */
+  def q93SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val revised = d.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val reingested = d.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    CorpusStats.snapshotDiff(d, revised.unionByName(reingested),
+        col("doc_id"), col("text"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** q94 — tokenizer fertility by language
+    * ([[CorpusStats.tokenizerFertility]]): tokens/doc and chars/token
+    * per lang, the numbers that convert per-language doc budgets into
+    * token budgets. */
+  def q94Fertility(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.tokenizerFertility(Tables.documents(spark, dir),
+        col("lang"), col("text"))
+      .withColumnRenamed("group", "lang")
+      .orderBy(asc_nulls_first("lang"))
+
+  /** q95 — sequence-packing efficiency per source at L = 128
+    * ([[CorpusStats.packingEfficiency]]): pad-per-doc vs
+    * concat-and-chunk chunk counts and waste fractions. */
+  def q95PackEfficiency(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.packingEfficiency(Tables.documents(spark, dir),
+        col("source"), col("text"), seqLen = 128)
+      .withColumnRenamed("group", "source")
+      .orderBy(asc_nulls_first("source"))
+
+  /** Explicit language mix for q96 — a design-decision target, distinct
+    * from q70's count-derived temperature weights. */
+  private val Q96Target = Seq(
+    "en" -> 0.4, "zh" -> 0.2, "de" -> 0.2, "fr" -> 0.1, "es" -> 0.1)
+
+  /** q96 — resample toward an explicit target language mix at half the
+    * corpus ([[Split.matchTargetMix]]): under-represented languages
+    * saturate at keep-everything, the rest thin to their share. */
+  def q96TargetMix(spark: SparkSession, dir: String): DataFrame =
+    Split.matchTargetMix(Dedup.spread(Tables.documents(spark, dir)),
+        col("lang"), col("doc_id"), Q96Target, budgetFrac = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(asc_nulls_first("doc_id"))
+
   /** k-means geometry shared by q87's Spark side and its unrolled
     * oracle: k=8 lineages, 2 Lloyd recomputes, SemDeDup pair threshold
     * at the q23 near-dup bar. */
@@ -172,6 +224,10 @@ object CorpusQueries {
     "q87_semantic_dedup"     -> q87SemanticDedup _,
     "q90_ngram_novelty"      -> q90NgramNovelty _,
     "q91_profile"            -> q91Profile _,
+    "q93_snapshot_diff"      -> q93SnapshotDiff _,
+    "q94_fertility"          -> q94Fertility _,
+    "q95_pack_efficiency"    -> q95PackEfficiency _,
+    "q96_target_mix"         -> q96TargetMix _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -434,6 +490,80 @@ object CorpusQueries {
         |  round(max(nrm), 6) AS max_norm,
         |  round(sum(nrm) / count(nrm), 6) AS mean_norm
         | FROM s GROUP BY label ORDER BY label""".stripMargin,
+    "q93_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(coalesce(text, '')) AS old_md5
+        |   FROM documents),
+        | new AS (
+        |   SELECT doc_id, md5(coalesce(CASE WHEN doc_id % 5 = 0
+        |       THEN text || ' rev2' ELSE text END, '')) AS new_md5
+        |     FROM documents WHERE doc_id % 3 <> 0
+        |   UNION ALL
+        |   SELECT doc_id + 1000000, md5(coalesce(text, ''))
+        |     FROM documents WHERE doc_id % 97 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_md5 <> n.new_md5 THEN 'changed' END AS status,
+        |  o.old_md5, n.new_md5
+        | FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+        | WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_md5 <> n.new_md5 THEN 'changed' END) IS NOT NULL
+        | ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q94_fertility" ->
+      s"""WITH s AS (SELECT lang,
+        |   CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |     ELSE len($toksSql) END AS nt,
+        |   len(coalesce(text, '')) AS nc
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CASE WHEN sum(nt) > 0 THEN
+        |    round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 4)
+        |  END AS chars_per_token,
+        |  round(CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |    AS tokens_per_doc
+        | FROM s GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    "q95_pack_efficiency" ->
+      s"""WITH s AS (SELECT source,
+        |   CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |     ELSE len($toksSql) END AS nt
+        |  FROM documents),
+        | g AS (SELECT source, count(*) AS n_docs,
+        |   CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |   CAST(sum(CAST(floor(CAST(nt + 127 AS DOUBLE)
+        |     / CAST(128 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS pad_chunks
+        |  FROM s GROUP BY source)
+        |SELECT source, n_docs, n_tokens, pad_chunks,
+        |  CASE WHEN pad_chunks > 0 THEN
+        |    round(CAST(1.0 AS DOUBLE) - CAST(n_tokens AS DOUBLE)
+        |      / (CAST(pad_chunks AS DOUBLE) * CAST(128 AS DOUBLE)), 4)
+        |  END AS pad_waste,
+        |  CAST(floor(CAST(n_tokens + 127 AS DOUBLE)
+        |    / CAST(128 AS DOUBLE)) AS BIGINT) AS packed_chunks,
+        |  CASE WHEN n_tokens + 127 >= 128 THEN
+        |    round(CAST(1.0 AS DOUBLE) - CAST(n_tokens AS DOUBLE)
+        |      / (CAST(floor(CAST(n_tokens + 127 AS DOUBLE)
+        |           / CAST(128 AS DOUBLE)) AS DOUBLE)
+        |         * CAST(128 AS DOUBLE)), 4)
+        |  END AS packed_waste
+        | FROM g ORDER BY source NULLS FIRST""".stripMargin,
+    "q96_target_mix" ->
+      s"""WITH tgt(lang, target) AS (VALUES
+        |   ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),
+        |   ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+        |   ('es', CAST(0.1 AS DOUBLE))),
+        | c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        | ct AS (SELECT c.lang, cnt, target FROM c JOIN tgt USING (lang)),
+        | n AS (SELECT sum(cnt) AS n FROM ct),
+        | r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+        |     CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) * target
+        |       / CAST(cnt AS DOUBLE)) AS rate
+        |   FROM ct CROSS JOIN n)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        | WHERE $hashFracSql < r.rate
+        | ORDER BY d.doc_id NULLS FIRST""".stripMargin,
     "q87_semantic_dedup" -> {
       val pairCos =
         "list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]))" +

@@ -119,6 +119,54 @@ class CorpusMixSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- explicit target-mix resampling ----
+
+  test("matchTargetMix: target = observed mix reproduces plain rate sampling") {
+    // en 400/500 = 0.8, fr 100/500 = 0.2 — every rate collapses to
+    // budgetFrac, so the kept set is exactly the hash filter.
+    val kept = Split.matchTargetMix(
+        skewed, col("lang"), col("id"),
+        Seq("en" -> 0.8, "fr" -> 0.2), budgetFrac = 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val plain = skewed.filter(Split.hashFraction(col("id")) < 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == plain)
+  }
+
+  test("matchTargetMix: unlisted strata are dropped; rare target saturates") {
+    // fr targeted at 0.9 of a 0.5·100-row budget (en unlisted -> N=100):
+    // rate = 0.5·100·0.9/100 ... saturation needs rate >= 1, so target
+    // the whole budget at fr with budgetFrac 1.0: rate = 1·100·1.0/100 = 1.
+    val kept = Split.matchTargetMix(
+        skewed, col("lang"), col("id"), Seq("fr" -> 1.0), budgetFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.forall(_._2 == "fr"))
+    assert(kept.length == 100) // saturated: keeps every fr row
+  }
+
+  test("matchTargetMix realizes the target mix within sampling noise") {
+    val kept = Split.matchTargetMix(
+        skewed, col("lang"), col("id"),
+        Seq("en" -> 0.5, "fr" -> 0.5), budgetFrac = 0.4)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rates: en 0.4·500·0.5/400 = 0.25 -> ~100; fr 0.4·500·0.5/100 = 1 -> 100.
+    assert(kept("fr") == 100L)
+    assert(math.abs(kept("en") - 100.0) < 4 * 8.7, s"en kept ${kept("en")}")
+  }
+
+  test("matchTargetMix is deterministic across partitionings") {
+    val a = Split.matchTargetMix(
+        skewed.repartition(7), col("lang"), col("id"),
+        Seq("en" -> 0.6, "fr" -> 0.4), 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Split.matchTargetMix(
+        skewed.coalesce(1), col("lang"), col("id"),
+        Seq("en" -> 0.6, "fr" -> 0.4), 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
   // ---- global shuffle order ----
 
   test("shuffleOrder is the md5-rank permutation, no single-partition window") {

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusStats
+
+/** Pins the corpus-reporting operators added for incremental pipelines:
+  * snapshot diff (churn classification), tokenizer fertility, and
+  * sequence-packing efficiency. Hand-computed micro-fixtures pin the
+  * arithmetic and the null/empty contracts the oracles also encode.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- snapshotDiff ----
+
+  private lazy val oldSnap = Seq(
+    (1L, "alpha"), (2L, "bravo"), (3L, "charlie"), (4L, "delta"),
+  ).toDF("doc_id", "text")
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val newSnap = Seq(
+      (1L, "alpha"),          // unchanged -> no row
+      (2L, "bravo EDITED"),   // changed
+      (4L, "delta"),          // unchanged -> no row
+      (9L, "echo"),           // added
+    ).toDF("doc_id", "text")  // 3L absent -> removed
+    val got = CorpusStats
+      .snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "changed"), (3L, "removed"), (9L, "added")))
+  }
+
+  test("snapshotDiff: null text hashes as empty string, not as absence") {
+    val newSnap = Seq(
+      (1L, null.asInstanceOf[String]), // present but empty -> changed
+      (2L, "bravo"), (3L, "charlie"), (4L, "delta"),
+    ).toDF("doc_id", "text")
+    val got = CorpusStats
+      .snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "changed")))
+    // null -> null is UNCHANGED (empty = empty), not churn.
+    val both = oldSnap.withColumn("text",
+      when(col("doc_id") === 1L, lit(null: String)).otherwise(col("text")))
+    assert(CorpusStats.snapshotDiff(both, both, col("doc_id"), col("text"))
+      .count() == 0L)
+  }
+
+  test("snapshotDiff carries both hashes for changed rows") {
+    val newSnap = Seq((2L, "bravo EDITED")).toDF("doc_id", "text")
+    val rows = CorpusStats
+      .snapshotDiff(oldSnap.filter(col("doc_id") === 2L), newSnap,
+        col("doc_id"), col("text"))
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(2) != null && r.getString(3) != null &&
+      r.getString(2) != r.getString(3))
+  }
+
+  // ---- tokenizerFertility ----
+
+  test("tokenizerFertility: hand-computed ratios per group") {
+    val docs = Seq(
+      ("en", "one two three"),   // 3 tokens, 13 chars
+      ("en", "four five"),       // 2 tokens,  9 chars
+      ("zh", "abcdefgh"),        // 1 token,   8 chars
+    ).toDF("lang", "text")
+    val got = CorpusStats
+      .tokenizerFertility(docs, col("lang"), col("text"))
+      .orderBy("group")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toSeq
+    assert(got == Seq(
+      ("en", 2L, 5L, 22L, 4.4, 2.5),
+      ("zh", 1L, 1L, 8L, 8.0, 1.0)))
+  }
+
+  test("tokenizerFertility: zero-token group yields null ratio, zero counts") {
+    val docs = Seq(("x", ""), ("x", null.asInstanceOf[String]))
+      .toDF("lang", "text")
+    val r = CorpusStats.tokenizerFertility(docs, col("lang"), col("text"))
+      .collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+    assert(r.isNullAt(4))          // chars_per_token: no 0/0
+    assert(r.getDouble(5) == 0.0)  // tokens_per_doc
+  }
+
+  // ---- packingEfficiency ----
+
+  test("packingEfficiency: hand-computed chunk counts and waste at L=4") {
+    val docs = Seq(
+      ("a", "t1 t2 t3"),             // 3 tokens -> 1 pad chunk
+      ("a", "t1 t2 t3 t4"),          // 4 tokens -> 1 pad chunk (exact fit)
+      ("a", "t1 t2 t3 t4 t5"),       // 5 tokens -> 2 pad chunks
+    ).toDF("source", "text")
+    val r = CorpusStats
+      .packingEfficiency(docs, col("source"), col("text"), seqLen = 4)
+      .collect().head
+    // totals: 12 tokens; pad = 4 chunks * 4 = 16 slots -> waste 0.25;
+    // packed = ceil(12/4) = 3 chunks -> waste 0.
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 12L, 4L)))
+    assert(r.getDouble(4) == 0.25)
+    assert(r.getLong(5) == 3L)
+    assert(r.getDouble(6) == 0.0)
+  }
+
+  test("packingEfficiency: empty docs contribute zero chunks; empty group nulls waste") {
+    val docs = Seq(("a", "t1 t2"), ("a", ""), ("b", ""))
+      .toDF("source", "text")
+    val got = CorpusStats
+      .packingEfficiency(docs, col("source"), col("text"), seqLen = 4)
+      .orderBy("group").collect()
+    val a = got(0)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) == ((2L, 2L, 1L)))
+    assert(a.getDouble(4) == 0.5)
+    val b = got(1)
+    assert((b.getLong(2), b.getLong(3)) == ((0L, 0L)))
+    assert(b.isNullAt(4) && b.getLong(5) == 0L && b.isNullAt(6))
+  }
+}

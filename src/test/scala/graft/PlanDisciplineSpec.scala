@@ -28,9 +28,9 @@ class PlanDisciplineSpec extends SparkSpec {
     *   - q23: the brute-force exact pair baseline (quadratic BY DESIGN;
     *     `embeddingPairsLsh` is the scale path, measured 37× faster at
     *     32 k vectors in BASELINE.md). */
-  /**   - q67/q68/q70: broadcast-scalar corpus frames (1-row N / avgdl
-    *     aggregates; q70's rate build crosses the ≤|strata|-row count
-    *     frame with its 1-row total) — constant-size broadcasts again,
+  /**   - q67/q68/q70/q96: broadcast-scalar corpus frames (1-row N / avgdl
+    *     aggregates; q70's and q96's rate builds cross the ≤|strata|-row
+    *     count frame with its 1-row total) — constant-size broadcasts again,
     *   - q72/q75: the 1-row total-token-count broadcast of the corpus
     *     unigram LM (LM term joins themselves are hash joins),
     *   - q78/q79/q89: the recall gates — the exact baselines they measure
@@ -41,7 +41,7 @@ class PlanDisciplineSpec extends SparkSpec {
   private val allowedNestedLoop = Set(
     "q9_peak_flag", "q10_outliers", "q32_histogram", "q33_minmax_norm",
     "q22_knn_cosine", "q23_embed_neardup", "q65_batch_knn",
-    "q67_tfidf", "q68_bm25", "q70_temperature_sample",
+    "q67_tfidf", "q68_bm25", "q70_temperature_sample", "q96_target_mix",
     "q72_unigram_logprob", "q75_source_kl",
     "q78_ivf_recall", "q79_lsh_recall", "q89_pq_recall", "q81_token_budget")
 
