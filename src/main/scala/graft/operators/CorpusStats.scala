@@ -220,6 +220,42 @@ object CorpusStats {
         waste(col("n_tokens"), chunksOf(col("n_tokens"))).as("packed_waste"))
   }
 
+  /** N-gram frequency spectrum (count-of-counts): how many distinct
+    * n-grams occur exactly once (hapax), twice, … up to `maxFreq`, with
+    * one overflow class `maxFreq + 1` for everything more common — the
+    * Zipf/Good-Turing diagnostic that reads a corpus's health at a
+    * glance (a hapax share far above the reference curve means OCR
+    * noise or boilerplate IDs; far below means the corpus is
+    * re-crawling itself). N-gram events keep MULTIPLICITY (an n-gram
+    * repeated inside one doc counts each occurrence — this is an
+    * occurrence spectrum, not a document-frequency one); docs shorter
+    * than `n` tokens contribute no events.
+    *
+    * Scale shape: n-gram counts are one hash aggregate whose shuffle
+    * carries ≤ |distinct n-grams| rows with map-side partial
+    * aggregation; the spectrum is a second aggregate over that frame
+    * onto ≤ maxFreq + 1 rows. No windows, no driver state. N-gram
+    * identity is the joined STRING (the oracle-checkable contract); at
+    * extreme vocabularies the drop-in is hashing to 64-bit longs first
+    * ([[graft.expressions.HashedShingles]]' trick), trading
+    * exact-identity for a lighter shuffle. Output: (freq, n_terms). */
+  def termSpectrum(
+      docs: DataFrame, text: Column, n: Int = 1, maxFreq: Int = 10): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(maxFreq >= 1, "maxFreq must be >= 1")
+    val toks = TextFunctions.tokens(text)
+    val grams =
+      if (n == 1) explode(toks)
+      else explode(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    Dedup.spread(docs)
+      .filter(size(toks) >= n)
+      .select(grams.as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+      .groupBy(least(col("ctf"), lit(maxFreq.toLong + 1L)).as("freq"))
+      .agg(count(lit(1)).as("n_terms"))
+  }
+
   /** Embedding-table audit: the per-group data-quality gate an embedding
     * corpus passes before indexing/training — row counts, malformed
     * vectors (null / wrong dimension / non-finite components / zero

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable dataset splitting — the reproducible
@@ -174,6 +175,29 @@ object Split {
       .select(col("doc_id"), col("quality"), col("n_tokens"),
         col("cum_tokens"))
   }
+
+  /** Per-stratum percentile calibration of a raw score — the step that
+    * makes quality scores COMPARABLE across sources before a global
+    * cut: a classifier (or proxy metric) scores each domain on its own
+    * scale, so "top 30% within its source" is the meaningful selector,
+    * not a single global threshold that silently empties whole domains.
+    * Emits each row's `percent_rank` of `score` within its stratum —
+    * (rank−1)/(n−1), ties sharing the min rank, single rows scoring 0.
+    *
+    * The division is one IEEE op on two exact integers, so the output
+    * is bit-identical cross-engine with NO rounding step. Scale shape:
+    * one shuffle partitioned BY STRATUM (each stratum's rank computed
+    * independently in parallel) — right for the many-sources corpus
+    * this targets; a single stratum holding most of the corpus would
+    * serialize there, at which point the two-phase
+    * [[ScalableWindow.runningTotalBy]] cumcount over (stratum, score)
+    * is the swap. Output: (doc_id, stratum, score, pct). */
+  def percentileCalibrate(
+      df: DataFrame, stratum: Column, id: Column, score: Column): DataFrame =
+    df.select(id.cast("long").as("doc_id"), stratum.as("stratum"),
+        score.cast("double").as("score"))
+      .withColumn("pct", percent_rank().over(
+        Window.partitionBy(col("stratum")).orderBy(col("score"))))
 
   /** Resample the corpus toward an EXPLICIT target mixture — the
     * curation step where the mix is a design decision ("40% en, 20%

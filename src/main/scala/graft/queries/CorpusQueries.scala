@@ -191,6 +191,25 @@ object CorpusQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** q97 — per-source percentile calibration of the stored size signal
+    * ([[Split.percentileCalibrate]]): each doc's percent-rank of
+    * `n_chars` within its source, the cross-domain-comparable form of a
+    * per-domain raw score. Exact integer-ratio doubles — no rounding. */
+  def q97CalibratedScore(spark: SparkSession, dir: String): DataFrame =
+    Split.percentileCalibrate(Dedup.spread(Tables.documents(spark, dir)),
+        col("source"), col("doc_id"), col("n_chars"))
+      .withColumnRenamed("stratum", "source")
+      .orderBy(asc_nulls_first("doc_id"))
+
+  /** q99 — 3-gram frequency spectrum with hapax/doubleton/… classes and
+    * a >10 overflow bucket ([[CorpusStats.termSpectrum]]); 3-grams give
+    * the fixture a real Zipf tail where its 31-term unigram vocabulary
+    * collapses to one overflow row. */
+  def q99TermSpectrum(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.termSpectrum(Tables.documents(spark, dir),
+        col("text"), n = 3, maxFreq = 10)
+      .orderBy(asc("freq"))
+
   /** k-means geometry shared by q87's Spark side and its unrolled
     * oracle: k=8 lineages, 2 Lloyd recomputes, SemDeDup pair threshold
     * at the q23 near-dup bar. */
@@ -228,6 +247,8 @@ object CorpusQueries {
     "q94_fertility"          -> q94Fertility _,
     "q95_pack_efficiency"    -> q95PackEfficiency _,
     "q96_target_mix"         -> q96TargetMix _,
+    "q97_calibrated_score"   -> q97CalibratedScore _,
+    "q99_term_spectrum"      -> q99TermSpectrum _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -549,6 +570,20 @@ object CorpusQueries {
         |         * CAST(128 AS DOUBLE)), 4)
         |  END AS packed_waste
         | FROM g ORDER BY source NULLS FIRST""".stripMargin,
+    "q97_calibrated_score" ->
+      """SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+        |    AS pct
+        | FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q99_term_spectrum" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+        | g AS (SELECT unnest(list_transform(range(len(toks) - 2),
+        |     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS term
+        |   FROM t WHERE len(toks) >= 3),
+        | cf AS (SELECT term, count(*) AS ctf FROM g GROUP BY term)
+        |SELECT CAST(least(ctf, 11) AS BIGINT) AS freq,
+        |  count(*) AS n_terms
+        | FROM cf GROUP BY 1 ORDER BY freq""".stripMargin,
     "q96_target_mix" ->
       s"""WITH tgt(lang, target) AS (VALUES
         |   ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),

@@ -142,6 +142,29 @@ object PipelineQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** q98 — drop-reason audit: the per-document "why would the filter
+    * funnel cut this" report (too short / low composite quality /
+    * declared-vs-detected language mismatch) plus the resulting keep
+    * flag — the auditable form of q37's silent filter, so a curation
+    * run can account for every dropped document instead of only
+    * shipping the survivors. One [[graft.expressions.TextProfile]]
+    * kernel call per row (subexpression elimination keeps the struct's
+    * field reads on a single evaluation); `und` predictions count as
+    * mismatches — the honest heuristic output for scripts the stopword
+    * tables don't cover. */
+  def q98DropReasons(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.expressions.TextProfile.profile(col("text"))
+    Dedup.spread(Tables.documents(spark, dir))
+      .withColumn("__p", p)
+      .select(col("doc_id"), col("lang"),
+        (col("__p.n_tokens") < 5).as("too_short"),
+        (col("__p.quality") < 3).as("low_quality"),
+        (col("__p.lang") =!= col("lang")).as("lang_mismatch"))
+      .withColumn("keep",
+        !col("too_short") && !col("low_quality") && !col("lang_mismatch"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   /** q38 — as-of join: each click event gets the most recent prior view's
     * value for the same user (composed union+window — one shuffle, one
     * sort; oracle = DuckDB's native ASOF LEFT JOIN). */
@@ -640,6 +663,7 @@ object PipelineQueries {
     "q27_media_decode"    -> q27MediaDecode _,
     "q36_dedup_clusters"  -> q36DedupClusters _,
     "q37_quality_filter"  -> q37QualityFilter _,
+    "q98_drop_reasons"    -> q98DropReasons _,
     "q38_asof_join"       -> q38AsofJoin _,
     "q39_seq_packing"     -> q39SequencePacking _,
     "q40_top_ngrams"      -> q40TopNgrams _,
@@ -1061,6 +1085,37 @@ object PipelineQueries {
         |SELECT doc_id, quality FROM scored
         | WHERE quality >= 3 AND lang_pred = 'en'
         | ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q98_drop_reasons" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+        | m AS (SELECT doc_id, lang,
+        |   ${nTokSql("toks")} AS n_tokens,
+        |   CAST(len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INTEGER)
+        |     / greatest(len(text), 1) AS punct_ratio,
+        |   ${hitsSql("toks", stopEnSql)}
+        |     / greatest(${nTokSql("toks")}, 1) AS stop_ratio,
+        |   CAST(list_sum(list_transform(toks, t -> len(t))) AS INTEGER)
+        |     / greatest(${nTokSql("toks")}, 1) AS avg_token_len,
+        |   ${hitsSql("toks", stopEnSql)} AS h_en,
+        |   ${hitsSql("toks", stopEsSql)} AS h_es,
+        |   ${hitsSql("toks", stopDeSql)} AS h_de,
+        |   ${hitsSql("toks", stopFrSql)} AS h_fr
+        |  FROM t),
+        | scored AS (SELECT doc_id, lang, n_tokens,
+        |   CAST((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END
+        |    + CASE WHEN punct_ratio < 0.3 THEN 1 ELSE 0 END
+        |    + CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END
+        |    + CASE WHEN avg_token_len BETWEEN 2.0 AND 15.0 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS quality,
+        |   CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+        |        WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+        |        WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+        |        WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+        |        ELSE 'fr' END AS lang_pred
+        |  FROM m)
+        |SELECT doc_id, lang, n_tokens < 5 AS too_short,
+        |  quality < 3 AS low_quality, lang_pred <> lang AS lang_mismatch,
+        |  NOT (n_tokens < 5 OR quality < 3 OR lang_pred <> lang) AS keep
+        | FROM scored ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q38_asof_join" ->
       """SELECT l.event_id, r.value AS asof_view_value
         | FROM (SELECT event_id, user_id, ts FROM events

@@ -119,6 +119,34 @@ class CorpusMixSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- percentile calibration ----
+
+  test("percentileCalibrate: hand-computed percent ranks with ties") {
+    val scored = Seq(
+      (1L, "a", 10), (2L, "a", 20), (3L, "a", 20), (4L, "a", 30), (5L, "a", 40),
+      (6L, "b", 99),
+    ).toDF("id", "src", "s")
+    val got = Split.percentileCalibrate(
+        scored, col("src"), col("id"), col("s"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    // src a, n=5: ranks 1,2,2,4,5 -> pct 0, .25, .25, .75, 1.
+    // src b, single row -> 0.
+    assert(got == Seq((1L, 0.0), (2L, 0.25), (3L, 0.25), (4L, 0.75),
+      (5L, 1.0), (6L, 0.0)))
+  }
+
+  test("percentileCalibrate matches the plain-window reference on real data") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Split.percentileCalibrate(
+        docs, col("source"), col("doc_id"), col("n_chars"))
+      .select("doc_id", "pct")
+    val ref = docs.select(col("doc_id"),
+      percent_rank().over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"))).as("pct"))
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
+  }
+
   // ---- explicit target-mix resampling ----
 
   test("matchTargetMix: target = observed mix reproduces plain rate sampling") {

@@ -109,6 +109,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getDouble(6) == 0.0)
   }
 
+  // ---- termSpectrum ----
+
+  test("termSpectrum: hand-computed unigram count-of-counts with overflow") {
+    val docs = Seq(
+      ("a a a b b c"), ("a d"),
+    ).toDF("text")
+    // counts: a=4, b=2, c=1, d=1 -> freq 1:2 terms, 2:1, overflow(4->3+1? )
+    val got = CorpusStats.termSpectrum(docs, col("text"), n = 1, maxFreq = 3)
+      .orderBy("freq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (4L, 1L)).map {
+      case (f, n) => (math.min(f, 4L), n) })
+  }
+
+  test("termSpectrum: n-grams keep multiplicity; short docs contribute none") {
+    val docs = Seq(
+      ("x y x y x"),  // bigrams: "x y","y x","x y","y x" -> each twice
+      ("solo"),       // 1 token < n=2 -> no events
+    ).toDF("text")
+    val got = CorpusStats.termSpectrum(docs, col("text"), n = 2, maxFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 2L)))
+  }
+
   test("packingEfficiency: empty docs contribute zero chunks; empty group nulls waste") {
     val docs = Seq(("a", "t1 t2"), ("a", ""), ("b", ""))
       .toDF("source", "text")
