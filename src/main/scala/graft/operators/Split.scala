@@ -240,6 +240,60 @@ object Split {
       .drop("__stratum", "__rate")
   }
 
+  /** Epoch-capped mixture plan — the budgeting arithmetic behind a
+    * modern pretraining mix: given a token budget `B`, a target share
+    * per stratum, and a repetition ceiling (`maxEpochs` — data quality
+    * degrades past a few epochs, so a small high-priority source cannot
+    * be upsampled without bound), report per stratum how many tokens it
+    * HAS, how many the target WANTS (`t_s · B`), the epochs that
+    * implies, the realized token count under the cap
+    * (`min(wanted, maxEpochs · have)`), and the unmet deficit — the
+    * planner's worksheet for deciding whether to relax the cap, shift
+    * the mix, or go get more data. This plans in TOKENS over strata
+    * (the [[tokenBudgetSelect]] sibling at mixture granularity);
+    * realized row selection is then [[matchTargetMix]] /
+    * [[stratifiedSample]] territory.
+    *
+    * One tokenize+aggregate pass over the corpus (the stratum frame is
+    * parameter-sized); every derived number is IEEE arithmetic on exact
+    * integer token sums, epochs rounded to 4 dp, token quantities
+    * floored to whole tokens — engine-portable. Strata absent from
+    * `target` report a zero target (kept in the output: the planner
+    * should SEE the data it is about to drop). Output: (stratum,
+    * n_tokens, target_share, wanted_tokens, epochs, realized_tokens,
+    * deficit_tokens). */
+  def epochPlan(
+      df: DataFrame, stratum: Column, text: Column,
+      target: Seq[(String, Double)], budgetTokens: Long,
+      maxEpochs: Double): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    require(target.forall(_._2 > 0), "target shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val targetDf = target.toDF("stratum", "target_share")
+    val wanted = floor(col("target_share") * lit(budgetTokens.toDouble))
+      .cast("long")
+    df.select(stratum.as("stratum"),
+        TextFunctions.tokenCount(coalesce(text, lit(""))).cast("long")
+          .as("__nt"))
+      .groupBy(col("stratum")).agg(sum(col("__nt")).as("n_tokens"))
+      .join(broadcast(targetDf), Seq("stratum"), "left")
+      .withColumn("target_share", coalesce(col("target_share"), lit(0.0)))
+      .select(col("stratum"), col("n_tokens"), col("target_share"),
+        wanted.as("wanted_tokens"),
+        when(col("n_tokens") > 0,
+          round(wanted.cast("double") / col("n_tokens").cast("double"), 4))
+          .as("epochs"),
+        least(wanted,
+          floor(lit(maxEpochs) * col("n_tokens").cast("double")).cast("long"))
+          .as("realized_tokens"),
+        greatest(lit(0L),
+          wanted - floor(lit(maxEpochs) * col("n_tokens").cast("double"))
+            .cast("long")).as("deficit_tokens"))
+  }
+
   /** Leakage-safe split: near-duplicate documents must land in the SAME
     * split, or test contamination silently inflates eval scores. Every
     * doc's split key is its duplicate-cluster representative (min id via

@@ -210,6 +210,26 @@ object CorpusQueries {
         col("text"), n = 3, maxFreq = 10)
       .orderBy(asc("freq"))
 
+  /** Mixture-plan geometry for q100: a 100 k-token budget at a 2-epoch
+    * repetition cap; `es` deliberately untargeted so the planner's
+    * about-to-drop reporting is under the oracle's eye. At sf0.01 the
+    * corpus (~27 k tokens) cannot meet the budget — deficits appear; at
+    * sf0.1 (~272 k) the same plan clears — both regimes gated. */
+  private val Q100Target = Seq(
+    "en" -> 0.4, "zh" -> 0.25, "de" -> 0.2, "fr" -> 0.15)
+  private val Q100Budget = 100000L
+  private val Q100MaxEpochs = 2.0
+
+  /** q100 — epoch-capped mixture plan over languages
+    * ([[Split.epochPlan]]): tokens available vs wanted per stratum,
+    * implied epochs, the realized count under the repetition cap, and
+    * the unmet deficit. */
+  def q100EpochPlan(spark: SparkSession, dir: String): DataFrame =
+    Split.epochPlan(Dedup.spread(Tables.documents(spark, dir)),
+        col("lang"), col("text"), Q100Target, Q100Budget, Q100MaxEpochs)
+      .withColumnRenamed("stratum", "lang")
+      .orderBy(asc_nulls_first("lang"))
+
   /** k-means geometry shared by q87's Spark side and its unrolled
     * oracle: k=8 lineages, 2 Lloyd recomputes, SemDeDup pair threshold
     * at the q23 near-dup bar. */
@@ -249,6 +269,7 @@ object CorpusQueries {
     "q96_target_mix"         -> q96TargetMix _,
     "q97_calibrated_score"   -> q97CalibratedScore _,
     "q99_term_spectrum"      -> q99TermSpectrum _,
+    "q100_epoch_plan"        -> q100EpochPlan _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -584,6 +605,31 @@ object CorpusQueries {
         |SELECT CAST(least(ctf, 11) AS BIGINT) AS freq,
         |  count(*) AS n_terms
         | FROM cf GROUP BY 1 ORDER BY freq""".stripMargin,
+    "q100_epoch_plan" ->
+      s"""WITH tgt(lang, target_share) AS (VALUES
+        |   ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.25 AS DOUBLE)),
+        |   ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE))),
+        | s AS (SELECT lang,
+        |   CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |     ELSE len($toksSql) END AS nt
+        |  FROM documents),
+        | g AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM s GROUP BY lang),
+        | j AS (SELECT g.lang, n_tokens,
+        |   coalesce(target_share, CAST(0 AS DOUBLE)) AS target_share,
+        |   CAST(floor(coalesce(target_share, CAST(0 AS DOUBLE))
+        |     * CAST(100000 AS DOUBLE)) AS BIGINT) AS wanted,
+        |   CAST(floor(CAST(2.0 AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |     AS BIGINT) AS cap
+        |  FROM g LEFT JOIN tgt ON g.lang = tgt.lang)
+        |SELECT lang, n_tokens, target_share,
+        |  wanted AS wanted_tokens,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    round(CAST(wanted AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+        |  END AS epochs,
+        |  least(wanted, cap) AS realized_tokens,
+        |  greatest(CAST(0 AS BIGINT), wanted - cap) AS deficit_tokens
+        | FROM j ORDER BY lang NULLS FIRST""".stripMargin,
     "q96_target_mix" ->
       s"""WITH tgt(lang, target) AS (VALUES
         |   ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),

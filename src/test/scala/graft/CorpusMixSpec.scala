@@ -195,6 +195,30 @@ class CorpusMixSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- epoch-capped mixture plan ----
+
+  test("epochPlan: hand-computed budget arithmetic, cap, deficit, untargeted") {
+    val corpus = Seq(
+      ("en", "t1 t2 t3 t4"), ("en", "t1 t2 t3 t4 t5 t6"), // en: 10 tokens
+      ("fr", "a b"),                                      // fr: 2 tokens
+      ("es", "x y z"),                                    // es: untargeted
+    ).toDF("lang", "text")
+    val got = Split.epochPlan(corpus, col("lang"), col("text"),
+        Seq("en" -> 0.5, "fr" -> 0.5), budgetTokens = 40L, maxEpochs = 3.0)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getLong(5),
+        r.getLong(6)))
+      .toSeq
+    assert(got == Seq(
+      // en: wants 20 of its 10 -> 2 epochs, under the 3-epoch cap.
+      ("en", 10L, 0.5, 20L, 2.0, 20L, 0L),
+      // es: untargeted -> zero plan, but the tokens stay visible.
+      ("es", 3L, 0.0, 0L, 0.0, 0L, 0L),
+      // fr: wants 20 of its 2 -> 10 epochs, capped at 3 -> 6, deficit 14.
+      ("fr", 2L, 0.5, 20L, 10.0, 6L, 14L)))
+  }
+
   // ---- global shuffle order ----
 
   test("shuffleOrder is the md5-rank permutation, no single-partition window") {
