@@ -239,7 +239,37 @@ object AdvancedQueries {
         round(sum(col("o_totalprice")), 2).as("total_price"))
       .orderBy(asc_nulls_first("o_orderpriority"))
 
+  /** q101 — ordered conversion funnel view → click → purchase: a user
+    * advances to step i only with an event AT OR AFTER their first
+    * qualifying step-(i−1) event (the strict-ordering semantics that
+    * separates a funnel from three independent counts). Output: one
+    * row per step with user counts and the conversion rate vs step 1.
+    *
+    * Scale shape: each step is a user-keyed `min(ts)` aggregate joined
+    * to the next step's filtered events — every exchange hashes on
+    * `user_id`, so the step frames (≤ |users| rows) reuse one
+    * partitioning; the final 3-row union crosses the 1-row step-1
+    * count. No windows over raw events, no per-user state. */
+  def q101Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.conversionFunnel(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy(asc("step"))
+
+  /** q102 — retention cohort triangle: users grouped by their first
+    * active DAY, counted distinct on each day-offset they return — the
+    * standard activation/retention report. Cohort assignment is one
+    * user-keyed `min(date)` aggregate joined back (both exchanges hash
+    * on `user_id`), the triangle a (cohort, offset) aggregate over
+    * ≤ |events| rows; offsets are exact integer day differences. */
+  def q102Retention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.retentionCohorts(Tables.events(spark, dir),
+        col("user_id"), col("ts"))
+      .orderBy(asc("cohort"), asc("offset_days"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_funnel"           -> q101Funnel _,
+    "q102_retention"        -> q102Retention _,
     "q61_partition_pruned"  -> q61PartitionPruned _,
     "q47_group_percentiles" -> q47GroupPercentiles _,
     "q48_ntile"             -> q48Ntile _,
@@ -258,6 +288,32 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q101_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |   WHERE event_type = 'view' GROUP BY user_id),
+        | t2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+        |   JOIN t1 USING (user_id)
+        |   WHERE event_type = 'click' AND ts >= t1 GROUP BY e.user_id),
+        | t3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+        |   JOIN t2 USING (user_id)
+        |   WHERE event_type = 'purchase' AND ts >= t2 GROUP BY e.user_id),
+        | c AS (SELECT 1 AS step, 'view' AS event_type,
+        |     count(*) AS n_users FROM t1
+        |   UNION ALL SELECT 2, 'click', count(*) FROM t2
+        |   UNION ALL SELECT 3, 'purchase', count(*) FROM t3),
+        | base AS (SELECT n_users AS n1 FROM c WHERE step = 1)
+        |SELECT step, event_type, n_users,
+        |  CASE WHEN n1 > 0 THEN
+        |    round(CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE), 4)
+        |  END AS rate
+        | FROM c CROSS JOIN base ORDER BY step""".stripMargin,
+    "q102_retention" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        | f AS (SELECT user_id, min(d) AS cohort FROM d GROUP BY user_id)
+        |SELECT cohort, CAST(d.d - f.cohort AS INTEGER) AS offset_days,
+        |  count(DISTINCT d.user_id) AS n_users
+        | FROM d JOIN f USING (user_id)
+        | GROUP BY 1, 2 ORDER BY cohort, offset_days""".stripMargin,
     "q61_partition_pruned" ->
       """SELECT o_orderpriority,
         | count(*) AS n_orders,

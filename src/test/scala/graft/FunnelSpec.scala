@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Funnel
+
+/** Pins the event-sequence operators: the funnel's strict-ordering
+  * semantics (out-of-order events do NOT convert; ties DO) and the
+  * retention triangle's cohort/offset arithmetic.
+  */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("conversionFunnel: out-of-order events do not convert; ties do") {
+    val ev = Seq(
+      // u1 converts fully in order
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 11:00:00"), "click"),
+      (1L, t("2024-01-01 12:00:00"), "purchase"),
+      // u2: purchase BEFORE the first view -> stops at click
+      (2L, t("2024-01-02 09:00:00"), "purchase"),
+      (2L, t("2024-01-02 10:00:00"), "view"),
+      (2L, t("2024-01-02 11:00:00"), "click"),
+      // u3: click at EXACTLY the first view's ts -> tie counts
+      (3L, t("2024-01-03 10:00:00"), "view"),
+      (3L, t("2024-01-03 10:00:00"), "click"),
+      // u4: click only, never viewed -> not even step 1
+      (4L, t("2024-01-04 10:00:00"), "click"),
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversionFunnel(ev, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (1, "view", 3L, 1.0),       // u1, u2, u3
+      (2, "click", 3L, 1.0),      // all three clicked at/after first view
+      (3, "purchase", 1L, 0.3333) // only u1's purchase is in order
+    ))
+  }
+
+  test("conversionFunnel: a user's earliest qualifying event anchors the next step") {
+    // u1's first view is 10:00; the 09:00 click is stale but the 10:30
+    // click qualifies — min(qualifying), not min(all).
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 09:00:00"), "click"),
+      (1L, t("2024-01-01 10:30:00"), "click"),
+      (1L, t("2024-01-01 10:15:00"), "purchase"), // before qualifying click
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversionFunnel(ev, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 1L), (2, 1L), (3, 0L)))
+  }
+
+  test("conversionFunnel: empty first step yields zero rows with null rates") {
+    val ev = Seq((1L, t("2024-01-01 10:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversionFunnel(ev, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click")).orderBy("step").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(0L, 0L))
+    assert(got.forall(_.isNullAt(3)))
+  }
+
+  test("retentionCohorts: hand-computed triangle") {
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-02 10:00:00")),
+      (1L, t("2024-01-02 15:00:00")), // same user+day counts once
+      (2L, t("2024-01-01 11:00:00")), (2L, t("2024-01-03 09:00:00")),
+      (3L, t("2024-01-02 08:00:00")),
+    ).toDF("user_id", "ts")
+    val got = Funnel.retentionCohorts(ev, col("user_id"), col("ts"))
+      .orderBy("cohort", "offset_days").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 2L),  // u1, u2 start Jan 1
+      ("2024-01-01", 1, 1L),  // u1 returns next day
+      ("2024-01-01", 2, 1L),  // u2 returns on day 2
+      ("2024-01-02", 0, 1L))) // u3's cohort
+  }
+}

@@ -37,13 +37,16 @@ class PlanDisciplineSpec extends SparkSpec {
     *     against are q22/q23's broadcast shapes, and the final result is
     *     a cross of 1-row recallStats aggregates,
     *   - q81: the 1-row token-budget scalar broadcast under the
-    *     cumulative-sum frame. */
+    *     cumulative-sum frame,
+    *   - q101: the 1-row step-1 user count crossed under the
+    *     |steps|-row funnel summary for the conversion-rate column. */
   private val allowedNestedLoop = Set(
     "q9_peak_flag", "q10_outliers", "q32_histogram", "q33_minmax_norm",
     "q22_knn_cosine", "q23_embed_neardup", "q65_batch_knn",
     "q67_tfidf", "q68_bm25", "q70_temperature_sample", "q96_target_mix",
     "q72_unigram_logprob", "q75_source_kl",
-    "q78_ivf_recall", "q79_lsh_recall", "q89_pq_recall", "q81_token_budget")
+    "q78_ivf_recall", "q79_lsh_recall", "q89_pq_recall", "q81_token_budget",
+    "q101_funnel")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
