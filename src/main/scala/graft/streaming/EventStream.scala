@@ -77,6 +77,90 @@ object EventStream {
       }
   }
 
+  /** Per-user funnel progress: step anchors as epoch-micros, unreached
+    * steps at [[FunnelUnset]]. Anchors are set only as a contiguous
+    * prefix, so the reached step count is the first-unset index. */
+  case class FunnelState(anchors: Seq[Long])
+  /** Emitted whenever a user ADVANCES: the new deepest step (1-based)
+    * and the event time that anchored it. */
+  case class FunnelUpdate(user_id: Long, step_reached: Int,
+      anchor_ts: Timestamp)
+  private val FunnelUnset = Long.MaxValue
+
+  /** Streaming conversion funnel — [[graft.operators.Funnel
+    * .conversionFunnel]]'s semantics carried across micro-batches with
+    * keyed custom state: per user, the minimal qualifying anchor
+    * timestamp of each step (an event advances step i only at/after the
+    * step-(i−1) anchor; ties count, handled by a fixpoint pass over
+    * equal-timestamp events so arrival order within a timestamp cannot
+    * change the result). Emits a [[FunnelUpdate]] whenever a user
+    * reaches a deeper step.
+    *
+    * Exactness contract: equals the batch operator whenever each user's
+    * events arrive in event-time order ACROSS batches (any disorder
+    * WITHIN a batch is handled exactly — each batch's events are sorted
+    * and relaxed to fixpoint). Under cross-batch disorder the result is
+    * a LOWER BOUND: state stores only anchors, not unmatched
+    * future-step events, so a conversion whose steps arrive reversed in
+    * separate batches may be missed but never invented — the
+    * right-side-error analogue of the Bloom screen's one-sided
+    * contract. State is |steps| longs per user, deterministic replay,
+    * no wall-clock timeouts. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String])
+      (implicit spark: SparkSession): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "steps must be non-empty")
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.length
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val anchors = state.getOption.map(_.anchors.toArray)
+            .getOrElse(Array.fill(k)(FunnelUnset))
+          val before = anchors.indexWhere(_ == FunnelUnset) match {
+            case -1 => k
+            case i => i
+          }
+          // full microsecond precision: getTime is millis-truncated and
+          // the residual micros live in getNanos
+          def micros(ts: Timestamp): Long =
+            ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+          val relevant = rows.filter(e => stepIdx.contains(e.event_type))
+            .map(e => (micros(e.ts), stepIdx(e.event_type)))
+            .toSeq.sorted
+          // group equal timestamps and relax to fixpoint so a view and
+          // its same-instant click both land regardless of order
+          relevant.groupBy(_._1).toSeq.sortBy(_._1).foreach {
+            case (t, group) =>
+              var changed = true
+              while (changed) {
+                changed = false
+                group.foreach { case (_, i) =>
+                  val qualifies =
+                    i == 0 || (anchors(i - 1) != FunnelUnset &&
+                      t >= anchors(i - 1))
+                  if (qualifies && t < anchors(i)) {
+                    anchors(i) = t; changed = true
+                  }
+                }
+              }
+          }
+          state.update(FunnelState(anchors.toSeq))
+          val after = anchors.indexWhere(_ == FunnelUnset) match {
+            case -1 => k
+            case i => i
+          }
+          def toTs(us: Long): Timestamp = {
+            val t = new Timestamp(us / 1000000L * 1000L)
+            t.setNanos((us % 1000000L).toInt * 1000)
+            t
+          }
+          ((before + 1) to after).iterator.map(s =>
+            FunnelUpdate(userId, s, toTs(anchors(s - 1))))
+      }
+  }
+
   /** Streaming deduplication: drop repeated `idCols` across micro-batches,
     * keeping state only within the watermark horizon (bounded state — the
     * streaming form of exact dedup; duplicates arriving later than the

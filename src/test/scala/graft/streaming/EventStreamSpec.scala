@@ -97,6 +97,85 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel equals the batch operator under ordered delivery") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val updates = EventStream.funnelStream(input.toDS(),
+      Seq("view", "click", "purchase"))
+    val q = updates.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ev_funnel")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: u1 views+clicks; u2 clicks only (no view yet)
+      input.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 0),
+        Event(2, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "click", 0),
+        Event(3, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "click", 0))
+      q.processAllAvailable()
+      // batch 2: u1 purchases; u2 views then clicks (within-batch order
+      // scrambled on purpose — the per-batch sort must fix it)
+      input.addData(
+        Event(4, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "purchase", 0),
+        Event(5, Timestamp.valueOf("2024-01-01 14:00:00"), 2, "click", 0),
+        Event(6, Timestamp.valueOf("2024-01-01 13:00:00"), 2, "view", 0))
+      q.processAllAvailable()
+      val got = spark.table("ev_funnel").as[FunnelUpdate].collect()
+      val deepest = got.groupBy(_.user_id)
+        .map { case (u, ups) => u -> ups.map(_.step_reached).max }
+      assert(deepest == Map(1L -> 3, 2L -> 2))
+      // batch equivalence on the union of all delivered events
+      val allEvents = Seq(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "view"),
+        (1L, Timestamp.valueOf("2024-01-01 11:00:00"), "click"),
+        (2L, Timestamp.valueOf("2024-01-01 10:30:00"), "click"),
+        (1L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase"),
+        (2L, Timestamp.valueOf("2024-01-01 14:00:00"), "click"),
+        (2L, Timestamp.valueOf("2024-01-01 13:00:00"), "view"),
+      ).toDF("user_id", "ts", "event_type")
+      val batch = graft.operators.Funnel.conversionFunnel(allEvents,
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val streamCounts = (1 to 3).map(step =>
+        step -> deepest.values.count(_ >= step).toLong).toMap
+      assert(streamCounts == batch,
+        s"stream $streamCounts vs batch $batch")
+      // u2's anchor for step 1 is the 13:00 view, not the stale clicks
+      val u2Step1 = got.filter(u => u.user_id == 2L && u.step_reached == 1)
+      assert(u2Step1.map(_.anchor_ts).toSeq ==
+        Seq(Timestamp.valueOf("2024-01-01 13:00:00")))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: same-instant step pair lands regardless of order; cross-batch disorder never invents") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val updates = EventStream.funnelStream(input.toDS(), Seq("view", "click"))
+    val q = updates.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ev_funnel2")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // u1: click listed BEFORE its same-instant view — the equal-ts
+      // fixpoint must still advance both steps
+      input.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 0),
+        Event(2, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 0))
+      q.processAllAvailable()
+      // u2: click in batch N, its view only in batch N+1 at an EARLIER
+      // ts — documented lower-bound: the stale click is not revisited
+      input.addData(
+        Event(3, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "click", 0))
+      q.processAllAvailable()
+      input.addData(
+        Event(4, Timestamp.valueOf("2024-01-01 09:00:00"), 2, "view", 0))
+      q.processAllAvailable()
+      val got = spark.table("ev_funnel2").as[FunnelUpdate].collect()
+      val deepest = got.groupBy(_.user_id)
+        .map { case (u, ups) => u -> ups.map(_.step_reached).max }
+      assert(deepest == Map(1L -> 2, 2L -> 1))
+    } finally q.stop()
+  }
+
   test("sessionization closes a session when the event-time gap is exceeded") {
     implicit val s = spark
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
