@@ -267,8 +267,26 @@ object AdvancedQueries {
         col("user_id"), col("ts"))
       .orderBy(asc("cohort"), asc("offset_days"))
 
+  /** q103 — JSON side-data extraction: pull the numeric `k` property
+    * out of the events' JSON `props` column and histogram it (decade
+    * buckets × event type, with counts and value sums) — the
+    * schema-on-read pass every event pipeline runs over its property
+    * bags. The extraction is one codegen'd `get_json_object` per row
+    * (no UDF, no parse-to-map materialization); unparseable or absent
+    * properties land in a NULL bucket instead of vanishing. */
+  def q103PropsHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(spark, dir)
+      .select(col("event_type"), (k - pmod(k, lit(10))).as("k_bucket"),
+        col("value"))
+      .groupBy(col("event_type"), col("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("k_bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
+    "q103_props_histogram"  -> q103PropsHistogram _,
     "q102_retention"        -> q102Retention _,
     "q61_partition_pruned"  -> q61PartitionPruned _,
     "q47_group_percentiles" -> q47GroupPercentiles _,
@@ -288,6 +306,14 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q103_props_histogram" ->
+      """WITH e AS (SELECT event_type,
+        |   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+        |  FROM events)
+        |SELECT event_type, k - (k % 10) AS k_bucket,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        | FROM e GROUP BY 1, 2
+        | ORDER BY event_type NULLS FIRST, k_bucket NULLS FIRST""".stripMargin,
     "q101_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |   WHERE event_type = 'view' GROUP BY user_id),

@@ -92,6 +92,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("reporting-family invariants on random corpora") {
+    // snapshotDiff(x, x) is empty; spectrum masses re-sum to the vocab;
+    // packing waste is bounded; funnel counts are monotone non-increasing.
+    import graft.operators.{CorpusStats, Funnel}
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val doc = Gen.choose(1, 10).flatMap(len =>
+      Gen.listOfN(len, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(12, doc)
+    for ((texts, i) <- samples(corpus, 4).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      // diff of identical snapshots: zero churn
+      assert(CorpusStats.snapshotDiff(docs, docs,
+        col("doc_id"), col("text")).count() == 0L, s"sample=$i diff")
+      // spectrum: Σ n_terms over classes == |distinct terms|
+      val vocab = docs.select(explode(split(lower(col("text")), "\\s+")))
+        .distinct().count()
+      val specSum = CorpusStats.termSpectrum(docs, col("text"), n = 1,
+        maxFreq = 3).agg(sum(col("n_terms"))).collect().head.getLong(0)
+      assert(specSum == vocab, s"sample=$i spectrum $specSum != $vocab")
+      // packing: 0 <= pad_waste < 1 and packed_chunks <= pad_chunks
+      val pk = CorpusStats.packingEfficiency(docs, lit("all"), col("text"),
+        seqLen = 4).collect().head
+      assert(pk.getDouble(4) >= 0.0 && pk.getDouble(4) < 1.0, s"sample=$i")
+      assert(pk.getLong(5) <= pk.getLong(3), s"sample=$i packed>pad")
+    }
+    // funnel monotonicity on a random event log
+    val ev = Gen.listOfN(40, for {
+      u <- Gen.choose(1L, 6L)
+      t <- Gen.choose(0L, 100000L)
+      et <- Gen.oneOf("view", "click", "purchase", "error")
+    } yield (u, new java.sql.Timestamp(t), et))
+    for ((rows, i) <- samples(ev, 4).zipWithIndex) {
+      val df = rows.toDF("user_id", "ts", "event_type")
+      val counts = Funnel.conversionFunnel(df, col("user_id"), col("ts"),
+          col("event_type"), Seq("view", "click", "purchase"))
+        .orderBy("step").collect().map(_.getLong(2)).toSeq
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"sample=$i funnel $counts not monotone")
+    }
+  }
+
   test("top-k is a prefix of the full descending sort") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 1000), Gen.choose(0L, 500L)))
     for (rows <- samples(gen, 5) if rows.nonEmpty) {
