@@ -24,21 +24,28 @@ object Funnel {
     * the event scan is filtered to one step's type before it ever
     * shuffles; the final |steps|-row union crosses the 1-row step-1
     * count. No windows over raw events, no per-user state, and the
-    * step count bounds the join chain, not the data. */
+    * step count bounds the join chain, not the data. Each ≤|users|-row
+    * step frame is pinned ([[Materialize.pin]], default on) before the
+    * next step derives from it — without that, step i's plan re-derives
+    * every earlier step from scratch (an O(steps²) re-scan of the event
+    * table: measured 7 scans for 3 steps), and the frames are orders of
+    * magnitude smaller than the events they summarize. */
   def conversionFunnel(
       events: DataFrame, user: Column, ts: Column, eventType: Column,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], materialize: Boolean = true): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     val ev = events.select(user.as("__u"), ts.as("__ts"),
       eventType.as("__et"))
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) Materialize.pin(df) else df
     val stepFrames = steps.tail.scanLeft(
-      ev.filter(col("__et") === steps.head)
-        .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))) {
+      pin(ev.filter(col("__et") === steps.head)
+        .groupBy(col("__u")).agg(min(col("__ts")).as("__t")))) {
       (prev, s) =>
-        ev.filter(col("__et") === s)
+        pin(ev.filter(col("__et") === s)
           .join(prev.select(col("__u"), col("__t").as("__prev")), Seq("__u"))
           .filter(col("__ts") >= col("__prev"))
-          .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+          .groupBy(col("__u")).agg(min(col("__ts")).as("__t")))
     }
     val counts = stepFrames.zip(steps).zipWithIndex.map {
       case ((f, name), i) =>
