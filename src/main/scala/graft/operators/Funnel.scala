@@ -14,7 +14,13 @@ object Funnel {
     * qualifying step-(i−1) event — the strict-ordering semantics that
     * separates a funnel from N independent counts (a purchase BEFORE
     * the first view does not convert). Ties count: an event at exactly
-    * the previous step's timestamp qualifies. Output: one row per step
+    * the previous step's timestamp qualifies. With `maxGapMicros` set,
+    * a step must also land within that gap of the previous step's
+    * anchor — FIRST-TOUCH semantics: each step anchors at its earliest
+    * qualifying event, so a conversion reachable only through a LATER
+    * step-1 touch is not counted (the deterministic, oracle-expressible
+    * attribution convention; any-touch windowed matching is a different
+    * and quadratically heavier operator). Output: one row per step
     * — (step, event_type, n_users, rate), rate = n_users / step-1
     * users rounded to 4 dp (null when step 1 is empty).
     *
@@ -32,19 +38,26 @@ object Funnel {
     * magnitude smaller than the events they summarize. */
   def conversionFunnel(
       events: DataFrame, user: Column, ts: Column, eventType: Column,
-      steps: Seq[String], materialize: Boolean = true): DataFrame = {
+      steps: Seq[String], materialize: Boolean = true,
+      maxGapMicros: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
+    require(maxGapMicros.forall(_ > 0), "maxGapMicros must be positive")
     val ev = events.select(user.as("__u"), ts.as("__ts"),
       eventType.as("__et"))
     def pin(df: DataFrame): DataFrame =
       if (materialize) Materialize.pin(df) else df
+    def withinGap: Column = maxGapMicros match {
+      case Some(g) =>
+        unix_micros(col("__ts")) <= unix_micros(col("__prev")) + lit(g)
+      case None => lit(true)
+    }
     val stepFrames = steps.tail.scanLeft(
       pin(ev.filter(col("__et") === steps.head)
         .groupBy(col("__u")).agg(min(col("__ts")).as("__t")))) {
       (prev, s) =>
         pin(ev.filter(col("__et") === s)
           .join(prev.select(col("__u"), col("__t").as("__prev")), Seq("__u"))
-          .filter(col("__ts") >= col("__prev"))
+          .filter(col("__ts") >= col("__prev") && withinGap)
           .groupBy(col("__u")).agg(min(col("__ts")).as("__t")))
     }
     val counts = stepFrames.zip(steps).zipWithIndex.map {

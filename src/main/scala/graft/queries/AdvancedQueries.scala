@@ -284,8 +284,22 @@ object AdvancedQueries {
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("k_bucket"))
   }
 
+  /** q104 — the q101 funnel under a 24-hour conversion window: each
+    * step must land within a day of the previous step's first-touch
+    * anchor ([[graft.operators.Funnel.conversionFunnel]] with
+    * `maxGapMicros`) — the windowed form every product funnel actually
+    * ships, and a sharply discriminating gate (150 → 60 → 25 users at
+    * sf0.01 where the unwindowed funnel converts nearly everyone). */
+  def q104WindowedFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.conversionFunnel(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"),
+        maxGapMicros = Some(24L * 3600L * 1000000L))
+      .orderBy(asc("step"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
+    "q104_windowed_funnel"  -> q104WindowedFunnel _,
     "q103_props_histogram"  -> q103PropsHistogram _,
     "q102_retention"        -> q102Retention _,
     "q61_partition_pruned"  -> q61PartitionPruned _,
@@ -306,6 +320,29 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q104_windowed_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |   WHERE event_type = 'view' GROUP BY user_id),
+        | t2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+        |   JOIN t1 USING (user_id)
+        |   WHERE event_type = 'click' AND ts >= t1
+        |     AND epoch_us(ts) <= epoch_us(t1) + 86400000000
+        |   GROUP BY e.user_id),
+        | t3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+        |   JOIN t2 USING (user_id)
+        |   WHERE event_type = 'purchase' AND ts >= t2
+        |     AND epoch_us(ts) <= epoch_us(t2) + 86400000000
+        |   GROUP BY e.user_id),
+        | c AS (SELECT 1 AS step, 'view' AS event_type,
+        |     count(*) AS n_users FROM t1
+        |   UNION ALL SELECT 2, 'click', count(*) FROM t2
+        |   UNION ALL SELECT 3, 'purchase', count(*) FROM t3),
+        | base AS (SELECT n_users AS n1 FROM c WHERE step = 1)
+        |SELECT step, event_type, n_users,
+        |  CASE WHEN n1 > 0 THEN
+        |    round(CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE), 4)
+        |  END AS rate
+        | FROM c CROSS JOIN base ORDER BY step""".stripMargin,
     "q103_props_histogram" ->
       """WITH e AS (SELECT event_type,
         |   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value

@@ -67,6 +67,29 @@ class FunnelSpec extends SparkSpec {
     assert(got.forall(_.isNullAt(3)))
   }
 
+  test("conversionFunnel with maxGap: window enforced, first-touch anchoring") {
+    val hour = 3600L * 1000000L
+    val ev = Seq(
+      // u1 converts within the 1h window
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:30:00"), "click"),
+      // u2's click is 2h after the view -> out of window
+      (2L, t("2024-01-02 10:00:00"), "view"),
+      (2L, t("2024-01-02 12:00:00"), "click"),
+      // u3: first-touch semantics — the anchor is the EARLIEST view
+      // (09:00), so the 10:30 click misses the window even though the
+      // 10:00 view would have caught it
+      (3L, t("2024-01-03 09:00:00"), "view"),
+      (3L, t("2024-01-03 10:00:00"), "view"),
+      (3L, t("2024-01-03 10:30:00"), "click"),
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversionFunnel(ev, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click"),
+        maxGapMicros = Some(hour))
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 3L), (2, 1L)))
+  }
+
   test("retentionCohorts: hand-computed triangle") {
     val ev = Seq(
       (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-02 10:00:00")),

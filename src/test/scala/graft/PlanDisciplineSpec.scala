@@ -38,7 +38,7 @@ class PlanDisciplineSpec extends SparkSpec {
     *     a cross of 1-row recallStats aggregates,
     *   - q81: the 1-row token-budget scalar broadcast under the
     *     cumulative-sum frame,
-    *   - q101: the 1-row step-1 user count crossed under the
+    *   - q101/q104: the 1-row step-1 user count crossed under the
     *     |steps|-row funnel summary for the conversion-rate column. */
   private val allowedNestedLoop = Set(
     "q9_peak_flag", "q10_outliers", "q32_histogram", "q33_minmax_norm",
@@ -46,7 +46,7 @@ class PlanDisciplineSpec extends SparkSpec {
     "q67_tfidf", "q68_bm25", "q70_temperature_sample", "q96_target_mix",
     "q72_unigram_logprob", "q75_source_kl",
     "q78_ivf_recall", "q79_lsh_recall", "q89_pq_recall", "q81_token_budget",
-    "q101_funnel")
+    "q101_funnel", "q104_windowed_funnel")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
