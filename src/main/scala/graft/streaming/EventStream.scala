@@ -161,6 +161,76 @@ object EventStream {
       }
   }
 
+  /** Per-user retention state: the cohort day (epoch days, UTC — the
+    * session's batch `to_date` zone) and a horizon-bounded bitmask of
+    * already-emitted day offsets. */
+  case class RetentionState(cohortDay: Long, seen: Seq[Long])
+  /** One first-visit-of-day emission: the user's cohort date and the
+    * integer day offset of the visit. */
+  case class RetentionVisit(user_id: Long, cohort: java.sql.Date,
+      offset_days: Int)
+
+  /** Streaming retention — [[graft.operators.Funnel.retentionCohorts]]'s
+    * semantics carried across micro-batches with BOUNDED keyed state:
+    * per user, the cohort day plus a `horizonDays`-wide bitmask of
+    * offsets already emitted (⌈horizon/64⌉ longs — retention reports
+    * are horizon-bounded by nature, so the state is too; offsets past
+    * the horizon are outside the report by declared scope). Emits one
+    * [[RetentionVisit]] per (user, day) first occurrence; the
+    * downstream (cohort, offset) count is a plain aggregation of the
+    * emissions.
+    *
+    * Exactness contract (the [[funnelStream]] family's): equals the
+    * batch triangle within the horizon whenever each user's FIRST batch
+    * contains their true cohort day (any within-batch disorder is
+    * handled exactly — days are sorted per batch). Under cross-batch
+    * disorder the cohort stays anchored at the first OBSERVED day and a
+    * genuinely earlier late visit emits a NEGATIVE offset — visible
+    * evidence, never a silently wrong triangle. Deterministic replay,
+    * no wall-clock timeouts. */
+  def retentionStream(events: Dataset[Event], horizonDays: Int = 90)
+      (implicit spark: SparkSession): Dataset[RetentionVisit] = {
+    import spark.implicits._
+    require(horizonDays > 0, "horizonDays must be positive")
+    val words = (horizonDays + 63) / 64
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionVisit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[RetentionState]) =>
+          def epochDay(ts: Timestamp): Long =
+            Math.floorDiv(ts.getTime, 86400000L)
+          def toDate(day: Long): java.sql.Date =
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(day))
+          val days = rows.map(e => epochDay(e.ts)).toSeq.distinct.sorted
+          val out = Seq.newBuilder[RetentionVisit]
+          if (days.nonEmpty) {
+            var st = state.getOption.getOrElse {
+              RetentionState(days.head, Seq.fill(words)(0L))
+            }
+            val seen = st.seen.toArray
+            days.foreach { d =>
+              val off = d - st.cohortDay
+              if (off < 0) {
+                // late pre-cohort visit: visible negative offset,
+                // cohort stays anchored (documented contract)
+                out += RetentionVisit(userId, toDate(st.cohortDay), off.toInt)
+              } else if (off < horizonDays) {
+                val w = (off / 64).toInt
+                val bit = 1L << (off % 64)
+                if ((seen(w) & bit) == 0L) {
+                  seen(w) |= bit
+                  out += RetentionVisit(userId, toDate(st.cohortDay),
+                    off.toInt)
+                }
+              } // off >= horizon: outside the report's declared scope
+            }
+            state.update(RetentionState(st.cohortDay, seen.toSeq))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Streaming deduplication: drop repeated `idCols` across micro-batches,
     * keeping state only within the watermark horizon (bounded state — the
     * streaming form of exact dedup; duplicates arriving later than the

@@ -176,6 +176,72 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention equals the batch triangle; state stays horizon-bounded") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val visits = EventStream.retentionStream(input.toDS(), horizonDays = 64)
+    val q = visits.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ev_retention")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: u1 active Jan 1 (twice — same-day dedup) ; u2 Jan 1
+      input.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 0),
+        Event(2, Timestamp.valueOf("2024-01-01 15:00:00"), 1, "click", 0),
+        Event(3, Timestamp.valueOf("2024-01-01 11:00:00"), 2, "view", 0))
+      q.processAllAvailable()
+      // batch 2: u1 returns Jan 2 (and repeats Jan 1 — already emitted);
+      // u2 returns Jan 3; u3 starts Jan 2
+      input.addData(
+        Event(4, Timestamp.valueOf("2024-01-02 09:00:00"), 1, "view", 0),
+        Event(5, Timestamp.valueOf("2024-01-01 23:00:00"), 1, "view", 0),
+        Event(6, Timestamp.valueOf("2024-01-03 09:00:00"), 2, "view", 0),
+        Event(7, Timestamp.valueOf("2024-01-02 08:00:00"), 3, "view", 0))
+      q.processAllAvailable()
+      val got = spark.table("ev_retention").as[RetentionVisit].collect()
+      val triangle = got.groupBy(v => (v.cohort.toString, v.offset_days))
+        .map { case (k, vs) => k -> vs.map(_.user_id).distinct.length }
+      assert(triangle == Map(
+        ("2024-01-01", 0) -> 2,   // u1, u2
+        ("2024-01-01", 1) -> 1,   // u1 on Jan 2
+        ("2024-01-01", 2) -> 1,   // u2 on Jan 3
+        ("2024-01-02", 0) -> 1))  // u3
+      // batch equivalence via the batch operator on the union
+      val allEv = Seq(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 15:00:00")),
+        (2L, Timestamp.valueOf("2024-01-01 11:00:00")),
+        (1L, Timestamp.valueOf("2024-01-02 09:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 23:00:00")),
+        (2L, Timestamp.valueOf("2024-01-03 09:00:00")),
+        (3L, Timestamp.valueOf("2024-01-02 08:00:00")),
+      ).toDF("user_id", "ts")
+      val batch = graft.operators.Funnel.retentionCohorts(allEv,
+          col("user_id"), col("ts"))
+        .collect().map(r => ((r.getDate(0).toString, r.getInt(1)),
+          r.getLong(2).toInt)).toMap
+      assert(triangle == batch, s"stream $triangle vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("streaming retention: late pre-cohort visit emits a negative offset, never re-anchors") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val visits = EventStream.retentionStream(input.toDS(), horizonDays = 30)
+    val q = visits.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ev_retention2")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Event(1, Timestamp.valueOf("2024-01-05 10:00:00"), 1, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(2, Timestamp.valueOf("2024-01-03 10:00:00"), 1, "view", 0))
+      q.processAllAvailable()
+      val got = spark.table("ev_retention2").as[RetentionVisit].collect()
+        .map(v => (v.cohort.toString, v.offset_days)).toSet
+      assert(got == Set(("2024-01-05", 0), ("2024-01-05", -2)))
+    } finally q.stop()
+  }
+
   test("sessionization closes a session when the event-time gap is exceeded") {
     implicit val s = spark
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
