@@ -74,6 +74,68 @@ object Funnel {
           .as("rate"))
   }
 
+  /** Top event-type paths: the most common length-`n` consecutive
+    * event-type sequences across users (path mining — "what do people
+    * actually do", the exploratory sibling of the hypothesis-driven
+    * [[conversionFunnel]]). Consecutive means adjacent in the user's
+    * (ts, tie-break id) order; paths never span users. Output:
+    * (path, n) — top `k` by count desc, path asc.
+    *
+    * Scale shape: one window over the USER partition (lead×(n−1) —
+    * parallel across users, state is n−1 rows deep), then a
+    * path-keyed count whose shuffle carries ≤ |event-type|ⁿ distinct
+    * paths with map-side partial aggregation, and a
+    * TakeOrderedAndProject top-k — never a global sort. */
+  def topPaths(
+      events: DataFrame, user: Column, ts: Column, tieBreak: Column,
+      eventType: Column, n: Int, k: Int): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__ts").asc, col("__tb").asc)
+    val leadCols = (1 until n).map(i => s"__lead$i")
+    val withLeads = (1 until n).foldLeft(
+      events.select(user.as("__u"), ts.as("__ts"), tieBreak.as("__tb"),
+        eventType.as("__et"))) {
+      (df, i) => df.withColumn(s"__lead$i", lead(col("__et"), i).over(w))
+    }
+    withLeads
+      .filter(leadCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(concat_ws(">",
+        (col("__et") +: leadCols.map(col)): _*).as("__path"))
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(k)
+  }
+
+  /** First-order event-type transition matrix: counts and row-normalized
+    * probabilities of each consecutive (from → to) event-type pair in
+    * per-user (ts, tie-break) order — the Markov-chain summary of user
+    * behavior ([[topPaths]] at n = 2, plus probabilities). One lag
+    * window over the user partition, one (from, to)-keyed aggregate
+    * (≤ |event types|² rows), probabilities joined against the
+    * ≤ |event types|-row margin. Probability is one IEEE division of
+    * exact counts, rounded to 4 dp. Output: (from_type, to_type, n, p). */
+  def transitionMatrix(
+      events: DataFrame, user: Column, ts: Column, tieBreak: Column,
+      eventType: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__ts").asc, col("__tb").asc)
+    val pairs = events.select(user.as("__u"), ts.as("__ts"),
+        tieBreak.as("__tb"), eventType.as("__et"))
+      .withColumn("__to", lead(col("__et"), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col("__et").as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val margins = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__row_n"))
+    pairs.join(broadcast(margins), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__row_n").cast("double"), 4)
+          .as("p"))
+  }
+
   /** Retention cohort triangle: users grouped by their first active
     * DAY, counted distinct on each day-offset they return — the
     * standard activation/retention report. Cohort assignment is one

@@ -297,9 +297,28 @@ object AdvancedQueries {
         maxGapMicros = Some(24L * 3600L * 1000000L))
       .orderBy(asc("step"))
 
+  /** q105 — top-10 length-3 event-type paths across users
+    * ([[graft.operators.Funnel.topPaths]]): the exploratory "what do
+    * people actually do" report next to q101's hypothesis funnel. */
+  def q105TopPaths(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.topPaths(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        n = 3, k = 10)
+      .orderBy(desc("n"), asc("path"))
+
+  /** q106 — first-order event-type transition matrix
+    * ([[graft.operators.Funnel.transitionMatrix]]): Markov counts and
+    * row-normalized probabilities of consecutive event pairs. */
+  def q106Transitions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.transitionMatrix(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy(asc_nulls_first("from_type"), asc_nulls_first("to_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
     "q104_windowed_funnel"  -> q104WindowedFunnel _,
+    "q105_top_paths"        -> q105TopPaths _,
+    "q106_transitions"      -> q106Transitions _,
     "q103_props_histogram"  -> q103PropsHistogram _,
     "q102_retention"        -> q102Retention _,
     "q61_partition_pruned"  -> q61PartitionPruned _,
@@ -320,6 +339,29 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q105_top_paths" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |   lead(event_type, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS e2,
+        |   lead(event_type, 2) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  count(*) AS n
+        | FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        | GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "q106_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS from_type,
+        |   lead(event_type, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        | c AS (SELECT from_type, to_type, count(*) AS n FROM s
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        | m AS (SELECT from_type, sum(n) AS row_n FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(row_n AS DOUBLE), 4) AS p
+        | FROM c JOIN m USING (from_type)
+        | ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""".stripMargin,
     "q104_windowed_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |   WHERE event_type = 'view' GROUP BY user_id),

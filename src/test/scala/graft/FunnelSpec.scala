@@ -90,6 +90,55 @@ class FunnelSpec extends SparkSpec {
     assert(got == Seq((1, 3L), (2, 1L)))
   }
 
+  test("topPaths: consecutive per-user trigrams, never spanning users") {
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, t("2024-01-01 11:00:00"), "b"),
+      (1L, 3L, t("2024-01-01 12:00:00"), "c"),
+      (1L, 4L, t("2024-01-01 13:00:00"), "a"),
+      (2L, 5L, t("2024-01-01 10:00:00"), "b"),
+      (2L, 6L, t("2024-01-01 11:00:00"), "c"),
+      (2L, 7L, t("2024-01-01 12:00:00"), "a"),
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.topPaths(ev, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // u1: a>b>c, b>c>a ; u2: b>c>a — never a path crossing into u2.
+    assert(got == Seq(("b>c>a", 2L), ("a>b>c", 1L)))
+  }
+
+  test("topPaths: equal-timestamp order resolved by the tie-break column") {
+    val ev = Seq(
+      (1L, 2L, t("2024-01-01 10:00:00"), "b"),
+      (1L, 1L, t("2024-01-01 10:00:00"), "a"),
+      (1L, 3L, t("2024-01-01 10:00:00"), "c"),
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.topPaths(ev, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), n = 3, k = 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a>b>c"))
+  }
+
+  test("transitionMatrix: hand-computed counts and row probabilities") {
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, t("2024-01-01 11:00:00"), "b"),
+      (1L, 3L, t("2024-01-01 12:00:00"), "a"),
+      (1L, 4L, t("2024-01-01 13:00:00"), "b"),
+      (2L, 5L, t("2024-01-01 10:00:00"), "a"),
+      (2L, 6L, t("2024-01-01 11:00:00"), "a"),
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.transitionMatrix(ev, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // from a: a->b twice (u1), a->a once (u2) => p 0.6667 / 0.3333;
+    // from b: b->a once => p 1.
+    assert(got == Seq(
+      ("a", "a", 1L, 0.3333), ("a", "b", 2L, 0.6667), ("b", "a", 1L, 1.0)))
+  }
+
   test("retentionCohorts: hand-computed triangle") {
     val ev = Seq(
       (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-02 10:00:00")),
