@@ -243,6 +243,49 @@ object Ranking {
     }
   }
 
+  /** Vocabulary encoding — the last-mile "text → id sequence" step
+    * before tensors: build the corpus's top-`vocabSize` vocabulary
+    * (count desc, term asc — [[oovRate]]'s exact selection, so the two
+    * operators agree on what is in-vocab), assign dense ids 0..V−1 in
+    * that order, and encode every document as its id sequence with
+    * out-of-vocabulary tokens as −1 (kept, not dropped — the visible
+    * form; a caller filters if it wants). Output: (id, n_tokens,
+    * ids) with `ids` the ">"-joined id string (cross-engine-comparable
+    * scalar; split on ">" to consume).
+    *
+    * Scale shape: vocabulary via TakeOrderedAndProject over the
+    * vocabulary-sized count frame (never a global sort), broadcast
+    * back onto one posexplode of the corpus; per-doc reassembly is a
+    * single aggregate collecting (pos, id) structs sorted row-locally
+    * — no window, order restored by `array_sort` inside the row. */
+  def vocabEncode(
+      df: DataFrame, id: Column, text: Column, vocabSize: Int,
+      materialize: Boolean = true): DataFrame = {
+    import graft.functions.TextFunctions
+    val tokenized = df.select(id.as("__id"),
+      TextFunctions.tokens(text).as("toks"))
+    val withPos = tokenized.select(col("__id"),
+      posexplode(col("toks")).as(Seq("pos", "term")))
+    withCounts(
+      withPos.groupBy(col("__id"), col("term"))
+        .agg(count(lit(1)).as("tf")), materialize) { tf =>
+      val vocab = corpusFreqs(tf)
+        .orderBy(col("ctf").desc, col("term").asc)
+        .limit(vocabSize)
+        .select(col("term"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("ctf").desc, col("term").asc)) - 1).as("__vid"))
+      withPos.join(broadcast(vocab), Seq("term"), "left")
+        .withColumn("__vid", coalesce(col("__vid"), lit(-1)))
+        .groupBy(col("__id"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("__vid")))),
+              s => s.getField("__vid").cast("string")), ">").as("ids"))
+    }
+  }
+
   /** Out-of-vocabulary token rate per document against the corpus's own
     * top-`vocabSize` terms (count desc, term asc tie-break) — the
     * tokenizer-coverage / vocabulary-pruning diagnostic. Output:

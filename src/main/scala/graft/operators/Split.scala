@@ -240,6 +240,50 @@ object Split {
       .drop("__stratum", "__rate")
   }
 
+  /** Deterministic shard assignment — the output-layout step that fans
+    * a corpus across `nShards` training workers/files: shard = the
+    * row's 32-bit md5 prefix mod `nShards`. Same row → same shard on
+    * any engine/partitioning/run, balanced in expectation, and
+    * SQL-expressible for downstream non-Spark consumers. One codegen'd
+    * projection — no shuffle (the physical write would partition by
+    * this column; the assignment itself is free). */
+  def assignShards(df: DataFrame, id: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn("shard",
+      (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+        .cast("long") % nShards).cast("int"))
+  }
+
+  /** Deterministic strided interleave — the merged training order over
+    * heterogeneous strata (sources, corpora): rank every row within
+    * its stratum by md5-of-id, then emit position
+    * `rank·|strata| + stratumIndex` — so consecutive positions cycle
+    * through the strata (round-robin while every stratum lasts, the
+    * mixing order that avoids long single-source runs early in
+    * training). Deterministic on any engine/partitioning; positions
+    * are strictly increasing but not contiguous once short strata
+    * exhaust — ORDER, not enumeration, is the contract.
+    *
+    * Scale shape: the per-stratum rank is one stratum-partitioned
+    * window (parallel across strata — [[percentileCalibrate]]'s skew
+    * note applies); the stratum index and count live on a
+    * parameter-sized distinct frame (single-partition windows over
+    * ≤ |strata| rows) broadcast back. Output: (doc_id, stratum, pos). */
+  def interleaveOrder(
+      df: DataFrame, stratum: Column, id: Column): DataFrame = {
+    val strata = df.select(stratum.as("stratum")).distinct()
+      .select(col("stratum"),
+        (row_number().over(Window.orderBy(col("stratum"))) - 1).as("__sidx"),
+        count(lit(1)).over(Window.partitionBy(lit(1))).as("__nstrata"))
+    df.select(id.cast("long").as("doc_id"), stratum.as("stratum"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))) - 1)
+      .join(broadcast(strata), Seq("stratum"))
+      .select(col("doc_id"), col("stratum"),
+        (col("__r") * col("__nstrata") + col("__sidx") + 1).as("pos"))
+  }
+
   /** Epoch-capped mixture plan — the budgeting arithmetic behind a
     * modern pretraining mix: given a token budget `B`, a target share
     * per stratum, and a repetition ceiling (`maxEpochs` — data quality

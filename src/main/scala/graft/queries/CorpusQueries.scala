@@ -210,6 +210,35 @@ object CorpusQueries {
         col("text"), n = 3, maxFreq = 10)
       .orderBy(asc("freq"))
 
+  /** q107 — vocabulary encoding at V = 20 ([[Ranking.vocabEncode]]):
+    * the corpus's top-20 vocabulary as dense ids, every doc re-emitted
+    * as its id sequence (OOV = −1, kept visible) — the last-mile
+    * text→ids step before tensors, sharing q73's exact vocabulary
+    * selection. */
+  def q107VocabEncode(spark: SparkSession, dir: String): DataFrame =
+    Ranking.vocabEncode(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), col("text"), vocabSize = 20)
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(asc_nulls_first("doc_id"))
+
+  /** q108 — deterministic shard assignment across 8 training shards
+    * ([[Split.assignShards]]): one codegen'd projection, no shuffle;
+    * the physical write partitions by this column. */
+  def q108Shards(spark: SparkSession, dir: String): DataFrame =
+    Split.assignShards(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), nShards = 8)
+      .select(col("doc_id"), col("shard"))
+      .orderBy(asc_nulls_first("doc_id"))
+
+  /** q109 — deterministic strided interleave across sources
+    * ([[Split.interleaveOrder]]): the merged training order that
+    * round-robins sources instead of concatenating them. */
+  def q109Interleave(spark: SparkSession, dir: String): DataFrame =
+    Split.interleaveOrder(Dedup.spread(Tables.documents(spark, dir)),
+        col("source"), col("doc_id"))
+      .withColumnRenamed("stratum", "source")
+      .orderBy(asc("pos"))
+
   /** Mixture-plan geometry for q100: a 100 k-token budget at a 2-epoch
     * repetition cap; `es` deliberately untargeted so the planner's
     * about-to-drop reporting is under the oracle's eye. At sf0.01 the
@@ -270,6 +299,9 @@ object CorpusQueries {
     "q97_calibrated_score"   -> q97CalibratedScore _,
     "q99_term_spectrum"      -> q99TermSpectrum _,
     "q100_epoch_plan"        -> q100EpochPlan _,
+    "q107_vocab_encode"      -> q107VocabEncode _,
+    "q108_shards"            -> q108Shards _,
+    "q109_interleave"        -> q109Interleave _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -605,6 +637,39 @@ object CorpusQueries {
         |SELECT CAST(least(ctf, 11) AS BIGINT) AS freq,
         |  count(*) AS n_terms
         | FROM cf GROUP BY 1 ORDER BY freq""".stripMargin,
+    "q108_shards" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 8 AS INTEGER) AS shard
+        | FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q109_interleave" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        | idx AS (SELECT source,
+        |     CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+        |       AS sidx,
+        |     CAST(count(*) OVER () AS BIGINT) AS nstrata FROM s),
+        | r AS (SELECT doc_id, source,
+        |     CAST(row_number() OVER (PARTITION BY source
+        |       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |       AS BIGINT) AS rk
+        |   FROM documents)
+        |SELECT r.doc_id, r.source, rk * nstrata + sidx + 1 AS pos
+        | FROM r JOIN idx USING (source) ORDER BY pos""".stripMargin,
+    "q107_vocab_encode" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | p AS (SELECT doc_id, unnest(toks) AS term,
+        |     unnest(range(len(toks))) AS pos FROM t),
+        | cf AS (SELECT term, count(*) AS ctf FROM p GROUP BY 1),
+        | vocab AS (SELECT term,
+        |     CAST(row_number() OVER (ORDER BY ctf DESC, term) - 1
+        |       AS INTEGER) AS vid
+        |   FROM cf ORDER BY ctf DESC, term LIMIT 20),
+        | e AS (SELECT p.doc_id, p.pos, coalesce(v.vid, -1) AS vid
+        |   FROM p LEFT JOIN vocab v USING (term))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  array_to_string(list(CAST(vid AS VARCHAR) ORDER BY pos), '>')
+        |    AS ids
+        | FROM e GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q100_epoch_plan" ->
       s"""WITH tgt(lang, target_share) AS (VALUES
         |   ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.25 AS DOUBLE)),

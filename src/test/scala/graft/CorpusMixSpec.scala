@@ -195,6 +195,58 @@ class CorpusMixSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- vocab encode / shards / interleave ----
+
+  test("vocabEncode: hand-computed ids, tie-break order, OOV as -1") {
+    // counts: cat=4, mat=4, dog=2, sat=1, runs=1, far=1.
+    // V=3 vocab by (count desc, term asc): cat=0, mat=1, dog=2.
+    val got = Ranking.vocabEncode(docs, col("id"), col("text"), vocabSize = 3)
+      .orderBy("__id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 3L, "0>-1>1"),      // cat sat mat
+      (2L, 3L, "0>0>2"),       // cat cat dog
+      (3L, 3L, "2>-1>-1"),     // dog runs far
+      (4L, 4L, "1>1>1>0")))    // mat mat mat cat
+  }
+
+  test("assignShards is balanced-ish, deterministic, and in range") {
+    val df = (0L until 4000L).toDF("id")
+    val got = Split.assignShards(df, col("id"), nShards = 8)
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0 until 8).toSet)
+    // uniform expectation 500/shard; 4σ ≈ 84
+    got.values.foreach(n => assert(math.abs(n - 500.0) < 90, s"$got"))
+    val a = Split.assignShards(df.repartition(7), col("id"), 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = Split.assignShards(df.coalesce(1), col("id"), 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b)
+  }
+
+  test("interleaveOrder: positions unique and strictly cycling strata") {
+    val rows = (0L until 30L).map(i => (i, s"src${i % 3}")) ++
+      (30L until 40L).map(i => (i, "src0")) // src0 longer than the rest
+    val df = rows.toDF("id", "src")
+    val got = Split.interleaveOrder(df, col("src"), col("id"))
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // positions unique
+    assert(got.map(_._3).distinct.length == got.length)
+    // while all three strata last, consecutive positions cycle src0,1,2
+    val prefix = got.take(30).map(_._2)
+    assert(prefix == (0 until 10).flatMap(_ => Seq("src0", "src1", "src2")))
+    // the tail is src0's surplus, still in increasing pos
+    assert(got.drop(30).forall(_._2 == "src0"))
+    // per-stratum order is the md5 rank (spot-check src1 monotone by hash)
+    val src1 = got.filter(_._2 == "src1").map(_._1)
+    val expected = rows.filter(_._2 == "src1").map(_._1)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString, i))
+    assert(src1 == expected)
+  }
+
   // ---- epoch-capped mixture plan ----
 
   test("epochPlan: hand-computed budget arithmetic, cap, deficit, untargeted") {
