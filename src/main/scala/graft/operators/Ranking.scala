@@ -243,6 +243,50 @@ object Ranking {
     }
   }
 
+  /** Top collocations by pointwise mutual information: adjacent token
+    * pairs whose co-occurrence beats chance —
+    * `pmi(a,b) = ln( (c(a,b)/T) / ((c(a,·)/T)·(c(·,b)/T)) )` over the
+    * corpus's bigram events, reported for pairs with
+    * `c(a,b) ≥ minCount` (the standard support floor: PMI without it
+    * crowns hapax pairs). The collocation/phrase-mining pass of a
+    * corpus pipeline — multiword-expression candidates for tokenizer
+    * or stopword decisions. Output: (w1, w2, n, pmi) — top `k` by
+    * (pmi desc, w1 asc, w2 asc), pmi rounded to 4 dp.
+    *
+    * Scale shape: [[bigramLogProb]]'s exact aggregation chain (ONE
+    * tokenize+shuffle of the corpus; marginals join the
+    * bigram-vocabulary frame, never the event frame), then a
+    * TakeOrderedAndProject top-k — never a global sort. */
+  def collocations(
+      df: DataFrame, id: Column, text: Column,
+      minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val toks = tokens(text)
+    val pairCnt = df.select(id.as("__id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(
+        transform(sequence(lit(0), size(col("toks")) - 2), i => struct(
+          element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val leftCnt = pairCnt.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+    val rightCnt = pairCnt.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
+    val total = rightCnt.agg(sum(col("cu")).as("t"))
+    pairCnt.filter(col("cb") >= minCount)
+      .join(leftCnt, Seq("w1"))
+      .join(rightCnt, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("cb").as("n"),
+        round(log(
+          (col("cb").cast("double") * col("t").cast("double")) /
+            (col("cl").cast("double") * col("cu").cast("double"))), 4)
+          .as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(k)
+  }
+
   /** Vocabulary encoding — the last-mile "text → id sequence" step
     * before tensors: build the corpus's top-`vocabSize` vocabulary
     * (count desc, term asc — [[oovRate]]'s exact selection, so the two

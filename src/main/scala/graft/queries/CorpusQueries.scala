@@ -239,6 +239,13 @@ object CorpusQueries {
       .withColumnRenamed("stratum", "source")
       .orderBy(asc("pos"))
 
+  /** q110 — top-20 collocations by PMI at support ≥ 5
+    * ([[Ranking.collocations]]): multiword-expression candidates, the
+    * phrase-mining report next to q40's raw n-gram counts. */
+  def q110Collocations(spark: SparkSession, dir: String): DataFrame =
+    Ranking.collocations(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), col("text"), minCount = 5L, k = 20)
+
   /** Mixture-plan geometry for q100: a 100 k-token budget at a 2-epoch
     * repetition cap; `es` deliberately untargeted so the planner's
     * about-to-drop reporting is under the oracle's eye. At sf0.01 the
@@ -302,6 +309,7 @@ object CorpusQueries {
     "q107_vocab_encode"      -> q107VocabEncode _,
     "q108_shards"            -> q108Shards _,
     "q109_interleave"        -> q109Interleave _,
+    "q110_collocations"      -> q110Collocations _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -637,6 +645,22 @@ object CorpusQueries {
         |SELECT CAST(least(ctf, 11) AS BIGINT) AS freq,
         |  count(*) AS n_terms
         | FROM cf GROUP BY 1 ORDER BY freq""".stripMargin,
+    "q110_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | g AS (SELECT unnest(list_transform(range(len(toks) - 1),
+        |     i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS u
+        |   FROM t WHERE len(toks) >= 2),
+        | cb AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS cb
+        |   FROM g GROUP BY 1, 2),
+        | cl AS (SELECT w1, sum(cb) AS cl FROM cb GROUP BY 1),
+        | cu AS (SELECT w2, sum(cb) AS cu FROM cb GROUP BY 1),
+        | tot AS (SELECT sum(cu) AS t FROM cu)
+        |SELECT cb.w1, cb.w2, CAST(cb.cb AS BIGINT) AS n,
+        |  round(ln((CAST(cb.cb AS DOUBLE) * CAST(tot.t AS DOUBLE))
+        |    / (CAST(cl.cl AS DOUBLE) * CAST(cu.cu AS DOUBLE))), 4) AS pmi
+        | FROM cb JOIN cl USING (w1) JOIN cu USING (w2) CROSS JOIN tot
+        | WHERE cb.cb >= 5
+        | ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "q108_shards" ->
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -247,6 +247,24 @@ class CorpusMixSpec extends SparkSpec {
     assert(src1 == expected)
   }
 
+  test("collocations: hand-computed PMI with the support floor") {
+    // corpus bigrams: "a b" x3, "b a" x2, "c d" x1 (from "a b a b a b",
+    // wait - construct explicitly below)
+    val tiny = Seq(
+      (1L, "a b a b"),   // bigrams: a>b, b>a, a>b
+      (2L, "a b c d"),   // a>b, b>c, c>d
+    ).toDF("id", "text")
+    val got = Ranking.collocations(tiny, col("id"), col("text"),
+        minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // events: a>b:3, b>a:1, b>c:1, c>d:1 -> T=6; only a>b passes n>=2.
+    // cl(a)=3, cu(b)=3 -> pmi = ln(3*6/(3*3)) = ln 2.
+    val exp = BigDecimal(math.log(2.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("a", "b", 3L, exp)))
+  }
+
   // ---- epoch-capped mixture plan ----
 
   test("epochPlan: hand-computed budget arithmetic, cap, deficit, untargeted") {

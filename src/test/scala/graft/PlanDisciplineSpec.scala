@@ -31,8 +31,8 @@ class PlanDisciplineSpec extends SparkSpec {
   /**   - q67/q68/q70/q96: broadcast-scalar corpus frames (1-row N / avgdl
     *     aggregates; q70's and q96's rate builds cross the ≤|strata|-row
     *     count frame with its 1-row total) — constant-size broadcasts again,
-    *   - q72/q75: the 1-row total-token-count broadcast of the corpus
-    *     unigram LM (LM term joins themselves are hash joins),
+    *   - q72/q75/q110: the 1-row total-token-count broadcast of the
+    *     corpus LM (term/marginal joins themselves are hash joins),
     *   - q78/q79/q89: the recall gates — the exact baselines they measure
     *     against are q22/q23's broadcast shapes, and the final result is
     *     a cross of 1-row recallStats aggregates,
@@ -44,7 +44,7 @@ class PlanDisciplineSpec extends SparkSpec {
     "q9_peak_flag", "q10_outliers", "q32_histogram", "q33_minmax_norm",
     "q22_knn_cosine", "q23_embed_neardup", "q65_batch_knn",
     "q67_tfidf", "q68_bm25", "q70_temperature_sample", "q96_target_mix",
-    "q72_unigram_logprob", "q75_source_kl",
+    "q72_unigram_logprob", "q75_source_kl", "q110_collocations",
     "q78_ivf_recall", "q79_lsh_recall", "q89_pq_recall", "q81_token_budget",
     "q101_funnel", "q104_windowed_funnel")
 
