@@ -243,6 +243,46 @@ object Ranking {
     }
   }
 
+  /** Inverted-index build: term → capped posting list — the IR-layout
+    * counterpart of [[vocabEncode]] (docs as id sequences; this is
+    * terms as doc lists). Per term: document frequency and the top
+    * `maxPostings` postings by (tf desc, doc asc) — the impact-ordered
+    * truncation real systems ship, because a stop-word's full posting
+    * list is the corpus and no consumer wants it. Output: (term, df,
+    * n_postings, postings) with postings the ">"-joined `doc:tf` string
+    * in (tf desc, doc asc) order (cross-engine-comparable scalar).
+    *
+    * Scale shape: one (doc, term) aggregation (the corpus's only
+    * shuffle of token volume), then the per-term cap runs through the
+    * custom bounded-heap [[graft.plans.GroupTopK]] physical operator —
+    * ≤ maxPostings rows per (term × input partition) reach the final
+    * shuffle, so a hot term costs maxPostings·partitions, never its
+    * corpus-wide df; df itself is a separate tiny count aggregate
+    * joined back on the term. Posting-list assembly is a row-local
+    * sort_array over ≤ maxPostings structs. */
+  def invertedIndex(
+      df: DataFrame, id: Column, text: Column, maxPostings: Int,
+      materialize: Boolean = true): DataFrame = {
+    require(maxPostings >= 1, "maxPostings must be >= 1")
+    withCounts(termFreqs(df, id, text), materialize) { tf =>
+      val dfCnt = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val capped = graft.plans.GroupTopK.topK(
+        tf, Seq(col("term")), Seq(col("tf").desc, col("__id").asc),
+        maxPostings)
+      capped
+        .groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("n_postings"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct((-col("tf")).as("negtf"),
+                col("__id").as("doc")))),
+              s => concat_ws(":", s.getField("doc").cast("string"),
+                (-s.getField("negtf")).cast("string"))), ">").as("postings"))
+        .join(dfCnt, Seq("term"))
+        .select(col("term"), col("df"), col("n_postings"), col("postings"))
+    }
+  }
+
   /** Top collocations by pointwise mutual information: adjacent token
     * pairs whose co-occurrence beats chance —
     * `pmi(a,b) = ln( (c(a,b)/T) / ((c(a,·)/T)·(c(·,b)/T)) )` over the

@@ -246,6 +246,15 @@ object CorpusQueries {
     Ranking.collocations(Dedup.spread(Tables.documents(spark, dir)),
         col("doc_id"), col("text"), minCount = 5L, k = 20)
 
+  /** q111 — inverted-index build at maxPostings = 10
+    * ([[Ranking.invertedIndex]]): term → df + impact-ordered capped
+    * posting list, the per-term cap through the custom GroupTopK
+    * physical operator. */
+  def q111InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Ranking.invertedIndex(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), col("text"), maxPostings = 10)
+      .orderBy(asc_nulls_first("term"))
+
   /** Mixture-plan geometry for q100: a 100 k-token budget at a 2-epoch
     * repetition cap; `es` deliberately untargeted so the planner's
     * about-to-drop reporting is under the oracle's eye. At sf0.01 the
@@ -310,6 +319,7 @@ object CorpusQueries {
     "q108_shards"            -> q108Shards _,
     "q109_interleave"        -> q109Interleave _,
     "q110_collocations"      -> q110Collocations _,
+    "q111_inverted_index"    -> q111InvertedIndex _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -645,6 +655,21 @@ object CorpusQueries {
         |SELECT CAST(least(ctf, 11) AS BIGINT) AS freq,
         |  count(*) AS n_terms
         | FROM cf GROUP BY 1 ORDER BY freq""".stripMargin,
+    "q111_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        | tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        | rk AS (SELECT term, doc_id, tf, row_number() OVER
+        |     (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn FROM tfc),
+        | cap AS (SELECT * FROM rk WHERE rn <= 10)
+        |SELECT term, CAST(df AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS n_postings,
+        |  array_to_string(list(CAST(doc_id AS VARCHAR) || ':'
+        |    || CAST(tf AS VARCHAR) ORDER BY tf DESC, doc_id), '>')
+        |    AS postings
+        | FROM cap JOIN dfc USING (term) GROUP BY term, df
+        | ORDER BY term NULLS FIRST""".stripMargin,
     "q110_collocations" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | g AS (SELECT unnest(list_transform(range(len(toks) - 1),

@@ -265,6 +265,22 @@ class CorpusMixSpec extends SparkSpec {
     assert(got == Seq(("a", "b", 3L, exp)))
   }
 
+  test("invertedIndex: impact order, cap, and df beyond the cap") {
+    val corpus = Seq(
+      (1L, "x x x y"), (2L, "x x y"), (3L, "x y"), (4L, "x"),
+    ).toDF("id", "text")
+    val got = Ranking.invertedIndex(corpus, col("id"), col("text"),
+        maxPostings = 2)
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    // x: df=4, capped to top-2 by (tf desc, doc asc) -> 1:3 > 2:2
+    // y: df=3, tf all 1 -> doc asc tie-break -> 1:1 > 2:1
+    assert(got == Seq(
+      ("x", 4L, 2L, "1:3>2:2"),
+      ("y", 3L, 2L, "1:1>2:1")))
+  }
+
   // ---- epoch-capped mixture plan ----
 
   test("epochPlan: hand-computed budget arithmetic, cap, deficit, untargeted") {

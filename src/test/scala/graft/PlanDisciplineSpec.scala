@@ -79,6 +79,16 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("TopKPerGroupFinal"), plan)
   }
 
+  test("q111 inverted-index posting cap runs through GroupTopK") {
+    // The materialized query ends in an RDD scan; assert the LAZY form.
+    val lazyPlan = graft.operators.Ranking.invertedIndex(
+        graft.sources.Tables.documents(spark, sf),
+        col("doc_id"), col("text"), maxPostings = 10, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(lazyPlan.contains("TopKPerGroupPartial"), lazyPlan)
+    assert(lazyPlan.contains("TopKPerGroupFinal"), lazyPlan)
+  }
+
   test("q68 BM25 top-N plans TakeOrderedAndProject, not a global sort") {
     assert(planOf("q68_bm25").contains("TakeOrderedAndProject"),
       planOf("q68_bm25"))
