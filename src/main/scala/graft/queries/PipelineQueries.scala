@@ -165,6 +165,30 @@ object PipelineQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** q112 — cross-source duplication matrix: verified near-dup pairs
+    * ([[Dedup.minhashLshVerifiedPairs]] — the scale path, whose result
+    * set q24 gates as ≡ the exhaustive exact join) rolled up by the
+    * UNORDERED source pair — the mirror-detection report: a hot
+    * off-diagonal cell is one domain republishing another, the
+    * diagonal is self-duplication pressure per source. Pair volume,
+    * not corpus volume, bounds everything after the dedup operator
+    * itself. */
+  def q112SourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Dedup.spread(Tables.documents(spark, dir))
+    val pairs = Dedup.minhashLshVerifiedPairs(d, col("doc_id"), col("text"))
+    val src = d.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+        Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(asc_nulls_first("source_a"), asc_nulls_first("source_b"))
+  }
+
   /** q38 — as-of join: each click event gets the most recent prior view's
     * value for the same user (composed union+window — one shuffle, one
     * sort; oracle = DuckDB's native ASOF LEFT JOIN). */
@@ -683,6 +707,7 @@ object PipelineQueries {
     "q79_lsh_recall"      -> q79LshRecall _,
     "q89_pq_recall"       -> q89PqRecall _,
     "q66_incremental_neardup" -> q66IncrementalNearDup _,
+    "q112_source_dup_matrix" -> q112SourceDupMatrix _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -1165,6 +1190,28 @@ object PipelineQueries {
         | FROM f GROUP BY fp ORDER BY survivor_id NULLS FIRST""".stripMargin,
     // q24 must produce the SAME verified pairs as the exhaustive exact
     // path — LSH only changes how candidates are found, never the result.
+    "q112_source_dup_matrix" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM t),
+        | ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        | sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2),
+        | p AS (SELECT id_a, id_b
+        |   FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+        |   WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+        | m AS (SELECT least(da.source, db.source) AS source_a,
+        |     greatest(da.source, db.source) AS source_b
+        |   FROM p JOIN documents da ON da.doc_id = p.id_a
+        |     JOIN documents db ON db.doc_id = p.id_b)
+        |SELECT source_a, source_b, count(*) AS n_pairs FROM m
+        | GROUP BY 1, 2
+        | ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin,
     "q24_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
