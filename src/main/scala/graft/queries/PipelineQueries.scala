@@ -189,6 +189,23 @@ object PipelineQueries {
       .orderBy(asc_nulls_first("source_a"), asc_nulls_first("source_b"))
   }
 
+  /** q113 — duplicate-cluster size histogram: resolve the verified
+    * near-dup pairs to connected components ([[Dedup.resolveClusters]])
+    * and report how many clusters exist at each size — the shape of
+    * the corpus's duplication (many pairs vs a few giant mirror
+    * families decide whether keep-one dedup or domain-level
+    * intervention is the right fix). Everything past the dedup
+    * operator is bounded by pair/cluster volume. */
+  def q113ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val d = Dedup.spread(Tables.documents(spark, dir))
+    val clusters = Dedup.resolveClusters(
+      Dedup.minhashLshVerifiedPairs(d, col("doc_id"), col("text")))
+    clusters.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(asc("cluster_size"))
+  }
+
   /** q38 — as-of join: each click event gets the most recent prior view's
     * value for the same user (composed union+window — one shuffle, one
     * sort; oracle = DuckDB's native ASOF LEFT JOIN). */
@@ -708,6 +725,7 @@ object PipelineQueries {
     "q89_pq_recall"       -> q89PqRecall _,
     "q66_incremental_neardup" -> q66IncrementalNearDup _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
+    "q113_cluster_sizes"     -> q113ClusterSizes _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -1191,27 +1209,28 @@ object PipelineQueries {
     // q24 must produce the SAME verified pairs as the exhaustive exact
     // path — LSH only changes how candidates are found, never the result.
     "q112_source_dup_matrix" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
-        |     THEN [array_to_string(toks, ' ')]
-        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
-        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
-        |   AS s FROM t),
-        | ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        | sz AS (SELECT doc_id, len(s) AS n FROM sh),
-        | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |   GROUP BY 1, 2),
-        | p AS (SELECT id_a, id_b
-        |   FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
-        |   WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+      s"""WITH $jaccardPairsCte,
         | m AS (SELECT least(da.source, db.source) AS source_a,
         |     greatest(da.source, db.source) AS source_b
-        |   FROM p JOIN documents da ON da.doc_id = p.id_a
+        |   FROM pairs p JOIN documents da ON da.doc_id = p.id_a
         |     JOIN documents db ON db.doc_id = p.id_b)
         |SELECT source_a, source_b, count(*) AS n_pairs FROM m
         | GROUP BY 1, 2
         | ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin,
+    "q113_cluster_sizes" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |   UNION ALL SELECT id_b, id_a FROM pairs),
+        | nodes AS (SELECT DISTINCT src AS id FROM edges),
+        | reach AS (
+        |   SELECT id, id AS r FROM nodes
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        | clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        | sizes AS (SELECT cluster, count(*) AS sz FROM clusters GROUP BY 1)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |  count(*) AS n_clusters
+        | FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
     "q24_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
