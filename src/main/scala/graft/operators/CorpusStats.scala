@@ -256,6 +256,41 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_terms"))
   }
 
+  /** Benford leading-digit audit: the observed first-significant-digit
+    * distribution of a positive numeric column against Benford's law
+    * (`log10(1 + 1/d)`) — the classic fabricated-or-truncated-data
+    * screen for naturally spanning magnitudes (amounts, populations,
+    * file sizes). Per digit 1–9: count, observed frequency, Benford
+    * expectation, and the χ² contribution `N·(obs − exp)²/exp`; the
+    * caller sums the contributions against a χ²₈ critical value.
+    * Non-positive and null values are excluded (no leading digit).
+    *
+    * One partial-agg pass; the leading digit is computed arithmetically
+    * (`x / 10^⌊log10 x⌋` — no string round-trip) in codegen'd
+    * expressions; frequencies are exact-count divisions and the only
+    * libm calls (log10, the expectation) are shared with the oracle and
+    * rounded at 4 dp. Output: (digit, n, obs_freq, benford_freq,
+    * chi2_part). */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val x = value.cast("double")
+    val digit = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+    val counts = Dedup.spread(df)
+      .filter(x.isNotNull && x > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("obs", col("n").cast("double") / col("__t").cast("double"))
+      .withColumn("exp",
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .select(col("digit"), col("n"),
+        round(col("obs"), 4).as("obs_freq"),
+        round(col("exp"), 4).as("benford_freq"),
+        round(col("__t").cast("double") *
+          (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"),
+          4).as("chi2_part"))
+  }
+
   /** Embedding-table audit: the per-group data-quality gate an embedding
     * corpus passes before indexing/training — row counts, malformed
     * vectors (null / wrong dimension / non-finite components / zero

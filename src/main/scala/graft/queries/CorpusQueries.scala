@@ -255,6 +255,15 @@ object CorpusQueries {
         col("doc_id"), col("text"), maxPostings = 10)
       .orderBy(asc_nulls_first("term"))
 
+  /** q114 — Benford leading-digit audit of order totals
+    * ([[CorpusStats.benfordAudit]]): per digit, observed vs Benford
+    * frequency and the χ² contribution — the fabricated/truncated-data
+    * screen of a numeric data card. */
+  def q114Benford(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.benfordAudit(Tables.orders(spark, dir),
+        col("o_totalprice"))
+      .orderBy(asc("digit"))
+
   /** Mixture-plan geometry for q100: a 100 k-token budget at a 2-epoch
     * repetition cap; `es` deliberately untargeted so the planner's
     * about-to-drop reporting is under the oracle's eye. At sf0.01 the
@@ -320,6 +329,7 @@ object CorpusQueries {
     "q109_interleave"        -> q109Interleave _,
     "q110_collocations"      -> q110Collocations _,
     "q111_inverted_index"    -> q111InvertedIndex _,
+    "q114_benford"           -> q114Benford _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -655,6 +665,29 @@ object CorpusQueries {
         |SELECT CAST(least(ctf, 11) AS BIGINT) AS freq,
         |  count(*) AS n_terms
         | FROM cf GROUP BY 1 ORDER BY freq""".stripMargin,
+    "q114_benford" ->
+      """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        |   WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+        | d AS (SELECT CAST(floor(x / power(CAST(10 AS DOUBLE),
+        |     floor(log10(x)))) AS INTEGER) AS digit FROM v),
+        | c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        | tot AS (SELECT sum(n) AS t FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 4) AS obs_freq,
+        |  round(log10(CAST(1.0 AS DOUBLE)
+        |    + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 4)
+        |    AS benford_freq,
+        |  round(CAST(t AS DOUBLE)
+        |    * (CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+        |       - log10(CAST(1.0 AS DOUBLE)
+        |           + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
+        |    * (CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+        |       - log10(CAST(1.0 AS DOUBLE)
+        |           + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
+        |    / log10(CAST(1.0 AS DOUBLE)
+        |        + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 4)
+        |    AS chi2_part
+        | FROM c CROSS JOIN tot ORDER BY digit""".stripMargin,
     "q111_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | tok AS (SELECT doc_id, unnest(toks) AS term FROM t),

@@ -90,6 +90,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.0)  // tokens_per_doc
   }
 
+  // ---- benfordAudit ----
+
+  test("benfordAudit: leading-digit arithmetic incl. sub-1 values, exclusions") {
+    val vals = Seq(123.0, 0.045, 9000.0, 1.0, -5.0, 0.0)
+      .map(Tuple1(_)).toDF("x")
+    val got = CorpusStats.benfordAudit(vals, col("x"))
+      .orderBy("digit").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // digits: 123->1, 0.045->4, 9000->9, 1.0->1; -5 and 0 excluded.
+    assert(got == Seq((1, 2L), (4, 1L), (9, 1L)))
+  }
+
+  test("benfordAudit: frequencies and chi-square parts are exact-count ratios") {
+    val vals = (1 to 9).flatMap(d => Seq.fill(d)(d * 100.0))
+      .map(Tuple1(_)).toDF("x") // digit d occurs d times, N=45
+    val r = CorpusStats.benfordAudit(vals, col("x"))
+      .filter(col("digit") === 1).collect().head
+    assert(r.getLong(1) == 1L)
+    assert(r.getDouble(2) == BigDecimal(1.0 / 45)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(3) == BigDecimal(math.log10(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   // ---- packingEfficiency ----
 
   test("packingEfficiency: hand-computed chunk counts and waste at L=4") {
