@@ -136,6 +136,55 @@ object Funnel {
           .as("p"))
   }
 
+  /** RFM profile: per user, recency (days from their last event to the
+    * corpus's last day), frequency (event count), and monetary (value
+    * sum, 2-dp) — the classic behavioral-segmentation coordinates.
+    * One user-keyed aggregate plus a 1-row corpus-max broadcast;
+    * recency is an exact integer day difference. Output:
+    * (user_id, recency_days, frequency, monetary). */
+  def rfm(events: DataFrame, user: Column, ts: Column,
+      value: Column): DataFrame = {
+    val perUser = events
+      .select(user.as("user_id"), to_date(ts).as("__d"), value.as("__v"))
+      .groupBy(col("user_id"))
+      .agg(max(col("__d")).as("__last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("__v")), 2).as("monetary"))
+    val corpusLast = perUser.agg(max(col("__last")).as("__cl"))
+    perUser.crossJoin(broadcast(corpusLast))
+      .select(col("user_id"),
+        datediff(col("__cl"), col("__last")).as("recency_days"),
+        col("frequency"), col("monetary"))
+  }
+
+  /** Daily-volume anomaly flags: per event type, each day's count with
+    * the type's mean/std over the observed period and the days whose
+    * count sits more than `sigma` standard deviations out — the
+    * ops-monitoring pass over an event stream's history (a collapsed
+    * pipeline or a bot flood both surface here). Two tiny aggregates
+    * ((type, day) counts → per-type stats broadcast back); std is
+    * sample std rounded at 2 dp before the threshold compare, so the
+    * flag itself is cross-engine-stable. Output: (event_type, day, n,
+    * mean_n, std_n, is_anomaly) — only STATS-ELIGIBLE types (≥ 2 days)
+    * emit rows. */
+  def dailyAnomalies(events: DataFrame, ts: Column, eventType: Column,
+      sigma: Double): DataFrame = {
+    val daily = events
+      .select(eventType.as("event_type"), to_date(ts).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__days"),
+        round(sum(col("n")).cast("double") / count(lit(1)), 4).as("mean_n"),
+        round(stddev(col("n")), 2).as("std_n"))
+      .filter(col("__days") >= 2)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        col("mean_n"), col("std_n"),
+        (abs(col("n").cast("double") - col("mean_n")) >
+          lit(sigma) * col("std_n")).as("is_anomaly"))
+  }
+
   /** Retention cohort triangle: users grouped by their first active
     * DAY, counted distinct on each day-offset they return — the
     * standard activation/retention report. Cohort assignment is one

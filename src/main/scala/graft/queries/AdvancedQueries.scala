@@ -314,8 +314,26 @@ object AdvancedQueries {
         col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .orderBy(asc_nulls_first("from_type"), asc_nulls_first("to_type"))
 
+  /** q115 — RFM behavioral profile per user
+    * ([[graft.operators.Funnel.rfm]]): recency / frequency / monetary,
+    * the classic segmentation coordinates. */
+  def q115Rfm(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.rfm(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("value"))
+      .orderBy(asc_nulls_first("user_id"))
+
+  /** q116 — daily-volume anomaly flags at 2σ per event type
+    * ([[graft.operators.Funnel.dailyAnomalies]]): the ops-monitoring
+    * pass over the event history. */
+  def q116DailyAnomalies(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.dailyAnomalies(Tables.events(spark, dir),
+        col("ts"), col("event_type"), sigma = 2.0)
+      .orderBy(asc_nulls_first("event_type"), asc("day"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
+    "q115_rfm"              -> q115Rfm _,
+    "q116_daily_anomalies"  -> q116DailyAnomalies _,
     "q104_windowed_funnel"  -> q104WindowedFunnel _,
     "q105_top_paths"        -> q105TopPaths _,
     "q106_transitions"      -> q106Transitions _,
@@ -339,6 +357,26 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q115_rfm" ->
+      """WITH u AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+        | p AS (SELECT user_id, max(d) AS last, count(*) AS frequency,
+        |     round(sum(value), 2) AS monetary FROM u GROUP BY 1),
+        | c AS (SELECT max(last) AS cl FROM p)
+        |SELECT user_id, CAST(cl - last AS INTEGER) AS recency_days,
+        |  frequency, monetary
+        | FROM p CROSS JOIN c ORDER BY user_id NULLS FIRST""".stripMargin,
+    "q116_daily_anomalies" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |     count(*) AS n FROM events GROUP BY 1, 2),
+        | s AS (SELECT event_type,
+        |     round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS mean_n,
+        |     round(stddev_samp(CAST(n AS DOUBLE)), 2) AS std_n
+        |   FROM d GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT d.event_type, d.day, d.n, mean_n, std_n,
+        |  abs(CAST(n AS DOUBLE) - mean_n)
+        |    > CAST(2.0 AS DOUBLE) * std_n AS is_anomaly
+        | FROM d JOIN s USING (event_type)
+        | ORDER BY event_type NULLS FIRST, day""".stripMargin,
     "q105_top_paths" ->
       """WITH s AS (SELECT user_id, event_type,
         |   lead(event_type, 1) OVER (PARTITION BY user_id

@@ -44,7 +44,7 @@ class PlanDisciplineSpec extends SparkSpec {
     "q9_peak_flag", "q10_outliers", "q32_histogram", "q33_minmax_norm",
     "q22_knn_cosine", "q23_embed_neardup", "q65_batch_knn",
     "q67_tfidf", "q68_bm25", "q70_temperature_sample", "q96_target_mix",
-    "q114_benford",
+    "q114_benford", "q115_rfm",
     "q72_unigram_logprob", "q75_source_kl", "q110_collocations",
     "q78_ivf_recall", "q79_lsh_recall", "q89_pq_recall", "q81_token_budget",
     "q101_funnel", "q104_windowed_funnel")
