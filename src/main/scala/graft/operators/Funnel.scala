@@ -185,6 +185,36 @@ object Funnel {
           lit(sigma) * col("std_n")).as("is_anomaly"))
   }
 
+  /** Active-user series with stickiness: per calendar day, the distinct
+    * daily actives (DAU) joined with the containing ISO-week and
+    * calendar-month distinct actives (WAU / MAU) and the DAU/MAU
+    * stickiness ratio — the standard growth-accounting report.
+    * Calendar-aligned windows (not trailing) keep every count an exact
+    * distinct aggregate: three independent (period, user) dedup
+    * aggregates — each shuffles ≤ |users|·periods rows after partial
+    * dedup — joined back on Monday-aligned `date_trunc` period keys
+    * (boundary-correct across year ends, unlike (year, weekofyear)
+    * pairing; period frames are calendar-bounded, broadcast-sized).
+    * Ratio is one IEEE division of exact counts, 4 dp. Output:
+    * (day, dau, wau, mau, stickiness). */
+  def activeUsers(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val base = events.select(user.as("__u"), to_date(ts).as("day"),
+      to_date(date_trunc("week", ts)).as("__wk"),
+      to_date(date_trunc("month", ts)).as("__mo"))
+    val dau = base.groupBy(col("day"))
+      .agg(countDistinct(col("__u")).as("dau"),
+        first(col("__wk")).as("__wk"), first(col("__mo")).as("__mo"))
+    val wau = base.groupBy(col("__wk"))
+      .agg(countDistinct(col("__u")).as("wau"))
+    val mau = base.groupBy(col("__mo"))
+      .agg(countDistinct(col("__u")).as("mau"))
+    dau.join(broadcast(wau), Seq("__wk"))
+      .join(broadcast(mau), Seq("__mo"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 4)
+          .as("stickiness"))
+  }
+
   /** Retention cohort triangle: users grouped by their first active
     * DAY, counted distinct on each day-offset they return — the
     * standard activation/retention report. Cohort assignment is one

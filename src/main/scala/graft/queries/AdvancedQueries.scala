@@ -330,8 +330,43 @@ object AdvancedQueries {
         col("ts"), col("event_type"), sigma = 2.0)
       .orderBy(asc_nulls_first("event_type"), asc("day"))
 
+  /** q117 — DAU/WAU/MAU active-user series with DAU/MAU stickiness
+    * ([[graft.operators.Funnel.activeUsers]]): the growth-accounting
+    * report over calendar-aligned periods. */
+  def q117ActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.activeUsers(Tables.events(spark, dir),
+        col("user_id"), col("ts"))
+      .orderBy(asc_nulls_first("day"))
+
+  /** q118 — SESSION-scoped funnel: the q101 view→click→purchase chain
+    * must complete inside one 30-minute-gap session (q45's
+    * sessionization), so the entity that converts is a session, not a
+    * lifetime user — the form that measures UX flow rather than
+    * eventual behavior. Session keys feed
+    * [[graft.operators.Funnel.conversionFunnel]] unchanged: the
+    * funnel's strict ordering applies within the session by
+    * construction. */
+  def q118SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts"))
+    val tagged = Tables.events(spark, dir)
+      .withColumn("__b",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+            > 30L * 60L * 1000000L, 1).otherwise(0))
+      .withColumn("__seq", sum(col("__b")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__skey",
+        concat_ws("#", col("user_id"), col("__seq")))
+    graft.operators.Funnel.conversionFunnel(tagged, col("__skey"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+      .withColumnRenamed("n_users", "n_sessions")
+      .orderBy(asc("step"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
+    "q118_session_funnel"   -> q118SessionFunnel _,
+    "q117_active_users"     -> q117ActiveUsers _,
     "q115_rfm"              -> q115Rfm _,
     "q116_daily_anomalies"  -> q116DailyAnomalies _,
     "q104_windowed_funnel"  -> q104WindowedFunnel _,
@@ -357,6 +392,53 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q118_session_funnel" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        | b AS (SELECT user_id, ts, event_type,
+        |   CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+        |        THEN 1 ELSE 0 END AS boundary
+        |  FROM g),
+        | s AS (SELECT user_id, ts, event_type,
+        |   CAST(user_id AS VARCHAR) || '#' || CAST(sum(boundary)
+        |     OVER (PARTITION BY user_id ORDER BY ts
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS VARCHAR) AS skey
+        |  FROM b),
+        | t1 AS (SELECT skey, min(ts) AS t1 FROM s
+        |   WHERE event_type = 'view' GROUP BY skey),
+        | t2 AS (SELECT e.skey, min(ts) AS t2 FROM s e
+        |   JOIN t1 USING (skey)
+        |   WHERE event_type = 'click' AND ts >= t1 GROUP BY e.skey),
+        | t3 AS (SELECT e.skey, min(ts) AS t3 FROM s e
+        |   JOIN t2 USING (skey)
+        |   WHERE event_type = 'purchase' AND ts >= t2 GROUP BY e.skey),
+        | c AS (SELECT 1 AS step, 'view' AS event_type,
+        |     count(*) AS n_sessions FROM t1
+        |   UNION ALL SELECT 2, 'click', count(*) FROM t2
+        |   UNION ALL SELECT 3, 'purchase', count(*) FROM t3),
+        | base AS (SELECT n_sessions AS n1 FROM c WHERE step = 1)
+        |SELECT step, event_type, n_sessions,
+        |  CASE WHEN n1 > 0 THEN
+        |    round(CAST(n_sessions AS DOUBLE) / CAST(n1 AS DOUBLE), 4)
+        |  END AS rate
+        | FROM c CROSS JOIN base ORDER BY step""".stripMargin,
+    "q117_active_users" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |     CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |     CAST(date_trunc('month', ts) AS DATE) AS mo FROM events),
+        | dau AS (SELECT day, count(DISTINCT user_id) AS dau,
+        |     min(wk) AS wk, min(mo) AS mo FROM b GROUP BY 1),
+        | wau AS (SELECT wk, count(DISTINCT user_id) AS wau FROM b GROUP BY 1),
+        | mau AS (SELECT mo, count(DISTINCT user_id) AS mau FROM b GROUP BY 1)
+        |SELECT day, dau.dau, wau.wau, mau.mau,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 4)
+        |    AS stickiness
+        | FROM dau JOIN wau USING (wk) JOIN mau USING (mo)
+        | ORDER BY day NULLS FIRST""".stripMargin,
     "q115_rfm" ->
       """WITH u AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
         | p AS (SELECT user_id, max(d) AS last, count(*) AS frequency,

@@ -38,7 +38,7 @@ class PlanDisciplineSpec extends SparkSpec {
     *     a cross of 1-row recallStats aggregates,
     *   - q81: the 1-row token-budget scalar broadcast under the
     *     cumulative-sum frame,
-    *   - q101/q104: the 1-row step-1 user count crossed under the
+    *   - q101/q104/q118: the 1-row step-1 entity count crossed under the
     *     |steps|-row funnel summary for the conversion-rate column. */
   private val allowedNestedLoop = Set(
     "q9_peak_flag", "q10_outliers", "q32_histogram", "q33_minmax_norm",
@@ -47,7 +47,7 @@ class PlanDisciplineSpec extends SparkSpec {
     "q114_benford", "q115_rfm",
     "q72_unigram_logprob", "q75_source_kl", "q110_collocations",
     "q78_ivf_recall", "q79_lsh_recall", "q89_pq_recall", "q81_token_budget",
-    "q101_funnel", "q104_windowed_funnel")
+    "q101_funnel", "q104_windowed_funnel", "q118_session_funnel")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
