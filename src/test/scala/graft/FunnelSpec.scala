@@ -139,6 +139,54 @@ class FunnelSpec extends SparkSpec {
       ("a", "a", 1L, 0.3333), ("a", "b", 2L, 0.6667), ("b", "a", 1L, 1.0)))
   }
 
+  test("rfm: hand-computed recency/frequency/monetary") {
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 2.5),
+      (1L, t("2024-01-03 10:00:00"), 1.5),
+      (2L, t("2024-01-05 10:00:00"), 4.0),
+    ).toDF("user_id", "ts", "value")
+    val got = Funnel.rfm(ev, col("user_id"), col("ts"), col("value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // corpus last day = Jan 5: u1 recency 2 (last Jan 3), u2 recency 0.
+    assert(got == Seq((1L, 2, 2L, 4.0), (2L, 0, 1L, 4.0)))
+  }
+
+  test("dailyAnomalies: flag arithmetic on rounded stats; 1-day types excluded") {
+    val ev = (1 to 5).flatMap(d => Seq.fill(10)((s"2024-01-0$d", "a"))) ++
+      Seq.fill(30)(("2024-01-06", "a")) ++   // the spike day
+      Seq(("2024-01-01", "b"))               // single-day type -> excluded
+    val df = ev.map { case (d, et) => (t(s"$d 10:00:00"), et) }
+      .toDF("ts", "event_type")
+    val got = Funnel.dailyAnomalies(df, col("ts"), col("event_type"),
+        sigma = 2.0)
+      .orderBy("event_type", "day").collect()
+    assert(got.forall(_.getString(0) == "a"))
+    // counts 10x5 + 30: mean 13.3333, std 8.16; only the 30-day is out.
+    val flags = got.map(r => (r.getDate(1).toString, r.getBoolean(5))).toMap
+    assert(flags("2024-01-06"))
+    assert(flags.count(_._2) == 1)
+  }
+
+  test("activeUsers: DAU/WAU/MAU across a month boundary") {
+    val ev = Seq(
+      (1L, t("2024-01-30 10:00:00")), (2L, t("2024-01-30 11:00:00")),
+      (1L, t("2024-01-31 10:00:00")),
+      (1L, t("2024-02-01 10:00:00")), (3L, t("2024-02-01 11:00:00")),
+    ).toDF("user_id", "ts")
+    val got = Funnel.activeUsers(ev, col("user_id"), col("ts"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // Week of Jan 29 spans the month boundary: wau = {1,2,3} = 3 on all
+    // three days; January mau = {1,2}, February mau = {1,3}.
+    assert(got == Seq(
+      ("2024-01-30", 2L, 3L, 2L, 1.0),
+      ("2024-01-31", 1L, 3L, 2L, 0.5),
+      ("2024-02-01", 2L, 3L, 2L, 1.0)))
+  }
+
   test("retentionCohorts: hand-computed triangle") {
     val ev = Seq(
       (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-02 10:00:00")),
