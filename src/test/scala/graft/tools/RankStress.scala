@@ -45,6 +45,12 @@ object RankStress {
         Ranking.bigramLogProb(big, col("doc_id"), col("text")).count())
       time("oov rate (V=20)")(
         Ranking.oovRate(big, col("doc_id"), col("text"), 20).count())
+      time("vocab encode (V=20)")(
+        Ranking.vocabEncode(big, col("doc_id"), col("text"), 20).count())
+      time("collocations")(
+        Ranking.collocations(big, col("doc_id"), col("text"), 5L, 20).count())
+      time("inverted index (k=10)")(
+        Ranking.invertedIndex(big, col("doc_id"), col("text"), 10).count())
       time("kl by source")(
         Ranking.klDivergence(big, col("source"), col("text")).count())
       time("temperature sample")(
