@@ -215,6 +215,37 @@ object Funnel {
           .as("stickiness"))
   }
 
+  /** EXACT trailing-window actives (rolling WAU): per observed day, the
+    * distinct users active in the `windowDays` ending there. Exact
+    * rolling distinct is the metric sketches exist to approximate — it
+    * is tractable here because the DAY grain bounds the state: after
+    * the (day, user) dedup (≤ |users|·|days| rows, partial-agg
+    * friendly), each row joins the ≤ |days| window-ends covering it
+    * through the bucketed [[RangeJoin.pointInInterval]] (an equi-join
+    * on day buckets — never a nested loop over a calendar frame), and
+    * the final exact `countDistinct` fans each row out `windowDays`
+    * times at most. The HLL swap (`approx_count_distinct` over the same
+    * join) is the arbitrary-grain fallback; the exact form is the
+    * contract. Output: (end_day, active_users). */
+  def rollingActives(
+      events: DataFrame, user: Column, ts: Column,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val epoch = lit("1970-01-01")
+    val du = events.select(to_date(ts).as("__day"), user.as("__u"))
+      .distinct()
+      .withColumn("__dn", datediff(col("__day"), epoch).cast("double"))
+    val ends = du.select(col("__day").as("end_day")).distinct()
+      .withColumn("__lo",
+        (datediff(col("end_day"), epoch) - (windowDays - 1)).cast("double"))
+      .withColumn("__hi",
+        (datediff(col("end_day"), epoch) + 1).cast("double"))
+    RangeJoin.pointInInterval(du, col("__dn"), ends,
+        col("__lo"), col("__hi"), bucketWidth = windowDays.toDouble)
+      .groupBy(col("end_day"))
+      .agg(countDistinct(col("__u")).as("active_users"))
+  }
+
   /** Retention cohort triangle: users grouped by their first active
     * DAY, counted distinct on each day-offset they return — the
     * standard activation/retention report. Cohort assignment is one

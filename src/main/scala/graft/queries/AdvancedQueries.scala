@@ -363,8 +363,17 @@ object AdvancedQueries {
       .orderBy(asc("step"))
   }
 
+  /** q119 — exact trailing 7-day actives (rolling WAU) per day
+    * ([[graft.operators.Funnel.rollingActives]]): the rolling-distinct
+    * metric, exact at the day grain through the bucketed range join. */
+  def q119RollingActives(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.rollingActives(Tables.events(spark, dir),
+        col("user_id"), col("ts"), windowDays = 7)
+      .orderBy(asc_nulls_first("end_day"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
+    "q119_rolling_actives"  -> q119RollingActives _,
     "q118_session_funnel"   -> q118SessionFunnel _,
     "q117_active_users"     -> q117ActiveUsers _,
     "q115_rfm"              -> q115Rfm _,
@@ -392,6 +401,14 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q119_rolling_actives" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |   FROM events),
+        | days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day AS end_day,
+        |  count(DISTINCT u.user_id) AS active_users
+        | FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        | GROUP BY 1 ORDER BY end_day NULLS FIRST""".stripMargin,
     "q118_session_funnel" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_type,

@@ -187,6 +187,25 @@ class FunnelSpec extends SparkSpec {
       ("2024-02-01", 2L, 3L, 2L, 1.0)))
   }
 
+  test("rollingActives: hand-computed trailing window, same-day dedup") {
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 12:00:00")),
+      (2L, t("2024-01-02 10:00:00")),
+      (1L, t("2024-01-05 10:00:00")),
+      (3L, t("2024-01-09 10:00:00")),
+    ).toDF("user_id", "ts")
+    val got = Funnel.rollingActives(ev, col("user_id"), col("ts"),
+        windowDays = 7)
+      .orderBy("end_day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    // windows ending on observed days only:
+    // Jan 1: {1}; Jan 2: {1,2}; Jan 5: {1,2}; Jan 9: {1(Jan5),3}
+    // (Jan 1-2 fell out of the Jan 9 window: 9-6=3).
+    assert(got == Seq(
+      ("2024-01-01", 1L), ("2024-01-02", 2L),
+      ("2024-01-05", 2L), ("2024-01-09", 2L)))
+  }
+
   test("retentionCohorts: hand-computed triangle") {
     val ev = Seq(
       (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-02 10:00:00")),
