@@ -97,24 +97,31 @@ object CorpusStats {
     val fields = df.schema.fields.toSeq
     def isNum(f: org.apache.spark.sql.types.StructField): Boolean =
       f.dataType.isInstanceOf[NumericType]
-    val aggs = Seq(count(lit(1)).as("__n")) ++ fields.flatMap { f =>
-      val c = col(f.name)
-      Seq(count(c).as(s"__nn_${f.name}"),
-        countDistinct(c).as(s"__nd_${f.name}")) ++
-        (if (isNum(f))
-          Seq(min(c).cast("double").as(s"__mn_${f.name}"),
-            max(c).cast("double").as(s"__mx_${f.name}"))
-        else Seq.empty)
-    }
-    val row = Dedup.spread(df).agg(aggs.head, aggs.tail: _*)
-    row.select(explode(array(fields.map { f =>
+    // Input columns are addressed backtick-QUOTED, not as parsed paths:
+    // a legal column name containing a dot would otherwise be read as a
+    // nested-field reference and misbind or throw. Derived aggregate
+    // aliases are index-keyed for the same reason.
+    def quoted(n: String): Column = col(s"`${n.replace("`", "``")}`")
+    val spread = Dedup.spread(df)
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      fields.zipWithIndex.flatMap { case (f, i) =>
+        val c = quoted(f.name)
+        Seq(count(c).as(s"__nn_$i"),
+          countDistinct(c).as(s"__nd_$i")) ++
+          (if (isNum(f))
+            Seq(min(c).cast("double").as(s"__mn_$i"),
+              max(c).cast("double").as(s"__mx_$i"))
+          else Seq.empty)
+      }
+    val row = spread.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(fields.zipWithIndex.map { case (f, i) =>
         struct(lit(f.name).as("col_name"),
           col("__n").as("n"),
-          (col("__n") - col(s"__nn_${f.name}")).as("n_null"),
-          col(s"__nd_${f.name}").as("n_distinct"),
-          (if (isNum(f)) col(s"__mn_${f.name}")
+          (col("__n") - col(s"__nn_$i")).as("n_null"),
+          col(s"__nd_$i").as("n_distinct"),
+          (if (isNum(f)) col(s"__mn_$i")
            else lit(null).cast("double")).as("min_num"),
-          (if (isNum(f)) col(s"__mx_${f.name}")
+          (if (isNum(f)) col(s"__mx_$i")
            else lit(null).cast("double")).as("max_num"))
       }: _*)).as("p"))
       .select(col("p.*"))
@@ -264,23 +271,34 @@ object CorpusStats {
     * expectation, and the χ² contribution `N·(obs − exp)²/exp`; the
     * caller sums the contributions against a χ²₈ critical value.
     * Non-positive and null values are excluded (no leading digit).
+    * ALL nine digits appear in the output, observed or not — a digit
+    * with zero observations still contributes `N·exp` to the χ² (obs=0
+    * in the formula), and dropping it would understate the statistic
+    * exactly when the data is most non-Benford (e.g. every value
+    * sharing one leading digit). The observed counts are therefore
+    * joined onto a literal 1..9 frame, n coalesced to 0.
     *
     * One partial-agg pass; the leading digit is computed arithmetically
     * (`x / 10^⌊log10 x⌋` — no string round-trip) in codegen'd
     * expressions; frequencies are exact-count divisions and the only
     * libm calls (log10, the expectation) are shared with the oracle and
     * rounded at 4 dp. Output: (digit, n, obs_freq, benford_freq,
-    * chi2_part). */
+    * chi2_part) — exactly nine rows. */
   def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
     val x = value.cast("double")
     val digit = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
-    val counts = Dedup.spread(df)
+    val observed = Dedup.spread(df)
       .filter(x.isNotNull && x > 0)
       .groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n"))
+    val digits = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val counts = digits.join(observed, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
     val total = counts.agg(sum(col("n")).as("__t"))
     counts.crossJoin(broadcast(total))
-      .withColumn("obs", col("n").cast("double") / col("__t").cast("double"))
+      .withColumn("obs", when(col("__t") > 0,
+        col("n").cast("double") / col("__t").cast("double")))
       .withColumn("exp",
         log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
       .select(col("digit"), col("n"),

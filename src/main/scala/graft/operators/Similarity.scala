@@ -233,8 +233,20 @@ object Similarity {
           6).as("d2"),
         ct.getField("cl").as("cl")))).getField("cl")
 
-    val initIds = un.orderBy(col("id")).limit(ksub)
-      .select(col("id")).as[Long].collect().toSeq
+    val init = un.orderBy(col("id")).limit(ksub)
+      .select(col("id"), size(col("u")).as("d")).as[(Long, Int)]
+      .collect().toSeq
+    // Validated against the first non-null vector (like the ksub
+    // power-of-2 check): dsub = ⌊d/m⌋ slices cover only m·dsub
+    // components, so a non-divisible dim would silently drop the
+    // trailing d % m dimensions from ADC scoring while the exact
+    // rerank uses the full vector — recall would degrade with no error.
+    init.headOption.foreach { case (_, d) =>
+      require(d % m == 0,
+        s"vector dim $d is not divisible by m=$m (trailing ${d % m} " +
+          "dims would be ignored by ADC scoring)")
+    }
+    val initIds = init.map(_._1)
     val initRows = subs.filter(col("id").isin(initIds: _*))
       .select(col("id"), col("j"), col("sub")).collect()
     var cbs: Seq[(Int, Int, Array[Double])] = initRows

@@ -303,9 +303,13 @@ object Split {
     * integer token sums, epochs rounded to 4 dp, token quantities
     * floored to whole tokens — engine-portable. Strata absent from
     * `target` report a zero target (kept in the output: the planner
-    * should SEE the data it is about to drop). Output: (stratum,
-    * n_tokens, target_share, wanted_tokens, epochs, realized_tokens,
-    * deficit_tokens). */
+    * should SEE the data it is about to drop), and — symmetrically —
+    * target strata absent from the CORPUS appear with n_tokens=0,
+    * realized_tokens=0 and a full deficit (the join is full-outer):
+    * "go get more data" is precisely the signal this worksheet exists
+    * to surface, so a wanted-but-missing language must not vanish.
+    * Output: (stratum, n_tokens, target_share, wanted_tokens, epochs,
+    * realized_tokens, deficit_tokens). */
   def epochPlan(
       df: DataFrame, stratum: Column, text: Column,
       target: Seq[(String, Double)], budgetTokens: Long,
@@ -323,7 +327,10 @@ object Split {
         TextFunctions.tokenCount(coalesce(text, lit(""))).cast("long")
           .as("__nt"))
       .groupBy(col("stratum")).agg(sum(col("__nt")).as("n_tokens"))
-      .join(broadcast(targetDf), Seq("stratum"), "left")
+      // full-outer can't broadcast; both sides are stratum-count-sized
+      // aggregate outputs, so the exchange moves ≤ |strata| rows.
+      .join(targetDf, Seq("stratum"), "full")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .withColumn("target_share", coalesce(col("target_share"), lit(0.0)))
       .select(col("stratum"), col("n_tokens"), col("target_share"),
         wanted.as("wanted_tokens"),

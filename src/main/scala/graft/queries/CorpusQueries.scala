@@ -266,11 +266,14 @@ object CorpusQueries {
 
   /** Mixture-plan geometry for q100: a 100 k-token budget at a 2-epoch
     * repetition cap; `es` deliberately untargeted so the planner's
-    * about-to-drop reporting is under the oracle's eye. At sf0.01 the
-    * corpus (~27 k tokens) cannot meet the budget — deficits appear; at
-    * sf0.1 (~272 k) the same plan clears — both regimes gated. */
+    * about-to-drop reporting is under the oracle's eye, and `ja`
+    * deliberately targeted-but-ABSENT from the corpus so the
+    * full-outer direction (n_tokens=0, full deficit — "go get more
+    * data") is under it too. At sf0.01 the corpus (~27 k tokens)
+    * cannot meet the budget — deficits appear; at sf0.1 (~272 k) the
+    * same plan clears for present languages — both regimes gated. */
   private val Q100Target = Seq(
-    "en" -> 0.4, "zh" -> 0.25, "de" -> 0.2, "fr" -> 0.15)
+    "en" -> 0.4, "zh" -> 0.25, "de" -> 0.2, "fr" -> 0.1, "ja" -> 0.05)
   private val Q100Budget = 100000L
   private val Q100MaxEpochs = 2.0
 
@@ -670,10 +673,14 @@ object CorpusQueries {
         |   WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
         | d AS (SELECT CAST(floor(x / power(CAST(10 AS DOUBLE),
         |     floor(log10(x)))) AS INTEGER) AS digit FROM v),
-        | c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        | obs9 AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        | d9 AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+        | c AS (SELECT d9.digit, coalesce(n, 0) AS n
+        |   FROM d9 LEFT JOIN obs9 USING (digit)),
         | tot AS (SELECT sum(n) AS t FROM c)
         |SELECT digit, n,
-        |  round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 4) AS obs_freq,
+        |  CASE WHEN t > 0 THEN
+        |    round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 4) END AS obs_freq,
         |  round(log10(CAST(1.0 AS DOUBLE)
         |    + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 4)
         |    AS benford_freq,
@@ -755,20 +762,23 @@ object CorpusQueries {
     "q100_epoch_plan" ->
       s"""WITH tgt(lang, target_share) AS (VALUES
         |   ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.25 AS DOUBLE)),
-        |   ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE))),
+        |   ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+        |   ('ja', CAST(0.05 AS DOUBLE))),
         | s AS (SELECT lang,
         |   CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
         |     ELSE len($toksSql) END AS nt
         |  FROM documents),
         | g AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens
         |  FROM s GROUP BY lang),
-        | j AS (SELECT g.lang, n_tokens,
+        | j AS (SELECT coalesce(g.lang, tgt.lang) AS lang,
+        |   coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
         |   coalesce(target_share, CAST(0 AS DOUBLE)) AS target_share,
         |   CAST(floor(coalesce(target_share, CAST(0 AS DOUBLE))
         |     * CAST(100000 AS DOUBLE)) AS BIGINT) AS wanted,
-        |   CAST(floor(CAST(2.0 AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |   CAST(floor(CAST(2.0 AS DOUBLE)
+        |     * CAST(coalesce(n_tokens, CAST(0 AS BIGINT)) AS DOUBLE))
         |     AS BIGINT) AS cap
-        |  FROM g LEFT JOIN tgt ON g.lang = tgt.lang)
+        |  FROM g FULL JOIN tgt ON g.lang = tgt.lang)
         |SELECT lang, n_tokens, target_share,
         |  wanted AS wanted_tokens,
         |  CASE WHEN n_tokens > 0 THEN

@@ -145,6 +145,19 @@ class ClusterSpec extends SparkSpec {
       ("v", 4L, 1L, 2L, Some(-1.0), Some(2.5))))
   }
 
+  test("profileTable: dotted column names profile as columns, not field paths") {
+    // Columns are addressed by attribute, so a legal name containing a
+    // dot must not be parsed as a nested-field reference.
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(5L), "a"))
+      .toDF("a.b", "c.d")
+    val got = CorpusStats.profileTable(df).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(got == Seq(
+      ("a.b", 3L, 1L, 2L, Some(1.0), Some(5.0)),
+      ("c.d", 3L, 0L, 2L, None, None)))
+  }
+
   test("embeddingAudit flags null / bad-dim / NaN / zero-norm vectors") {
     val rows: Seq[(Long, Int, Option[Array[Float]])] = Seq(
       (0L, 0, Some(Array(3.0f, 4.0f))),            // norm 5

@@ -305,6 +305,25 @@ class CorpusMixSpec extends SparkSpec {
       ("fr", 2L, 0.5, 20L, 10.0, 6L, 14L)))
   }
 
+  test("epochPlan: a targeted stratum the corpus lacks reports a full deficit") {
+    // The join is full-outer: a language the mix WANTS but the corpus
+    // entirely lacks must appear with n_tokens=0 and deficit=wanted —
+    // the planner's "go get more data" signal — not vanish.
+    val corpus = Seq(("en", "t1 t2 t3 t4")).toDF("lang", "text")
+    val got = Split.epochPlan(corpus, col("lang"), col("text"),
+        Seq("en" -> 0.5, "ja" -> 0.5), budgetTokens = 40L, maxEpochs = 3.0)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getLong(5),
+        r.getLong(6)))
+      .toSeq
+    assert(got == Seq(
+      ("en", 4L, 0.5, 20L, 5.0, 12L, 8L),
+      // ja: zero tokens on hand -> epochs undefined (null), nothing
+      // realizable, the whole want is deficit.
+      ("ja", 0L, 0.5, 20L, -1.0, 0L, 20L)))
+  }
+
   // ---- global shuffle order ----
 
   test("shuffleOrder is the md5-rank permutation, no single-partition window") {

@@ -99,7 +99,31 @@ class CorpusStatsSpec extends SparkSpec {
       .orderBy("digit").collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSeq
     // digits: 123->1, 0.045->4, 9000->9, 1.0->1; -5 and 0 excluded.
-    assert(got == Seq((1, 2L), (4, 1L), (9, 1L)))
+    // Unobserved digits still appear (n=0) — all nine rows, always.
+    assert(got == Seq((1, 2L), (2, 0L), (3, 0L), (4, 1L), (5, 0L),
+      (6, 0L), (7, 0L), (8, 0L), (9, 1L)))
+  }
+
+  test("benfordAudit: zero-observation digits carry their N·exp chi2 part") {
+    // The most non-Benford data possible: every value leads with 9.
+    // Absent digits 1..8 must each contribute N·exp to the chi-square,
+    // or the screen fails open exactly when it should fire hardest.
+    val vals = Seq.fill(100)(900.0).map(Tuple1(_)).toDF("x")
+    val rows = CorpusStats.benfordAudit(vals, col("x"))
+      .orderBy("digit").collect()
+    assert(rows.length == 9)
+    val chi2 = rows.map(_.getDouble(4)).sum
+    // Full statistic: N·(1-exp9)²/exp9 + Σ_{d=1..8} N·exp_d; with
+    // exp9 ≈ 0.0458 that is ≈ 1983 + 95 ≈ 2078 — far above the χ²₈
+    // 0.001 critical value (26.12). The pre-fix sum was only the
+    // digit-9 term's ≈ 1988; assert the absent-digit mass is present.
+    val exp = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val want = 100.0 * (1.0 - exp(8)) * (1.0 - exp(8)) / exp(8) +
+      (0 until 8).map(i => 100.0 * exp(i)).sum
+    assert(math.abs(chi2 - want) < 0.1)
+    val d1 = rows.head
+    assert(d1.getInt(0) == 1 && d1.getLong(1) == 0L &&
+      d1.getDouble(2) == 0.0 && d1.getDouble(4) > 30.0)
   }
 
   test("benfordAudit: frequencies and chi-square parts are exact-count ratios") {

@@ -116,6 +116,19 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact, s"full=$full exact=$exact")
   }
 
+  test("PQ: a vector dim not divisible by m is rejected, not silently truncated") {
+    // dsub = ⌊d/m⌋ slices cover only m·dsub components; a mismatched m
+    // would drop the trailing dims from ADC scoring while the exact
+    // rerank uses the full vector — recall would quietly degrade.
+    val vecs = Seq((1L, Seq.fill(10)(1.0f)), (2L, Seq.fill(10)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqIndex(vecs, col("vec_id"), col("embedding"),
+        m = 4, ksub = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
   test("PQ: partial-rerank recall holds the q89 floor; encode is deterministic") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val corpus = emb.filter(col("vec_id") =!= 0)
