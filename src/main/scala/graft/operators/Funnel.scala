@@ -74,6 +74,41 @@ object Funnel {
           .as("rate"))
   }
 
+  /** Gap-based sessionization: append a per-user 1-based session
+    * sequence (`seqCol`) to the event frame — a new session starts at
+    * the user's first event and at every event whose gap from the
+    * previous one EXCEEDS `gapMicros` (an event at exactly the gap
+    * stays in the session). The one definition shared by the q45
+    * session-size report and the q118 session-scoped funnel (which
+    * keys [[conversionFunnel]] on (user, session_seq)) — the batch
+    * analog of the streaming flatMapGroupsWithState sessionizer.
+    *
+    * Gaps are exact microseconds (`unix_micros` — `unix_timestamp`
+    * truncates to seconds and disagrees with a fractional-epoch oracle
+    * near the boundary). Scale shape: one user-partitioned window
+    * (lag + running boundary sum in a single window spec — parallel
+    * across users, working set one user's events); no shuffle beyond
+    * the window's user-hash exchange, which downstream user-keyed
+    * aggregations then reuse. */
+  def sessionize(
+      events: DataFrame, user: Column, ts: Column, gapMicros: Long,
+      seqCol: String = "session_seq"): DataFrame = {
+    require(gapMicros > 0, "gapMicros must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(user).orderBy(ts.asc)
+    events
+      .withColumn("__prev_ts", lag(ts, 1).over(w))
+      .withColumn("__boundary",
+        when(col("__prev_ts").isNull ||
+          unix_micros(ts) - unix_micros(col("__prev_ts")) > gapMicros,
+          1).otherwise(0))
+      .withColumn(seqCol, sum(col("__boundary")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .drop("__prev_ts", "__boundary")
+  }
+
   /** Top event-type paths: the most common length-`n` consecutive
     * event-type sequences across users (path mining — "what do people
     * actually do", the exploratory sibling of the hypothesis-driven

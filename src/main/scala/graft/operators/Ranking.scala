@@ -337,23 +337,30 @@ object Ranking {
     * ids) with `ids` the ">"-joined id string (cross-engine-comparable
     * scalar; split on ">" to consume).
     *
-    * Scale shape: vocabulary via TakeOrderedAndProject over the
+    * Scale shape: the corpus is tokenized ONCE — the (id, tokens)
+    * frame is the pinned intermediate, and BOTH passes (the vocabulary
+    * count and the encode) derive from it (the earlier shape pinned
+    * the per-(doc, term) count frame, which fed only the vocabulary:
+    * the encode pass re-ran the tokenizer — the round-11 q107
+    * constant). Vocabulary via TakeOrderedAndProject over the
     * vocabulary-sized count frame (never a global sort), broadcast
-    * back onto one posexplode of the corpus; per-doc reassembly is a
-    * single aggregate collecting (pos, id) structs sorted row-locally
-    * — no window, order restored by `array_sort` inside the row. */
+    * back onto one posexplode of the pinned tokens; per-doc reassembly
+    * is a single aggregate collecting (pos, id) structs sorted
+    * row-locally — no window, order restored by `array_sort` inside
+    * the row. */
   def vocabEncode(
       df: DataFrame, id: Column, text: Column, vocabSize: Int,
       materialize: Boolean = true): DataFrame = {
     import graft.functions.TextFunctions
     val tokenized = df.select(id.as("__id"),
       TextFunctions.tokens(text).as("toks"))
-    val withPos = tokenized.select(col("__id"),
-      posexplode(col("toks")).as(Seq("pos", "term")))
-    withCounts(
-      withPos.groupBy(col("__id"), col("term"))
-        .agg(count(lit(1)).as("tf")), materialize) { tf =>
-      val vocab = corpusFreqs(tf)
+    def build(tk: DataFrame): DataFrame = {
+      val withPos = tk.select(col("__id"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      // Corpus term frequency directly (summing per-doc tfs and
+      // counting raw term events are the same number); selection
+      // order (ctf desc, term asc) stays [[oovRate]]'s exact one.
+      val vocab = withPos.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
         .orderBy(col("ctf").desc, col("term").asc)
         .limit(vocabSize)
         .select(col("term"),
@@ -367,6 +374,11 @@ object Ranking {
             transform(
               array_sort(collect_list(struct(col("pos"), col("__vid")))),
               s => s.getField("__vid").cast("string")), ">").as("ids"))
+    }
+    if (!materialize) build(tokenized)
+    else {
+      val c = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
+      Materialize.andRelease(build(c), c)
     }
   }
 

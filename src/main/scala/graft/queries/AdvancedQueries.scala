@@ -273,11 +273,14 @@ object AdvancedQueries {
     * schema-on-read pass every event pipeline runs over its property
     * bags. The extraction is one codegen'd `get_json_object` per row
     * (no UDF, no parse-to-map materialization); unparseable or absent
-    * properties land in a NULL bucket instead of vanishing. */
+    * properties land in a NULL bucket instead of vanishing. Bucketing
+    * uses the TRUNCATING remainder (`%`, k − k % 10) — not `pmod` —
+    * so negative k agrees with the oracle's `%` (k=−7 → bucket 0 on
+    * both engines; pmod would bucket it at −10 on Spark only). */
   def q103PropsHistogram(spark: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("int")
     Tables.events(spark, dir)
-      .select(col("event_type"), (k - pmod(k, lit(10))).as("k_bucket"),
+      .select(col("event_type"), (k - (k % lit(10))).as("k_bucket"),
         col("value"))
       .groupBy(col("event_type"), col("k_bucket"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -339,22 +342,18 @@ object AdvancedQueries {
       .orderBy(asc_nulls_first("day"))
 
   /** q118 — SESSION-scoped funnel: the q101 view→click→purchase chain
-    * must complete inside one 30-minute-gap session (q45's
-    * sessionization), so the entity that converts is a session, not a
+    * must complete inside one 30-minute-gap session
+    * ([[graft.operators.Funnel.sessionize]] — the same definition q45
+    * reports on), so the entity that converts is a session, not a
     * lifetime user — the form that measures UX flow rather than
     * eventual behavior. Session keys feed
     * [[graft.operators.Funnel.conversionFunnel]] unchanged: the
     * funnel's strict ordering applies within the session by
     * construction. */
   def q118SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts"))
-    val tagged = Tables.events(spark, dir)
-      .withColumn("__b",
-        when(lag(col("ts"), 1).over(byUser).isNull ||
-          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
-            > 30L * 60L * 1000000L, 1).otherwise(0))
-      .withColumn("__seq", sum(col("__b")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tagged = graft.operators.Funnel.sessionize(
+        Tables.events(spark, dir), col("user_id"), col("ts"),
+        gapMicros = 30L * 60L * 1000000L, seqCol = "__seq")
       .withColumn("__skey",
         concat_ws("#", col("user_id"), col("__seq")))
     graft.operators.Funnel.conversionFunnel(tagged, col("__skey"),

@@ -124,18 +124,9 @@ object FunctionQueries {
     * of the streaming flatMapGroupsWithState sessionizer); reports
     * session-count and size distribution per user bucket. */
   def q45Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val gapMinutes = 30
-    val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts"))
-    val sessions = Tables.events(spark, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      // exact microsecond gap: unix_timestamp truncates to seconds and
-      // would disagree with the oracle's fractional epoch near the edge
-      .withColumn("boundary",
-        when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60L * 1000000L,
-          1).otherwise(0))
-      .withColumn("session_seq",
-        sum(col("boundary")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = graft.operators.Funnel.sessionize(
+        Tables.events(spark, dir), col("user_id"), col("ts"),
+        gapMicros = 30L * 60L * 1000000L)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"))
     sessions.groupBy(col("user_id"))

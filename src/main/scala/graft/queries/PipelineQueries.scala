@@ -428,6 +428,76 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** Mix geometry for q120's selection stage (q96's semantics over the
+    * SURVIVING corpus's stored-language strata, half-budget). */
+  private val Q120Target = Seq(
+    "en" -> 0.4, "zh" -> 0.2, "de" -> 0.2, "fr" -> 0.1, "es" -> 0.1)
+
+  /** q120 — the COMPOSED end-to-end curation pipeline, as ONE lazy job:
+    * quality filter (q37's rule) → exact+near dedup keep-longest (q64's
+    * path) → decontamination against the held-out `src0` benchmark
+    * (q43's overlap, corpus side as the probe, drop at ≥ 0.8 — a
+    * CONTAINMENT bar, deliberately high: background 3-gram overlap
+    * against a reference gram set GROWS with the reference's size
+    * (measured 0.3–0.4 typical at sf0.1 vs < 0.1 at sf0.01), so a low
+    * bar degenerates into dropping the whole corpus at scale, while
+    * planted verbatim contamination sits ≥ 0.9 at every SF) → target
+    * language mix (q96's rates over the surviving strata) → sequence
+    * packing (q39's concat-and-chunk) → shard assignment (q108). The
+    * proof the operator library COMPOSES: every stage's exact semantics
+    * under one oracle, so a divergence anywhere in the chain flips the
+    * hash.
+    *
+    * Scale shape — the corpus parquet is read exactly TWICE for the
+    * whole pipeline (CurationPipelineSpec meters filesystem bytes):
+    * once into the quality filter, whose much-smaller survivor frame is
+    * pinned ([[graft.operators.Materialize.pin]]) and feeds every
+    * downstream pass (dedup's pair generation + survivor join, the
+    * decontamination probe, the mix counts, packing's token sums — five
+    * consumers, which is exactly why the pin sits at THIS boundary and
+    * not only inside each operator), and once for the held-out side's
+    * gram set. The held-out side needs NO pin of its own even though
+    * the mix stage's broadcast builds (stratum totals, rates) name its
+    * subtree twice more: the whole post-filter chain executes inside
+    * ONE query execution (packing's internal pin), where Spark's
+    * exchange reuse dedupes the identical subtrees — Q120ScanProbe
+    * meters every stage after the two scans at exactly +0 bytes, and
+    * the spec holds the total to two scans.
+    * Everything after the filter is bounded by survivor/pair volume;
+    * the only global order is packing's two-phase cumsum
+    * ([[graft.operators.ScalableWindow.runningTotal]] — no
+    * single-partition window). */
+  def q120CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val p = graft.expressions.TextProfile.profile(col("text"))
+    val filtered = graft.operators.Materialize.pin(
+      Dedup.spread(docs).filter(col("source") =!= "src0")
+        .withColumn("__p", p)
+        .filter(col("__p.quality") >= 3 && col("__p.lang") === "en")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("__p.n_tokens").cast("long").as("n_tok")))
+    val deduped = Dedup.dedupCorpus(filtered, col("doc_id"), col("text"),
+      n = 3, threshold = 0.8, keepBy = Some(length(col("text"))))
+    val dirty = Dedup.crossCorpusOverlap(deduped, col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("text"), n = 3)
+      .filter(col("overlap") >= 0.8)
+      .select(col("id").as("__dirty_id"))
+    val clean = deduped.join(
+      dirty, col("doc_id") === col("__dirty_id"), "left_anti")
+    val mixed = Split.matchTargetMix(clean, col("lang"), col("doc_id"),
+      Q120Target, budgetFrac = 0.5)
+    val packed = graft.operators.ScalableWindow.runningTotal(
+        mixed.select(col("doc_id"), col("lang"), col("n_tok")),
+        col("doc_id"), col("n_tok"), "cum",
+        partitions = spark.sparkContext.defaultParallelism)
+      .withColumn("pack",
+        floor((col("cum") - col("n_tok")) / 2048).cast("long"))
+    Split.assignShards(packed, col("doc_id"), nShards = 8)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("pack"),
+        col("shard"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   /** q65 — batch exact KNN through the CUSTOM physical operator
     * ([[graft.plans.GroupTopK]]): every query vector (vec_id < 5) against
     * the whole corpus, exact cosine top-5 each. Partial bounded heaps
@@ -726,6 +796,7 @@ object PipelineQueries {
     "q66_incremental_neardup" -> q66IncrementalNearDup _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
+    "q120_curation_pipeline" -> q120CurationPipeline _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -906,6 +977,116 @@ object PipelineQueries {
         |   md5(coalesce(c.text_clean, '')) AS clean_md5
         | FROM t LEFT JOIN clean c USING (doc_id)
         | ORDER BY doc_id NULLS FIRST""".stripMargin,
+    // q120: the whole curation chain as ONE statement — q37's scored
+    // filter, q64's recursive-CTE dedup (restricted to the filtered
+    // set), q43's overlap with src0 as the REFERENCE gram set, q96's
+    // mix rates over the surviving strata, q39's cumsum packing, and
+    // q108's shard hash. Stage constants (0.8 containment drop bar,
+    // 0.5 budget, 2048 tokens, 8 shards) are pinned on both sides.
+    "q120_curation_pipeline" ->
+      s"""WITH RECURSIVE t0 AS (SELECT doc_id, lang, text, $toksSql AS toks
+        |   FROM documents WHERE source <> 'src0'),
+        | m AS (SELECT doc_id, lang, text, toks,
+        |   ${nTokSql("toks")} AS n_tokens,
+        |   CAST(len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INTEGER)
+        |     / greatest(len(text), 1) AS punct_ratio,
+        |   ${hitsSql("toks", stopEnSql)}
+        |     / greatest(${nTokSql("toks")}, 1) AS stop_ratio,
+        |   CAST(list_sum(list_transform(toks, t -> len(t))) AS INTEGER)
+        |     / greatest(${nTokSql("toks")}, 1) AS avg_token_len,
+        |   ${hitsSql("toks", stopEnSql)} AS h_en,
+        |   ${hitsSql("toks", stopEsSql)} AS h_es,
+        |   ${hitsSql("toks", stopDeSql)} AS h_de,
+        |   ${hitsSql("toks", stopFrSql)} AS h_fr
+        |  FROM t0),
+        | qscored AS (SELECT doc_id, lang, text, toks,
+        |   CAST(n_tokens AS BIGINT) AS n_tok,
+        |   CAST((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END
+        |    + CASE WHEN punct_ratio < 0.3 THEN 1 ELSE 0 END
+        |    + CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END
+        |    + CASE WHEN avg_token_len BETWEEN 2.0 AND 15.0 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS quality,
+        |   CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+        |        WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+        |        WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+        |        WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+        |        ELSE 'fr' END AS lang_pred
+        |  FROM m),
+        | filtered AS (SELECT doc_id, lang, text, toks, n_tok FROM qscored
+        |  WHERE quality >= 3 AND lang_pred = 'en'),
+        | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM filtered),
+        | ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        | sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2),
+        | pairs AS (SELECT id_a, id_b FROM inter
+        |   JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+        |   WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |   UNION ALL SELECT id_b, id_a FROM pairs),
+        | nodes AS (SELECT DISTINCT src AS id FROM edges),
+        | reach AS (
+        |   SELECT id, id AS r FROM nodes
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        | clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        | dsc AS (SELECT c.id, c.cluster, len(d.text) AS score
+        |   FROM clusters c JOIN filtered d ON d.doc_id = c.id),
+        | ranked AS (SELECT id, row_number() OVER (PARTITION BY cluster
+        |     ORDER BY score DESC, id) AS rn FROM dsc),
+        | losers AS (SELECT id FROM ranked WHERE rn > 1),
+        | deduped AS (SELECT * FROM filtered
+        |   WHERE doc_id NOT IN (SELECT id FROM losers)),
+        | held AS (SELECT $toksSql AS toks FROM documents
+        |   WHERE source = 'src0'),
+        | heldsh AS (SELECT CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM held),
+        | heldgrams AS (SELECT DISTINCT unnest(s) AS g FROM heldsh),
+        | dsh AS (SELECT d.doc_id, CASE WHEN len(d.toks) < 3
+        |     THEN [array_to_string(d.toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(d.toks) - 2),
+        |          i -> d.toks[i+1] || ' ' || d.toks[i+2] || ' '
+        |            || d.toks[i+3])) END AS s FROM deduped d),
+        | dex AS (SELECT doc_id, unnest(s) AS g FROM dsh),
+        | hits AS (SELECT doc_id, count(*) AS n_hit FROM dex
+        |   JOIN heldgrams USING (g) GROUP BY doc_id),
+        | ov AS (SELECT p.doc_id,
+        |     CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(p.s) AS overlap
+        |   FROM dsh p LEFT JOIN hits h USING (doc_id)),
+        | clean AS (SELECT d.doc_id, d.lang, d.n_tok FROM deduped d
+        |   JOIN ov USING (doc_id) WHERE overlap < 0.8),
+        | tgt(lang, target) AS (VALUES
+        |   ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),
+        |   ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+        |   ('es', CAST(0.1 AS DOUBLE))),
+        | c AS (SELECT lang, count(*) AS cnt FROM clean GROUP BY lang),
+        | ct AS (SELECT c.lang, cnt, target FROM c JOIN tgt USING (lang)),
+        | nn AS (SELECT sum(cnt) AS n FROM ct),
+        | r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+        |     CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) * target
+        |       / CAST(cnt AS DOUBLE)) AS rate
+        |   FROM ct CROSS JOIN nn),
+        | mixed AS (SELECT d.doc_id, d.lang, d.n_tok FROM clean d
+        |   JOIN r USING (lang)
+        |   WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) / CAST(4294967296.0 AS DOUBLE) < r.rate),
+        | packed AS (SELECT doc_id, lang, n_tok,
+        |   sum(n_tok) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM mixed)
+        |SELECT doc_id, lang, n_tok,
+        |  CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS pack,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 8 AS INTEGER) AS shard
+        | FROM packed ORDER BY doc_id NULLS FIRST""".stripMargin,
     // q84: the regex literals are spliced from TextFunctions.{EmailRe,
     // PhoneRe,Ipv4Re} — ONE pattern definition for both engines (the
     // constants restrict themselves to java.regex/RE2-identical syntax).

@@ -18,16 +18,18 @@ class AdvancedQueriesSpec extends SparkSpec {
   test("q103's JSON extraction: decade buckets, NULL bucket for bad props") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val df = Seq("""{"k": 42}""", """{"k": 7}""", """{}""",
+    val df = Seq("""{"k": 42}""", """{"k": 7}""", """{"k": -7}""", """{}""",
       "not json", null.asInstanceOf[String]).toDF("props")
     val k = get_json_object(col("props"), "$.k").cast("int")
-    val got = df.select((k - pmod(k, lit(10))).as("k_bucket"))
+    val got = df.select((k - (k % lit(10))).as("k_bucket"))
       .groupBy("k_bucket").count().collect()
-      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getLong(1))
+      .map(r => (if (r.isNullAt(0)) -999 else r.getInt(0)) -> r.getLong(1))
       .toMap
-    // 42 -> 40, 7 -> 0; empty object, garbage, and null all land in
-    // the NULL bucket instead of vanishing.
-    assert(got == Map(40 -> 1L, 0 -> 1L, -1 -> 3L))
+    // 42 -> 40, 7 -> 0; -7 -> 0 too: the TRUNCATING remainder matches
+    // DuckDB's % (pmod would send -7 to bucket -10 on Spark only);
+    // empty object, garbage, and null all land in the NULL bucket
+    // instead of vanishing.
+    assert(got == Map(40 -> 1L, 0 -> 2L, -999 -> 3L))
   }
 
   test("q50 cube emits all four aggregation levels") {

@@ -39,7 +39,10 @@ class PlanDisciplineSpec extends SparkSpec {
     *   - q81: the 1-row token-budget scalar broadcast under the
     *     cumulative-sum frame,
     *   - q101/q104/q118: the 1-row step-1 entity count crossed under the
-    *     |steps|-row funnel summary for the conversion-rate column. */
+    *     |steps|-row funnel summary for the conversion-rate column,
+    *   - q120: q96's mix-rate build inside the composed curation
+    *     pipeline (the ≤|strata|-row count frame crossed with its 1-row
+    *     total — same constant-size broadcast, one stage later). */
   private val allowedNestedLoop = Set(
     "q9_peak_flag", "q10_outliers", "q32_histogram", "q33_minmax_norm",
     "q22_knn_cosine", "q23_embed_neardup", "q65_batch_knn",
@@ -47,7 +50,8 @@ class PlanDisciplineSpec extends SparkSpec {
     "q114_benford", "q115_rfm",
     "q72_unigram_logprob", "q75_source_kl", "q110_collocations",
     "q78_ivf_recall", "q79_lsh_recall", "q89_pq_recall", "q81_token_budget",
-    "q101_funnel", "q104_windowed_funnel", "q118_session_funnel")
+    "q101_funnel", "q104_windowed_funnel", "q118_session_funnel",
+    "q120_curation_pipeline")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
