@@ -134,8 +134,11 @@ object Bench {
     // its neighbours.
     def load1(): String = loadavg().split("\\s+").head
     def resultsJson(done: Seq[(String, Double)], failed: Seq[String],
-                    flaky: Seq[(String, String)], load: Seq[(String, String)]): String = {
+                    flaky: Seq[(String, String)], load: Seq[(String, String)],
+                    probes: Seq[(String, Double)] = Seq.empty): String = {
       val qs = done.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val probesJson = probes.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val flakyJson = flaky.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
@@ -147,7 +150,7 @@ object Bench {
         "\"" + k + "\":" + lit
       }.mkString("{", ",", "}")
       val total = done.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"load":$loadJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_now":"${loadavg()}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"load":$loadJson,"probes":$probesJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_now":"${loadavg()}"}"""
     }
 
     val partialPath = Paths.get("bench_partial.json")
@@ -204,7 +207,64 @@ object Bench {
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
         StandardOpenOption.WRITE)
     }
-    println(resultsJson(done, failed, flaky, load))
+    // Steady-state ANN probe rows (round-12 item): the benched
+    // q78/q79/q89 entries time whole recall CONTRACTS — exact baseline
+    // + index build + probes — so a regression in the PROBE path alone
+    // hides inside the contract's build noise. The operators' premise
+    // is build once / probe many; the artifact therefore also records
+    // each family's WARM-PROBE time (index built once and persisted,
+    // one warm pass, then min of three timed probes) under the same
+    // geometry as the gating queries. Extra artifact keys under
+    // "probes" — deliberately NOT in "queries": they pair with no
+    // oracle and must not enter the total or the regression diff.
+    val probeTimes: Vector[(String, Double)] =
+      if (args.nonEmpty) Vector.empty   // narrowed runs skip the probes
+      else try {
+        import org.apache.spark.sql.functions._
+        import graft.operators.Similarity
+        val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val qv = q.collect().head.getSeq[Float](0).toArray
+        def minOf3(probe: => Unit): Double = {
+          probe                       // warm: codegen + broadcast reuse
+          (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); probe
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val (centroids, idx0) = Similarity.ivfIndex(
+          corpus, col("vec_id"), col("embedding"), nLists = 8)
+        val indexed = idx0.persist(); indexed.count()
+        val p78 = minOf3(noop(Similarity.ivfTopK(
+          centroids, indexed, qv, k = 10, nProbe = 3)))
+        val bucketed = Similarity.bucketize(
+          corpus, col("vec_id"), col("embedding"), nBits = 16).persist()
+        bucketed.count()
+        val p79 = minOf3(noop(Similarity.lshTopK(
+          bucketed, q, k = 10, nBits = 16, probeHamming = 6)))
+        val (cbs, enc0) = Similarity.pqIndex(
+          corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16,
+          iters = 2)
+        val encoded = enc0.persist(); encoded.count()
+        val p89 = minOf3(noop(Similarity.pqTopK(cbs, encoded, corpus,
+          col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)))
+        indexed.unpersist(); bucketed.unpersist(); encoded.unpersist()
+        Vector("q78_probe" -> p78, "q79_probe" -> p79, "q89_probe" -> p89)
+      } catch {
+        case e: Throwable =>
+          // Probe failure must not cost the run its 119-query artifact.
+          System.err.println(
+            s"[bench] ANN probes failed: ${e.getClass.getSimpleName}")
+          Vector.empty
+      }
+    probeTimes.foreach { case (n, s) =>
+      System.err.println(f"[bench] $n $s%.3f s (warm, min of 3)")
+    }
+    println(resultsJson(done, failed, flaky, load, probeTimes))
     spark.stop()
   }
 }

@@ -74,6 +74,86 @@ object Funnel {
           .as("rate"))
   }
 
+  /** ANY-TOUCH windowed funnel — the heavier operator
+    * [[conversionFunnel]]'s doc names: a user converts step i if ANY
+    * chain of events e₁ ≤ e₂ ≤ … ≤ eᵢ exists with each step within
+    * `gapMicros` of the PREVIOUS CHAIN EVENT (both ends inclusive,
+    * [[conversionFunnel]]'s windowed compare) — not merely within the
+    * gap of the first-touch anchor. First-touch misses conversions
+    * reachable only through a later touch; any-touch finds them all,
+    * at the price of carrying every REACHABLE event per step instead
+    * of one anchor per user.
+    *
+    * The bounded form: events are capped to the EARLIEST
+    * `maxEventsPerUserType` per (user, step type) — (ts, tie-break)
+    * order, deterministic — before the chain, so per-user state and
+    * join fan-out are ≤ cap² per step by construction. Conversions
+    * reachable only through an event beyond the cap are missed —
+    * one-sided (never invented), the same honesty contract as the
+    * streaming family's disorder bound. Output: (step, event_type,
+    * n_users, rate) — [[conversionFunnel]]'s exact shape.
+    *
+    * Scale shape: each step is a (user, gap-bucket)-keyed LEFT-SEMI
+    * join — the reachable-prev frame explodes to the ≤2 fixed-width
+    * buckets its [r, r+gap] window overlaps ([[RangeJoin]]'s equality
+    * restoration, never a per-user nested loop or a time-only join),
+    * the exact window predicate re-applies post-join, and the result
+    * dedupes to distinct (user, ts). Every exchange hashes on the
+    * user(+bucket); reachable frames are pinned per step like
+    * [[conversionFunnel]]'s anchors. */
+  def anyTouchFunnel(
+      events: DataFrame, user: Column, ts: Column, eventType: Column,
+      tieBreak: Column, steps: Seq[String], gapMicros: Long,
+      maxEventsPerUserType: Int, materialize: Boolean = true): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(gapMicros > 0, "gapMicros must be positive")
+    require(maxEventsPerUserType > 0, "maxEventsPerUserType must be positive")
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) Materialize.pin(df) else df
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u"), col("__et"))
+      .orderBy(col("__ts").asc, col("__tb").asc)
+    val capped = pin(events
+      .select(user.as("__u"), ts.as("__ts"), eventType.as("__et"),
+        tieBreak.as("__tb"))
+      .filter(col("__et").isin(steps: _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxEventsPerUserType)
+      .select(col("__u"), col("__ts"), col("__et")))
+    val g = gapMicros
+    val r1 = pin(capped.filter(col("__et") === steps.head)
+      .select(col("__u"), col("__ts")).distinct())
+    val frames = steps.tail.scanLeft(r1) { (prev, s) =>
+      // [r, r+g] with bucket width g spans exactly the two buckets
+      // ⌊r/g⌋ and ⌊r/g⌋+1; micros stay < 2^53, so the double floor
+      // division is exact. The window predicate re-applies post-join.
+      val iv = prev.select(col("__u").as("__ru"),
+          unix_micros(col("__ts")).as("__rt"))
+        .withColumn("__rb", explode(sequence(
+          floor(col("__rt") / g), floor((col("__rt") + g) / g))))
+      val pts = capped.filter(col("__et") === s)
+        .select(col("__u"), col("__ts"))
+        .withColumn("__b", floor(unix_micros(col("__ts")) / g))
+      pin(pts.join(iv,
+          col("__u") === col("__ru") && col("__b") === col("__rb") &&
+            unix_micros(col("__ts")) >= col("__rt") &&
+            unix_micros(col("__ts")) <= col("__rt") + g,
+          "left_semi")
+        .select(col("__u"), col("__ts")).distinct())
+    }
+    val counts = frames.zip(steps).zipWithIndex.map { case ((f, name), i) =>
+      f.agg(countDistinct(col("__u")).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+    val base = frames.head.agg(countDistinct(col("__u")).as("__n1"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("n_users"),
+        when(col("__n1") > 0,
+          round(col("n_users").cast("double") / col("__n1").cast("double"),
+            4)).as("rate"))
+  }
+
   /** Gap-based sessionization: append a per-user 1-based session
     * sequence (`seqCol`) to the event frame — a new session starts at
     * the user's first event and at every event whose gap from the

@@ -212,13 +212,25 @@ object Ranking {
       lambdaJm: Double = 0.75,
       materialize: Boolean = true): DataFrame = {
     val toks = tokens(text)
+    // ONE explicit (w1, w2) exchange serves the whole chain (q62's
+    // trick): HashPartitioning(w1, w2) satisfies the (id, w1, w2)
+    // aggregation's clustering (subset of the group keys), pairCnt's
+    // (w1, w2) grouping, AND the final probe join's distribution on
+    // both sides — so the doc-bigram frame, the biggest thing in the
+    // query, is shuffled exactly once. (The groupBy-planned exchange
+    // would hash on all three keys and force the probe to re-shuffle
+    // it by (w1, w2).) Explicit partition count: a bare repartition
+    // is AQE-coalescible and the pre-aggregation frame would collapse.
     val docBg = df.select(id.as("__id"), toks.as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("__id"), explode(
         transform(sequence(lit(0), size(col("toks")) - 2), i => struct(
           element_at(col("toks"), i + 1).as("w1"),
           element_at(col("toks"), i + 2).as("w2")))).as("bg"))
-      .groupBy(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("w1"), col("w2"))
+      .groupBy(col("__id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
     withCounts(docBg, materialize) { tf =>
       val pairCnt = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Subword tokenization: a corpus-trained substring vocabulary and the
+  * greedy longest-match encoder over it — the real "text → subword ids"
+  * step every modern pretraining pipeline runs (wordpiece/sentencepiece
+  * greedy flavor), replacing the count-only
+  * [[TextFunctions.subwordCount]] approximation.
+  *
+  * Training here is frequency selection, not iterative BPE merging: the
+  * vocabulary is the corpus's `vocabSize` most frequent word substrings
+  * of length ≤ `maxPieceLen` (count desc, piece asc — the same
+  * deterministic selection discipline as [[Ranking.vocabEncode]]).
+  * Greedy longest-match encoding against such a vocabulary is exactly
+  * wordpiece's inference rule; the training simplification trades BPE's
+  * merge order for an engine-portable, oracle-expressible definition.
+  *
+  * Encoding walks each word left to right, at each position taking the
+  * LONGEST vocabulary piece that matches (ties impossible: one piece
+  * per (word, position, length)); a position matching nothing emits the
+  * UNK id −1 and advances one character, so every word encodes and the
+  * walk always terminates in ≤ len steps. Pieces never span words —
+  * the whitespace pre-tokenization is [[TextFunctions.tokens]], shared
+  * with every other token-denominated operator.
+  *
+  * Scale shape: vocabulary selection is one explode + count aggregation
+  * (substring volume ≤ len·maxPieceLen per word event) with a
+  * TakeOrderedAndProject top-V — never a global sort. The encode pass
+  * is one codegen'd map over documents: the walk is an `aggregate` HOF
+  * with exactly `len` iterations per word, probing a vocabulary MAP
+  * LITERAL (`maxPieceLen` probes per position). The literal is the PQ
+  * codebook trade ([[Similarity.pqIndex]]): a parameter-sized
+  * driver-collected table shipped into codegen, O(V) per probe under
+  * Catalyst's array-backed map — right for the query-sized V here; a
+  * 100 k-piece production vocabulary would swap the literal for a
+  * broadcast join on (word, position) candidates, same semantics. */
+object Subword {
+
+  /** Corpus-trained substring vocabulary: all substrings of length
+    * 1..`maxPieceLen` of every word OCCURRENCE (frequency-weighted, not
+    * distinct-word), top `vocabSize` by (count desc, piece asc), dense
+    * ids 0..V−1 in that order. Output: (piece, n, vid). */
+  def vocab(
+      df: DataFrame, text: Column, vocabSize: Int,
+      maxPieceLen: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    require(maxPieceLen >= 1, "maxPieceLen must be positive")
+    val w = col("__w")
+    val subs = flatten(transform(sequence(lit(0), length(w) - 1), i =>
+      transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - i)),
+        l => w.substr(i + 1, l))))
+    Dedup.spread(df)
+      .select(explode(TextFunctions.tokens(coalesce(text, lit(""))))
+        .as("__w"))
+      .filter(length(w) > 0)
+      .select(explode(subs).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece").asc)
+      .limit(vocabSize)
+      .select(col("piece"), col("n"),
+        (row_number().over(Window.orderBy(col("n").desc, col("piece").asc))
+          - 1).as("vid"))
+  }
+
+  /** Greedy longest-match encode of every word in `text` against a
+    * (piece → id) vocabulary. Output: (doc_id, n_words, n_pieces,
+    * fertility, ids) — `fertility` = pieces per word rounded to 4 dp
+    * (null for empty docs), `ids` the ">"-joined id string across the
+    * doc's words in order (UNK = −1, kept visible — same contract as
+    * [[Ranking.vocabEncode]]). */
+  def encodeWithVocab(
+      df: DataFrame, id: Column, text: Column,
+      vocab: Seq[(String, Int)], maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1, "maxPieceLen must be positive")
+    require(vocab.nonEmpty, "vocabulary must be non-empty")
+    val vmap = typedLit(vocab.toMap)
+
+    def encodeWord(w: Column): Column =
+      when(length(w) === 0, array().cast("array<int>")).otherwise(
+        aggregate(
+          // len iterations; each advances pos by ≥1, so the walk is
+          // complete by construction; finished positions no-op.
+          sequence(lit(1), length(w)),
+          struct(lit(1).as("pos"), array().cast("array<int>").as("ids")),
+          (acc, _) => {
+            val pos = acc.getField("pos")
+            val ids = acc.getField("ids")
+            // Candidate lengths 1..M whose piece (a) stays inside the
+            // word — substr silently truncates past the end and would
+            // otherwise record a too-long advance for a shorter match —
+            // and (b) is in vocabulary. array_max picks the longest
+            // (struct compare: first field l).
+            val cands = filter(
+              transform(sequence(lit(1), lit(maxPieceLen)), l =>
+                struct(l.as("l"), element_at(vmap, w.substr(pos, l))
+                  .as("vid"))),
+              s => s.getField("vid").isNotNull &&
+                s.getField("l") <= length(w) - pos + 1)
+            val best = array_max(cands)
+            when(pos > length(w), acc).otherwise(
+              when(size(cands) === 0,
+                struct((pos + 1).as("pos"),
+                  concat(ids, array(lit(-1))).as("ids")))
+                .otherwise(
+                  struct((pos + best.getField("l")).as("pos"),
+                    concat(ids, array(best.getField("vid"))).as("ids"))))
+          },
+          acc => acc.getField("ids")))
+
+    val t = coalesce(text, lit(""))
+    Dedup.spread(df)
+      .select(id.cast("long").as("doc_id"),
+        TextFunctions.tokenCount(t).cast("long").as("n_words"),
+        flatten(transform(TextFunctions.tokens(t), encodeWord(_)))
+          .as("__pieces"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("__pieces")).cast("long").as("n_pieces"),
+        when(col("n_words") > 0,
+          round(size(col("__pieces")).cast("double") /
+            col("n_words").cast("double"), 4)).as("fertility"),
+        array_join(transform(col("__pieces"), _.cast("string")), ">")
+          .as("ids"))
+  }
+
+  /** Train-then-encode in one call: [[vocab]] on the corpus (a
+    * V-bounded driver collect, the PQ-codebook size class), then
+    * [[encodeWithVocab]] over the same corpus. */
+  def trainEncode(
+      df: DataFrame, id: Column, text: Column, vocabSize: Int,
+      maxPieceLen: Int): DataFrame = {
+    val v = vocab(df, text, vocabSize, maxPieceLen)
+      .select(col("piece"), col("vid"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .toSeq
+    encodeWithVocab(df, id, text, v, maxPieceLen)
+  }
+}

@@ -362,6 +362,22 @@ object AdvancedQueries {
       .orderBy(asc("step"))
   }
 
+  /** q122 — the q104 funnel under ANY-TOUCH attribution
+    * ([[graft.operators.Funnel.anyTouchFunnel]], 24 h window, events
+    * capped at 256 per user×type): a step converts through ANY chain of
+    * within-window events, not only chains anchored at each step's
+    * first touch — so it recovers the conversions q104's deterministic
+    * first-touch convention writes off (a user whose purchase fits only
+    * a LATER click's window counts here) and is a per-step superset of
+    * q104 by construction (FunnelSpec pins both the superset and a
+    * planted first-touch-miss case). */
+  def q122AnyTouchFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.anyTouchFunnel(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        Seq("view", "click", "purchase"),
+        gapMicros = 24L * 3600L * 1000000L, maxEventsPerUserType = 256)
+      .orderBy(asc("step"))
+
   /** q119 — exact trailing 7-day actives (rolling WAU) per day
     * ([[graft.operators.Funnel.rollingActives]]): the rolling-distinct
     * metric, exact at the day grain through the bucketed range join. */
@@ -378,6 +394,7 @@ object AdvancedQueries {
     "q115_rfm"              -> q115Rfm _,
     "q116_daily_anomalies"  -> q116DailyAnomalies _,
     "q104_windowed_funnel"  -> q104WindowedFunnel _,
+    "q122_anytouch_funnel"  -> q122AnyTouchFunnel _,
     "q105_top_paths"        -> q105TopPaths _,
     "q106_transitions"      -> q106Transitions _,
     "q103_props_histogram"  -> q103PropsHistogram _,
@@ -515,6 +532,34 @@ object AdvancedQueries {
         |     count(*) AS n_users FROM t1
         |   UNION ALL SELECT 2, 'click', count(*) FROM t2
         |   UNION ALL SELECT 3, 'purchase', count(*) FROM t3),
+        | base AS (SELECT n_users AS n1 FROM c WHERE step = 1)
+        |SELECT step, event_type, n_users,
+        |  CASE WHEN n1 > 0 THEN
+        |    round(CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE), 4)
+        |  END AS rate
+        | FROM c CROSS JOIN base ORDER BY step""".stripMargin,
+    "q122_anytouch_funnel" ->
+      """WITH capped AS (SELECT user_id, ts, event_type FROM (
+        |   SELECT user_id, ts, event_type,
+        |     row_number() OVER (PARTITION BY user_id, event_type
+        |       ORDER BY ts, event_id) AS rn
+        |   FROM events
+        |   WHERE event_type IN ('view', 'click', 'purchase'))
+        |  WHERE rn <= 256),
+        | r1 AS (SELECT DISTINCT user_id, ts FROM capped
+        |   WHERE event_type = 'view'),
+        | r2 AS (SELECT DISTINCT e.user_id, e.ts FROM capped e JOIN r1 r
+        |   ON e.user_id = r.user_id AND e.ts >= r.ts
+        |    AND epoch_us(e.ts) <= epoch_us(r.ts) + 86400000000
+        |   WHERE e.event_type = 'click'),
+        | r3 AS (SELECT DISTINCT e.user_id, e.ts FROM capped e JOIN r2 r
+        |   ON e.user_id = r.user_id AND e.ts >= r.ts
+        |    AND epoch_us(e.ts) <= epoch_us(r.ts) + 86400000000
+        |   WHERE e.event_type = 'purchase'),
+        | c AS (SELECT 1 AS step, 'view' AS event_type,
+        |     count(DISTINCT user_id) AS n_users FROM r1
+        |   UNION ALL SELECT 2, 'click', count(DISTINCT user_id) FROM r2
+        |   UNION ALL SELECT 3, 'purchase', count(DISTINCT user_id) FROM r3),
         | base AS (SELECT n_users AS n1 FROM c WHERE step = 1)
         |SELECT step, event_type, n_users,
         |  CASE WHEN n1 > 0 THEN

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cluster, CorpusStats, Dedup, Ranking, Similarity, Split}
+import graft.operators.{Cluster, CorpusStats, Dedup, Ranking, Similarity, Split, Subword}
 import graft.sources.Tables
 
 /** Corpus curation surface: term weighting / retrieval scoring and the
@@ -73,7 +73,10 @@ object CorpusQueries {
     * transition-aware perplexity proxy that catches word-salad docs
     * whose unigram stats look fine ([[Ranking.bigramLogProb]]). */
   def q83BigramLm(spark: SparkSession, dir: String): DataFrame =
-    Ranking.bigramLogProb(Dedup.spread(Tables.documents(spark, dir)),
+    // No spread: bigramLogProb's own explicit (w1, w2) repartition is
+    // the parallelizing exchange (Q83AB: 1.45 s vs 1.67 s with the
+    // extra up-front text shuffle, sf0.1).
+    Ranking.bigramLogProb(Tables.documents(spark, dir),
         col("doc_id"), col("text"))
       .withColumnRenamed("__id", "doc_id")
       .orderBy(asc_nulls_first("doc_id"))
@@ -158,15 +161,46 @@ object CorpusQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** Subword geometry shared by q94's fertility and q121's encoder:
+    * a 50-piece vocabulary of substrings up to 4 chars — small enough
+    * that real multi-piece splits (and UNKs) appear in the fixture. */
+  private val SubwordV = 50
+  private val SubwordM = 4
+
   /** q94 — tokenizer fertility by language
-    * ([[CorpusStats.tokenizerFertility]]): tokens/doc and chars/token
-    * per lang, the numbers that convert per-language doc budgets into
-    * token budgets. */
-  def q94Fertility(spark: SparkSession, dir: String): DataFrame =
-    CorpusStats.tokenizerFertility(Tables.documents(spark, dir),
-        col("lang"), col("text"))
+    * ([[CorpusStats.tokenizerFertility]] + [[Subword.trainEncode]]):
+    * tokens/doc and chars/token per lang, PLUS the real subword
+    * fertility — pieces per word under q121's corpus-trained greedy
+    * encoder (round 12: re-pointed from the count-only
+    * `subwordCount` proxy to the actual encoder), the number that
+    * converts a per-language doc budget into a SUBWORD-token budget. */
+  def q94Fertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = CorpusStats.tokenizerFertility(docs, col("lang"), col("text"))
       .withColumnRenamed("group", "lang")
+    val sub = Subword.trainEncode(docs, col("doc_id"), col("text"),
+        SubwordV, SubwordM)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_pieces")).as("__np"), sum(col("n_words")).as("__nw"))
+      .select(col("lang"),
+        when(col("__nw") > 0,
+          round(col("__np").cast("double") / col("__nw").cast("double"), 4))
+          .as("pieces_per_token"))
+    base.join(sub, Seq("lang"))
       .orderBy(asc_nulls_first("lang"))
+  }
+
+  /** q121 — subword encoding ([[Subword.trainEncode]] at V = 50,
+    * M = 4): the corpus-trained greedy longest-match wordpiece-style
+    * encoder, every doc re-emitted as its subword-id sequence (UNK =
+    * −1, kept visible) with its piece count and fertility — the
+    * subword sibling of q107's word-level encode, and the operator
+    * q94's fertility now measures. */
+  def q121SubwordEncode(spark: SparkSession, dir: String): DataFrame =
+    Subword.trainEncode(Tables.documents(spark, dir), col("doc_id"),
+        col("text"), SubwordV, SubwordM)
+      .orderBy(asc_nulls_first("doc_id"))
 
   /** q95 — sequence-packing efficiency per source at L = 128
     * ([[CorpusStats.packingEfficiency]]): pad-per-doc vs
@@ -216,7 +250,13 @@ object CorpusQueries {
     * text→ids step before tensors, sharing q73's exact vocabulary
     * selection. */
   def q107VocabEncode(spark: SparkSession, dir: String): DataFrame =
-    Ranking.vocabEncode(Dedup.spread(Tables.documents(spark, dir)),
+    // No spread: the per-row work here is one cheap regex tokenize —
+    // locally, shuffling the full text column to parallelize it costs
+    // more than it buys (A/B in Q107AB: 0.90 s spread vs 0.59 s not,
+    // sf0.1) since the aggregation exchanges redistribute immediately
+    // anyway; on a cluster spread is a no-op either way. Heavy-kernel
+    // queries (shingling, subword walks) keep it.
+    Ranking.vocabEncode(Tables.documents(spark, dir),
         col("doc_id"), col("text"), vocabSize = 20)
       .withColumnRenamed("__id", "doc_id")
       .orderBy(asc_nulls_first("doc_id"))
@@ -333,10 +373,62 @@ object CorpusQueries {
     "q110_collocations"      -> q110Collocations _,
     "q111_inverted_index"    -> q111InvertedIndex _,
     "q114_benford"           -> q114Benford _,
+    "q121_subword_encode"    -> q121SubwordEncode _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** Shared CTE block mirroring [[Subword.vocab]]+[[Subword
+    * .encodeWithVocab]] at V = 50, M = 4 (q94's fertility and q121's
+    * encoder): the vocabulary count/top-V, a PRECOMPUTED longest-match
+    * table per (distinct word, position), and the greedy walk as a
+    * recursive CTE over it (each step appends the position's best piece
+    * and jumps its length; no match → −1, advance 1 — exactly the Spark
+    * aggregate-HOF walk). Expects a prior
+    * `t AS (SELECT doc_id, …, text, $$toksSql AS toks FROM documents)`
+    * and the statement to open WITH RECURSIVE. Yields `docids`
+    * (doc_id, pieces INTEGER[]) — one row per doc, pieces in word
+    * order. */
+  private val subwordCtes: String =
+    s"""words AS (SELECT doc_id,
+      |   unnest(range(len(toks))) AS widx,
+      |   unnest(toks) AS w FROM t),
+      | subs AS (SELECT unnest(flatten(list_transform(range(len(w)),
+      |     i -> list_transform(range(1, least(4, len(w) - i) + 1),
+      |       l -> substr(w, CAST(i + 1 AS INTEGER),
+      |         CAST(l AS INTEGER)))))) AS piece
+      |   FROM words WHERE len(w) > 0),
+      | vocab AS (SELECT piece, count(*) AS n,
+      |     CAST(row_number() OVER (ORDER BY count(*) DESC, piece) - 1
+      |       AS INTEGER) AS vid
+      |   FROM subs GROUP BY piece ORDER BY n DESC, piece LIMIT 50),
+      | dw AS (SELECT DISTINCT w FROM words),
+      | wp AS (SELECT w, unnest(range(len(w))) AS pos FROM dw),
+      | cand AS (SELECT wp.w, wp.pos, v.vid, len(v.piece) AS l
+      |   FROM wp JOIN vocab v
+      |     ON len(v.piece) <= len(wp.w) - wp.pos
+      |    AND v.piece = substr(wp.w, CAST(wp.pos + 1 AS INTEGER),
+      |      CAST(len(v.piece) AS INTEGER))),
+      | best AS (SELECT w, pos, arg_max(vid, l) AS vid, max(l) AS step
+      |   FROM cand GROUP BY 1, 2),
+      | bfull AS (SELECT wp.w, wp.pos,
+      |     coalesce(b.vid, -1) AS vid,
+      |     coalesce(b.step, CAST(1 AS BIGINT)) AS step
+      |   FROM wp LEFT JOIN best b USING (w, pos)),
+      | enc AS (
+      |   SELECT w, CAST(0 AS BIGINT) AS pos,
+      |     CAST([] AS INTEGER[]) AS ids FROM dw
+      |   UNION ALL
+      |   SELECT e.w, e.pos + b.step, e.ids || [b.vid]
+      |   FROM enc e JOIN bfull b ON b.w = e.w AND b.pos = e.pos
+      |   WHERE e.pos < len(e.w)),
+      | encf AS (SELECT w, ids FROM enc WHERE pos >= len(w)),
+      | docpieces AS (SELECT wd.doc_id, wd.widx, ef.ids
+      |   FROM words wd JOIN encf ef USING (w)),
+      | docids AS (SELECT doc_id,
+      |     flatten(list(ids ORDER BY widx)) AS pieces
+      |   FROM docpieces GROUP BY doc_id)""".stripMargin
   /** DuckDB decimal-literal trap: `1.2` parses as DECIMAL, so naive
     * arithmetic would run in decimal, not IEEE double. Every fractional
     * constant below is CAST to DOUBLE so both engines perform the same
@@ -616,20 +708,53 @@ object CorpusQueries {
         |       WHEN o.old_md5 <> n.new_md5 THEN 'changed' END) IS NOT NULL
         | ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q94_fertility" ->
-      s"""WITH s AS (SELECT lang,
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, text, $toksSql AS toks
+        |   FROM documents),
+        | $subwordCtes,
+        | s AS (SELECT lang,
         |   CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
-        |     ELSE len($toksSql) END AS nt,
+        |     ELSE len(toks) END AS nt,
         |   len(coalesce(text, '')) AS nc
-        |  FROM documents)
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
-        |  CAST(sum(nc) AS BIGINT) AS n_chars,
-        |  CASE WHEN sum(nt) > 0 THEN
-        |    round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 4)
-        |  END AS chars_per_token,
-        |  round(CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
-        |    AS tokens_per_doc
-        | FROM s GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+        |  FROM t),
+        | base AS (SELECT lang, count(*) AS n_docs,
+        |   CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |   CAST(sum(nc) AS BIGINT) AS n_chars,
+        |   CASE WHEN sum(nt) > 0 THEN
+        |     round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 4)
+        |   END AS chars_per_token,
+        |   round(CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |     AS tokens_per_doc
+        |  FROM s GROUP BY lang),
+        | subagg AS (SELECT lang,
+        |   CAST(sum(len(pieces)) AS BIGINT) AS np,
+        |   CAST(sum(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |     ELSE len(toks) END) AS BIGINT) AS nw
+        |  FROM t JOIN docids USING (doc_id) GROUP BY lang)
+        |SELECT base.lang, n_docs, n_tokens, n_chars, chars_per_token,
+        |  tokens_per_doc,
+        |  CASE WHEN nw > 0 THEN
+        |    round(CAST(np AS DOUBLE) / CAST(nw AS DOUBLE), 4)
+        |  END AS pieces_per_token
+        | FROM base JOIN subagg ON base.lang = subagg.lang
+        | ORDER BY base.lang NULLS FIRST""".stripMargin,
+    "q121_subword_encode" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, text, $toksSql AS toks
+        |   FROM documents),
+        | $subwordCtes
+        |SELECT t.doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END
+        |    AS BIGINT) AS n_words,
+        |  CAST(coalesce(len(pieces), 0) AS BIGINT) AS n_pieces,
+        |  CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(toks) END) > 0 THEN
+        |    round(CAST(len(pieces) AS DOUBLE)
+        |      / CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |          ELSE len(toks) END AS DOUBLE), 4)
+        |  END AS fertility,
+        |  coalesce(array_to_string(list_transform(pieces,
+        |    x -> CAST(x AS VARCHAR)), '>'), '') AS ids
+        | FROM t LEFT JOIN docids USING (doc_id)
+        | ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q95_pack_efficiency" ->
       s"""WITH s AS (SELECT source,
         |   CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0

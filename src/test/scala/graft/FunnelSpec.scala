@@ -43,6 +43,61 @@ class FunnelSpec extends SparkSpec {
     ))
   }
 
+  test("anyTouchFunnel: recovers the conversion first-touch writes off") {
+    val hour = 3600L * 1000000L
+    val ev = Seq(
+      // u1: purchase fits only the SECOND click's 1h window — the
+      // first-touch anchor (click 10:00) expires at 11:00, so q104's
+      // convention stops at step 2; any-touch converts.
+      (1L, 1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, 2L, t("2024-01-01 10:00:30"), "click"),
+      (1L, 3L, t("2024-01-01 10:59:00"), "click"),
+      (1L, 4L, t("2024-01-01 11:30:00"), "purchase"),
+      // u2: converts within first-touch windows too — both agree.
+      (2L, 5L, t("2024-01-02 09:00:00"), "view"),
+      (2L, 6L, t("2024-01-02 09:10:00"), "click"),
+      (2L, 7L, t("2024-01-02 09:20:00"), "purchase"),
+      // u3: purchase beyond every click's window — neither converts.
+      (3L, 8L, t("2024-01-03 09:00:00"), "view"),
+      (3L, 9L, t("2024-01-03 09:10:00"), "click"),
+      (3L, 10L, t("2024-01-03 11:00:00"), "purchase"),
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val first = Funnel.conversionFunnel(ev, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"),
+        maxGapMicros = Some(hour))
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    val any = Funnel.anyTouchFunnel(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"),
+        Seq("view", "click", "purchase"), gapMicros = hour,
+        maxEventsPerUserType = 100)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(first.toSeq == Seq((1, 3L), (2, 3L), (3, 1L))) // only u2
+    assert(any.toSeq == Seq((1, 3L), (2, 3L), (3, 2L)))   // u1 AND u2
+    // Any-touch dominates first-touch per step by construction.
+    assert(first.zip(any).forall { case ((_, f), (_, a)) => a >= f })
+  }
+
+  test("anyTouchFunnel: the per-user event cap is earliest-K and one-sided") {
+    val hour = 3600L * 1000000L
+    // u1's FIRST 2 clicks are both stale for the purchase; the third
+    // (in-window) click is beyond cap=2 — the conversion is MISSED
+    // (never invented): the documented one-sided cap contract.
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 08:00:00"), "view"),
+      (1L, 2L, t("2024-01-01 08:00:10"), "click"),
+      (1L, 3L, t("2024-01-01 08:00:20"), "click"),
+      (1L, 4L, t("2024-01-01 08:50:00"), "click"),
+      (1L, 5L, t("2024-01-01 09:30:00"), "purchase"),
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    def run(cap: Int) = Funnel.anyTouchFunnel(ev, col("user_id"),
+        col("ts"), col("event_type"), col("event_id"),
+        Seq("view", "click", "purchase"), gapMicros = hour,
+        maxEventsPerUserType = cap)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(run(2) == Seq((1, 1L), (2, 1L), (3, 0L)))
+    assert(run(3) == Seq((1, 1L), (2, 1L), (3, 1L)))
+  }
+
   test("conversionFunnel: a user's earliest qualifying event anchors the next step") {
     // u1's first view is 10:00; the 09:00 click is stale but the 10:30
     // click qualifies — min(qualifying), not min(all).

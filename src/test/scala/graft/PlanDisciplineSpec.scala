@@ -38,8 +38,8 @@ class PlanDisciplineSpec extends SparkSpec {
     *     a cross of 1-row recallStats aggregates,
     *   - q81: the 1-row token-budget scalar broadcast under the
     *     cumulative-sum frame,
-    *   - q101/q104/q118: the 1-row step-1 entity count crossed under the
-    *     |steps|-row funnel summary for the conversion-rate column,
+    *   - q101/q104/q118/q122: the 1-row step-1 entity count crossed
+    *     under the |steps|-row funnel summary for the rate column,
     *   - q120: q96's mix-rate build inside the composed curation
     *     pipeline (the ≤|strata|-row count frame crossed with its 1-row
     *     total — same constant-size broadcast, one stage later). */
@@ -51,7 +51,7 @@ class PlanDisciplineSpec extends SparkSpec {
     "q72_unigram_logprob", "q75_source_kl", "q110_collocations",
     "q78_ivf_recall", "q79_lsh_recall", "q89_pq_recall", "q81_token_budget",
     "q101_funnel", "q104_windowed_funnel", "q118_session_funnel",
-    "q120_curation_pipeline")
+    "q120_curation_pipeline", "q122_anytouch_funnel")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

@@ -264,4 +264,77 @@ class EventStreamSpec extends SparkSpec {
       assert(sess.endTs == Timestamp.valueOf("2024-01-01 01:20:00"))
     } finally q.stop()
   }
+
+  test("streaming active-day feed reproduces the batch rolling actives") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val feed = EventStream.activeDayStream(input.toDS(), windowDays = 3)
+    val q = feed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ev_actives")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: u1 Jan 1 twice (same-day dedup), u2 Jan 1
+      input.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 0),
+        Event(2, Timestamp.valueOf("2024-01-01 15:00:00"), 1, "click", 0),
+        Event(3, Timestamp.valueOf("2024-01-01 11:00:00"), 2, "view", 0))
+      q.processAllAvailable()
+      // batch 2: u1 Jan 3 + a cross-batch repeat of Jan 1 (in-window:
+      // deduped, not re-emitted); u2 Jan 4
+      input.addData(
+        Event(4, Timestamp.valueOf("2024-01-03 09:00:00"), 1, "view", 0),
+        Event(5, Timestamp.valueOf("2024-01-01 23:00:00"), 1, "view", 0),
+        Event(6, Timestamp.valueOf("2024-01-04 09:00:00"), 2, "view", 0))
+      q.processAllAvailable()
+      val got = spark.table("ev_actives").as[ActiveDay].collect()
+        .map(a => (a.user_id, a.day.toString))
+      assert(got.length == got.distinct.length, "a (user, day) re-emitted")
+      assert(got.toSet == Set(
+        (1L, "2024-01-01"), (2L, "2024-01-01"),
+        (1L, "2024-01-03"), (2L, "2024-01-04")))
+      // The trailing-window count over the EMISSIONS equals the batch
+      // operator on the raw events — the emissions are its exact input.
+      val allEv = Seq(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 15:00:00")),
+        (2L, Timestamp.valueOf("2024-01-01 11:00:00")),
+        (1L, Timestamp.valueOf("2024-01-03 09:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 23:00:00")),
+        (2L, Timestamp.valueOf("2024-01-04 09:00:00")),
+      ).toDF("user_id", "ts")
+      val batch = graft.operators.Funnel.rollingActives(allEv,
+          col("user_id"), col("ts"), windowDays = 3)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      val fromFeed = spark.table("ev_actives")
+        .select(col("user_id"), col("day").cast("timestamp").as("ts"))
+      val streamed = graft.operators.Funnel.rollingActives(fromFeed,
+          col("user_id"), col("ts"), windowDays = 3)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("streaming active-day feed drops beyond-window late days, one-sided") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val feed = EventStream.activeDayStream(input.toDS(), windowDays = 3)
+    val q = feed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ev_actives2")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Event(1, Timestamp.valueOf("2024-01-10 10:00:00"), 1, "view", 0))
+      q.processAllAvailable()
+      // Jan 5 is 5 days behind the user's newest day (window 3): every
+      // trailing window containing it has already ended — dropped, and
+      // dedup state for it no longer exists, so dropping also prevents
+      // any double-emission. Jan 8 (2 behind) is in-window: emitted.
+      input.addData(
+        Event(2, Timestamp.valueOf("2024-01-05 10:00:00"), 1, "view", 0),
+        Event(3, Timestamp.valueOf("2024-01-08 10:00:00"), 1, "view", 0))
+      q.processAllAvailable()
+      val got = spark.table("ev_actives2").as[ActiveDay].collect()
+        .map(_.day.toString).toSet
+      assert(got == Set("2024-01-10", "2024-01-08"))
+    } finally q.stop()
+  }
 }
