@@ -654,6 +654,49 @@ object Dedup {
       .select(col("id"), col("n_sh"), col("n_hit"), col("overlap"))
   }
 
+  /** Pair-level contamination PROVENANCE — [[crossCorpusOverlap]]
+    * answers "how contaminated is this doc"; audits need "by WHICH
+    * reference doc": every (probe, reference) pair sharing at least
+    * `minShared` distinct n-grams, with the shared count and the
+    * probe-side containment fraction. This is the report that turns a
+    * decontamination cut into an evidence trail (which benchmark items
+    * leaked, and into which training docs).
+    *
+    * Scale shape: both sides shingle once to hashed longs (the family's
+    * fixed-width-shuffle trade), the pair candidates come from one
+    * gram-keyed equi-join, and everything after is bounded by the
+    * SHARED-gram volume, which `minShared` then thresholds. A
+    * stop-phrase gram that appears in most docs on both sides fans the
+    * join out toward |probe|·|ref| for that gram — the hot-band risk
+    * the LSH/Bloom family documents; at benchmark-decontamination
+    * geometry the reference side is small and curated, which is what
+    * bounds it in practice (the screen-first path is
+    * [[crossCorpusOverlapBloom]], then THIS only over flagged docs).
+    * Output: (probe_id, ref_id, n_shared, containment — of the PROBE's
+    * gram set, 4 dp). */
+  def contaminationPairs(
+      probe: DataFrame, probeId: Column, probeText: Column,
+      ref: DataFrame, refId: Column, refText: Column,
+      n: Int, minShared: Long): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val p = spread(probe).select(
+      probeId.cast("long").as("probe_id"),
+      graft.expressions.HashedShingles.shingles(probeText, n).as("s"))
+      .withColumn("n_sh", size(col("s")))
+    val pe = p.select(col("probe_id"), col("n_sh"),
+      explode(col("s")).as("g"))
+    val re = spread(ref).select(refId.cast("long").as("ref_id"),
+      explode(graft.expressions.HashedShingles.shingles(refText, n))
+        .as("g"))
+    pe.join(re, Seq("g"))
+      .groupBy(col("probe_id"), col("ref_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("probe_id"), col("ref_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_sh").cast("double"),
+          4).as("containment"))
+  }
+
   /** Bloom-filtered variant of [[crossCorpusOverlap]] — the
     * decontamination shape where the REFERENCE side (benchmark/eval
     * suites) is bounded and the probe side is the 100 TB training

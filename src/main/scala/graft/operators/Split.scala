@@ -176,6 +176,76 @@ object Split {
         col("cum_tokens"))
   }
 
+  /** Exact-size weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): keep the `k` rows with the largest key
+    * `u^(1/w)` where `u` is the row's deterministic md5 fraction —
+    * each draw lands with probability proportional to its weight, the
+    * sample size is EXACTLY k, and no sampler state or RNG stream
+    * exists (reruns, retries, and engines all agree). This is the
+    * "pick 10 M docs, quality-weighted, exactly" selector the
+    * rate-based mixers ([[temperatureSample]], [[matchTargetMix]])
+    * cannot express: Bernoulli rates hit a size only in expectation.
+    *
+    * Zero-weight rows are excluded up front (their selection
+    * probability is zero; keeping them would just make `pow(u, ∞)`
+    * edge cases portable-by-luck). Keys are rounded to 6 dp with id
+    * tie-break before ranking — the library's standard cross-engine
+    * libm discipline (`pow` may differ in the last ulp between
+    * engines; at 6 dp collisions resolve identically by id on both).
+    *
+    * Scale shape: one projection computes the key, the global top-k is
+    * the two-phase [[ScalableWindow.runningTotalBy]] rank (range
+    * partition + per-partition window — no single-partition window, no
+    * driver-bound limit(k) for large k), and the cut is a plain filter.
+    * Output: (doc_id, weight, key, rank). */
+  def weightedSampleExact(
+      df: DataFrame, id: Column, weight: Column, k: Long,
+      partitions: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val keyed = df.select(id.cast("long").as("doc_id"),
+        weight.cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("key",
+        round(pow(hashFraction(col("doc_id")), lit(1.0) / col("weight")), 6))
+    ScalableWindow.runningTotalBy(keyed,
+        Seq(col("key").desc, col("doc_id").asc), lit(1L), "rank",
+        partitions)
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("weight"), col("key"), col("rank"))
+  }
+
+  /** Token-BALANCED shard assignment — [[assignShards]]'s hash form
+    * balances ROW counts in expectation; training shards actually need
+    * near-equal TOKEN totals, or the heaviest shard gates every epoch
+    * step. Documents are ranked globally by (weight desc, id asc) and
+    * dealt serpentine ("snake"/boustrophedon — rank positions
+    * 1..2n fold as 0,1,…,n−1,n−1,…,1,0): each full pass gives every
+    * shard one heavy and one light pick, so shard totals differ by at
+    * most roughly the largest single weight (plain round-robin leaves
+    * an every-pass bias toward the low shard ids). Deterministic on
+    * any engine; ties break on id.
+    *
+    * Scale shape: the global rank is the two-phase
+    * [[ScalableWindow.runningTotalBy]] (range partition + per-partition
+    * window + exact offset add — no single-partition window); the fold
+    * arithmetic is one codegen'd projection. Output: (doc_id, weight,
+    * shard). */
+  def balancedShards(
+      df: DataFrame, id: Column, weight: Column, nShards: Int,
+      partitions: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val ranked = ScalableWindow.runningTotalBy(
+      df.select(id.cast("long").as("doc_id"),
+        weight.cast("long").as("weight")),
+      Seq(col("weight").desc, col("doc_id").asc),
+      lit(1L), "__rank", partitions)
+    val idx = (col("__rank") - 1) % (2 * nShards)
+    ranked.select(col("doc_id"), col("weight"),
+      when(idx < nShards, idx)
+        .otherwise(lit(2 * nShards - 1) - idx)
+        .cast("int").as("shard"))
+  }
+
   /** Per-stratum percentile calibration of a raw score — the step that
     * makes quality scores COMPARABLE across sources before a global
     * cut: a classifier (or proxy metric) scores each domain on its own

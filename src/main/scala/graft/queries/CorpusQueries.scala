@@ -270,6 +270,31 @@ object CorpusQueries {
       .select(col("doc_id"), col("shard"))
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** q123 — token-balanced shard assignment ([[Split.balancedShards]]
+    * at 8 shards): global (weight desc, id) rank dealt serpentine, so
+    * shard TOKEN totals equalize where q108's hash form only balances
+    * row counts. The gated output is the per-shard rollup — the number
+    * a training job actually schedules by. */
+  def q123BalancedShards(spark: SparkSession, dir: String): DataFrame =
+    Split.balancedShards(Tables.documents(spark, dir), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(coalesce(col("text"),
+          lit(""))),
+        nShards = 8, partitions = spark.sparkContext.defaultParallelism)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("total_tokens"))
+      .orderBy(asc("shard"))
+
+  /** q125 — exact-size weighted sample
+    * ([[Split.weightedSampleExact]], k = 100 by stored size): the
+    * Efraimidis–Spirakis top-k that rate-based mixers can't express —
+    * EXACTLY k docs, selection probability ∝ n_chars, no RNG state,
+    * identical on every engine/run. */
+  def q125WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Split.weightedSampleExact(Tables.documents(spark, dir), col("doc_id"),
+        col("n_chars"), k = 100L,
+        partitions = spark.sparkContext.defaultParallelism)
+      .orderBy(asc("rank"))
+
   /** q109 — deterministic strided interleave across sources
     * ([[Split.interleaveOrder]]): the merged training order that
     * round-robins sources instead of concatenating them. */
@@ -374,6 +399,8 @@ object CorpusQueries {
     "q111_inverted_index"    -> q111InvertedIndex _,
     "q114_benford"           -> q114Benford _,
     "q121_subword_encode"    -> q121SubwordEncode _,
+    "q123_balanced_shards"   -> q123BalancedShards _,
+    "q125_weighted_sample"   -> q125WeightedSample _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -737,6 +764,31 @@ object CorpusQueries {
         |  END AS pieces_per_token
         | FROM base JOIN subagg ON base.lang = subagg.lang
         | ORDER BY base.lang NULLS FIRST""".stripMargin,
+    "q125_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight
+        |   FROM documents WHERE n_chars > 0),
+        | kk AS (SELECT doc_id, weight,
+        |   round(pow($hashFracSql,
+        |     CAST(1.0 AS DOUBLE) / weight), 6) AS key
+        |  FROM d),
+        | r AS (SELECT doc_id, weight, key,
+        |   row_number() OVER (ORDER BY key DESC, doc_id) AS rank FROM kk)
+        |SELECT doc_id, weight, key, CAST(rank AS BIGINT) AS rank
+        | FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "q123_balanced_shards" ->
+      s"""WITH d AS (SELECT doc_id,
+        |   CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |     ELSE len($toksSql) END AS w
+        |  FROM documents),
+        | r AS (SELECT doc_id, w,
+        |   row_number() OVER (ORDER BY w DESC, doc_id) AS rn FROM d),
+        | s AS (SELECT doc_id, w,
+        |   CAST(CASE WHEN (rn - 1) % 16 < 8 THEN (rn - 1) % 16
+        |        ELSE 15 - ((rn - 1) % 16) END AS INTEGER) AS shard
+        |  FROM r)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS total_tokens
+        | FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "q121_subword_encode" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, text, $toksSql AS toks
         |   FROM documents),

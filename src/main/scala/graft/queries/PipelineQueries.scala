@@ -341,6 +341,21 @@ object PipelineQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** q124 — contamination provenance ([[Dedup.contaminationPairs]] at
+    * n = 3, minShared = 5): every (training doc, held-out src0 doc)
+    * pair sharing ≥ 5 distinct 3-grams, with the shared count and the
+    * probe-side containment — the evidence trail behind q43's
+    * per-doc fractions (WHICH benchmark items leaked into WHICH
+    * training docs). */
+  def q124ContaminationPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contaminationPairs(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        n = 3, minShared = 5L)
+      .orderBy(asc_nulls_first("probe_id"), asc_nulls_first("ref_id"))
+  }
+
   /** q76 — Bloom-screened decontamination: q43's shape through
     * [[Dedup.crossCorpusOverlapBloom]] — the corpus side folds into a
     * broadcast Bloom filter (one shuffle-free treeAggregate pass;
@@ -797,6 +812,7 @@ object PipelineQueries {
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
+    "q124_contamination_pairs" -> q124ContaminationPairs _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -977,6 +993,25 @@ object PipelineQueries {
         |   md5(coalesce(c.text_clean, '')) AS clean_md5
         | FROM t LEFT JOIN clean c USING (doc_id)
         | ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q124_contamination_pairs" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks
+        |   FROM documents),
+        | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM t),
+        | pe AS (SELECT doc_id AS probe_id, len(s) AS n_sh, unnest(s) AS g
+        |   FROM sh WHERE source <> 'src0'),
+        | re AS (SELECT doc_id AS ref_id, unnest(s) AS g
+        |   FROM sh WHERE source = 'src0'),
+        | j AS (SELECT probe_id, ref_id, n_sh, count(*) AS n_shared
+        |   FROM pe JOIN re USING (g) GROUP BY 1, 2, 3)
+        |SELECT probe_id, ref_id, CAST(n_shared AS BIGINT) AS n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE), 4)
+        |    AS containment
+        | FROM j WHERE n_shared >= 5
+        | ORDER BY probe_id NULLS FIRST, ref_id NULLS FIRST""".stripMargin,
     // q120: the whole curation chain as ONE statement — q37's scored
     // filter, q64's recursive-CTE dedup (restricted to the filtered
     // set), q43's overlap with src0 as the REFERENCE gram set, q96's

@@ -225,6 +225,54 @@ class CorpusMixSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedSampleExact: exactly k, weight-skewed, partition-invariant") {
+    // 500 heavy (w=100) + 500 light (w=1) docs: u^(1/100) crowds near
+    // 1 while u^(1/1) stays uniform, so the top-100 should be almost
+    // entirely heavy — deterministic, so the exact counts are stable.
+    val df = ((0L until 500L).map(i => (i, 100L)) ++
+      (500L until 1000L).map(i => (i, 1L)) ++
+      Seq((2000L, 0L))) // zero weight: excluded, never sampled
+      .toDF("id", "w")
+    val got = Split.weightedSampleExact(df, col("id"), col("w"), k = 100L,
+        partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.length == 100, s"expected exactly k rows, got ${got.length}")
+    assert(got.map(_._2).sorted.toSeq == (1L to 100L).toSeq)
+    val heavy = got.count(_._1 < 500L)
+    assert(heavy > 85, s"weighting not biasing the draw: heavy=$heavy")
+    assert(!got.exists(_._1 == 2000L))
+    // Same sample regardless of physical layout.
+    val again = Split.weightedSampleExact(df.repartition(7), col("id"),
+        col("w"), k = 100L, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._2)
+    assert(again.toSeq == got.sortBy(_._2).toSeq)
+  }
+
+  test("balancedShards: serpentine deal, hand-computed totals") {
+    // weights desc: 10,9,8,7,2,1; snake over 2 shards folds ranks as
+    // shard 0,1,1,0,0,1 -> totals {19, 18} (plain round-robin would
+    // give {20, 17} — the every-pass bias the fold removes).
+    val df = Seq((1L, 10L), (2L, 9L), (3L, 8L), (4L, 7L), (5L, 2L),
+      (6L, 1L)).toDF("id", "w")
+    val got = Split.balancedShards(df, col("id"), col("w"), nShards = 2,
+        partitions = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0,
+      6L -> 1))
+  }
+
+  test("balancedShards: token totals differ by at most the largest weight") {
+    val df = (0L until 500L).map(i => (i, (i * 37 % 211) + 1))
+      .toDF("id", "w")
+    val totals = Split.balancedShards(df, col("id"), col("w"),
+        nShards = 8, partitions = 5)
+      .groupBy("shard").agg(sum("weight").as("t"))
+      .collect().map(_.getLong(1))
+    assert(totals.length == 8)
+    assert(totals.max - totals.min <= 211,
+      s"imbalance ${totals.max - totals.min}")
+  }
+
   test("interleaveOrder: positions unique and strictly cycling strata") {
     val rows = (0L until 30L).map(i => (i, s"src${i % 3}")) ++
       (30L until 40L).map(i => (i, "src0")) // src0 longer than the rest

@@ -409,6 +409,29 @@ class DedupSpec extends SparkSpec {
     assert(got(101L) == 0.0, s"novel overlap ${got(101L)}")
   }
 
+  test("contaminationPairs: provenance pairs at the shared-gram threshold") {
+    val ref = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta"),   // 5 distinct 3-grams
+      (1L, "totally different reference content here now"))
+      .toDF("id", "text")
+    val probe = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta"), // all 5 shared w/ 0
+      (101L, "alpha beta gamma delta epsilon"),          // 3 shared w/ 0
+      (102L, "nothing in common with anything at all"))
+      .toDF("id", "text")
+    def run(minShared: Long) = Dedup.contaminationPairs(
+        probe, col("id"), col("text"), ref, col("id"), col("text"),
+        n = 3, minShared = minShared)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val strict = run(5L)
+    // only the full copy survives the bar; containment of ITS gram set
+    assert(strict == Map((100L, 0L) -> ((5L, 1.0))))
+    val loose = run(3L)
+    assert(loose.keySet == Set((100L, 0L), (101L, 0L)))
+    assert(loose((101L, 0L)) == ((3L, 1.0))) // all 3 of probe 101's grams
+  }
+
   test("ngramJaccardPairs maxShingleFreq drops stop-shingle-only pairs") {
     // 10 docs sharing one ubiquitous shingle; two real dups.
     val many = ((0 until 10).map(i => (i.toLong, s"common shingle here unique$i word$i tail$i"))
