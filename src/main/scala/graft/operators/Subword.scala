@@ -140,4 +140,103 @@ object Subword {
       .toSeq
     encodeWithVocab(df, id, text, v, maxPieceLen)
   }
+
+  /** Left-to-right non-overlapping merge of adjacent symbol pair
+    * (a, b) → a+b over a symbol array — one BPE merge application. A
+    * fold: the accumulator's LAST symbol merges with the incoming one
+    * exactly when they equal (a, b); the freshly merged symbol is a+b,
+    * which re-merges only if (a, b) = (a+b, …) holds — the standard
+    * single-pass scan semantics ("aaa" under (a,a) → [aa, a]). */
+  private def mergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Adjacent symbol pairs of a symbol array as array&lt;struct(a,
+    * b)&gt;; empty for arrays shorter than 2 (the guard matters:
+    * Spark's `sequence(1, 0)` DESCENDS instead of being empty). */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(transform(sequence(lit(1), size(syms) - 1), i =>
+        struct(element_at(syms, i).as("a"),
+          element_at(syms, i + 1).as("b"))))
+
+  /** Byte-pair-encoding merge TRAINING — the iterative merge learner
+    * q121's frequency-selected vocabulary deliberately simplified away.
+    * Output: (step, l_sym, r_sym, merged, cnt) — the first `nMerges`
+    * merges in learned order, `cnt` the frequency-weighted count of the
+    * winning adjacent pair at the time it won (ties: count desc, left
+    * asc, right asc — fully deterministic, no RNG).
+    *
+    * The classic Sennrich et al. (ACL 2016) formulation: statistics
+    * live on the DISTINCT-WORD table (word → occurrence count), never
+    * on raw documents — pair counting per iteration touches
+    * Heaps'-law-bounded vocabulary rows, not corpus rows, so the
+    * per-iteration cost is independent of corpus size once the one
+    * corpus pass builds the word table. Symbols start as single
+    * characters (no end-of-word marker — a declared simplification;
+    * adding one is a one-line change to the init projection and the
+    * oracle's `s0`). Each iteration: adjacent-pair explode + count
+    * aggregation over the word table, a ONE-ROW driver collect (the
+    * winning pair — the Lloyd-centroid bounded-collect class), then a
+    * codegen'd fold ([[mergeOnce]]) rewrites every word's symbols;
+    * the rewritten table is pinned ([[Materialize.pin]]) so iteration
+    * k never replays iterations 1..k−1's folds. Stops early if no
+    * adjacent pair remains (every word fully merged). */
+  def bpeMerges(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be positive")
+    val spark = df.sparkSession
+    val words = Dedup.spread(df)
+      .select(explode(TextFunctions.tokens(coalesce(text, lit(""))))
+        .as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var syms = Materialize.pin(words.select(col("w"), col("n"),
+      transform(sequence(lit(0), length(col("w")) - 1),
+        i => col("w").substr(i + 1, lit(1))).as("syms")))
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = syms
+        .select(col("n"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a"), col("p.b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a: String = top(0).getString(0)
+        val b: String = top(0).getString(1)
+        val cnt: Long = top(0).getLong(2)
+        out += ((step, a, b, a + b, cnt))
+        syms = Materialize.pin(
+          syms.withColumn("syms", mergeOnce(col("syms"), a, b)))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    out.result().toDF("step", "l_sym", "r_sym", "merged", "cnt")
+      .orderBy(col("step"))
+  }
+
+  /** Apply a learned merge list (in order) to one word column —
+    * BPE inference, the companion of [[bpeMerges]]. Output: the word's
+    * final symbol array. Expression depth grows with the merge count
+    * (one [[mergeOnce]] fold per merge) — right for the
+    * parameter-sized merge lists trained here; a production
+    * thousand-merge vocabulary would encode via the trie walk in
+    * [[encodeWithVocab]] against the merge-closure vocabulary
+    * instead. */
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column = {
+    val init = transform(sequence(lit(0), length(word) - 1),
+      i => word.substr(i + 1, lit(1)))
+    merges.foldLeft(init) { case (acc, (a, b)) => mergeOnce(acc, a, b) }
+  }
 }

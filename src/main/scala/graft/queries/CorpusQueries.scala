@@ -295,6 +295,23 @@ object CorpusQueries {
         partitions = spark.sparkContext.defaultParallelism)
       .orderBy(asc("rank"))
 
+  /** Merge count for q126 — enough steps that the learned order
+    * diverges from raw pair frequency (later winners are counted AFTER
+    * earlier merges rewrite the symbol stream), small enough that the
+    * oracle's per-iteration CTE unroll stays readable. */
+  private val BpeMerges = 6
+
+  /** q126 — BPE merge training ([[Subword.bpeMerges]], 6 merges): the
+    * iterative most-frequent-adjacent-pair learner (Sennrich et al.
+    * 2016) whose merge ORDER q121's frequency-selected vocabulary
+    * deliberately approximates away. Gated output is the learned merge
+    * table itself — step, pair, merged symbol, and the pair's
+    * frequency-weighted count at the moment it won. The oracle unrolls
+    * the same six iterations as CTE triples (pair counts → winner →
+    * list-fold rewrite), mirroring q87's unrolled-Lloyd discipline. */
+  def q126BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Subword.bpeMerges(Tables.documents(spark, dir), col("text"), BpeMerges)
+
   /** q109 — deterministic strided interleave across sources
     * ([[Split.interleaveOrder]]): the merged training order that
     * round-robins sources instead of concatenating them. */
@@ -401,10 +418,49 @@ object CorpusQueries {
     "q121_subword_encode"    -> q121SubwordEncode _,
     "q123_balanced_shards"   -> q123BalancedShards _,
     "q125_weighted_sample"   -> q125WeightedSample _,
+    "q126_bpe_merges"        -> q126BpeMerges _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** q126's oracle: the BPE schedule unrolled, one CTE triple per
+    * merge step (q87's unrolled-Lloyd discipline). `p_i` recounts
+    * adjacent pairs over the step-(i−1) symbol table, `b_i` picks the
+    * deterministic winner, `s_i` rewrites every word via the same
+    * left-to-right list fold [[Subword]] runs (`list_reduce` with a
+    * singleton-list lift so the accumulator type stays list). */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val iters = (1 to nMerges).map { i =>
+      s""" p$i AS (
+        |   SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS cnt
+        |   FROM (SELECT n, unnest(list_transform(range(len(syms)-1),
+        |       j -> {'a': syms[j+1], 'b': syms[j+2]})) AS p FROM s${i - 1})
+        |   GROUP BY 1, 2),
+        | b$i AS (SELECT a, b, cnt FROM p$i
+        |   ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        | s$i AS (
+        |   SELECT w, n, list_reduce(list_transform(syms, s -> [s]),
+        |     (acc, x) -> CASE WHEN acc[-1] = b$i.a AND x[1] = b$i.b
+        |                 THEN list_concat(acc[1:-2], [b$i.a || b$i.b])
+        |                 ELSE list_concat(acc, x) END) AS syms
+        |   FROM s${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    val steps = (1 to nMerges).map { i =>
+      s"SELECT $i AS step, a AS l_sym, b AS r_sym, a||b AS merged, cnt FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+      |  SELECT unnest($toksSql) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      | words AS (SELECT w, count(*) AS n FROM toks
+      |   WHERE len(w) > 0 GROUP BY w),
+      | s0 AS (SELECT w, n,
+      |   list_transform(range(len(w)), i -> w[i+1:i+1]) AS syms
+      |  FROM words),
+      |$iters
+      |$steps
+      |ORDER BY step""".stripMargin
+  }
 
   /** Shared CTE block mirroring [[Subword.vocab]]+[[Subword
     * .encodeWithVocab]] at V = 50, M = 4 (q94's fertility and q121's
@@ -807,6 +863,7 @@ object CorpusQueries {
         |    x -> CAST(x AS VARCHAR)), '>'), '') AS ids
         | FROM t LEFT JOIN docids USING (doc_id)
         | ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q126_bpe_merges" -> bpeOracleSql(BpeMerges),
     "q95_pack_efficiency" ->
       s"""WITH s AS (SELECT source,
         |   CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0

@@ -73,4 +73,49 @@ class SubwordSpec extends SparkSpec {
     // c -> UNK, then "a" must match as the 1-char piece (not "ab").
     assert(got2.getString(4) == "-1>0")
   }
+
+  test("bpeMerges: hand-computed merge schedule with deterministic ties") {
+    val df = Seq((1L, "low low lower"), (2L, "new newer low"))
+      .toDF("doc_id", "text")
+    val got = Subword.bpeMerges(df, col("text"), nMerges = 6)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // words: low x3, lower, new, newer. Step 1 ties (l,o)=(o,w)=4 ->
+    // left-asc picks (l,o); step 3 ties at 2 across (e,r),(e,w),(n,e),
+    // (w,e) -> (e,r); step 6 ties at 1 -> (low,er) by left asc.
+    assert(got == Seq(
+      (1, "l", "o", "lo", 4L),
+      (2, "lo", "w", "low", 4L),
+      (3, "e", "r", "er", 2L),
+      (4, "e", "w", "ew", 2L),
+      (5, "n", "ew", "new", 2L),
+      (6, "low", "er", "lower", 1L)))
+  }
+
+  test("bpeMerges: pair counts include overlapping adjacencies; " +
+    "merge application is left-to-right non-overlapping") {
+    val df = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = Subword.bpeMerges(df, col("text"), nMerges = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq
+    // "aaaa": 3 adjacent (a,a) pairs counted (overlap included, the
+    // classic get_stats convention); the rewrite is non-overlapping
+    // ([aa, aa]), so step 2 merges (aa, aa) with count 1.
+    assert(got == Seq((1, "aa", 3L), (2, "aaaa", 1L)))
+  }
+
+  test("bpeMerges: stops early when no adjacent pair remains") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Subword.bpeMerges(df, col("text"), nMerges = 3).count() == 0L)
+  }
+
+  test("applyMerges: ordered inference reproduces the learned segments") {
+    val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "r",
+      "e" -> "w", "n" -> "ew", "low" -> "er")
+    val got = Seq(Tuple1("lowering")).toDF("w")
+      .select(Subword.applyMerges(col("w"), merges).as("syms"))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("lower", "i", "n", "g"))
+  }
 }
