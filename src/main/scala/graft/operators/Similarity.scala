@@ -399,4 +399,103 @@ object Similarity {
         round(dotCol / (sqrt(vNormSq) * sqrt(cNormSq)), 4))
       .select(col("id"), col("group"), col("score"))
   }
+
+  /** The deterministic ±1 entry (outRow, inCol) of the random-projection
+    * matrix: +1 iff the first hex digit of md5("`seed`_i_j") is even —
+    * the library's engine-portable md5 discipline ([[Split]]'s split
+    * tag / hash fraction), so an oracle (or another engine) rebuilds the
+    * IDENTICAL matrix from the seed alone. */
+  private[graft] def rpSign(seed: String, i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${seed}_${i}_${j}".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction with a dense ±1
+    * sign matrix (Achlioptas 2003's database-friendly variant, signs
+    * from [[rpSign]]): out[i] = round(Σ_j v[j]·s(i,j) / √outDim, 6).
+    *
+    * The matrix is an outDim·inDim LITERAL baked into the plan — the
+    * projection is a pure codegen'd map over the corpus: zero shuffle,
+    * zero join, no per-row hashing (signs are row-independent, so they
+    * are computed ONCE on the driver, not n·k·d times on executors).
+    * Each component folds products left-to-right in double via
+    * zip_with + sequential aggregate — the same association order as
+    * DuckDB's `list_reduce`, and 0.0+x ≡ x in IEEE, so the 6-dp round
+    * is engine-reproducible, the [[groupCentroids]] discipline.
+    *
+    * At scale this is the write-once column that makes everything
+    * downstream cheaper: materialize (id, pv) next to the corpus and
+    * ANN shortlists ([[projectedTopK]]), clustering, and dedup probes
+    * scan outDim doubles instead of inDim — a d/outDim bandwidth cut
+    * on every subsequent pass. Output: (id, pv: array&lt;double&gt;). */
+  def randomProjection(
+      corpus: DataFrame, id: Column, vec: Column,
+      inDim: Int, outDim: Int, seed: String = "rp"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, "dims must be positive")
+    val scale = math.sqrt(outDim.toDouble)
+    val rows = (0 until outDim).map { i =>
+      typedLit((0 until inDim).map(j => rpSign(seed, i, j)))
+    }
+    val pv = array(rows.map { signs =>
+      round(
+        aggregate(
+          zip_with(col("v"), signs, (a, s) => a.cast("double") * s),
+          lit(0.0d), (acc, x) => acc + x) / lit(scale), 6)
+    }: _*)
+    Dedup.spread(corpus)
+      .select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("__d", size(col("v")))
+      .withColumn("pv", when(col("__d") === inDim, pv))
+      .select(col("id"), col("pv"))
+  }
+
+  /** ANN through the projected space: exact cosine in outDim doubles
+    * picks a `shortlist`-sized candidate set (TakeOrderedAndProject —
+    * never a global sort), then the candidates alone are re-scored with
+    * EXACT full-dimension cosine and the top `k` survive. Same
+    * completeness gate as [[pqTopK]]'s rerank: `shortlist ≥ |corpus|`
+    * degenerates to exact brute force by construction.
+    *
+    * Scale shape: the scan side touches only the projected column (the
+    * inDim/outDim bandwidth cut — with outDim = 16 on a 1536-dim
+    * production embedding that is 96× less data per probe); the
+    * full-dimension rerank reads `shortlist` rows via a broadcast
+    * semi-join on id. Query projected once on the driver (1-row
+    * collect), shipped as a literal. Output: (id, sim) — identical
+    * contract to [[bruteForceTopK]]. */
+  def projectedTopK(
+      corpus: DataFrame, id: Column, vec: Column, query: DataFrame,
+      inDim: Int, outDim: Int, shortlist: Int, k: Int,
+      seed: String = "rp"): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val c = Dedup.spread(corpus)
+      .select(id.cast("long").as("id"), vec.as("v"))
+    val qp = randomProjection(
+      query.select(lit(0L).as("qid"), col("qv").as("v")),
+      col("qid"), col("v"), inDim, outDim, seed)
+      .collect()(0).getSeq[Double](1)
+    val pq = typedLit(qp)
+    // pv/pq are array<double> — the HOF fold, not the float-only native
+    // FloatVecDot expression.
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+    val cand = randomProjection(c, col("id"), col("v"), inDim, outDim, seed)
+      .withColumn("psim",
+        ddot(col("pv"), pq) /
+          (sqrt(ddot(col("pv"), col("pv"))) * sqrt(ddot(pq, pq))))
+      .orderBy(desc("psim"), asc("id"))
+      .limit(shortlist)
+      .select(col("id"))
+    c.join(broadcast(cand), "id")
+      .crossJoin(broadcast(
+        query.withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))))
+      .withColumn("sim", round(
+        VectorFunctions.dot(col("v"), col("qv")) /
+          (sqrt(VectorFunctions.normSq(col("v"))) * col("qnrm")), 4))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("sim"))
+  }
 }

@@ -674,6 +674,56 @@ object PipelineQueries {
       (col("n_hit_partial") >= col("n_exact") * 0.5).as("partial_recall_ok"))
   }
 
+  /** q127 — seeded random projection ([[Similarity.randomProjection]],
+    * 64 → 16 dims): the Johnson–Lindenstrauss ±1 sign reduction whose
+    * matrix derives entirely from md5(seed, i, j) parity, so the DuckDB
+    * oracle rebuilds the IDENTICAL matrix and the projected values gate
+    * bit-for-bit (left-to-right double folds + 6-dp round on both
+    * engines). Gated output: every vector's 16 projected components,
+    * exploded to (vec_id, odim, x) — the write-once reduced column that
+    * cuts downstream ANN/cluster scan bandwidth by dim/outDim. */
+  def q127RandomProjection(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(Tables.embeddings(spark, dir),
+        col("vec_id"), col("embedding"), inDim = 64, outDim = 16)
+      .select(col("id").as("vec_id"),
+        posexplode(col("pv")).as(Seq("odim", "x")))
+      .orderBy(asc("vec_id"), asc("odim"))
+
+  /** q128 — projected-space ANN recall gate
+    * ([[Similarity.projectedTopK]]) on the q78/q89 contract: a
+    * corpus-sized shortlist must reproduce exact brute force IDENTICALLY
+    * (the rerank-completeness degenerate), and a 30%-of-corpus shortlist
+    * (floored at 50) must keep top-10 recall ≥ 0.5 — measured 0.7 / 0.7
+    * at sf0.01 / sf0.1 (RpProbe); the floor is the contract. The
+    * fixture vectors are near-uniform random (every cosine ≈ 0.5 — the
+    * regime where a 4× dim cut preserves the LEAST ordering), so 0.7 at
+    * a 30% scan is the honest expectation here, not a weak tuning; the
+    * shortlist fraction scales with the corpus so the gate's regime
+    * does not silently tighten as SF grows. Oracle contract as q78:
+    * n_exact from the data, booleans literal. */
+  def q128RpRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+      corpus, col("vec_id"), col("embedding"), q, k = 10)
+    val n = corpus.count()
+    val full = Similarity.projectedTopK(corpus, col("vec_id"),
+      col("embedding"), q, inDim = 64, outDim = 16,
+      shortlist = 1 << 20, k = 10)
+    val partial = Similarity.projectedTopK(corpus, col("vec_id"),
+      col("embedding"), q, inDim = 64, outDim = 16,
+      shortlist = math.max(50L, n * 3 / 10).toInt, k = 10)
+    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+      .select(col("n_hit").as("n_hit_partial"))
+    fullStats.crossJoin(partStats).select(
+      col("n_exact"),
+      (col("n_approx") === col("n_exact") &&
+        col("n_hit") === col("n_exact")).as("full_shortlist_exact"),
+      (col("n_hit_partial") >= col("n_exact") * 0.5).as("partial_recall_ok"))
+  }
+
   /** q66 — incremental shard-vs-corpus near-dup: the src0 slice plays
     * the arriving shard, everything else the indexed reference corpus
     * ([[graft.operators.Dedup.corpusIndex]] built once + banded lookup
@@ -813,6 +863,8 @@ object PipelineQueries {
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
     "q124_contamination_pairs" -> q124ContaminationPairs _,
+    "q127_random_projection" -> q127RandomProjection _,
+    "q128_rp_recall"         -> q128RpRecall _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -1279,6 +1331,24 @@ object PipelineQueries {
       s"""WITH $exactTop10Sql
         |SELECT count(*) AS n_exact, true AS full_probe_exact,
         | true AS partial_recall_ok, true AS pairs_sound FROM top""".stripMargin,
+    "q127_random_projection" ->
+      """WITH signs AS (
+        |  SELECT i, list_transform(range(64), j ->
+        |    CASE WHEN strpos('02468ace',
+        |        substr(md5('rp_' || i || '_' || j), 1, 1)) > 0
+        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS sv
+        |  FROM range(16) t(i))
+        |SELECT e.vec_id, CAST(s.i AS INTEGER) AS odim,
+        |  round(list_reduce(
+        |    list_transform(range(64),
+        |      j -> CAST(embedding[j+1] AS DOUBLE) * sv[j+1]),
+        |    (a, b) -> a + b) / sqrt(CAST(16.0 AS DOUBLE)), 6) AS x
+        | FROM embeddings e, signs s
+        | ORDER BY vec_id, odim""".stripMargin,
+    "q128_rp_recall" ->
+      s"""WITH $exactTop10Sql
+        |SELECT count(*) AS n_exact, true AS full_shortlist_exact,
+        | true AS partial_recall_ok FROM top""".stripMargin,
     "q89_pq_recall" ->
       s"""WITH $exactTop10Sql
         |SELECT count(*) AS n_exact, true AS full_rerank_exact,

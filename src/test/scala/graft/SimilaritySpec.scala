@@ -153,4 +153,35 @@ class SimilaritySpec extends SparkSpec {
     val b = encoded2.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a == b)
   }
+
+  test("randomProjection: one-hot inputs read the sign matrix back; " +
+    "wrong-dim vectors project to null") {
+    // v = e_j  =>  out[i] = sign(i, j) / sqrt(outDim), exactly.
+    val oneHot = (0 until 4).map { j =>
+      (j.toLong, Array.tabulate(4)(d => if (d == j) 1.0f else 0.0f))
+    }
+    val df = (oneHot :+ (9L, Array(1.0f, 2.0f))).toDF("id", "vec")
+    val got = Similarity.randomProjection(
+        df, col("id"), col("vec"), inDim = 4, outDim = 3)
+      .orderBy("id").collect()
+    for (r <- got.take(4); i <- 0 until 3) {
+      val j = r.getLong(0).toInt
+      assert(r.getSeq[Double](1)(i) ==
+        BigDecimal(Similarity.rpSign("rp", i, j) / math.sqrt(3.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got(4).isNullAt(1), "a non-inDim vector must yield null, " +
+      "not a silently truncated projection")
+  }
+
+  test("projectedTopK: corpus-sized shortlist degenerates to exact " +
+    "brute force (completeness gate)") {
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qv")
+    val exact = Similarity.bruteForceTopK(corpus, col("id"), col("vec"), q, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val proj = Similarity.projectedTopK(corpus, col("id"), col("vec"), q,
+        inDim = 2, outDim = 2, shortlist = 100, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(proj == exact)
+  }
 }
