@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -482,7 +482,15 @@ object PipelineQueries {
     * the only global order is packing's two-phase cumsum
     * ([[graft.operators.ScalableWindow.runningTotal]] — no
     * single-partition window). */
-  def q120CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** The q120 stage frames, ONE definition (q129's funnel report
+    * aggregates the same frames q120 emits — a drift here moves both
+    * oracles together, the spanIslandCtes discipline). */
+  private case class CurationStages(
+      docs: DataFrame, filtered: DataFrame, deduped: DataFrame,
+      clean: DataFrame, mixed: DataFrame)
+
+  private def curationStages(
+      spark: SparkSession, dir: String): CurationStages = {
     val docs = Tables.documents(spark, dir)
     val p = graft.expressions.TextProfile.profile(col("text"))
     val filtered = graft.operators.Materialize.pin(
@@ -501,8 +509,13 @@ object PipelineQueries {
       dirty, col("doc_id") === col("__dirty_id"), "left_anti")
     val mixed = Split.matchTargetMix(clean, col("lang"), col("doc_id"),
       Q120Target, budgetFrac = 0.5)
+    CurationStages(docs, filtered, deduped, clean, mixed)
+  }
+
+  def q120CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val st = curationStages(spark, dir)
     val packed = graft.operators.ScalableWindow.runningTotal(
-        mixed.select(col("doc_id"), col("lang"), col("n_tok")),
+        st.mixed.select(col("doc_id"), col("lang"), col("n_tok")),
         col("doc_id"), col("n_tok"), "cum",
         partitions = spark.sparkContext.defaultParallelism)
       .withColumn("pack",
@@ -511,6 +524,35 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("n_tok"), col("pack"),
         col("shard"))
       .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** q129 — the curation FUNNEL report over q120's exact chain: one
+    * row per stage with surviving doc and token counts — the
+    * "where did my data go" accounting every curation run ships next
+    * to its output (consecutive diffs attribute the loss to held-out
+    * exclusion, quality, near-dup, decontamination, and mix). Stage
+    * frames are THE q120 frames ([[curationStages]] — one definition),
+    * so this gate also cross-checks q120: a chain divergence flips
+    * both hashes. Token counts for the pre-filter stages use the same
+    * whitespace tokenizer as the stored `n_tok`. One job: six
+    * aggregates unioned over shared (pinned) subtrees. */
+  def q129CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val st = curationStages(spark, dir)
+    val tok = graft.functions.TextFunctions
+      .tokenCount(coalesce(col("text"), lit(""))).cast("long")
+    def agg(df: DataFrame, stage: Int, name: String, t: Column): DataFrame =
+      df.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+          coalesce(sum(t), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("name"),
+          col("n_docs"), col("n_tokens"))
+    agg(st.docs, 0, "corpus", tok)
+      .unionAll(agg(st.docs.filter(col("source") =!= "src0"),
+        1, "held_out_removed", tok))
+      .unionAll(agg(st.filtered, 2, "quality_filter", col("n_tok")))
+      .unionAll(agg(st.deduped, 3, "near_dup", col("n_tok")))
+      .unionAll(agg(st.clean, 4, "decontam", col("n_tok")))
+      .unionAll(agg(st.mixed, 5, "target_mix", col("n_tok")))
+      .orderBy(asc("stage"))
   }
 
   /** q65 — batch exact KNN through the CUSTOM physical operator
@@ -865,6 +907,7 @@ object PipelineQueries {
     "q124_contamination_pairs" -> q124ContaminationPairs _,
     "q127_random_projection" -> q127RandomProjection _,
     "q128_rp_recall"         -> q128RpRecall _,
+    "q129_curation_funnel"   -> q129CurationFunnel _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -931,6 +974,108 @@ object PipelineQueries {
       |     CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
       |   FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
       |   WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8)""".stripMargin
+
+  /** The q120 CTE chain through `mixed` — ONE definition shared by
+    * the q120 and q129 oracles (mirrors [[curationStages]]; a
+    * semantic edit here moves both oracles together). NOT
+    * pre-stripped: the interpolation sites run stripMargin exactly
+    * once over the composed text (a second strip would eat one pipe
+    * of every `||` concat that starts a continuation line). */
+  private val curationCtes: String =
+    s"""t0 AS (SELECT doc_id, lang, text, $toksSql AS toks
+        |   FROM documents WHERE source <> 'src0'),
+        | m AS (SELECT doc_id, lang, text, toks,
+        |   ${nTokSql("toks")} AS n_tokens,
+        |   CAST(len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INTEGER)
+        |     / greatest(len(text), 1) AS punct_ratio,
+        |   ${hitsSql("toks", stopEnSql)}
+        |     / greatest(${nTokSql("toks")}, 1) AS stop_ratio,
+        |   CAST(list_sum(list_transform(toks, t -> len(t))) AS INTEGER)
+        |     / greatest(${nTokSql("toks")}, 1) AS avg_token_len,
+        |   ${hitsSql("toks", stopEnSql)} AS h_en,
+        |   ${hitsSql("toks", stopEsSql)} AS h_es,
+        |   ${hitsSql("toks", stopDeSql)} AS h_de,
+        |   ${hitsSql("toks", stopFrSql)} AS h_fr
+        |  FROM t0),
+        | qscored AS (SELECT doc_id, lang, text, toks,
+        |   CAST(n_tokens AS BIGINT) AS n_tok,
+        |   CAST((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END
+        |    + CASE WHEN punct_ratio < 0.3 THEN 1 ELSE 0 END
+        |    + CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END
+        |    + CASE WHEN avg_token_len BETWEEN 2.0 AND 15.0 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS quality,
+        |   CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+        |        WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+        |        WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+        |        WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+        |        ELSE 'fr' END AS lang_pred
+        |  FROM m),
+        | filtered AS (SELECT doc_id, lang, text, toks, n_tok FROM qscored
+        |  WHERE quality >= 3 AND lang_pred = 'en'),
+        | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM filtered),
+        | ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        | sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2),
+        | pairs AS (SELECT id_a, id_b FROM inter
+        |   JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+        |   WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |   UNION ALL SELECT id_b, id_a FROM pairs),
+        | nodes AS (SELECT DISTINCT src AS id FROM edges),
+        | reach AS (
+        |   SELECT id, id AS r FROM nodes
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        | clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        | dsc AS (SELECT c.id, c.cluster, len(d.text) AS score
+        |   FROM clusters c JOIN filtered d ON d.doc_id = c.id),
+        | ranked AS (SELECT id, row_number() OVER (PARTITION BY cluster
+        |     ORDER BY score DESC, id) AS rn FROM dsc),
+        | losers AS (SELECT id FROM ranked WHERE rn > 1),
+        | deduped AS (SELECT * FROM filtered
+        |   WHERE doc_id NOT IN (SELECT id FROM losers)),
+        | held AS (SELECT $toksSql AS toks FROM documents
+        |   WHERE source = 'src0'),
+        | heldsh AS (SELECT CASE WHEN len(toks) < 3
+        |     THEN [array_to_string(toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+        |   AS s FROM held),
+        | heldgrams AS (SELECT DISTINCT unnest(s) AS g FROM heldsh),
+        | dsh AS (SELECT d.doc_id, CASE WHEN len(d.toks) < 3
+        |     THEN [array_to_string(d.toks, ' ')]
+        |     ELSE list_distinct(list_transform(range(len(d.toks) - 2),
+        |          i -> d.toks[i+1] || ' ' || d.toks[i+2] || ' '
+        |            || d.toks[i+3])) END AS s FROM deduped d),
+        | dex AS (SELECT doc_id, unnest(s) AS g FROM dsh),
+        | hits AS (SELECT doc_id, count(*) AS n_hit FROM dex
+        |   JOIN heldgrams USING (g) GROUP BY doc_id),
+        | ov AS (SELECT p.doc_id,
+        |     CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(p.s) AS overlap
+        |   FROM dsh p LEFT JOIN hits h USING (doc_id)),
+        | clean AS (SELECT d.doc_id, d.lang, d.n_tok FROM deduped d
+        |   JOIN ov USING (doc_id) WHERE overlap < 0.8),
+        | tgt(lang, target) AS (VALUES
+        |   ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),
+        |   ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+        |   ('es', CAST(0.1 AS DOUBLE))),
+        | c AS (SELECT lang, count(*) AS cnt FROM clean GROUP BY lang),
+        | ct AS (SELECT c.lang, cnt, target FROM c JOIN tgt USING (lang)),
+        | nn AS (SELECT sum(cnt) AS n FROM ct),
+        | r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+        |     CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) * target
+        |       / CAST(cnt AS DOUBLE)) AS rate
+        |   FROM ct CROSS JOIN nn),
+        | mixed AS (SELECT d.doc_id, d.lang, d.n_tok FROM clean d
+        |   JOIN r USING (lang)
+        |   WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) / CAST(4294967296.0 AS DOUBLE) < r.rate)"""
 
   val oracle: Map[String, String] = Map(
     // q88 oracle: exact edit-distance pairs under the position-free
@@ -1071,100 +1216,7 @@ object PipelineQueries {
     // q108's shard hash. Stage constants (0.8 containment drop bar,
     // 0.5 budget, 2048 tokens, 8 shards) are pinned on both sides.
     "q120_curation_pipeline" ->
-      s"""WITH RECURSIVE t0 AS (SELECT doc_id, lang, text, $toksSql AS toks
-        |   FROM documents WHERE source <> 'src0'),
-        | m AS (SELECT doc_id, lang, text, toks,
-        |   ${nTokSql("toks")} AS n_tokens,
-        |   CAST(len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INTEGER)
-        |     / greatest(len(text), 1) AS punct_ratio,
-        |   ${hitsSql("toks", stopEnSql)}
-        |     / greatest(${nTokSql("toks")}, 1) AS stop_ratio,
-        |   CAST(list_sum(list_transform(toks, t -> len(t))) AS INTEGER)
-        |     / greatest(${nTokSql("toks")}, 1) AS avg_token_len,
-        |   ${hitsSql("toks", stopEnSql)} AS h_en,
-        |   ${hitsSql("toks", stopEsSql)} AS h_es,
-        |   ${hitsSql("toks", stopDeSql)} AS h_de,
-        |   ${hitsSql("toks", stopFrSql)} AS h_fr
-        |  FROM t0),
-        | qscored AS (SELECT doc_id, lang, text, toks,
-        |   CAST(n_tokens AS BIGINT) AS n_tok,
-        |   CAST((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END
-        |    + CASE WHEN punct_ratio < 0.3 THEN 1 ELSE 0 END
-        |    + CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END
-        |    + CASE WHEN avg_token_len BETWEEN 2.0 AND 15.0 THEN 1 ELSE 0 END)
-        |    AS INTEGER) AS quality,
-        |   CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
-        |        WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
-        |        WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
-        |        WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
-        |        ELSE 'fr' END AS lang_pred
-        |  FROM m),
-        | filtered AS (SELECT doc_id, lang, text, toks, n_tok FROM qscored
-        |  WHERE quality >= 3 AND lang_pred = 'en'),
-        | sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
-        |     THEN [array_to_string(toks, ' ')]
-        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
-        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
-        |   AS s FROM filtered),
-        | ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        | sz AS (SELECT doc_id, len(s) AS n FROM sh),
-        | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |   GROUP BY 1, 2),
-        | pairs AS (SELECT id_a, id_b FROM inter
-        |   JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
-        |   WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
-        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |   UNION ALL SELECT id_b, id_a FROM pairs),
-        | nodes AS (SELECT DISTINCT src AS id FROM edges),
-        | reach AS (
-        |   SELECT id, id AS r FROM nodes
-        |   UNION
-        |   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-        | clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-        | dsc AS (SELECT c.id, c.cluster, len(d.text) AS score
-        |   FROM clusters c JOIN filtered d ON d.doc_id = c.id),
-        | ranked AS (SELECT id, row_number() OVER (PARTITION BY cluster
-        |     ORDER BY score DESC, id) AS rn FROM dsc),
-        | losers AS (SELECT id FROM ranked WHERE rn > 1),
-        | deduped AS (SELECT * FROM filtered
-        |   WHERE doc_id NOT IN (SELECT id FROM losers)),
-        | held AS (SELECT $toksSql AS toks FROM documents
-        |   WHERE source = 'src0'),
-        | heldsh AS (SELECT CASE WHEN len(toks) < 3
-        |     THEN [array_to_string(toks, ' ')]
-        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
-        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
-        |   AS s FROM held),
-        | heldgrams AS (SELECT DISTINCT unnest(s) AS g FROM heldsh),
-        | dsh AS (SELECT d.doc_id, CASE WHEN len(d.toks) < 3
-        |     THEN [array_to_string(d.toks, ' ')]
-        |     ELSE list_distinct(list_transform(range(len(d.toks) - 2),
-        |          i -> d.toks[i+1] || ' ' || d.toks[i+2] || ' '
-        |            || d.toks[i+3])) END AS s FROM deduped d),
-        | dex AS (SELECT doc_id, unnest(s) AS g FROM dsh),
-        | hits AS (SELECT doc_id, count(*) AS n_hit FROM dex
-        |   JOIN heldgrams USING (g) GROUP BY doc_id),
-        | ov AS (SELECT p.doc_id,
-        |     CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(p.s) AS overlap
-        |   FROM dsh p LEFT JOIN hits h USING (doc_id)),
-        | clean AS (SELECT d.doc_id, d.lang, d.n_tok FROM deduped d
-        |   JOIN ov USING (doc_id) WHERE overlap < 0.8),
-        | tgt(lang, target) AS (VALUES
-        |   ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),
-        |   ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
-        |   ('es', CAST(0.1 AS DOUBLE))),
-        | c AS (SELECT lang, count(*) AS cnt FROM clean GROUP BY lang),
-        | ct AS (SELECT c.lang, cnt, target FROM c JOIN tgt USING (lang)),
-        | nn AS (SELECT sum(cnt) AS n FROM ct),
-        | r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
-        |     CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) * target
-        |       / CAST(cnt AS DOUBLE)) AS rate
-        |   FROM ct CROSS JOIN nn),
-        | mixed AS (SELECT d.doc_id, d.lang, d.n_tok FROM clean d
-        |   JOIN r USING (lang)
-        |   WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |       AS BIGINT) / CAST(4294967296.0 AS DOUBLE) < r.rate),
+      s"""WITH RECURSIVE $curationCtes,
         | packed AS (SELECT doc_id, lang, n_tok,
         |   sum(n_tok) OVER (ORDER BY doc_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -1174,6 +1226,28 @@ object PipelineQueries {
         |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |    AS BIGINT) % 8 AS INTEGER) AS shard
         | FROM packed ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q129_curation_funnel" ->
+      s"""WITH RECURSIVE $curationCtes,
+        | alldocs AS (SELECT ${nTokSql("$$TOKS$$")} AS nt FROM documents),
+        | stages AS (
+        |  SELECT 0 AS stage, 'corpus' AS name, count(*) AS n_docs,
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens FROM alldocs
+        |  UNION ALL SELECT 1, 'held_out_removed', count(*),
+        |    CAST(coalesce(sum(CASE WHEN len(trim(coalesce(text, ''))) = 0
+        |      THEN 0 ELSE len(toks) END), 0) AS BIGINT) FROM t0
+        |  UNION ALL SELECT 2, 'quality_filter', count(*),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM filtered
+        |  UNION ALL SELECT 3, 'near_dup', count(*),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM deduped
+        |  UNION ALL SELECT 4, 'decontam', count(*),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM clean
+        |  UNION ALL SELECT 5, 'target_mix', count(*),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM mixed)
+        |SELECT CAST(stage AS INTEGER) AS stage, name,
+        |  CAST(n_docs AS BIGINT) AS n_docs, n_tokens
+        | FROM stages ORDER BY stage"""
+        .stripMargin
+        .replace("$$TOKS$$", toksSql),
     // q84: the regex literals are spliced from TextFunctions.{EmailRe,
     // PhoneRe,Ipv4Re} — ONE pattern definition for both engines (the
     // constants restrict themselves to java.regex/RE2-identical syntax).

@@ -74,4 +74,19 @@ class CurationPipelineSpec extends SparkSpec {
     assert(delta <= (3.4 * oneScan).toLong,
       s"redundant corpus scan: read=$delta bytes, one scan=$oneScan (2 expected)")
   }
+
+  test("q129: funnel is monotone and its last stage IS q120's survivor set") {
+    val funnel = PipelineQueries.q129CurationFunnel(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(funnel.map(_._1) == (0 to 5), "one row per stage, in order")
+    val docs = funnel.map(_._2)
+    val toks = funnel.map(_._3)
+    assert(docs == docs.sorted.reverse, s"doc counts must only shrink: $docs")
+    assert(toks == toks.sorted.reverse, s"token counts must only shrink: $toks")
+    // Cross-check against q120 (same frames by construction — this pins
+    // that the shared-stage refactor keeps them shared).
+    val q120 = PipelineQueries.q120CurationPipeline(spark, sfDir).collect()
+    assert(funnel.last._2 == q120.length.toLong)
+    assert(funnel.last._3 == q120.map(_.getLong(2)).sum)
+  }
 }
