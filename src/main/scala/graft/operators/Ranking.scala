@@ -455,4 +455,74 @@ object Ranking {
           max(col("gtot")).cast("long").as("n_tokens"),
           round(sum(col("part")), 4).as("kl"))
     }
+
+  /** Model-based quality scoring with a HASHED-FEATURE linear
+    * classifier — the fastText/logistic-regression filter shape real
+    * curation pipelines run (GPT-3's LR quality filter, CCNet's
+    * fastText language/quality heads): score = σ(Σ_b w_b·tf_b / n_tok
+    * + bias) over `nBuckets` hashed unigram buckets, keep = score ≥
+    * `threshold`.
+    *
+    * The WEIGHTS here are a deterministic seeded stand-in (md5-derived,
+    * uniform in [−1, 1], 6 dp — [[Split.hashFraction]]'s discipline),
+    * NOT a trained model: the operator's contract is the serving
+    * plumbing — hashing-trick featurization, model-as-broadcast-table
+    * scoring, thresholding — with the weight table as the swap point
+    * (a production caller passes its trained (bucket, w) frame through
+    * the same join). Seeding makes the whole path oracle-checkable:
+    * DuckDB rebuilds the identical model from the seed.
+    *
+    * The gated output is the UN-NORMALIZED margin z = Σ tf_b·w_b +
+    * bias·n_tok, not σ(z/n_tok): σ is monotone, so keep ⟺
+    * z ≥ logit(threshold)·n_tok is the identical decision, and the
+    * sum form dodges BOTH cross-engine traps — libm exp (last-ulp
+    * differences flip a 6-dp round at σ-boundary values) and, more
+    * subtly, the boundary problem of the MEAN form: integer-weighted
+    * sums of 6-dp weights land exactly ON the 1e-6 round grid (stable
+    * under ~1e-15 association noise), but dividing by n_tok parks the
+    * true value exactly ON a round BOUNDARY whenever Σ·10⁶ ≡ n/2
+    * (mod n) — measured 4 boundary flips in 500 fixture docs before
+    * the change. Callers wanting the probability apply σ(z/n_tok) at
+    * display time.
+    *
+    * Scale shape: one tokenize + (doc, term) aggregation, bucket ids
+    * by md5 (no vocabulary state — the point of the hashing trick),
+    * the parameter-sized weight table broadcast onto the feature
+    * frame, one per-doc aggregation. Docs with no token events (null
+    * text) get z = 0 = bias·0 via the left join — scored (they sit
+    * exactly at the decision boundary: σ(0/0⁺) = 0.5), never
+    * dropped. Output: (id, n_tokens, z, keep). */
+  def hashedLinearScore(
+      df: DataFrame, id: Column, text: Column,
+      nBuckets: Int, seed: String, bias: Double, threshold: Double,
+      materialize: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      "threshold must be a probability in (0, 1)")
+    val zThreshold = math.log(threshold / (1.0 - threshold))
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val spark = df.sparkSession
+    val weights = spark.range(nBuckets.toLong).select(
+      col("id").cast("long").as("__b"),
+      round((Split.hashFraction(concat(lit(seed + "_"), col("id")))
+        - lit(0.5)) * lit(2.0), 6).as("__w"))
+    val base = df.select(id.as("__id"))
+    withCounts(termFreqs(df, id, text), materialize) { tf =>
+      val z = tf
+        .withColumn("__b",
+          pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+            lit(nBuckets.toLong)))
+        .join(broadcast(weights), "__b")
+        .groupBy(col("__id"))
+        .agg(sum(col("tf")).cast("long").as("n_tokens"),
+          round(sum(col("tf").cast("double") * col("__w"))
+            + lit(bias) * sum(col("tf")).cast("double"), 6).as("__z"))
+      base.join(z, Seq("__id"), "left")
+        .select(col("__id").as("id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("__z"), lit(0.0d)).as("z"))
+        .withColumn("keep",
+          col("z") >= round(lit(zThreshold) *
+            col("n_tokens").cast("double"), 6))
+    }
+  }
 }

@@ -312,6 +312,20 @@ object CorpusQueries {
   def q126BpeMerges(spark: SparkSession, dir: String): DataFrame =
     Subword.bpeMerges(Tables.documents(spark, dir), col("text"), BpeMerges)
 
+  /** q130 — model-based quality scoring
+    * ([[Ranking.hashedLinearScore]], 256 buckets, seed "q130", bias 0,
+    * threshold 0.5): the hashed-feature linear-classifier filter shape
+    * (fastText/LR quality heads) with a seeded deterministic weight
+    * table as the declared model stand-in — the gate covers the
+    * featurization, broadcast scoring, and thresholding plumbing a
+    * trained model would ride through unchanged. */
+  def q130QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Ranking.hashedLinearScore(Tables.documents(spark, dir), col("doc_id"),
+        col("text"), nBuckets = 256, seed = "q130",
+        bias = 0.0, threshold = 0.5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(asc_nulls_first("doc_id"))
+
   /** q109 — deterministic strided interleave across sources
     * ([[Split.interleaveOrder]]): the merged training order that
     * round-robins sources instead of concatenating them. */
@@ -419,6 +433,7 @@ object CorpusQueries {
     "q123_balanced_shards"   -> q123BalancedShards _,
     "q125_weighted_sample"   -> q125WeightedSample _,
     "q126_bpe_merges"        -> q126BpeMerges _,
+    "q130_quality_classifier" -> q130QualityClassifier _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -864,6 +879,28 @@ object CorpusQueries {
         | FROM t LEFT JOIN docids USING (doc_id)
         | ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q126_bpe_merges" -> bpeOracleSql(BpeMerges),
+    "q130_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term
+        |   FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        | fb AS (SELECT doc_id, tf.tf,
+        |   CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM tf),
+        | w AS (SELECT i AS b,
+        |   round((CAST(('0x' || substr(md5('q130_' || i), 1, 8)) AS BIGINT)
+        |       / CAST(4294967296.0 AS DOUBLE)
+        |     - CAST(0.5 AS DOUBLE)) * CAST(2.0 AS DOUBLE), 6) AS w
+        |  FROM range(256) t(i)),
+        | zz AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |   round(sum(tf * w.w)
+        |     + CAST(0.0 AS DOUBLE) * sum(tf), 6) AS z
+        |  FROM fb JOIN w USING (b) GROUP BY doc_id),
+        | s AS (SELECT d.doc_id, coalesce(zz.n_tokens, 0) AS n_tokens,
+        |   coalesce(zz.z, CAST(0.0 AS DOUBLE)) AS z
+        |  FROM documents d LEFT JOIN zz USING (doc_id))
+        |SELECT doc_id, n_tokens, z,
+        |  z >= CAST(0.0 AS DOUBLE) AS keep
+        | FROM s ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q95_pack_efficiency" ->
       s"""WITH s AS (SELECT source,
         |   CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0

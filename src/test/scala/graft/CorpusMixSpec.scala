@@ -722,4 +722,39 @@ class CorpusMixSpec extends SparkSpec {
     // both splits non-empty at this frac
     assert(got.map(_._3).toSet == Set("train", "test"))
   }
+
+  test("hashedLinearScore: driver-recomputed margin, null doc at the " +
+    "boundary, threshold in logit space") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def frac(s: String): Double =
+      java.lang.Long.parseLong(md5hex(s).take(8), 16) / 4294967296.0
+    def weight(seed: String, b: Long): Double =
+      BigDecimal((frac(s"${seed}_$b") - 0.5) * 2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bucket(term: String, n: Long): Long =
+      java.lang.Long.parseLong(md5hex(term).take(8), 16) % n
+
+    val docs = Seq((1L, "cat cat dog"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = Ranking.hashedLinearScore(docs, col("id"), col("text"),
+        nBuckets = 8, seed = "s", bias = 0.0, threshold = 0.5)
+      .orderBy("id").collect()
+    val expZ = BigDecimal(
+        2.0 * weight("s", bucket("cat", 8)) + weight("s", bucket("dog", 8)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((got(0).getLong(1), got(0).getDouble(2), got(0).getBoolean(3)) ==
+      ((3L, expZ, expZ >= 0.0)))
+    // A null-text doc is scored, not dropped: z = 0, exactly at the
+    // σ = 0.5 boundary, kept under threshold 0.5.
+    assert((got(1).getLong(1), got(1).getDouble(2), got(1).getBoolean(3)) ==
+      ((0L, 0.0, true)))
+    // threshold 0.9 maps to z >= logit(0.9)·n_tok: flips doc 1 unless
+    // its mean margin is huge (it is not — |w| <= 1).
+    val strict = Ranking.hashedLinearScore(docs, col("id"), col("text"),
+        nBuckets = 8, seed = "s", bias = 0.0, threshold = 0.9)
+      .orderBy("id").collect()
+    assert(!strict(0).getBoolean(3))
+  }
 }
