@@ -727,8 +727,15 @@ object PipelineQueries {
   def q127RandomProjection(spark: SparkSession, dir: String): DataFrame =
     Similarity.randomProjection(Tables.embeddings(spark, dir),
         col("vec_id"), col("embedding"), inDim = 64, outDim = 16)
+      // posexplode_OUTER, then drop the (wrong-dim ⇒ null-pv) rows by
+      // the generated column: identical rows to the inner explode, but
+      // Catalyst's InferFiltersFromGenerate cannot add its
+      // `size(pv) > 0` pre-filter — which would re-evaluate the entire
+      // 16-fold projection a second time per row (2× the map cost;
+      // PlanDisciplineSpec pins the single-projection shape).
       .select(col("id").as("vec_id"),
-        posexplode(col("pv")).as(Seq("odim", "x")))
+        posexplode_outer(col("pv")).as(Seq("odim", "x")))
+      .filter(col("odim").isNotNull)
       .orderBy(asc("vec_id"), asc("odim"))
 
   /** q128 — projected-space ANN recall gate

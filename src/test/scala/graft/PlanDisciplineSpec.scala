@@ -51,7 +51,15 @@ class PlanDisciplineSpec extends SparkSpec {
     "q72_unigram_logprob", "q75_source_kl", "q110_collocations",
     "q78_ivf_recall", "q79_lsh_recall", "q89_pq_recall", "q81_token_budget",
     "q101_funnel", "q104_windowed_funnel", "q118_session_funnel",
-    "q120_curation_pipeline", "q122_anytouch_funnel")
+    "q120_curation_pipeline", "q122_anytouch_funnel",
+    // q128: the projected-ANN recall gate — q78/q89's shape (1-row
+    // query-vector broadcast under the scans, 1-row recallStats
+    // aggregates crossed for the contract columns).
+    "q128_rp_recall",
+    // q129: aggregates q120's stage frames, so its plan carries the
+    // same mix-rate build (≤|strata|-row count frame crossed with its
+    // 1-row total).
+    "q129_curation_funnel")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
@@ -166,7 +174,10 @@ class PlanDisciplineSpec extends SparkSpec {
       "oovRate" -> Ranking.oovRate(
         docs, col("doc_id"), col("text"), 20, materialize = false),
       "klDivergence" -> Ranking.klDivergence(
-        docs, col("source"), col("text"), materialize = false))
+        docs, col("source"), col("text"), materialize = false),
+      "hashedLinearScore" -> Ranking.hashedLinearScore(
+        docs, col("doc_id"), col("text"), nBuckets = 8, seed = "s",
+        bias = 0.0, threshold = 0.5, materialize = false))
     for ((name, df) <- lazyPlans) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -188,6 +199,33 @@ class PlanDisciplineSpec extends SparkSpec {
     val plan = planOf("q6_latest_day_clicks")
     assert("PushedFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
       s"event_type filter not pushed:\n$plan")
+  }
+
+  test("q127 random projection is a pure map: no join, no key shuffle, " +
+    "and the 16-fold projection is evaluated exactly once per row") {
+    val plan = planOf("q127_random_projection")
+    assert(!plan.contains("Join"), s"projection must not join:\n$plan")
+    // Only the spread's round-robin rebalance and the output-order
+    // range exchange — never a hashpartitioning (nothing keys).
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected rebalance + output sort only:\n$plan")
+    assert(!plan.contains("hashpartitioning"), plan)
+    // The posexplode_outer + null-filter shape: no inferred pre-Generate
+    // filter re-evaluating the projection folds (2x map cost otherwise).
+    assert(!"Filter [^\\n]*zip_with".r.findFirstIn(plan).isDefined,
+      s"projection folds re-evaluated inside a filter:\n$plan")
+  }
+
+  test("q130 classifier scores through a broadcast weight join — the " +
+    "feature frame is not sort-merged against the model") {
+    // The public q130 plan ends in the materialization's RDD scan;
+    // assert on the identical lazy form.
+    val plan = graft.operators.Ranking.hashedLinearScore(
+        graft.sources.Tables.documents(spark, sf), col("doc_id"),
+        col("text"), nBuckets = 8, seed = "s", bias = 0.0,
+        threshold = 0.5, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("column pruning reaches parquet: q2 reads only its two columns") {
