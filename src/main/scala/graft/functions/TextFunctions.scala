@@ -157,4 +157,19 @@ object TextFunctions {
         regexp_replace(c, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
+
+  /** Canonicalize text for hashing/dedup: Unicode NFC (the custom
+    * [[graft.expressions.NfcNormalize]] — composed vs decomposed
+    * accents are byte-distinct and would defeat every hash-keyed
+    * operator), control characters (C0 + DEL) to spaces, whitespace
+    * runs collapsed to one space, ends trimmed. The two regex passes
+    * are codegen'd builtins; both engines' `\s` is ASCII-only here
+    * (java.regex default, RE2), which is the contract — Unicode spaces
+    * are content, not separators, until NFC-level policy says
+    * otherwise. */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.expressions.NfcNormalize.nfc(c),
+        "[\\x00-\\x1F\\x7F]", " "),
+      "\\s+", " "))
 }

@@ -326,6 +326,22 @@ object CorpusQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** q131 — text canonicalization
+    * ([[graft.functions.TextFunctions.canonicalize]]): NFC + control
+    * strip + whitespace collapse + trim, the normalize-before-hash step
+    * every dedup pipeline runs first. Gated by md5 of the canonical
+    * form (DuckDB's `nfc_normalize` is byte-identical NFC, so the
+    * hashes must agree) plus before/after lengths. */
+  def q131Canonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val canon = graft.functions.TextFunctions.canonicalize(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(canon).cast("long").as("len_canon"),
+        md5(canon).as("canon_md5"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   /** q109 — deterministic strided interleave across sources
     * ([[Split.interleaveOrder]]): the merged training order that
     * round-robins sources instead of concatenating them. */
@@ -434,6 +450,7 @@ object CorpusQueries {
     "q125_weighted_sample"   -> q125WeightedSample _,
     "q126_bpe_merges"        -> q126BpeMerges _,
     "q130_quality_classifier" -> q130QualityClassifier _,
+    "q131_canonicalize"      -> q131Canonicalize _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -879,6 +896,14 @@ object CorpusQueries {
         | FROM t LEFT JOIN docids USING (doc_id)
         | ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q126_bpe_merges" -> bpeOracleSql(BpeMerges),
+    "q131_canonicalize" ->
+      """WITH c AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS len_raw,
+        |   trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |     '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, len_raw, CAST(len(canon) AS BIGINT) AS len_canon,
+        |  md5(canon) AS canon_md5
+        | FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q130_quality_classifier" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term
         |   FROM documents),

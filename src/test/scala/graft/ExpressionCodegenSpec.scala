@@ -263,4 +263,31 @@ class ExpressionCodegenSpec extends SparkSpec {
     }
     assert(bad.getMessage.toLowerCase.contains("long"), bad.getMessage)
   }
+
+  test("nfc_normalize: codegen equals kernel; composed/decomposed agree; " +
+    "canonicalize hand cases") {
+    import graft.expressions.NfcNormalize
+    // Decomposed e + COMBINING ACUTE (U+0301) must compose to U+00E9
+    // through the generated code path (repartition defeats
+    // local-relation folding).
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    val df = Seq(
+      (0L, decomposed), (1L, composed), (2L, "plain ascii"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "text").repartition(2)
+    val got = df.select(col("id"), NfcNormalize.nfc(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(0L) == composed, s"composed: ${got(0L)}")
+    assert(got(1L) == composed)
+    assert(got(2L) == "plain ascii")
+    assert(got(3L) == null)
+    // canonicalize: control chars to spaces, runs collapsed, trimmed,
+    // NFC applied — one hand-computed case covering all four.
+    val c = Seq(Tuple1("  a b\t\u0000\tcafe\u0301   x  "))
+      .toDF("t").repartition(2)
+      .select(TextFunctions.canonicalize(col("t"))).collect().head.getString(0)
+    assert(c == s"a b $composed x", s"got <$c>")
+  }
 }
