@@ -252,8 +252,22 @@ object Bench {
         val encoded = enc0.persist(); encoded.count()
         val p89 = minOf3(noop(Similarity.pqTopK(cbs, encoded, corpus,
           col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)))
+        // q128's family: the projected column is the build artifact —
+        // persist it, then a warm probe is shortlist (narrow scan) +
+        // exact rerank of the shortlist.
+        val projected = Similarity.randomProjection(
+          corpus, col("vec_id"), col("embedding"),
+          inDim = 64, outDim = 16).persist()
+        projected.count()
+        val nCorpus = corpus.count()
+        val p128 = minOf3(noop(Similarity.projectedTopKPrebuilt(
+          corpus, col("vec_id"), col("embedding"), projected, q,
+          inDim = 64, outDim = 16,
+          shortlist = math.max(50L, nCorpus * 3 / 10).toInt, k = 10)))
         indexed.unpersist(); bucketed.unpersist(); encoded.unpersist()
-        Vector("q78_probe" -> p78, "q79_probe" -> p79, "q89_probe" -> p89)
+        projected.unpersist()
+        Vector("q78_probe" -> p78, "q79_probe" -> p79, "q89_probe" -> p89,
+          "q128_probe" -> p128)
       } catch {
         case e: Throwable =>
           // Probe failure must not cost the run its 119-query artifact.

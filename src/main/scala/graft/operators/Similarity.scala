@@ -467,6 +467,19 @@ object Similarity {
   def projectedTopK(
       corpus: DataFrame, id: Column, vec: Column, query: DataFrame,
       inDim: Int, outDim: Int, shortlist: Int, k: Int,
+      seed: String = "rp"): DataFrame =
+    projectedTopKPrebuilt(corpus, id, vec,
+      randomProjection(corpus, id, vec, inDim, outDim, seed),
+      query, inDim, outDim, shortlist, k, seed)
+
+  /** [[projectedTopK]] against an ALREADY-MATERIALIZED projected column
+    * — the steady-state form the operator exists for (build the
+    * (id, pv) frame once, persist or store it next to the corpus,
+    * probe many times). `projected` must be [[randomProjection]]'s
+    * output under the same seed/dims. */
+  def projectedTopKPrebuilt(
+      corpus: DataFrame, id: Column, vec: Column, projected: DataFrame,
+      query: DataFrame, inDim: Int, outDim: Int, shortlist: Int, k: Int,
       seed: String = "rp"): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val c = Dedup.spread(corpus)
@@ -481,7 +494,7 @@ object Similarity {
     def ddot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y),
         lit(0.0d), (acc, x) => acc + x)
-    val cand = randomProjection(c, col("id"), col("v"), inDim, outDim, seed)
+    val cand = projected
       .withColumn("psim",
         ddot(col("pv"), pq) /
           (sqrt(ddot(col("pv"), col("pv"))) * sqrt(ddot(pq, pq))))
