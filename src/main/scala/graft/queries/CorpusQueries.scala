@@ -342,6 +342,24 @@ object CorpusQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** q133 — canonical exact dedup: q20's exact-duplicate grouping
+    * keyed by the CANONICAL text hash (q131's normalize-before-hash,
+    * the reason canonicalization exists — byte-distinct equal text
+    * fragments raw exact dedup). Output per doc: its canonical dup
+    * group (min doc id sharing the canonical md5) and the survivor
+    * flag. One hash shuffle on the digest — never the text. */
+  def q133CanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = graft.functions.TextFunctions.canonicalize(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(canon).as("canon_md5"))
+      .withColumn("canon_group",
+        min(col("doc_id")).over(Window.partitionBy(col("canon_md5"))))
+      .select(col("doc_id"), col("canon_md5"), col("canon_group"),
+        (col("doc_id") === col("canon_group")).as("keep"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   /** q109 — deterministic strided interleave across sources
     * ([[Split.interleaveOrder]]): the merged training order that
     * round-robins sources instead of concatenating them. */
@@ -451,6 +469,7 @@ object CorpusQueries {
     "q126_bpe_merges"        -> q126BpeMerges _,
     "q130_quality_classifier" -> q130QualityClassifier _,
     "q131_canonicalize"      -> q131Canonicalize _,
+    "q133_canonical_dedup"   -> q133CanonicalDedup _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -904,6 +923,17 @@ object CorpusQueries {
         |SELECT doc_id, len_raw, CAST(len(canon) AS BIGINT) AS len_canon,
         |  md5(canon) AS canon_md5
         | FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q133_canonical_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |   md5(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |     '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_md5
+        |  FROM documents),
+        | g AS (SELECT doc_id, canon_md5,
+        |   min(doc_id) OVER (PARTITION BY canon_md5) AS canon_group
+        |  FROM c)
+        |SELECT doc_id, canon_md5, canon_group,
+        |  doc_id = canon_group AS keep
+        | FROM g ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q130_quality_classifier" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term
         |   FROM documents),

@@ -356,6 +356,30 @@ object PipelineQueries {
       .orderBy(asc_nulls_first("probe_id"), asc_nulls_first("ref_id"))
   }
 
+  /** q132 — per-benchmark contamination report: q124's pair evidence
+    * rolled up to the HELD-OUT side — for each src0 benchmark item, how
+    * many training docs share ≥ 5 distinct 3-grams with it, the total
+    * shared-gram volume, the worst containment, and the worst offender
+    * (max containment, ties to the smallest probe id) — the per-item
+    * leaderboard an eval owner reads before trusting a score. Bounded
+    * by pair volume (the rollup groups q124's output, nothing wider);
+    * the arg-max rides the same aggregation as a min over a
+    * (−containment, probe_id) struct — no second pass. */
+  def q132ContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.contaminationPairs(
+      docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+      docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+      n = 3, minShared = 5L)
+    pairs.groupBy(col("ref_id"))
+      .agg(count(lit(1)).as("n_offenders"),
+        sum(col("n_shared")).cast("long").as("total_shared"),
+        max(col("containment")).as("max_containment"),
+        min(struct((-col("containment")).as("nc"),
+          col("probe_id").as("p"))).getField("p").as("worst_probe"))
+      .orderBy(asc_nulls_first("ref_id"))
+  }
+
   /** q76 — Bloom-screened decontamination: q43's shape through
     * [[Dedup.crossCorpusOverlapBloom]] — the corpus side folds into a
     * broadcast Bloom filter (one shuffle-free treeAggregate pass;
@@ -915,6 +939,7 @@ object PipelineQueries {
     "q127_random_projection" -> q127RandomProjection _,
     "q128_rp_recall"         -> q128RpRecall _,
     "q129_curation_funnel"   -> q129CurationFunnel _,
+    "q132_contamination_report" -> q132ContaminationReport _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -924,6 +949,32 @@ object PipelineQueries {
 
   /** Shared SQL fragments mirroring TextFunctions exactly. */
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** The contamination-pair CTE chain shared by the q124 and q132
+    * oracles (mirrors `Dedup.contaminationPairs` at n = 3,
+    * minShared = 5 — ONE definition; a semantic edit moves both
+    * oracles together). Exposes `cp` (probe_id, ref_id, n_shared
+    * BIGINT, containment). NOT pre-stripped — the interpolation sites
+    * run stripMargin exactly once (the curationCtes contract). */
+  private val contamPairsCtes: String =
+    s"""t AS (SELECT doc_id, source, $toksSql AS toks
+      |   FROM documents),
+      | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3
+      |     THEN [array_to_string(toks, ' ')]
+      |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+      |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+      |   AS s FROM t),
+      | pe AS (SELECT doc_id AS probe_id, len(s) AS n_sh, unnest(s) AS g
+      |   FROM sh WHERE source <> 'src0'),
+      | re AS (SELECT doc_id AS ref_id, unnest(s) AS g
+      |   FROM sh WHERE source = 'src0'),
+      | j AS (SELECT probe_id, ref_id, n_sh, count(*) AS n_shared
+      |   FROM pe JOIN re USING (g) GROUP BY 1, 2, 3),
+      | cp AS (SELECT probe_id, ref_id,
+      |   CAST(n_shared AS BIGINT) AS n_shared,
+      |   round(CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE), 4)
+      |     AS containment
+      |  FROM j WHERE n_shared >= 5)"""
 
   /** The exact brute-force top-10 of q22's oracle, shared by the
     * q78/q79 recall-gate oracles (their n_exact column must be verified
@@ -1198,24 +1249,23 @@ object PipelineQueries {
         | FROM t LEFT JOIN clean c USING (doc_id)
         | ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q124_contamination_pairs" ->
-      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks
-        |   FROM documents),
-        | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3
-        |     THEN [array_to_string(toks, ' ')]
-        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
-        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
-        |   AS s FROM t),
-        | pe AS (SELECT doc_id AS probe_id, len(s) AS n_sh, unnest(s) AS g
-        |   FROM sh WHERE source <> 'src0'),
-        | re AS (SELECT doc_id AS ref_id, unnest(s) AS g
-        |   FROM sh WHERE source = 'src0'),
-        | j AS (SELECT probe_id, ref_id, n_sh, count(*) AS n_shared
-        |   FROM pe JOIN re USING (g) GROUP BY 1, 2, 3)
-        |SELECT probe_id, ref_id, CAST(n_shared AS BIGINT) AS n_shared,
-        |  round(CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE), 4)
-        |    AS containment
-        | FROM j WHERE n_shared >= 5
+      s"""WITH $contamPairsCtes
+        |SELECT probe_id, ref_id, n_shared, containment
+        | FROM cp
         | ORDER BY probe_id NULLS FIRST, ref_id NULLS FIRST""".stripMargin,
+    "q132_contamination_report" ->
+      s"""WITH $contamPairsCtes,
+        | rep AS (SELECT ref_id, count(*) AS n_offenders,
+        |   CAST(sum(n_shared) AS BIGINT) AS total_shared,
+        |   max(containment) AS max_containment
+        |  FROM cp GROUP BY ref_id),
+        | worst AS (SELECT ref_id, probe_id, row_number() OVER (
+        |     PARTITION BY ref_id
+        |     ORDER BY containment DESC, probe_id) AS rn FROM cp)
+        |SELECT r.ref_id, CAST(n_offenders AS BIGINT) AS n_offenders,
+        |  total_shared, max_containment, w.probe_id AS worst_probe
+        | FROM rep r JOIN worst w ON r.ref_id = w.ref_id AND w.rn = 1
+        | ORDER BY r.ref_id NULLS FIRST""".stripMargin,
     // q120: the whole curation chain as ONE statement — q37's scored
     // filter, q64's recursive-CTE dedup (restricted to the filtered
     // set), q43's overlap with src0 as the REFERENCE gram set, q96's
