@@ -345,4 +345,29 @@ object CorpusStats {
         round(max(norm), 6).as("max_norm"),
         round(sum(norm) / count(norm), 6).as("mean_norm"))
   }
+
+  /** The HLL swap [[profileTable]]'s scaladoc promises, promoted to a
+    * real operator: per-column APPROXIMATE distinct counts via
+    * `approx_count_distinct` — one pass, NO Expand (the exact form fans
+    * every input row out once per profiled column; at a 50-column
+    * 100 TB table that is a 50× scan amplification this sketch path
+    * avoids entirely). `rsd` is the HLL++ relative-standard-deviation
+    * knob (smaller = more sketch registers). Deterministic for a fixed
+    * dataset — HLL has no RNG — so the error against the exact count is
+    * a measurable property of (data, rsd), which is what q134's
+    * contract gate pins. Output: (col_name, n_approx), one row per
+    * requested column. */
+  def approxDistinct(
+      df: DataFrame, colNames: Seq[String], rsd: Double): DataFrame = {
+    require(colNames.nonEmpty, "need at least one column")
+    def quoted(n: String): Column = col(s"`${n.replace("`", "``")}`")
+    val aggs = colNames.zipWithIndex.map { case (n, i) =>
+      approx_count_distinct(quoted(n), rsd).as(s"__a_$i")
+    }
+    Dedup.spread(df).agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(colNames.zipWithIndex.map { case (n, i) =>
+        struct(lit(n).as("col_name"), col(s"__a_$i").as("n_approx"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
 }

@@ -360,6 +360,37 @@ object CorpusQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** q134 — approximate-distinct profiler contract
+    * ([[CorpusStats.approxDistinct]], rsd = 0.02) on the q78/q89 gate
+    * shape: the EXACT per-column distinct counts are oracle-verified
+    * from the data, and `approx_ok` asserts the HLL sketch lands within
+    * 10% of each (literal true in the oracle — an HLL regression makes
+    * Spark emit false and flips the hash). HLL++ is deterministic for
+    * fixed data, so this is a real measured property, with wide margin:
+    * at rsd 0.02 the sketch is exact at fixture cardinalities
+    * (sparse-mode), and 10% ≈ 5σ at scale. The operator exists for the
+    * Expand-free one-pass profile of very wide tables; the exact
+    * profiler (q91) stays the oracle-checkable contract. */
+  def q134ApproxProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val exact = Dedup.spread(docs)
+      .agg(countDistinct(col(cols.head)).as("__e_0"),
+        cols.tail.zipWithIndex.map { case (n, i) =>
+          countDistinct(col(n)).as(s"__e_${i + 1}")
+        }: _*)
+      .select(explode(array(cols.zipWithIndex.map { case (n, i) =>
+        struct(lit(n).as("col_name"), col(s"__e_$i").as("n_exact"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+    CorpusStats.approxDistinct(docs, cols, rsd = 0.02)
+      .join(exact, "col_name")
+      .select(col("col_name"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * 0.1).as("approx_ok"))
+      .orderBy(asc("col_name"))
+  }
+
   /** q109 — deterministic strided interleave across sources
     * ([[Split.interleaveOrder]]): the merged training order that
     * round-robins sources instead of concatenating them. */
@@ -470,6 +501,7 @@ object CorpusQueries {
     "q130_quality_classifier" -> q130QualityClassifier _,
     "q131_canonicalize"      -> q131Canonicalize _,
     "q133_canonical_dedup"   -> q133CanonicalDedup _,
+    "q134_approx_profile"    -> q134ApproxProfile _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -923,6 +955,19 @@ object CorpusQueries {
         |SELECT doc_id, len_raw, CAST(len(canon) AS BIGINT) AS len_canon,
         |  md5(canon) AS canon_md5
         | FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q134_approx_profile" ->
+      """WITH e AS (
+        |  SELECT 'doc_id' AS col_name,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact
+        |   FROM documents
+        |  UNION ALL SELECT 'lang',
+        |    CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_chars',
+        |    CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source',
+        |    CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+        |SELECT col_name, n_exact, true AS approx_ok
+        | FROM e ORDER BY col_name""".stripMargin,
     "q133_canonical_dedup" ->
       """WITH c AS (SELECT doc_id,
         |   md5(trim(regexp_replace(regexp_replace(nfc_normalize(text),
