@@ -391,6 +391,60 @@ object CorpusQueries {
       .orderBy(asc("col_name"))
   }
 
+  /** q135 — corpus fertility under the LEARNED BPE merges
+    * ([[Subword.bpeMerges]] at 6 merges + [[Subword.applyMerges]]):
+    * the corpus-level compression number a tokenizer owner actually
+    * tracks — occurrence-weighted pieces per word after applying the
+    * trained merge schedule. The merge table is parameter-sized
+    * (collected once — the Lloyd-centroid class); inference is one
+    * codegen pass over the DISTINCT-word table, weighted by word
+    * frequency, so the corpus is tokenized once and never re-scanned
+    * per merge. The oracle replays the identical unrolled schedule
+    * (q126's CTE chain) and measures the final symbol table. */
+  def q135BpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = Subword.bpeMerges(docs, col("text"), BpeMerges)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = Dedup.spread(docs)
+      .select(explode(graft.functions.TextFunctions.tokens(
+        coalesce(col("text"), lit("")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    words
+      .select(col("n"),
+        size(Subword.applyMerges(col("w"), merges)).as("np"))
+      .agg(sum(col("n")).cast("long").as("n_words"),
+        sum(col("n") * col("np")).cast("long").as("n_pieces"))
+      .select(col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") /
+          col("n_words").cast("double"), 4).as("pieces_per_word"))
+  }
+
+  /** q136 — salted skew join ([[graft.operators.SkewJoin
+    * .saltedInnerJoin]], 8 salts): per-supplier revenue through the
+    * manually salted lineitem ⋈ supplier join — the hot-key fallback
+    * for when AQE's skew splitting can't engage (or one key exceeds a
+    * task). The oracle is the PLAIN join: salting must be semantically
+    * invisible (every original match pairs with exactly one replica),
+    * so the gate is result equivalence, not a plan property
+    * (SkewJoinSpec pins the plan side: the physical join keys on
+    * (key, salt)). */
+  def q136SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("skey"), col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("skey"), col("s_name"))
+    graft.operators.SkewJoin.saltedInnerJoin(
+        li, supp, "skey", col("l_orderkey"), salts = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(asc_nulls_first("s_name"))
+  }
+
   /** q109 — deterministic strided interleave across sources
     * ([[Split.interleaveOrder]]): the merged training order that
     * round-robins sources instead of concatenating them. */
@@ -502,6 +556,8 @@ object CorpusQueries {
     "q131_canonicalize"      -> q131Canonicalize _,
     "q133_canonical_dedup"   -> q133CanonicalDedup _,
     "q134_approx_profile"    -> q134ApproxProfile _,
+    "q135_bpe_fertility"     -> q135BpeFertility _,
+    "q136_salted_join"       -> q136SaltedJoin _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -513,7 +569,10 @@ object CorpusQueries {
     * deterministic winner, `s_i` rewrites every word via the same
     * left-to-right list fold [[Subword]] runs (`list_reduce` with a
     * singleton-list lift so the accumulator type stays list). */
-  private def bpeOracleSql(nMerges: Int): String = {
+  /** The BPE training schedule's CTE prefix (`toks`/`words`/`s0` +
+    * one (pair-count, winner, fold-rewrite) triple per step), shared by
+    * the q126 and q135 oracles — the final symbol table is `s<n>`. */
+  private def bpeIterCtes(nMerges: Int): String = {
     val iters = (1 to nMerges).map { i =>
       s""" p$i AS (
         |   SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS cnt
@@ -529,9 +588,6 @@ object CorpusQueries {
         |                 ELSE list_concat(acc, x) END) AS syms
         |   FROM s${i - 1}, b$i)""".stripMargin
     }.mkString(",\n")
-    val steps = (1 to nMerges).map { i =>
-      s"SELECT $i AS step, a AS l_sym, b AS r_sym, a||b AS merged, cnt FROM b$i"
-    }.mkString("\nUNION ALL ")
     s"""WITH toks AS (
       |  SELECT unnest($toksSql) AS w
       |  FROM documents WHERE text IS NOT NULL),
@@ -540,10 +596,25 @@ object CorpusQueries {
       | s0 AS (SELECT w, n,
       |   list_transform(range(len(w)), i -> w[i+1:i+1]) AS syms
       |  FROM words),
-      |$iters
+      |$iters""".stripMargin
+  }
+
+  private def bpeOracleSql(nMerges: Int): String = {
+    val steps = (1 to nMerges).map { i =>
+      s"SELECT $i AS step, a AS l_sym, b AS r_sym, a||b AS merged, cnt FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""${bpeIterCtes(nMerges)}
       |$steps
       |ORDER BY step""".stripMargin
   }
+
+  private def bpeFertilityOracleSql(nMerges: Int): String =
+    s"""${bpeIterCtes(nMerges)}
+      |SELECT CAST(sum(n) AS BIGINT) AS n_words,
+      |  CAST(sum(n * len(syms)) AS BIGINT) AS n_pieces,
+      |  round(CAST(sum(n * len(syms)) AS DOUBLE)
+      |    / CAST(sum(n) AS DOUBLE), 4) AS pieces_per_word
+      | FROM s$nMerges""".stripMargin
 
   /** Shared CTE block mirroring [[Subword.vocab]]+[[Subword
     * .encodeWithVocab]] at V = 50, M = 4 (q94's fertility and q121's
@@ -947,6 +1018,12 @@ object CorpusQueries {
         | FROM t LEFT JOIN docids USING (doc_id)
         | ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q126_bpe_merges" -> bpeOracleSql(BpeMerges),
+    "q135_bpe_fertility" -> bpeFertilityOracleSql(BpeMerges),
+    "q136_salted_join" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | GROUP BY s_name ORDER BY s_name NULLS FIRST""".stripMargin,
     "q131_canonicalize" ->
       """WITH c AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS len_raw,
         |   trim(regexp_replace(regexp_replace(nfc_normalize(text),
