@@ -120,12 +120,17 @@ object Bench {
     }
 
     // Optional args narrow the run to the named queries (local iteration
-    // aid; the driver invokes with no args = full surface). Unknown names
+    // aid; the driver invokes with no args = full surface). `--probes`
+    // runs ONLY the warm-probe block (queries map empty) — the artifact
+    // repair path when a full run's probe block failed. Unknown names
     // fail fast — otherwise a typo would masquerade as a crashed query.
-    val unknown = args.toSeq.filterNot(SparkEntry.queries.contains)
+    val probesOnly = args.toSeq == Seq("--probes")
+    val qArgs = if (probesOnly) Seq.empty else args.toSeq
+    val unknown = qArgs.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val names =
-      if (args.nonEmpty) args.toSeq.sorted
+      if (probesOnly) Seq.empty
+      else if (qArgs.nonEmpty) qArgs.sorted
       else SparkEntry.queries.keys.toSeq.sorted
 
     val loadStart = loadavg()
@@ -218,7 +223,7 @@ object Bench {
     // "probes" — deliberately NOT in "queries": they pair with no
     // oracle and must not enter the total or the regression diff.
     val probeTimes: Vector[(String, Double)] =
-      if (args.nonEmpty) Vector.empty   // narrowed runs skip the probes
+      if (args.nonEmpty && !probesOnly) Vector.empty // narrowed runs skip the probes
       else try {
         import org.apache.spark.sql.functions._
         import graft.operators.Similarity
@@ -270,9 +275,12 @@ object Bench {
           "q128_probe" -> p128)
       } catch {
         case e: Throwable =>
-          // Probe failure must not cost the run its 119-query artifact.
+          // Probe failure must not cost the run its full-query artifact,
+          // but it must be diagnosable from stderr alone (round 12: a
+          // class-name-only log hid which call threw).
           System.err.println(
-            s"[bench] ANN probes failed: ${e.getClass.getSimpleName}")
+            s"[bench] ANN probes failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          e.getStackTrace.take(8).foreach(f => System.err.println(s"  at $f"))
           Vector.empty
       }
     probeTimes.foreach { case (n, s) =>
