@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{Epsg2263ToWgs84, FloatVecDot, HashedShingles, MinHashSig, MinHashSigHashed, SigAgree, SimHash64, StopwordHits, TextProfile}
+import graft.expressions.{Epsg2263ToWgs84, FloatVecDot, HashedShingles, MinHashSig, MinHashSigHashed, NfcNormalize, SigAgree, SimHash64, StopwordHits, TextProfile, ZOrderKey}
 
 /** Registers the engine's custom Catalyst expressions as SQL functions:
   *
@@ -50,6 +50,9 @@ object GraftExtensions {
       MinHashSigHashed(exprs.head, intArg(exprs(1), "minhash_sig_hashed"))),
     "text_profile" -> (exprs => TextProfile(exprs.head)),
     "epsg2263_to_wgs84" -> (exprs => Epsg2263ToWgs84(exprs.head, exprs(1))),
+    "nfc_normalize" -> (exprs => NfcNormalize(exprs.head)),
+    "zorder_key" -> (exprs =>
+      ZOrderKey(exprs.head, exprs(1), intArg(exprs(2), "zorder_key"))),
   )
 
   /** Register on an existing session (temp functions). */

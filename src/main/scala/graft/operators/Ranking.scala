@@ -525,4 +525,102 @@ object Ranking {
             col("n_tokens").cast("double"), 6))
     }
   }
+
+  /** CCNet-style per-language perplexity buckets: score every document
+    * with the corpus bigram LM ([[bigramLogProb]] — Jelinek-Mercer
+    * interpolated, mean log-probability per bigram), then split each
+    * language into `nBuckets` equal-frequency bands by LM score —
+    * bucket 1 ("head") = most-fluent (highest mean logprob = lowest
+    * perplexity), bucket `nBuckets` ("tail") = least. This is the
+    * CCNet curation primitive (Wenzek et al. 2020): downstream mixes
+    * sample head/middle/tail at different rates instead of applying
+    * one global perplexity cut — a global cut under-selects
+    * low-resource languages whose LM is weaker everywhere.
+    *
+    * Bucketing is on the ROUNDED logprob itself (monotone in
+    * perplexity), never on exp(−logprob): the LM score's ln() is the
+    * chain's only libm call, and introducing exp() would add a second
+    * engine-dependent rounding surface for zero semantic gain. Ties
+    * break on id, so the band assignment is total-order deterministic.
+    *
+    * Scale shape: the LM chain is [[bigramLogProb]]'s single-shuffle
+    * aggregation; the banding adds one window over the per-document
+    * score frame — doc-count-sized, orders of magnitude below token
+    * volume — partitioned by language (parallel across languages; a
+    * single language's docs sort within its partition, the standard
+    * ntile cost). Docs with < 2 tokens have no bigram events and no
+    * fluency evidence: they surface with NULL score and bucket 0,
+    * loudly separated rather than silently pooled into the tail band.
+    * Output: (id, lang, n_bigrams, logprob, bucket). */
+  def perplexityBuckets(
+      df: DataFrame, id: Column, text: Column, lang: Column,
+      nBuckets: Int = 3, lambdaJm: Double = 0.75,
+      materialize: Boolean = true): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val scored = bigramLogProb(df, id, text, lambdaJm, materialize)
+    val base = df.select(id.as("__id"), lang.as("lang"))
+    // The band window runs over SCORED docs only — letting the
+    // unscored (degenerate) docs into the partition would shift every
+    // ntile boundary by however many empty docs the language has.
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("logprob").desc, col("__id").asc)
+    val banded = base.join(scored, Seq("__id"))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+    val unscored = base.join(scored, Seq("__id"), "left_anti")
+      .select(col("__id"), col("lang"),
+        lit(null).cast("long").as("n_bigrams"),
+        lit(null).cast("double").as("logprob"), lit(0).as("bucket"))
+    banded.select(col("__id"), col("lang"), col("n_bigrams"),
+        col("logprob"), col("bucket"))
+      .unionAll(unscored)
+      .select(col("__id").as("id"), col("lang"),
+        col("n_bigrams"), col("logprob"), col("bucket"))
+  }
+
+  /** Exact heavy-hitter terms WITHOUT a vocabulary-wide shuffle: a
+    * Misra–Gries screen ([[graft.expressions.MisraGriesTopK]],
+    * ≤ `capacity` counters per partition, mergeable partials) nominates
+    * candidates — guaranteed a superset of every term with true
+    * frequency > N/(capacity+1) — then a second pass computes EXACT
+    * counts for candidate terms only and keeps those strictly above the
+    * threshold. The screen's one-sided guarantee makes the composition
+    * exactly equal to "group the whole vocabulary and filter", at a
+    * fraction of the shuffle: the aggregate ships capacity·partitions
+    * counters instead of the vocabulary, and the rerank shuffles only
+    * rows whose term is one of ≤ capacity candidates (the IN filter is
+    * a broadcast-sized literal, pushed to the scan).
+    *
+    * Driver collect is the candidate list — ≤ capacity strings, the
+    * parameter-bounded kind ([[Similarity.pqIndex]]'s codebook
+    * discipline). Two passes over the token stream beat one
+    * vocabulary-wide shuffle as soon as the vocabulary outgrows
+    * aggregate memory — the regime this operator exists for; below
+    * that, use plain groupBy (q40).
+    *
+    * Output: (term, n, share) for terms with n·(capacity+1) > N —
+    * integer-exact threshold arithmetic, no float compare — ordered by
+    * (n desc, term). share = round(n/N, 6). */
+  def frequentTerms(
+      df: DataFrame, text: Column, capacity: Int): DataFrame = {
+    val toks = df.select(explode(tokens(text)).as("term"))
+    // Screen pass: the MG summary and N ride the SAME aggregation —
+    // one scan yields both the candidate set and the exact threshold.
+    val row = toks.agg(
+      graft.expressions.MisraGriesTopK.summary(col("term"), capacity)
+        .as("mg"),
+      count(lit(1)).as("total")).collect()(0)
+    val candidates = row.getMap[String, Long](0).keys.toSeq.sorted
+    val total = row.getLong(1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candDf = candidates.toDF("term")
+    toks
+      .join(broadcast(candDf), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .filter(col("n") * lit(capacity + 1L) > lit(total))
+      .select(col("term"), col("n"),
+        round(col("n").cast("double") / lit(total).cast("double"), 6)
+          .as("share"))
+      .orderBy(col("n").desc, col("term").asc)
+  }
 }

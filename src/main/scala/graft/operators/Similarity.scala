@@ -62,6 +62,49 @@ object Similarity {
       .select(col("query_id"), col("id"), col("sim"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * `k` most-similar corpus vectors with a DIFFERENT label — the
+    * near-the-margin negatives that actually move an embedding model,
+    * versus random negatives a batch sampler would draw. `anchors` is
+    * (query_id, qv, qlabel); same-id and same-label rows are excluded
+    * before scoring. Output: (anchor_id, rank, neg_id, neg_label, sim),
+    * deterministic by the 4-dp-rounded score with id tie-break.
+    *
+    * Scale shape: [[bruteForceTopKBatch]]'s — the anchor set broadcasts
+    * (the batch being mined, parameter-sized), the corpus streams past
+    * it once, the label predicate prunes before the dot product, and
+    * the custom [[graft.plans.GroupTopK]] bounded heaps keep the
+    * shuffle at ≤k rows per (anchor × partition). At billion-vector
+    * scale, swap the exhaustive scan for an ANN shortlist
+    * ([[projectedTopK]] / [[pqTopK]] with k' ≫ k) and apply the same
+    * label-filter + exact rerank to the shortlist — the contract
+    * (exact top-k among differently-labeled) then degrades to the
+    * index's recall, which is why the exhaustive form stays the gate. */
+  def hardNegatives(
+      corpus: DataFrame, id: Column, vec: Column, label: Column,
+      anchors: DataFrame, k: Int): DataFrame = {
+    val c = Dedup.spread(corpus).select(id.cast("long").as("id"),
+        vec.as("v"), label.as("neg_label"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+    val q = anchors
+      .select(col("query_id").cast("long").as("anchor_id"), col("qv"),
+        col("qlabel"))
+      .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("anchor_id") &&
+        col("neg_label") =!= col("qlabel"))
+      .withColumn("sim", round(
+        VectorFunctions.dot(col("v"), col("qv")) /
+          (col("nrm") * col("qnrm")), 4))
+    val top = graft.plans.GroupTopK.topK(scored,
+      Seq(col("anchor_id")), Seq(col("sim").desc, col("id").asc), k)
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(desc("sim"), asc("id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("anchor_id"), col("rank"), col("id").as("neg_id"),
+        col("neg_label"), col("sim"))
+  }
+
   /** Corpus bucketing for the LSH path: adds `bucket` (nBits-bit
     * hyperplane signature). Persist/write the result bucketed by `bucket`
     * for repeated querying. */

@@ -519,6 +519,122 @@ object CorpusQueries {
       .withColumnRenamed("id", "vec_id")
       .orderBy(asc("vec_id"))
 
+  /** q137 — CCNet-style per-language perplexity bands
+    * ([[Ranking.perplexityBuckets]]): every doc scored by the corpus
+    * bigram LM (q83's chain), then ntile(3) head/middle/tail bands
+    * WITHIN each language — the curation primitive that samples
+    * fluency bands at different rates instead of one global cut. */
+  def q137PplBuckets(spark: SparkSession, dir: String): DataFrame =
+    Ranking.perplexityBuckets(Dedup.spread(Tables.documents(spark, dir)),
+        col("doc_id"), col("text"), col("lang"), nBuckets = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(asc_nulls_first("doc_id"))
+
+  /** q138 — Z-order layout audit over orders
+    * ([[graft.expressions.ZOrderKey]], 16-bit interleave of customer ×
+    * order epoch-day): rows sorted by the Morton key, blocked into
+    * 32-row "files", and each block's (customer, day) bounding box
+    * emitted — the min/max stats a parquet writer would record, i.e.
+    * the evidence that BOTH dimensions prune after the rewrite. The
+    * gate is the full block report, so the key, the sort, and the
+    * locality bookkeeping are all under the oracle's eye. */
+  def q138ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.ZOrderKey.zorder
+    val keyed = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("x"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("y"))
+      .withColumn("zkey", zorder(col("x"), col("y"), bits = 16))
+    // Global position WITHOUT a single-task window: range partition on
+    // (zkey, orderkey) + local cumsum + broadcast prefix offsets — the
+    // ScalableWindow discipline (same as q69's shuffle order).
+    val blocked = graft.operators.ScalableWindow.runningTotalBy(
+        keyed, Seq(col("zkey").asc, col("o_orderkey").asc), lit(1L), "rn",
+        spark.sparkContext.defaultParallelism)
+      // floor of the double division is integer-exact here (rn ≪ 2^53)
+      .withColumn("block", floor((col("rn") - 1) / lit(32)).cast("long"))
+    blocked.groupBy(col("block"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+        min(col("y")).as("min_day"), max(col("y")).as("max_day"),
+        min(col("zkey")).as("zmin"), max(col("zkey")).as("zmax"))
+      .orderBy(asc("block"))
+  }
+
+  /** q139 — exact heavy-hitter terms through the Misra–Gries screen
+    * ([[Ranking.frequentTerms]], capacity 30): candidates from the
+    * bounded-memory summary (no vocabulary-wide shuffle), exact counts
+    * for candidates only, threshold n·31 > N. The fixture vocabulary
+    * (31 terms) exceeds the capacity, so the screen's decrement path
+    * genuinely engages. The oracle computes the
+    * same set the brute-force way — the screen's one-sided guarantee
+    * is exactly what makes the two equal. */
+  def q139FrequentTerms(spark: SparkSession, dir: String): DataFrame =
+    Ranking.frequentTerms(Dedup.spread(Tables.documents(spark, dir)),
+      col("text"), capacity = 30)
+
+  /** q141 — dataset data card: the one-query "datasheet for a dataset"
+    * report (corpus totals, per-language and per-source composition,
+    * language token shares, exact-duplication summary) as (section,
+    * key, value) rows — the standing artifact a curation run publishes
+    * next to its shards.
+    *
+    * Scale shape: ONE corpus scan builds the doc-level base frame
+    * (id, lang, source, chars, tokens, text-md5 — narrow, token volume
+    * never leaves the projection), pinned once and consumed by five
+    * aggregates whose outputs are all ≤ |langs|+|sources|+constant
+    * rows; the token-share denominator is the usual 1-row broadcast.
+    * Every number is a double (counts are 2^53-exact) so the report is
+    * one homogeneous, unionable, oracle-hashable surface. */
+  def q141DataCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = Dedup.spread(Tables.documents(spark, dir))
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .as("n_toks"),
+        md5(col("text")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = base.agg(count(lit(1)).as("nd"),
+      sum(col("n_toks")).as("nt"), sum(col("n_chars")).as("nc"))
+    val corpusRows = totals.selectExpr(
+      """stack(4,
+        | 'n_docs', cast(nd as double),
+        | 'n_tokens', cast(nt as double),
+        | 'n_chars', cast(nc as double),
+        | 'mean_tokens', round(cast(nt as double) / cast(nd as double), 4)
+        |) as (key, value)""".stripMargin)
+      .select(lit("corpus").as("section"), col("key"), col("value"))
+    def composition(section: String,
+        c: org.apache.spark.sql.Column) = base.groupBy(c.as("key"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit(section).as("section"), col("key"), col("value"))
+    val shareRows = base.groupBy(col("lang").as("key"))
+      .agg(sum(col("n_toks")).as("lt"))
+      .crossJoin(broadcast(totals.select(col("nt"))))
+      .select(lit("lang_token_share").as("section"), col("key"),
+        round(col("lt").cast("double") / col("nt").cast("double"), 6)
+          .as("value"))
+    val dupGroups = base.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+    val dupRows = dupGroups
+      .agg(coalesce(count(lit(1)), lit(0L)).as("g"),
+        coalesce(sum(col("cnt") - 1), lit(0L)).as("d"))
+      .selectExpr(
+        """stack(2,
+          | 'exact_dup_groups', cast(g as double),
+          | 'exact_dup_docs', cast(d as double)
+          |) as (key, value)""".stripMargin)
+      .select(lit("dup").as("section"), col("key"), col("value"))
+    val report = corpusRows
+      .unionAll(composition("lang", col("lang")))
+      .unionAll(composition("source", col("source")))
+      .unionAll(shareRows)
+      .unionAll(dupRows)
+      .orderBy(asc_nulls_first("section"), asc_nulls_first("key"))
+    graft.operators.Materialize.andRelease(report, base)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_tfidf"              -> q67TfIdf _,
     "q68_bm25"               -> q68Bm25 _,
@@ -558,6 +674,10 @@ object CorpusQueries {
     "q134_approx_profile"    -> q134ApproxProfile _,
     "q135_bpe_fertility"     -> q135BpeFertility _,
     "q136_salted_join"       -> q136SaltedJoin _,
+    "q137_ppl_buckets"       -> q137PplBuckets _,
+    "q138_zorder_layout"     -> q138ZorderLayout _,
+    "q139_frequent_terms"    -> q139FrequentTerms _,
+    "q141_data_card"         -> q141DataCard _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -711,7 +831,103 @@ object CorpusQueries {
     sb.toString
   }
 
+  /** The q83 bigram-LM CTE chain (Jelinek-Mercer λ=0.75), ending in
+    * `lm` (doc_id, n_bigrams, logprob) — shared by the q83 and q137
+    * oracles (the bpeIterCtes discipline: one definition, two gates). */
+  private val bigramLmCtes: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      | g AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+      |     i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS u
+      |   FROM t WHERE len(toks) >= 2),
+      | tf AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, count(*) AS tf
+      |   FROM g GROUP BY 1, 2, 3),
+      | cb AS (SELECT w1, w2, sum(tf) AS cb FROM tf GROUP BY 1, 2),
+      | cl AS (SELECT w1, sum(cb) AS cl FROM cb GROUP BY 1),
+      | cu AS (SELECT w2, sum(cb) AS cu FROM cb GROUP BY 1),
+      | tot AS (SELECT sum(cu) AS t FROM cu),
+      | scored AS (SELECT tf.doc_id, tf.tf,
+      |   CAST(0.75 AS DOUBLE) * (CAST(cb.cb AS DOUBLE) / CAST(cl.cl AS DOUBLE))
+      |   + CAST(0.25 AS DOUBLE) * (CAST(cu.cu AS DOUBLE) / CAST(tot.t AS DOUBLE))
+      |     AS p
+      |  FROM tf JOIN cb USING (w1, w2) JOIN cl USING (w1)
+      |    JOIN cu USING (w2) CROSS JOIN tot),
+      | lm AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |   round(sum(CAST(tf AS DOUBLE) * ln(p)) / CAST(sum(tf) AS DOUBLE), 4)
+      |     AS logprob
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** q138's oracle key: the 16-bit Morton interleave unrolled to 32
+    * disjoint-bit terms (summed — the bits never overlap, so `+` ≡ `|`),
+    * with the same out-of-range→NULL contract as the native
+    * [[graft.expressions.ZOrderKey]]. */
+  private val zorderSql16: String = {
+    val terms = (0 until 16).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"CASE WHEN x < 0 OR y < 0 OR x >= 65536 OR y >= 65536 THEN NULL ELSE $terms END"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q137_ppl_buckets" ->
+      s"""$bigramLmCtes,
+        | banded AS (SELECT d.doc_id, d.lang, lm.n_bigrams, lm.logprob,
+        |     CAST(ntile(3) OVER (PARTITION BY d.lang
+        |       ORDER BY lm.logprob DESC, d.doc_id) AS INTEGER) AS bucket
+        |   FROM documents d JOIN lm USING (doc_id))
+        |SELECT doc_id, lang, n_bigrams, logprob, bucket FROM banded
+        |UNION ALL
+        |SELECT d.doc_id, d.lang, CAST(NULL AS BIGINT) AS n_bigrams,
+        |  CAST(NULL AS DOUBLE) AS logprob, CAST(0 AS INTEGER) AS bucket
+        | FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM lm)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q138_zorder_layout" ->
+      s"""WITH keyed AS (
+        |  SELECT o_orderkey, o_custkey AS x,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+        |  FROM orders),
+        | z AS (SELECT o_orderkey, x, y, $zorderSql16 AS zkey FROM keyed),
+        | b AS (SELECT x, y, zkey,
+        |    (row_number() OVER (ORDER BY zkey NULLS FIRST, o_orderkey) - 1)
+        |      // 32 AS block FROM z)
+        |SELECT block, count(*) AS n,
+        |  min(x) AS min_cust, max(x) AS max_cust,
+        |  min(y) AS min_day, max(y) AS max_day,
+        |  min(zkey) AS zmin, max(zkey) AS zmax
+        | FROM b GROUP BY block ORDER BY block""".stripMargin,
+    "q141_data_card" ->
+      s"""WITH base AS (SELECT doc_id, lang, source, n_chars,
+        |    len($toksSql) AS n_toks, md5(text) AS h FROM documents),
+        | totals AS (SELECT count(*) AS nd, sum(n_toks) AS nt,
+        |    sum(n_chars) AS nc FROM base),
+        | dupg AS (SELECT h, count(*) AS cnt FROM base GROUP BY h
+        |    HAVING count(*) > 1),
+        | dups AS (SELECT coalesce(count(*), 0) AS g,
+        |    coalesce(sum(cnt - 1), 0) AS d FROM dupg)
+        |SELECT 'corpus' AS section, 'n_docs' AS key,
+        |   CAST(nd AS DOUBLE) AS value FROM totals
+        |UNION ALL SELECT 'corpus', 'n_tokens', CAST(nt AS DOUBLE) FROM totals
+        |UNION ALL SELECT 'corpus', 'n_chars', CAST(nc AS DOUBLE) FROM totals
+        |UNION ALL SELECT 'corpus', 'mean_tokens',
+        |   round(CAST(nt AS DOUBLE) / CAST(nd AS DOUBLE), 4) FROM totals
+        |UNION ALL SELECT 'lang', lang, CAST(count(*) AS DOUBLE)
+        |   FROM base GROUP BY lang
+        |UNION ALL SELECT 'source', source, CAST(count(*) AS DOUBLE)
+        |   FROM base GROUP BY source
+        |UNION ALL SELECT 'lang_token_share', lang,
+        |   round(CAST(sum(n_toks) AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+        |   FROM base CROSS JOIN totals GROUP BY lang, nt
+        |UNION ALL SELECT 'dup', 'exact_dup_groups', CAST(g AS DOUBLE) FROM dups
+        |UNION ALL SELECT 'dup', 'exact_dup_docs', CAST(d AS DOUBLE) FROM dups
+        |ORDER BY section NULLS FIRST, key NULLS FIRST""".stripMargin,
+    "q139_frequent_terms" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+        | tok AS (SELECT unnest(toks) AS term FROM t),
+        | cf AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+        | tot AS (SELECT count(*) AS total FROM tok)
+        |SELECT term, n,
+        |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        | FROM cf CROSS JOIN tot WHERE n * 31 > total
+        | ORDER BY n DESC, term""".stripMargin,
     "q67_tfidf" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
@@ -784,26 +1000,9 @@ object CorpusQueries {
         | FROM tfc JOIN cf USING (term) CROSS JOIN tot
         | GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q83_bigram_lm" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        | g AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
-        |     i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS u
-        |   FROM t WHERE len(toks) >= 2),
-        | tf AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, count(*) AS tf
-        |   FROM g GROUP BY 1, 2, 3),
-        | cb AS (SELECT w1, w2, sum(tf) AS cb FROM tf GROUP BY 1, 2),
-        | cl AS (SELECT w1, sum(cb) AS cl FROM cb GROUP BY 1),
-        | cu AS (SELECT w2, sum(cb) AS cu FROM cb GROUP BY 1),
-        | tot AS (SELECT sum(cu) AS t FROM cu),
-        | scored AS (SELECT tf.doc_id, tf.tf,
-        |   CAST(0.75 AS DOUBLE) * (CAST(cb.cb AS DOUBLE) / CAST(cl.cl AS DOUBLE))
-        |   + CAST(0.25 AS DOUBLE) * (CAST(cu.cu AS DOUBLE) / CAST(tot.t AS DOUBLE))
-        |     AS p
-        |  FROM tf JOIN cb USING (w1, w2) JOIN cl USING (w1)
-        |    JOIN cu USING (w2) CROSS JOIN tot)
-        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-        |  round(sum(CAST(tf AS DOUBLE) * ln(p)) / CAST(sum(tf) AS DOUBLE), 4)
-        |    AS logprob
-        | FROM scored GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+      s"""$bigramLmCtes
+        |SELECT doc_id, n_bigrams, logprob FROM lm
+        | ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q73_oov_rate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         | tok AS (SELECT doc_id, unnest(toks) AS term FROM t),

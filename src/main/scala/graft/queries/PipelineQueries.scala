@@ -596,6 +596,22 @@ object PipelineQueries {
       .orderBy(asc("query_id"), asc("rank"))
   }
 
+  /** q140 — hard-negative mining ([[Similarity.hardNegatives]]): for
+    * each anchor (vec_id < 10), the 5 most-similar vectors with a
+    * DIFFERENT label — the contrastive-training pair miner, q65's
+    * batch-KNN shape plus the label-inequality predicate, per-anchor
+    * top-k through the custom GroupTopK bounded heaps. */
+  def q140HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(
+        emb, col("vec_id"), col("embedding"), col("label"),
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("label").as("qlabel")),
+        k = 5)
+      .orderBy(asc("anchor_id"), asc("rank"))
+  }
+
   /** q80 — repeated-span REMOVAL, the cut step of substring-level dedup
     * ([[Dedup.removeRepeatedSpans]]): per doc, token counts before/after
     * cutting every cross-doc repeated span, plus the md5 of the cleaned
@@ -928,6 +944,7 @@ object PipelineQueries {
     "q63_stratified_sample" -> q63StratifiedSample _,
     "q64_dedup_corpus"    -> q64DedupCorpus _,
     "q65_batch_knn"       -> q65BatchKnn _,
+    "q140_hard_negatives" -> q140HardNegatives _,
     "q78_ivf_recall"      -> q78IvfRecall _,
     "q79_lsh_recall"      -> q79LshRecall _,
     "q89_pq_recall"       -> q89PqRecall _,
@@ -1404,6 +1421,27 @@ object PipelineQueries {
         |     ORDER BY sim DESC, id) AS rank FROM s)
         |SELECT query_id, id, sim, CAST(rank AS INTEGER) AS rank
         | FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q140_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv,
+        |     label AS qlabel
+        |   FROM embeddings WHERE vec_id < 10),
+        | s AS (SELECT q.anchor_id, e.vec_id AS neg_id,
+        |   e.label AS neg_label, round(
+        |   list_sum(list_transform(range(len(e.embedding)),
+        |     i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+        |       i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(range(len(q.qv)),
+        |       i -> CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))))), 4)
+        |   AS sim
+        |  FROM embeddings e JOIN q
+        |    ON e.vec_id <> q.anchor_id AND e.label <> q.qlabel),
+        | r AS (SELECT anchor_id, neg_id, neg_label, sim,
+        |   row_number() OVER (PARTITION BY anchor_id
+        |     ORDER BY sim DESC, neg_id) AS rank FROM s)
+        |SELECT anchor_id, CAST(rank AS INTEGER) AS rank, neg_id,
+        |  neg_label, sim
+        | FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
     "q81_token_budget" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
         | m AS (SELECT doc_id,

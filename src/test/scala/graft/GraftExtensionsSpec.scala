@@ -35,6 +35,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(hr == 23)
   }
 
+  test("round-12 registrations: nfc_normalize and zorder_key from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT nfc_normalize('café') AS canon,
+        |       zorder_key(3L, 5L, 16) AS z,
+        |       zorder_key(-1L, 5L, 16) AS oob""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "caf\u00e9", "decomposed e+U+0301 must compose to U+00E9")
+    // 3 = 0b011 on even bits, 5 = 0b101 on odd bits:
+    // z = (1<<0)+(1<<2) + (1<<1)+(1<<5) = 0b100111 = 39
+    assert(r.getLong(1) == 39L)
+    assert(r.isNullAt(2), "out-of-range input must be NULL")
+  }
+
   test("identical token bags give identical simhash via SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql(

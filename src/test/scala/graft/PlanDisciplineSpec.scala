@@ -59,7 +59,13 @@ class PlanDisciplineSpec extends SparkSpec {
     // q129: aggregates q120's stage frames, so its plan carries the
     // same mix-rate build (≤|strata|-row count frame crossed with its
     // 1-row total).
-    "q129_curation_funnel")
+    "q129_curation_funnel",
+    // q140: q65's batch shape — the 10-row anchor batch broadcast under
+    // the corpus scan; GroupTopK bounds what survives the cross.
+    "q140_hard_negatives",
+    // q141: the data card's token-share denominator — the 1-row corpus
+    // totals broadcast crossed under the ≤|langs|-row share frame.
+    "q141_data_card")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

@@ -174,6 +174,26 @@ class SimilaritySpec extends SparkSpec {
       "not a silently truncated projection")
   }
 
+  test("hardNegatives: top-k most-similar DIFFERENT-label vectors, " +
+    "anchor and same-label rows excluded") {
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),   // same label as anchor: excluded
+      (3L, Array(0.8f, 0.2f), 1),   // the hardest negative
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(-1.0f, 0.0f), 2))
+      .toDF("id", "vec", "lbl")
+    val anchors = labeled.filter(col("id") === 1L)
+      .select(col("id").as("query_id"), col("vec").as("qv"),
+        col("lbl").as("qlabel"))
+    val got = Similarity.hardNegatives(
+        labeled, col("id"), col("vec"), col("lbl"), anchors, k = 2)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3))).toSeq.sortBy(_._1)
+    // ranks 1..2 = ids 3 (label 1), then 4 — never 2 (same label) or 1
+    assert(got == Seq((1, 3L, 1), (2, 4L, 1)), got.toString)
+  }
+
   test("projectedTopK: corpus-sized shortlist degenerates to exact " +
     "brute force (completeness gate)") {
     val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qv")
