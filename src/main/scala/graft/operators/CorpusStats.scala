@@ -370,4 +370,64 @@ object CorpusStats {
       }: _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Dataset data card — the one-pass "datasheet for a dataset" report
+    * a curation run publishes next to its shards: corpus totals,
+    * per-language and per-source composition, language token shares,
+    * and the exact-duplication summary, as homogeneous (section, key,
+    * value) rows (all values double; counts are 2^53-exact).
+    *
+    * Scale shape: ONE corpus scan builds the doc-level base frame
+    * (id, lang, source, chars, token count, text-md5 — narrow; token
+    * volume never leaves the projection), pinned once and consumed by
+    * five aggregates whose outputs are ≤ |langs|+|sources|+constant
+    * rows; the token-share denominator is the usual 1-row broadcast
+    * cross. Expects (id, lang, source, nChars, text) columns. */
+  def dataCard(
+      df: DataFrame, id: Column, lang: Column, source: Column,
+      nChars: Column, text: Column): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val base = Dedup.spread(df).select(id.as("__id"), lang.as("__lang"),
+        source.as("__source"), nChars.as("__nc"),
+        size(graft.functions.TextFunctions.tokens(text)).as("__ntok"),
+        md5(text).as("__h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = base.agg(count(lit(1)).as("nd"),
+      sum(col("__ntok")).as("nt"), sum(col("__nc")).as("nc"))
+    val corpusRows = totals.selectExpr(
+      """stack(4,
+        | 'n_docs', cast(nd as double),
+        | 'n_tokens', cast(nt as double),
+        | 'n_chars', cast(nc as double),
+        | 'mean_tokens', round(cast(nt as double) / cast(nd as double), 4)
+        |) as (key, value)""".stripMargin)
+      .select(lit("corpus").as("section"), col("key"), col("value"))
+    def composition(section: String, c: Column) = base.groupBy(c.as("key"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit(section).as("section"), col("key"), col("value"))
+    val shareRows = base.groupBy(col("__lang").as("key"))
+      .agg(sum(col("__ntok")).as("lt"))
+      .crossJoin(broadcast(totals.select(col("nt"))))
+      .select(lit("lang_token_share").as("section"), col("key"),
+        round(col("lt").cast("double") / col("nt").cast("double"), 6)
+          .as("value"))
+    val dupGroups = base.groupBy(col("__h"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+    val dupRows = dupGroups
+      .agg(coalesce(count(lit(1)), lit(0L)).as("g"),
+        coalesce(sum(col("cnt") - 1), lit(0L)).as("d"))
+      .selectExpr(
+        """stack(2,
+          | 'exact_dup_groups', cast(g as double),
+          | 'exact_dup_docs', cast(d as double)
+          |) as (key, value)""".stripMargin)
+      .select(lit("dup").as("section"), col("key"), col("value"))
+    val report = corpusRows
+      .unionAll(composition("lang", col("__lang")))
+      .unionAll(composition("source", col("__source")))
+      .unionAll(shareRows)
+      .unionAll(dupRows)
+      .orderBy(asc_nulls_first("section"), asc_nulls_first("key"))
+    Materialize.andRelease(report, base)
+  }
 }

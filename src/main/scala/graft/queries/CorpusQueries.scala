@@ -586,54 +586,10 @@ object CorpusQueries {
     * rows; the token-share denominator is the usual 1-row broadcast.
     * Every number is a double (counts are 2^53-exact) so the report is
     * one homogeneous, unionable, oracle-hashable surface. */
-  def q141DataCard(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val docs = Dedup.spread(Tables.documents(spark, dir))
-    val base = docs.select(col("doc_id"), col("lang"), col("source"),
-        col("n_chars"),
-        size(graft.functions.TextFunctions.tokens(col("text")))
-          .as("n_toks"),
-        md5(col("text")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val totals = base.agg(count(lit(1)).as("nd"),
-      sum(col("n_toks")).as("nt"), sum(col("n_chars")).as("nc"))
-    val corpusRows = totals.selectExpr(
-      """stack(4,
-        | 'n_docs', cast(nd as double),
-        | 'n_tokens', cast(nt as double),
-        | 'n_chars', cast(nc as double),
-        | 'mean_tokens', round(cast(nt as double) / cast(nd as double), 4)
-        |) as (key, value)""".stripMargin)
-      .select(lit("corpus").as("section"), col("key"), col("value"))
-    def composition(section: String,
-        c: org.apache.spark.sql.Column) = base.groupBy(c.as("key"))
-      .agg(count(lit(1)).cast("double").as("value"))
-      .select(lit(section).as("section"), col("key"), col("value"))
-    val shareRows = base.groupBy(col("lang").as("key"))
-      .agg(sum(col("n_toks")).as("lt"))
-      .crossJoin(broadcast(totals.select(col("nt"))))
-      .select(lit("lang_token_share").as("section"), col("key"),
-        round(col("lt").cast("double") / col("nt").cast("double"), 6)
-          .as("value"))
-    val dupGroups = base.groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
-    val dupRows = dupGroups
-      .agg(coalesce(count(lit(1)), lit(0L)).as("g"),
-        coalesce(sum(col("cnt") - 1), lit(0L)).as("d"))
-      .selectExpr(
-        """stack(2,
-          | 'exact_dup_groups', cast(g as double),
-          | 'exact_dup_docs', cast(d as double)
-          |) as (key, value)""".stripMargin)
-      .select(lit("dup").as("section"), col("key"), col("value"))
-    val report = corpusRows
-      .unionAll(composition("lang", col("lang")))
-      .unionAll(composition("source", col("source")))
-      .unionAll(shareRows)
-      .unionAll(dupRows)
-      .orderBy(asc_nulls_first("section"), asc_nulls_first("key"))
-    graft.operators.Materialize.andRelease(report, base)
-  }
+  def q141DataCard(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.dataCard(Tables.documents(spark, dir),
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      col("text"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_tfidf"              -> q67TfIdf _,
