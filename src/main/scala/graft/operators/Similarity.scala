@@ -443,6 +443,95 @@ object Similarity {
       .select(col("id"), col("group"), col("score"))
   }
 
+  /** Label-noise screen (confident-learning-lite): score every vector
+    * against ALL label centroids and flag the rows whose best-matching
+    * centroid is NOT their own label — the classic mislabeled-example
+    * candidates of a labeled-embedding QA pass, with the
+    * best-versus-own margin as the triage order. Complements
+    * [[centroidCosineScores]] (distance from OWN centroid finds
+    * outliers; cross-centroid argmax finds plausible RELABELS).
+    *
+    * Output: (id, label, best_label, own_score, best_score, margin)
+    * for flagged rows only, margin = best − own rounded at 4 dp,
+    * deterministic (argmax ties break on the smaller label; scores are
+    * 4-dp-rounded before comparison so engines agree on the argmax
+    * itself).
+    *
+    * Scale shape: the centroid table is one aggregation pass
+    * (|labels|·dim rows), broadcast; every vector scores |labels|
+    * centroids in one projection — a |labels|-row broadcast cross, the
+    * corpus shuffles only for the per-id argmax aggregation, keyed on
+    * (id, label), which AQE-coalesces to the id hash. At thousands of
+    * labels, pre-reduce with an ANN shortlist over the centroid table;
+    * at the 10–100-label regime this exhaustive form IS the scale
+    * path. */
+  def labelNoiseScreen(
+      df: DataFrame, id: Column, label: Column, vec: Column): DataFrame = {
+    val cents = groupCentroids(df, label, vec)
+    val dotCol = {
+      val prods = zip_with(col("v"), col("centroid"),
+        (a, b) => a.cast("double") * b)
+      aggregate(prods, lit(0.0d), (acc, x) => acc + x)
+    }
+    val vNormSq = aggregate(
+      transform(col("v"), a => a.cast("double") * a.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val cNormSq = aggregate(
+      transform(col("centroid"), b => b * b), lit(0.0d), (acc, x) => acc + x)
+    Dedup.spread(df).select(id.as("id"), label.as("lbl"), vec.as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("score",
+        round(dotCol / (sqrt(vNormSq) * sqrt(cNormSq)), 4))
+      .groupBy(col("id"), col("lbl"))
+      .agg(
+        min(struct((-col("score")).as("ns"), col("group").as("g")))
+          .as("best"),
+        max(when(col("group") === col("lbl"), col("score"))).as("own_score"))
+      .select(col("id"), col("lbl").as("label"),
+        col("best.g").as("best_label"),
+        col("own_score"),
+        (-col("best.ns")).as("best_score"))
+      .filter(col("best_label") =!= col("label"))
+      .withColumn("margin", round(col("best_score") - col("own_score"), 4))
+      .orderBy(desc("margin"), asc("id"))
+  }
+
+  /** Truncated-dimension recall audit (the Matryoshka/MRL storage
+    * decision table): for each prefix dimensionality `d` in `dims`,
+    * exact cosine top-`k` using only the vectors' FIRST `d` components,
+    * scored against the full-dimension top-`k` as ground truth —
+    * "how much recall do we keep if we store only d dims per vector?".
+    * The answer decides the dominant storage/bandwidth knob of an
+    * embedding pipeline (a 64→16 truncation is a 4× cut on every scan
+    * downstream). Output: (dim, recall), recall = |top_d ∩ top_full|/k
+    * rounded to 4 dp; the full dimension itself appears as the
+    * recall=1 control row when included in `dims`.
+    *
+    * Scale shape: one [[bruteForceTopK]] per probed dimension — each a
+    * single corpus scan over a PREFIX slice (columnar float arrays:
+    * the slice is allocation-bounded by d, and at production scale the
+    * truncated column would be materialized once, [[randomProjection]]
+    * discipline) into a TakeOrderedAndProject; the recall joins touch
+    * k-row frames only. */
+  def truncatedDimRecall(
+      corpus: DataFrame, id: Column, vec: Column, query: DataFrame,
+      dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty, "need at least one probe dimension")
+    val fullTruth = bruteForceTopK(corpus, id, vec, query, k)
+      .select(col("id"))
+    dims.map { d =>
+      val topD = bruteForceTopK(
+        corpus.select(id.as("__tid"), slice(vec, 1, d).as("__tv")),
+        col("__tid"), col("__tv"),
+        query.select(slice(col("qv"), 1, d).as("qv")), k)
+      topD.join(fullTruth, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("dim"),
+          round(col("hits").cast("double") / lit(k).cast("double"), 4)
+            .as("recall"))
+    }.reduce(_ unionAll _).orderBy(asc("dim"))
+  }
+
   /** The deterministic ±1 entry (outRow, inCol) of the random-projection
     * matrix: +1 iff the first hex digit of md5("`seed`_i_j") is even —
     * the library's engine-portable md5 discipline ([[Split]]'s split

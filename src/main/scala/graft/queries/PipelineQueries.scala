@@ -612,6 +612,28 @@ object PipelineQueries {
       .orderBy(asc("anchor_id"), asc("rank"))
   }
 
+  /** q142 — truncated-dimension recall audit
+    * ([[Similarity.truncatedDimRecall]]): exact top-10 for the vec_id-0
+    * probe at prefix dims 8/16/32/64 vs the full-dimension truth — the
+    * Matryoshka storage decision table (d=64 is the recall=1 control
+    * row). */
+  def q142TruncatedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.truncatedDimRecall(
+      emb.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
+      dims = Seq(8, 16, 32, 64), k = 10)
+  }
+
+  /** q143 — label-noise screen ([[Similarity.labelNoiseScreen]]):
+    * vectors whose best-matching label centroid is not their own label,
+    * margin-ordered — the mislabeled-example triage list next to q74's
+    * own-centroid outlier score. */
+  def q143LabelNoise(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelNoiseScreen(Tables.embeddings(spark, dir),
+        col("vec_id"), col("label"), col("embedding"))
+      .withColumnRenamed("id", "vec_id")
+
   /** q80 — repeated-span REMOVAL, the cut step of substring-level dedup
     * ([[Dedup.removeRepeatedSpans]]): per doc, token counts before/after
     * cutting every cross-doc repeated span, plus the md5 of the cleaned
@@ -945,6 +967,8 @@ object PipelineQueries {
     "q64_dedup_corpus"    -> q64DedupCorpus _,
     "q65_batch_knn"       -> q65BatchKnn _,
     "q140_hard_negatives" -> q140HardNegatives _,
+    "q142_truncated_recall" -> q142TruncatedRecall _,
+    "q143_label_noise"    -> q143LabelNoise _,
     "q78_ivf_recall"      -> q78IvfRecall _,
     "q79_lsh_recall"      -> q79LshRecall _,
     "q89_pq_recall"       -> q89PqRecall _,
@@ -1421,6 +1445,59 @@ object PipelineQueries {
         |     ORDER BY sim DESC, id) AS rank FROM s)
         |SELECT query_id, id, sim, CAST(rank AS INTEGER) AS rank
         | FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q142_truncated_recall" -> {
+      def cosD(d: Int): String =
+        s"""round(list_sum(list_transform(range($d),
+           |     i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)))
+           |   / (sqrt(list_sum(list_transform(range($d),
+           |       i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+           |    * sqrt(list_sum(list_transform(range($d),
+           |       i -> CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))))), 4)""".stripMargin
+      val dims = Seq(8, 16, 32, 64)
+      val tops = dims.map { d =>
+        s""" top_$d AS (SELECT vec_id FROM (
+           |   SELECT e.vec_id, row_number() OVER (ORDER BY ${cosD(d)} DESC,
+           |       e.vec_id) AS rn
+           |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+           |  WHERE rn <= 10)""".stripMargin
+      }.mkString(",\n")
+      val rows = dims.map { d =>
+        s"""SELECT $d AS dim, round(CAST(count(*) AS DOUBLE)
+           | / CAST(10 AS DOUBLE), 4) AS recall
+           | FROM top_$d td JOIN top_64 tt ON td.vec_id = tt.vec_id""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |$tops
+         |$rows
+         |ORDER BY dim""".stripMargin
+    },
+    "q143_label_noise" ->
+      """WITH u AS (SELECT label,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings),
+        | c AS (SELECT label, dim, round(sum(x) / count(*), 6) AS m
+        |  FROM u GROUP BY 1, 2),
+        | cent AS (SELECT label AS clabel, list(m ORDER BY dim) AS centroid
+        |  FROM c GROUP BY label),
+        | s AS (SELECT e.vec_id, e.label, cent.clabel,
+        |   round(list_sum(list_transform(range(len(e.embedding)),
+        |     i -> CAST(e.embedding[i+1] AS DOUBLE) * centroid[i+1]))
+        |   / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+        |       i -> CAST(e.embedding[i+1] AS DOUBLE)
+        |              * CAST(e.embedding[i+1] AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(range(len(centroid)),
+        |       i -> centroid[i+1] * centroid[i+1])))), 4) AS sc
+        |  FROM embeddings e CROSS JOIN cent),
+        | agg AS (SELECT vec_id, label,
+        |    (min(struct_pack(ns := -sc, g := clabel))).g AS best_label,
+        |    -((min(struct_pack(ns := -sc, g := clabel))).ns) AS best_score,
+        |    max(CASE WHEN clabel = label THEN sc END) AS own_score
+        |  FROM s GROUP BY 1, 2)
+        |SELECT vec_id, label, best_label, own_score, best_score,
+        |  round(best_score - own_score, 4) AS margin
+        | FROM agg WHERE best_label <> label
+        | ORDER BY margin DESC, vec_id""".stripMargin,
     "q140_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv,
         |     label AS qlabel

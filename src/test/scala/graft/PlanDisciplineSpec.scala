@@ -65,7 +65,14 @@ class PlanDisciplineSpec extends SparkSpec {
     "q140_hard_negatives",
     // q141: the data card's token-share denominator — the 1-row corpus
     // totals broadcast crossed under the ≤|langs|-row share frame.
-    "q141_data_card")
+    "q141_data_card",
+    // q142: q22's shape per probed dimension — the 1-row query vector
+    // broadcast under each prefix-slice scan.
+    "q142_truncated_recall",
+    // q143: the |labels|-row centroid table broadcast crossed under the
+    // corpus scan (10 rows; the argmax aggregation bounds what
+    // survives).
+    "q143_label_noise")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

@@ -194,6 +194,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1, 3L, 1), (2, 4L, 1)), got.toString)
   }
 
+  test("labelNoiseScreen flags the planted mislabel and nothing else") {
+    // two tight clusters; id 5 sits in cluster B but is labeled A
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.95f, 0.05f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.05f, 0.95f), 1),
+      (5L, Array(0.0f, 0.9f), 0))
+      .toDF("id", "vec", "lbl")
+    val got = Similarity.labelNoiseScreen(
+        labeled, col("id"), col("lbl"), col("vec"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((5L, 0, 1)), got.mkString(","))
+  }
+
+  test("truncatedDimRecall: full dim is the recall-1 control row, all " +
+    "recalls in [0,1], and a prefix that inverts the order scores < 1") {
+    // first component ties everywhere; the second decides the true
+    // ranking — so d=1 must miss.
+    val c = Seq(
+      (1L, Array(1.0f, 0.9f)), (2L, Array(1.0f, 0.1f)),
+      (3L, Array(1.0f, 0.85f)), (4L, Array(1.0f, 0.05f)))
+      .toDF("id", "vec")
+    val q = Seq(Tuple1(Array(1.0f, 1.0f))).toDF("qv")
+    val got = Similarity.truncatedDimRecall(
+        c, col("id"), col("vec"), q, dims = Seq(1, 2), k = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(2) == 1.0, s"full dim must be the control: $got")
+    assert(got(1) >= 0.0 && got(1) <= 1.0)
+    // d=1: all cosines tie at 1.0, top-2 by id tie-break = {1,2};
+    // truth (d=2) = {1,3} -> recall 0.5
+    assert(got(1) == 0.5, s"d=1 should half-miss: $got")
+  }
+
   test("projectedTopK: corpus-sized shortlist degenerates to exact " +
     "brute force (completeness gate)") {
     val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qv")
