@@ -115,6 +115,27 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(lazyPlan.contains("TopKPerGroupFinal"), lazyPlan)
   }
 
+  test("q140 hard negatives runs through GroupTopK; q139's rerank joins " +
+      "broadcast; q138 plans no single-partition window") {
+    val p140 = planOf("q140_hard_negatives")
+    assert(p140.contains("TopKPerGroupPartial"), p140)
+    assert(p140.contains("TopKPerGroupFinal"), p140)
+    // q139: the exact rerank probes the candidate list as a broadcast
+    // semi-join — the vocabulary-sized shuffle the screen exists to
+    // avoid must not reappear in the rerank.
+    val p139 = planOf("q139_frequent_terms")
+    assert(p139.contains("BroadcastHashJoin") ||
+      p139.contains("BroadcastExchange"), p139)
+    // q138: the global block position must come from the two-phase
+    // ScalableWindow (range partition + per-partition window), never a
+    // Window over an Exchange SinglePartition.
+    val p138 = planOf("q138_zorder_layout")
+    assert(!p138.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"q138 plans a single-partition window exchange:\n$p138")
+    assert(p138.contains("RangePartitioning") ||
+      p138.contains("rangepartitioning"), p138)
+  }
+
   test("q68 BM25 top-N plans TakeOrderedAndProject, not a global sort") {
     assert(planOf("q68_bm25").contains("TakeOrderedAndProject"),
       planOf("q68_bm25"))
