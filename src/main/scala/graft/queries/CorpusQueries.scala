@@ -148,17 +148,50 @@ object CorpusQueries {
     * the sparse `doc_id % 97 = 0` slice re-ingested under shifted ids —
     * the deterministic churn fixture. Output rows only for the churn
     * (added / removed / changed), never the unchanged bulk. */
-  def q93SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  /** The deterministic churn fixture shared by q93 (doc-level diff) and
+    * q144 (card-level drift): every third doc deleted, every fifth
+    * survivor revised (` rev2` appended), the sparse `doc_id % 97`
+    * slice re-ingested under shifted ids. Carries (doc_id, text, lang,
+    * source) so both the text-hash diff and the composition-aware card
+    * run off ONE definition. */
+  private def churnedDocs(d: DataFrame): DataFrame = {
     val revised = d.filter(col("doc_id") % 3 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
-          .otherwise(col("text")).as("text"))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
     val reingested = d.filter(col("doc_id") % 97 === 0)
-      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
-    CorpusStats.snapshotDiff(d, revised.unionByName(reingested),
-        col("doc_id"), col("text"))
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+    revised.unionByName(reingested)
+  }
+
+  def q93SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    CorpusStats.snapshotDiff(d, churnedDocs(d), col("doc_id"), col("text"))
       .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** q144 — data-card drift report: [[CorpusStats.dataCard]] computed
+    * on the corpus and on its churned snapshot (q93's exact churn — one
+    * shared definition), full-outer joined on (section, key) with the
+    * per-metric delta — "what changed between crawls" at the
+    * composition level, the companion to q93's doc-level diff. Both
+    * cards measure chars as length(text) so the revised docs' growth is
+    * visible (the table's n_chars column describes only the original
+    * snapshot). */
+  def q144CardDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def card(df: DataFrame) = CorpusStats.dataCard(df, col("doc_id"),
+      col("lang"), col("source"), length(col("text")), col("text"))
+    card(d).withColumnRenamed("value", "old_value")
+      .join(card(churnedDocs(d)).withColumnRenamed("value", "new_value"),
+        Seq("section", "key"), "full_outer")
+      .select(col("section"), col("key"), col("old_value"),
+        col("new_value"),
+        round(coalesce(col("new_value"), lit(0.0d))
+          - coalesce(col("old_value"), lit(0.0d)), 6).as("delta"))
+      .orderBy(asc_nulls_first("section"), asc_nulls_first("key"))
   }
 
   /** Subword geometry shared by q94's fertility and q121's encoder:
@@ -634,6 +667,7 @@ object CorpusQueries {
     "q138_zorder_layout"     -> q138ZorderLayout _,
     "q139_frequent_terms"    -> q139FrequentTerms _,
     "q141_data_card"         -> q141DataCard _,
+    "q144_card_diff"         -> q144CardDiff _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -823,7 +857,55 @@ object CorpusQueries {
     s"CASE WHEN x < 0 OR y < 0 OR x >= 65536 OR y >= 65536 THEN NULL ELSE $terms END"
   }
 
+  /** The q144 card builder: one data-card CTE chain (q141's arithmetic
+    * with chars = len(text)) over `src`, all CTE names suffixed so two
+    * cards coexist in one statement. Ends in `card$sfx`
+    * (section, key, value). */
+  private def cardCtes(src: String, sfx: String): String =
+    s""" base$sfx AS (SELECT doc_id, lang, source, len(text) AS nch,
+      |    len($toksSql) AS n_toks, md5(text) AS h FROM $src),
+      | totals$sfx AS (SELECT count(*) AS nd, sum(n_toks) AS nt,
+      |    sum(nch) AS nc FROM base$sfx),
+      | dupg$sfx AS (SELECT h, count(*) AS cnt FROM base$sfx GROUP BY h
+      |    HAVING count(*) > 1),
+      | dups$sfx AS (SELECT coalesce(count(*), 0) AS g,
+      |    coalesce(sum(cnt - 1), 0) AS d FROM dupg$sfx),
+      | card$sfx AS (
+      |  SELECT 'corpus' AS section, 'n_docs' AS key,
+      |    CAST(nd AS DOUBLE) AS value FROM totals$sfx
+      |  UNION ALL SELECT 'corpus', 'n_tokens', CAST(nt AS DOUBLE)
+      |    FROM totals$sfx
+      |  UNION ALL SELECT 'corpus', 'n_chars', CAST(nc AS DOUBLE)
+      |    FROM totals$sfx
+      |  UNION ALL SELECT 'corpus', 'mean_tokens',
+      |    round(CAST(nt AS DOUBLE) / CAST(nd AS DOUBLE), 4) FROM totals$sfx
+      |  UNION ALL SELECT 'lang', lang, CAST(count(*) AS DOUBLE)
+      |    FROM base$sfx GROUP BY lang
+      |  UNION ALL SELECT 'source', source, CAST(count(*) AS DOUBLE)
+      |    FROM base$sfx GROUP BY source
+      |  UNION ALL SELECT 'lang_token_share', lang,
+      |    round(CAST(sum(n_toks) AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+      |    FROM base$sfx CROSS JOIN totals$sfx GROUP BY lang, nt
+      |  UNION ALL SELECT 'dup', 'exact_dup_groups', CAST(g AS DOUBLE)
+      |    FROM dups$sfx
+      |  UNION ALL SELECT 'dup', 'exact_dup_docs', CAST(d AS DOUBLE)
+      |    FROM dups$sfx)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q144_card_diff" ->
+      s"""WITH churn AS (
+        |   SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+        |       ELSE text END AS text, lang, source
+        |     FROM documents WHERE doc_id % 3 <> 0
+        |   UNION ALL
+        |   SELECT doc_id + 1000000, text, lang, source FROM documents
+        |     WHERE doc_id % 97 = 0),
+        |${cardCtes("documents", "_o")},
+        |${cardCtes("churn", "_n")}
+        |SELECT section, key, o.value AS old_value, n.value AS new_value,
+        |  round(coalesce(n.value, 0) - coalesce(o.value, 0), 6) AS delta
+        | FROM card_o o FULL JOIN card_n n USING (section, key)
+        | ORDER BY section NULLS FIRST, key NULLS FIRST""".stripMargin,
     "q137_ppl_buckets" ->
       s"""$bigramLmCtes,
         | banded AS (SELECT d.doc_id, d.lang, lm.n_bigrams, lm.logprob,

@@ -72,7 +72,10 @@ class PlanDisciplineSpec extends SparkSpec {
     // q143: the |labels|-row centroid table broadcast crossed under the
     // corpus scan (10 rows; the argmax aggregation bounds what
     // survives).
-    "q143_label_noise")
+    "q143_label_noise",
+    // q144: two data cards — q141's 1-row token-share denominator
+    // broadcast, once per snapshot.
+    "q144_card_diff")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
