@@ -430,4 +430,33 @@ object CorpusStats {
       .orderBy(asc_nulls_first("section"), asc_nulls_first("key"))
     Materialize.andRelease(report, base)
   }
+
+  /** k-anonymity audit: every quasi-identifier combination observed in
+    * fewer than `k` rows — the re-identification screen a pipeline
+    * runs before releasing event- or metadata-level data, since a
+    * combination shared by fewer than k individuals singles its rows
+    * out (Sweeney 2002). `qids` supplies the named quasi-identifier
+    * projections (the caller chooses the generalization level, e.g. a
+    * truncated date or a bucketed value — generalize-until-clean is
+    * the standard loop around this audit).
+    *
+    * Output: one row per RISKY combination (n &lt; k): the qid columns
+    * plus its row count `n`. An empty result is the pass certificate.
+    *
+    * Scale shape: one scan projecting only the qid expressions, one
+    * hash aggregate keyed on them (map-side partial combine does the
+    * heavy lifting — group cardinality, not row count, crosses the
+    * exchange), one cheap post-aggregate filter. No windows, no text,
+    * no second scan. */
+  def kAnonymity(df: DataFrame, qids: Seq[(String, Column)], k: Int)
+      : DataFrame = {
+    require(k >= 2, "k must be >= 2 (k=1 flags nothing)")
+    require(qids.nonEmpty, "need at least one quasi-identifier")
+    val keys = qids.map { case (name, c) => c.as(name) }
+    val keyCols = qids.map { case (name, _) => col(name) }
+    df.select(keys: _*)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
 }

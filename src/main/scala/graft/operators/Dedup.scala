@@ -1331,4 +1331,55 @@ object Dedup {
       .select(col("id").as("sid"), col("pid"))
     candMain.unionByName(candTiny)
   }
+
+  /** Right-to-be-forgotten cascade over near-duplicate clusters: given
+    * a per-document deletion flag, report every cluster the deletion
+    * list touches and what happens to its canonical representative —
+    * the governance step a curation pipeline runs when honoring
+    * erasure requests, because deleting a cluster's kept
+    * representative silently un-represents its surviving near-dups
+    * unless a new one is elected.
+    *
+    * Clusters are the [[ngramJaccardPairs]] → [[resolveClusters]]
+    * components (the q64 dedupCorpus clustering); documents in no pair
+    * are singleton clusters of themselves. Representative = min doc id
+    * (resolveClusters' canonical label). Output, one row per cluster
+    * with ≥1 deleted member: (cluster, n_members, n_deleted, old_rep,
+    * new_rep, status) where new_rep = min SURVIVING id (null when the
+    * whole cluster is erased) and status ∈
+    *   - 'erased'     — every member deleted,
+    *   - 'reelected'  — the representative was deleted but survivors
+    *                    remain (new_rep ≠ old_rep),
+    *   - 'retained'   — deletions hit only non-representative members.
+    *
+    * Scale shape: the text column is consumed ONCE by the pair
+    * generation (shingle-hash path — text never shuffles past the
+    * shingle projection); the cascade itself runs on a (doc_id,
+    * deleted?) projection joined with the edge-bounded cluster map
+    * (near-dup clusters are orders of magnitude smaller than the
+    * corpus), then one hash aggregate keyed on the cluster label.
+    * Conditional min/sum inside the aggregate — no windows, no second
+    * text scan. */
+  def deletionCascade(
+      docs: DataFrame, id: Column, text: Column, isDeleted: Column,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, id, text, n, threshold)
+    val clusters = resolveClusters(pairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", "doc_id")
+    val base = spread(docs).select(
+      id.cast("long").as("doc_id"), isDeleted.cast("boolean").as("__del"))
+    base.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("__del"), 1L).otherwise(0L)).as("n_deleted"),
+        min(col("doc_id")).as("old_rep"),
+        min(when(!col("__del"), col("doc_id"))).as("new_rep"))
+      .filter(col("n_deleted") > 0)
+      .withColumn("status",
+        when(col("new_rep").isNull, lit("erased"))
+          .when(col("new_rep") =!= col("old_rep"), lit("reelected"))
+          .otherwise(lit("retained")))
+  }
 }

@@ -623,4 +623,67 @@ object Ranking {
           .as("share"))
       .orderBy(col("n").desc, col("term").asc)
   }
+
+  /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
+    * unigram form: score every RAW document by how much more likely its
+    * tokens are under the TARGET distribution than under the raw pool —
+    * the estimated log importance weight
+    *
+    *   z(d) = Σ_t tf_{d,t} · [ln p̂_tgt(t) − ln p̂_all(t)]
+    *
+    * with both LMs add-one smoothed over the SHARED corpus vocabulary
+    * (p̂(t) = (c(t)+1)/(T+V)), so every raw-side term has a finite
+    * weight even when the target never saw it. The top-`topN` raw
+    * documents by z are the ones importance resampling would pull
+    * toward the target domain. `isTarget` marks the target slice;
+    * scored rows are the NON-target documents only (selecting from the
+    * raw pool is the operator's purpose; target docs scoring themselves
+    * would trivially dominate).
+    *
+    * Float discipline (the q130 lesson, adapted for libm): per-TERM
+    * weights are ln() ratios — rounded to 4 dp (q72's accepted ln
+    * grid), so per-doc sums are integer combinations of 1e-4-grid
+    * values and the final 4-dp round of z is grid-stable across
+    * engines; ranking compares the rounded z with a doc-id tie-break.
+    *
+    * Scale shape: one tokenize (the flag rides the per-doc group key,
+    * so target/raw counts come out of the SAME (doc, term) aggregate),
+    * one vocabulary-sized conditional-sum aggregate, a 1-row smoothing
+    * scalar broadcast, the per-term weight frame joined back on the
+    * term key (vocabulary-sized — AQE broadcasts when it fits), one
+    * per-doc aggregate, TakeOrderedAndProject for the top-N. The raw
+    * token stream shuffles exactly once. Output: (id, n_tokens, z),
+    * z DESC, id ASC, top `topN`. */
+  def dsirWeights(
+      df: DataFrame, id: Column, text: Column, isTarget: Column,
+      topN: Int, materialize: Boolean = true): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    val tf = Dedup.spread(df)
+      .select(id.cast("long").as("__id"),
+        isTarget.cast("boolean").as("__t"),
+        explode(tokens(text)).as("term"))
+      .groupBy(col("__id"), col("__t"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    withCounts(tf, materialize) { tfc =>
+      val vocab = tfc.groupBy(col("term")).agg(
+        sum(when(col("__t"), col("tf")).otherwise(0L)).as("tt"),
+        sum(col("tf")).as("tc"))
+      val totals = vocab.agg(
+        sum(col("tt")).as("t_tgt"), sum(col("tc")).as("t_all"),
+        count(lit(1)).as("nv"))
+      val weights = vocab.crossJoin(broadcast(totals))
+        .select(col("term"), round(
+          log((col("tt") + 1).cast("double") /
+            (col("t_tgt") + col("nv")).cast("double")) -
+          log((col("tc") + 1).cast("double") /
+            (col("t_all") + col("nv")).cast("double")), 4).as("w"))
+      tfc.filter(!col("__t"))
+        .join(weights, "term")
+        .groupBy(col("__id"))
+        .agg(sum(col("tf")).cast("long").as("n_tokens"),
+          round(sum(col("tf").cast("double") * col("w")), 4).as("z"))
+        .orderBy(col("z").desc, col("__id").asc)
+        .limit(topN)
+    }
+  }
 }

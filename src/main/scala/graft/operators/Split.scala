@@ -436,4 +436,42 @@ object Split {
       .select(col("doc_id"), col("split_key"),
         tag(col("split_key"), frac).as("split"))
   }
+
+  /** Curriculum shard assignment: order the corpus by a difficulty
+    * score and cut it into `nShards` contiguous, balanced bands — the
+    * easy-to-hard data-ordering primitive (Bengio et al. 2009) whose
+    * shards a trainer consumes in index order. Shard i receives ranks
+    * [i·N/n, (i+1)·N/n) via integer arithmetic (`(rank−1)·n DIV N`),
+    * so shard sizes differ by at most one and band boundaries are
+    * MONOTONE BY CONSTRUCTION: every doc in shard i is ≤ every doc in
+    * shard i+1 under (difficulty, id) order. Null difficulties
+    * (unscorable docs — e.g. empty text the LM scorer never saw) sort
+    * FIRST (nulls-first), landing in the easiest shard rather than
+    * silently dropping.
+    *
+    * Global rank comes from [[ScalableWindow.runningTotalBy]] on
+    * (difficulty asc nulls-first, id asc) — the two-phase range
+    * partition + per-partition window + offset broadcast; no
+    * single-partition global sort at any point. The shard arithmetic
+    * uses DIV (integer division; both operands non-negative here so
+    * truncation = floor) to dodge cross-engine double-quotient edges.
+    *
+    * Output: one row per doc — (doc_id, difficulty, shard). Callers
+    * wanting the per-shard audit aggregate (n_docs, min/max
+    * difficulty) on top; the monotone-boundary check is then
+    * max(shard i) ≤ min(shard i+1) over the SAME rows. */
+  def curriculumShards(
+      df: DataFrame, id: Column, difficulty: Column,
+      nShards: Int, partitions: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val ranked = ScalableWindow.runningTotalBy(
+      df.select(id.cast("long").as("doc_id"),
+        difficulty.cast("double").as("difficulty")),
+      Seq(col("difficulty").asc_nulls_first, col("doc_id").asc),
+      lit(1L), "__rank", partitions)
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("difficulty"),
+        expr(s"CAST((__rank - 1) * $nShards DIV __n AS INT)").as("shard"))
+  }
 }

@@ -386,8 +386,28 @@ object AdvancedQueries {
         col("user_id"), col("ts"), windowDays = 7)
       .orderBy(asc_nulls_first("end_day"))
 
+  /** q146 — k-anonymity audit ([[graft.operators.CorpusStats
+    * .kAnonymity]], k = 5) over the event table's released view:
+    * quasi-identifiers (event_type, event date, value bucketed to 100)
+    * — every combination observed in fewer than 5 rows, i.e. the rows
+    * a re-identification attack can single out at this generalization
+    * level. The value bucket uses explicit floor() (NOT a double→int
+    * cast: Spark truncates, DuckDB rounds half-even — the one
+    * cross-engine trap in an otherwise integer-exact query). */
+  def q146KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.kAnonymity(Tables.events(spark, dir),
+        Seq(
+          "event_type" -> col("event_type"),
+          "event_date" -> col("ts").cast("date"),
+          "value_bucket" ->
+            floor(col("value") / 100.0d).cast("long")),
+        k = 5)
+      .orderBy(asc_nulls_first("event_type"),
+        asc_nulls_first("event_date"), asc_nulls_first("value_bucket"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
+    "q146_k_anonymity"      -> q146KAnonymity _,
     "q119_rolling_actives"  -> q119RollingActives _,
     "q118_session_funnel"   -> q118SessionFunnel _,
     "q117_active_users"     -> q117ActiveUsers _,
@@ -417,6 +437,13 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q146_k_anonymity" ->
+      """SELECT event_type, CAST(ts AS DATE) AS event_date,
+        |  CAST(floor(value / 100.0) AS BIGINT) AS value_bucket,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2, 3 HAVING count(*) < 5
+        | ORDER BY event_type NULLS FIRST, event_date NULLS FIRST,
+        |   value_bucket NULLS FIRST""".stripMargin,
     "q119_rolling_actives" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
         |   FROM events),

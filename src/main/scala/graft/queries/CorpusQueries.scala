@@ -624,6 +624,41 @@ object CorpusQueries {
       col("doc_id"), col("lang"), col("source"), col("n_chars"),
       col("text"))
 
+  /** q147 — DSIR importance weights ([[Ranking.dsirWeights]], Xie et
+    * al. 2023): target = the `lang = 'en'` slice, raw pool = everything
+    * else; top-50 raw documents by add-one-smoothed unigram
+    * log-likelihood ratio — the "pull raw docs toward the target
+    * domain" selection score. Per-term ln weights round to 4 dp (q72's
+    * accepted libm grid) before the integer-weighted per-doc sum, so
+    * the final 4-dp z is grid-stable across engines. */
+  def q147DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    Ranking.dsirWeights(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), col("lang") === "en", topN = 50)
+      .withColumnRenamed("__id", "doc_id")
+
+  /** q148 — curriculum shard plan ([[Split.curriculumShards]] over the
+    * q72 difficulty score): difficulty = NEGATED mean unigram
+    * log-probability (rare-word docs are hard), 8 contiguous balanced
+    * bands via the two-phase scalable rank — the easy-to-hard data
+    * ordering a trainer consumes in shard order. Output is the
+    * per-shard audit (n_docs, min/max difficulty): monotone band
+    * boundaries are visible in the min/max columns, and the oracle
+    * recomputes the identical rank → `(rank−1)·8 DIV n` assignment. */
+  def q148CurriculumShards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = Ranking.unigramLogProb(
+        Dedup.spread(docs), col("doc_id"), col("text"))
+      .select(col("__id").as("doc_id"), (-col("logprob")).as("difficulty"))
+    val base = docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+    Split.curriculumShards(base, col("doc_id"), col("difficulty"),
+        nShards = 8, partitions = 32)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("difficulty")).as("min_difficulty"),
+        max(col("difficulty")).as("max_difficulty"))
+      .orderBy(asc("shard"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_tfidf"              -> q67TfIdf _,
     "q68_bm25"               -> q68Bm25 _,
@@ -668,6 +703,8 @@ object CorpusQueries {
     "q139_frequent_terms"    -> q139FrequentTerms _,
     "q141_data_card"         -> q141DataCard _,
     "q144_card_diff"         -> q144CardDiff _,
+    "q147_dsir_weights"      -> q147DsirWeights _,
+    "q148_curriculum_shards" -> q148CurriculumShards _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -1037,6 +1074,50 @@ object CorpusQueries {
         |    / CAST(sum(tf) AS DOUBLE), 4) AS logprob
         | FROM tfc JOIN cf USING (term) CROSS JOIN tot
         | GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q147_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS toks
+        |   FROM documents),
+        | tok AS (SELECT doc_id, tgt, unnest(toks) AS term FROM t),
+        | tfc AS (SELECT doc_id, tgt, term, count(*) AS tf FROM tok
+        |   GROUP BY 1, 2, 3),
+        | v AS (SELECT term,
+        |     sum(CASE WHEN tgt THEN tf ELSE 0 END) AS tt,
+        |     sum(tf) AS tc
+        |   FROM tfc GROUP BY 1),
+        | tot AS (SELECT sum(tt) AS t_tgt, sum(tc) AS t_all,
+        |     count(*) AS nv FROM v),
+        | w AS (SELECT term,
+        |     round(ln(CAST(tt + 1 AS DOUBLE) / CAST(t_tgt + nv AS DOUBLE))
+        |       - ln(CAST(tc + 1 AS DOUBLE) / CAST(t_all + nv AS DOUBLE)), 4)
+        |       AS w
+        |   FROM v CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(CAST(tf AS DOUBLE) * w), 4) AS z
+        | FROM tfc JOIN w USING (term) WHERE NOT tgt
+        | GROUP BY doc_id ORDER BY z DESC, doc_id ASC LIMIT 50""".stripMargin,
+    "q148_curriculum_shards" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        | tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | cf AS (SELECT term, sum(tf) AS ctf FROM tfc GROUP BY 1),
+        | tot AS (SELECT sum(ctf) AS total_tokens FROM cf),
+        | lp AS (SELECT doc_id,
+        |   round(sum(CAST(tf AS DOUBLE) *
+        |       ln(CAST(ctf AS DOUBLE) / CAST(total_tokens AS DOUBLE)))
+        |     / CAST(sum(tf) AS DOUBLE), 4) AS logprob
+        |  FROM tfc JOIN cf USING (term) CROSS JOIN tot GROUP BY doc_id),
+        | d AS (SELECT dd.doc_id, -lp.logprob AS difficulty
+        |   FROM documents dd LEFT JOIN lp USING (doc_id)),
+        | r AS (SELECT doc_id, difficulty,
+        |   row_number() OVER (ORDER BY difficulty ASC NULLS FIRST,
+        |     doc_id ASC) AS rn,
+        |   count(*) OVER () AS n FROM d),
+        | s AS (SELECT doc_id, difficulty,
+        |   CAST((rn - 1) * 8 // n AS INT) AS shard FROM r)
+        |SELECT shard, count(*) AS n_docs,
+        |  min(difficulty) AS min_difficulty,
+        |  max(difficulty) AS max_difficulty
+        | FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "q83_bigram_lm" ->
       s"""$bigramLmCtes
         |SELECT doc_id, n_bigrams, logprob FROM lm

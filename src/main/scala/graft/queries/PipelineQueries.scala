@@ -467,6 +467,20 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** q145 — right-to-be-forgotten cascade
+    * ([[Dedup.deletionCascade]]): the erasure list (fixture: doc_id ≡ 3
+    * mod 17, a deterministic ~6% slice) applied over q64's
+    * near-duplicate clusters — one row per touched cluster reporting
+    * whether its canonical representative survived, was re-elected, or
+    * the whole cluster was erased. All three statuses engage in the
+    * fixture at both SFs (sf0.01: 27 erased / 1 re-elected / 2
+    * retained). The oracle rebuilds clusters with the shared pair CTE
+    * + recursive components and mirrors the conditional-min election. */
+  def q145DeletionCascade(spark: SparkSession, dir: String): DataFrame =
+    Dedup.deletionCascade(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), col("doc_id") % 17 === 3)
+      .orderBy(asc_nulls_first("cluster"))
+
   /** Mix geometry for q120's selection stage (q96's semantics over the
     * SURVIVING corpus's stored-language strata, half-budget). */
   private val Q120Target = Seq(
@@ -981,6 +995,7 @@ object PipelineQueries {
     "q128_rp_recall"         -> q128RpRecall _,
     "q129_curation_funnel"   -> q129CurationFunnel _,
     "q132_contamination_report" -> q132ContaminationReport _,
+    "q145_deletion_cascade"  -> q145DeletionCascade _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -1428,6 +1443,31 @@ object PipelineQueries {
         |SELECT doc_id, n_chars FROM documents
         | WHERE doc_id NOT IN (SELECT id FROM losers)
         | ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q145_deletion_cascade" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |   UNION ALL SELECT id_b, id_a FROM pairs),
+        | nodes AS (SELECT DISTINCT src AS id FROM edges),
+        | reach AS (
+        |   SELECT id, id AS r FROM nodes
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        | clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        | m AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+        |     d.doc_id % 17 = 3 AS del
+        |   FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id),
+        | g AS (SELECT cluster, count(*) AS n_members,
+        |     CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)
+        |       AS n_deleted,
+        |     min(doc_id) AS old_rep,
+        |     min(CASE WHEN NOT del THEN doc_id END) AS new_rep
+        |   FROM m GROUP BY cluster)
+        |SELECT cluster, n_members, n_deleted, old_rep, new_rep,
+        |  CASE WHEN new_rep IS NULL THEN 'erased'
+        |       WHEN new_rep <> old_rep THEN 'reelected'
+        |       ELSE 'retained' END AS status
+        | FROM g WHERE n_deleted > 0
+        | ORDER BY cluster NULLS FIRST""".stripMargin,
     "q65_batch_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |   FROM embeddings WHERE vec_id < 5),

@@ -75,7 +75,13 @@ class PlanDisciplineSpec extends SparkSpec {
     "q143_label_noise",
     // q144: two data cards — q141's 1-row token-share denominator
     // broadcast, once per snapshot.
-    "q144_card_diff")
+    "q144_card_diff",
+    // q147: the 1-row smoothing-scalar frame (T_tgt, T_all, V)
+    // broadcast under the vocabulary-sized weight build.
+    "q147_dsir_weights",
+    // q148: curriculumShards' 1-row corpus count broadcast under the
+    // ranked frame (the shard-arithmetic denominator).
+    "q148_curriculum_shards")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
