@@ -459,4 +459,76 @@ object CorpusStats {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") < k)
   }
+
+  /** Per-stratum PII density report: how much detectable PII each
+    * slice of the corpus carries — the triage view that decides where
+    * [[graft.functions.TextFunctions.redactPii]] (q84's batch pass)
+    * must run first and which sources need an ingestion-side fix.
+    * Counts use the SAME pattern literals as the redactor (one
+    * definition, two consumers), so "density 0" here certifies the
+    * redaction pass would be a no-op.
+    *
+    * Output, one row per stratum: (stratum, n_docs, docs_with_pii,
+    * n_email, n_phone, n_ip, pii_per_doc) — counts exact longs,
+    * pii_per_doc the one correctly-rounded rational (6 dp). Null text
+    * counts toward n_docs but matches nothing.
+    *
+    * Scale shape: one scan, three codegen'd regexp_count projections,
+    * one hash aggregate on the stratum — the regex work is map-side
+    * and embarrassingly parallel; only |strata| rows cross the
+    * exchange. */
+  def piiDensity(df: DataFrame, stratum: Column, text: Column): DataFrame = {
+    val e = coalesce(TextFunctions.emailCount(text).cast("long"), lit(0L))
+    val p = coalesce(TextFunctions.phoneCount(text).cast("long"), lit(0L))
+    val i = coalesce(TextFunctions.ipv4Count(text).cast("long"), lit(0L))
+    df.select(stratum.as("stratum"), e.as("__e"), p.as("__p"), i.as("__i"))
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__e") + col("__p") + col("__i") > 0, 1L)
+          .otherwise(0L)).as("docs_with_pii"),
+        sum(col("__e")).as("n_email"),
+        sum(col("__p")).as("n_phone"),
+        sum(col("__i")).as("n_ip"))
+      .withColumn("pii_per_doc",
+        round((col("n_email") + col("n_phone") + col("n_ip")).cast("double")
+          / col("n_docs").cast("double"), 6))
+  }
+
+  /** Sequence-budget planner: for a context length of `seqLen` tokens,
+    * how many training sequences each stratum yields when every
+    * document is chunked independently (⌈tokens/seqLen⌉ — the
+    * no-cross-doc-packing worst case the packer of q39/q95 improves
+    * on), and how much of the resulting token budget is padding. The
+    * numbers a mixture planner needs BEFORE any packing runs: total
+    * sequences to schedule, padding waste to expect, and the packing
+    * headroom (1 − efficiency) that justifies running the packer at
+    * all.
+    *
+    * Output per stratum: (stratum, n_docs, total_tokens, total_seqs,
+    * padding_tokens, efficiency) — all integer-exact except the one
+    * 6-dp rational; zero-token strata report efficiency null rather
+    * than 0/0. Scale shape: one scan (token counts in the projection —
+    * the token stream itself never materializes), one hash aggregate
+    * on the stratum. */
+  def sequenceBudget(
+      df: DataFrame, stratum: Column, text: Column, seqLen: Int)
+      : DataFrame = {
+    require(seqLen >= 1, "seqLen must be positive")
+    // Null text counts as zero tokens (the q123 call-site convention,
+    // applied here so every caller gets it).
+    val tok = TextFunctions.tokenCount(coalesce(text, lit(""))).cast("long")
+    df.select(stratum.as("stratum"), tok.as("__tok"))
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(expr(s"(__tok + ${seqLen - 1}) DIV $seqLen")).as("total_seqs"))
+      .withColumn("padding_tokens",
+        col("total_seqs") * seqLen - col("total_tokens"))
+      .withColumn("efficiency",
+        when(col("total_seqs") > 0,
+          round(col("total_tokens").cast("double") /
+            (col("total_seqs") * seqLen).cast("double"), 6)))
+  }
 }

@@ -582,6 +582,61 @@ object Similarity {
       .select(col("id"), col("pv"))
   }
 
+  /** Sign-bucket layout audit for the projected space: bucket every
+    * vector by the SIGN PATTERN of its [[randomProjection]] coordinates
+    * (bit i set ⟺ pv_i ≥ 0 — md5-seeded hyperplane LSH in the reduced
+    * space, so unlike the Murmur3 [[bucketize]] path it is
+    * oracle-expressible), then report the one-row index-health summary
+    * every ANN deployment watches:
+    *
+    *   - n_vectors / n_skipped (wrong-dimension rows bucket nowhere),
+    *   - n_buckets, max_size, mean_size (4 dp),
+    *   - imbalance = max/mean (4 dp) — 1.0 is a perfectly level index,
+    *   - probe_cost = Σ size² / N² (6 dp) — the expected fraction of
+    *     the corpus a single-probe query scans when queries distribute
+    *     like the corpus; the number that says whether the index
+    *     actually prunes.
+    *
+    * Scale shape: one projection scan (the 16-fold literal map), one
+    * hash aggregate on the bucket id, one bucket-cardinality-sized
+    * summary aggregate. Σ size² accumulates as a long — exact in both
+    * engines at any realistic bucket census (overflow needs a single
+    * bucket past ~3 · 10⁹ vectors; shard the audit per partition
+    * before that point). */
+  def rpBucketAudit(
+      corpus: DataFrame, id: Column, vec: Column,
+      inDim: Int, outDim: Int, seed: String = "rp"): DataFrame = {
+    require(outDim <= 62, "outDim must fit a long's sign-bit budget")
+    val proj = randomProjection(corpus, id, vec, inDim, outDim, seed)
+    // Statically unrolled sign-bit sum (outDim is a literal): each term
+    // is a constant shift, the whole bucket id constant-folds into one
+    // codegen'd projection — no HOF, no per-row lambda allocation.
+    val bucketBits = (0 until outDim).map { i =>
+      when(element_at(col("pv"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = proj.withColumn("bucket", bucketBits)
+    val skipped = proj.agg(
+      sum(when(col("pv").isNull, 1L).otherwise(0L)).as("n_skipped"))
+    val sizes = bucketed.filter(col("pv").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
+    sizes.agg(
+        sum(col("sz")).as("n_vectors"),
+        count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_size"),
+        sum(col("sz") * col("sz")).as("__sumsq"))
+      .crossJoin(broadcast(skipped))
+      .select(
+        col("n_vectors"), col("n_skipped"), col("n_buckets"),
+        col("max_size"),
+        round(col("n_vectors").cast("double") /
+          col("n_buckets").cast("double"), 4).as("mean_size"),
+        round(col("max_size").cast("double") * col("n_buckets").cast("double") /
+          col("n_vectors").cast("double"), 4).as("imbalance"),
+        round(col("__sumsq").cast("double") /
+          (col("n_vectors") * col("n_vectors")).cast("double"), 6)
+          .as("probe_cost"))
+  }
+
   /** ANN through the projected space: exact cosine in outDim doubles
     * picks a `shortlist`-sized candidate set (TakeOrderedAndProject —
     * never a global sort), then the candidates alone are re-scored with

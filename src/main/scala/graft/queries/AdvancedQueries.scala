@@ -405,9 +405,21 @@ object AdvancedQueries {
       .orderBy(asc_nulls_first("event_type"),
         asc_nulls_first("event_date"), asc_nulls_first("value_bucket"))
 
+  /** q149 — join-key skew profile ([[graft.operators.SkewJoin
+    * .skewProfile]]) over the event type key: per heavy key its share,
+    * skew-vs-mean factor, and the salt replica count that would level
+    * it — the advisory pass that decides whether q136's salted join
+    * (or AQE skew splitting) is worth engaging. Integer ceil
+    * arithmetic throughout; one hash aggregate + a 1-row totals
+    * broadcast. */
+  def q149SkewProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.skewProfile(Tables.events(spark, dir),
+      col("event_type"), topN = 10)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
     "q146_k_anonymity"      -> q146KAnonymity _,
+    "q149_skew_profile"     -> q149SkewProfile _,
     "q119_rolling_actives"  -> q119RollingActives _,
     "q118_session_funnel"   -> q118SessionFunnel _,
     "q117_active_users"     -> q117ActiveUsers _,
@@ -437,6 +449,18 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q149_skew_profile" ->
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |   count(*) AS n FROM events GROUP BY 1),
+        | t AS (SELECT sum(n) AS n_rows, count(*) AS n_keys FROM c)
+        |SELECT key, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share,
+        |  round(CAST(n AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE), 4) AS skew_vs_mean,
+        |  CAST(greatest(1, (n * n_keys + n_rows - 1) // n_rows) AS BIGINT)
+        |    AS recommended_salt
+        | FROM c CROSS JOIN t
+        | ORDER BY n DESC, key ASC NULLS FIRST LIMIT 10""".stripMargin,
     "q146_k_anonymity" ->
       """SELECT event_type, CAST(ts AS DATE) AS event_date,
         |  CAST(floor(value / 100.0) AS BIGINT) AS value_bucket,

@@ -659,6 +659,17 @@ object CorpusQueries {
       .orderBy(asc("shard"))
   }
 
+  /** q152 — per-language sequence-budget plan
+    * ([[CorpusStats.sequenceBudget]], context 128): sequences each
+    * stratum yields under independent per-doc chunking, padding waste,
+    * and the efficiency headroom that justifies running q39's packer.
+    * Integer-exact except the one 6-dp rational. */
+  def q152SequenceBudget(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.sequenceBudget(Tables.documents(spark, dir),
+        col("lang"), col("text"), seqLen = 128)
+      .withColumnRenamed("stratum", "lang")
+      .orderBy(asc_nulls_first("lang"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_tfidf"              -> q67TfIdf _,
     "q68_bm25"               -> q68Bm25 _,
@@ -705,6 +716,7 @@ object CorpusQueries {
     "q144_card_diff"         -> q144CardDiff _,
     "q147_dsir_weights"      -> q147DsirWeights _,
     "q148_curriculum_shards" -> q148CurriculumShards _,
+    "q152_sequence_budget"   -> q152SequenceBudget _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -1118,6 +1130,21 @@ object CorpusQueries {
         |  min(difficulty) AS min_difficulty,
         |  max(difficulty) AS max_difficulty
         | FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    "q152_sequence_budget" ->
+      s"""WITH d AS (SELECT lang,
+        |   CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |     ELSE len($toksSql) END AS tok
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum((tok + 127) // 128) AS BIGINT) AS total_seqs,
+        |  CAST(sum((tok + 127) // 128) * 128 - sum(tok) AS BIGINT)
+        |    AS padding_tokens,
+        |  CASE WHEN sum((tok + 127) // 128) > 0 THEN
+        |    round(CAST(sum(tok) AS DOUBLE)
+        |      / CAST(sum((tok + 127) // 128) * 128 AS DOUBLE), 6)
+        |  END AS efficiency
+        | FROM d GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "q83_bigram_lm" ->
       s"""$bigramLmCtes
         |SELECT doc_id, n_bigrams, logprob FROM lm

@@ -467,6 +467,42 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** q150 — ANN index-health audit ([[Similarity.rpBucketAudit]]):
+    * sign-bucket the corpus in q127's md5-seeded projected space and
+    * report the one-row layout summary (bucket census, imbalance
+    * max/mean, expected single-probe scan fraction Σ size²/N²). The
+    * projection seed/dims match q127, so the oracle reuses its signs
+    * CTE verbatim — the bucket ids are cross-engine exact. */
+  def q150RpBucketAudit(spark: SparkSession, dir: String): DataFrame =
+    Similarity.rpBucketAudit(Tables.embeddings(spark, dir),
+      col("vec_id"), col("embedding"), inDim = 64, outDim = 16)
+
+  /** q151 — PII density per source ([[graft.operators.CorpusStats
+    * .piiDensity]]): the triage report that says which sources need
+    * q84's redaction pass first. PII is PLANTED deterministically on
+    * doc_id residues (email on ≡0 mod 3, phone on ≡0 mod 5, IPv4 on
+    * ≡0 mod 7 — q84's planting convention, made conditional so
+    * per-source densities genuinely differ), and the counts use the
+    * redactor's own pattern literals. */
+  def q151PiiDensity(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = Tables.documents(spark, dir).withColumn("ptext",
+      concat(
+        coalesce(col("text"), lit("")),
+        when(id % 3 === 0, concat(lit(" user"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" 10.0."),
+          (id % 256).cast("string"), lit("."),
+          (id % 250).cast("string"))).otherwise(lit(""))))
+    graft.operators.CorpusStats.piiDensity(planted, col("source"),
+        col("ptext"))
+      .withColumnRenamed("stratum", "source")
+      .orderBy(asc_nulls_first("source"))
+  }
+
   /** q145 — right-to-be-forgotten cascade
     * ([[Dedup.deletionCascade]]): the erasure list (fixture: doc_id ≡ 3
     * mod 17, a deterministic ~6% slice) applied over q64's
@@ -996,6 +1032,8 @@ object PipelineQueries {
     "q129_curation_funnel"   -> q129CurationFunnel _,
     "q132_contamination_report" -> q132ContaminationReport _,
     "q145_deletion_cascade"  -> q145DeletionCascade _,
+    "q150_rp_bucket_audit"   -> q150RpBucketAudit _,
+    "q151_pii_density"       -> q151PiiDensity _,
   )
 
   private val stopEnSql = StopEn.map(s => s"'$s'").mkString(", ")
@@ -1631,6 +1669,66 @@ object PipelineQueries {
         |    (a, b) -> a + b) / sqrt(CAST(16.0 AS DOUBLE)), 6) AS x
         | FROM embeddings e, signs s
         | ORDER BY vec_id, odim""".stripMargin,
+    "q150_rp_bucket_audit" ->
+      """WITH signs AS (
+        |  SELECT i, list_transform(range(64), j ->
+        |    CASE WHEN strpos('02468ace',
+        |        substr(md5('rp_' || i || '_' || j), 1, 1)) > 0
+        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS sv
+        |  FROM range(16) t(i)),
+        | px AS (SELECT e.vec_id, s.i,
+        |   round(list_reduce(
+        |     list_transform(range(64),
+        |       j -> CAST(embedding[j+1] AS DOUBLE) * sv[j+1]),
+        |     (a, b) -> a + b) / sqrt(CAST(16.0 AS DOUBLE)), 6) AS x
+        |  FROM embeddings e, signs s
+        |  WHERE coalesce(len(e.embedding), -1) = 64),
+        | b AS (SELECT vec_id,
+        |   sum(CASE WHEN x >= 0 THEN (CAST(1 AS BIGINT) << i)
+        |       ELSE 0 END) AS bucket
+        |  FROM px GROUP BY vec_id),
+        | sz AS (SELECT bucket, count(*) AS s FROM b GROUP BY 1),
+        | sk AS (SELECT count(*) AS n_skipped FROM embeddings
+        |   WHERE coalesce(len(embedding), -1) <> 64)
+        |SELECT CAST(sum(s) AS BIGINT) AS n_vectors,
+        |  CAST(sk.n_skipped AS BIGINT) AS n_skipped,
+        |  count(*) AS n_buckets, CAST(max(s) AS BIGINT) AS max_size,
+        |  round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |    AS mean_size,
+        |  round(CAST(max(s) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+        |    / CAST(sum(s) AS DOUBLE), 4) AS imbalance,
+        |  round(CAST(sum(s * s) AS DOUBLE)
+        |    / CAST(sum(s) * sum(s) AS DOUBLE), 6) AS probe_cost
+        | FROM sz CROSS JOIN sk GROUP BY sk.n_skipped""".stripMargin,
+    "q151_pii_density" ->
+      s"""WITH p AS (SELECT doc_id, source,
+        |   coalesce(text, '')
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' 555-'
+        |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' 10.0.'
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |         || CAST(doc_id % 250 AS VARCHAR)
+        |       ELSE '' END AS ptext
+        |  FROM documents),
+        | c AS (SELECT source,
+        |   CAST(len(regexp_extract_all(ptext, '$EmailRe')) AS BIGINT) AS e,
+        |   CAST(len(regexp_extract_all(ptext, '$PhoneRe')) AS BIGINT) AS ph,
+        |   CAST(len(regexp_extract_all(ptext, '$Ipv4Re')) AS BIGINT) AS ip
+        |  FROM p)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN e + ph + ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_pii,
+        |  CAST(sum(e) AS BIGINT) AS n_email,
+        |  CAST(sum(ph) AS BIGINT) AS n_phone,
+        |  CAST(sum(ip) AS BIGINT) AS n_ip,
+        |  round(CAST(sum(e) + sum(ph) + sum(ip) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS pii_per_doc
+        | FROM c GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
     "q128_rp_recall" ->
       s"""WITH $exactTop10Sql
         |SELECT count(*) AS n_exact, true AS full_shortlist_exact,

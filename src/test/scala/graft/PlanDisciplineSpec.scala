@@ -81,7 +81,13 @@ class PlanDisciplineSpec extends SparkSpec {
     "q147_dsir_weights",
     // q148: curriculumShards' 1-row corpus count broadcast under the
     // ranked frame (the shard-arithmetic denominator).
-    "q148_curriculum_shards")
+    "q148_curriculum_shards",
+    // q149: skewProfile's 1-row totals broadcast under the
+    // key-cardinality count frame.
+    "q149_skew_profile",
+    // q150: the 1-row skipped-count frame broadcast under the 1-row
+    // bucket-census summary.
+    "q150_rp_bucket_audit")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
