@@ -460,6 +460,70 @@ object CorpusStats {
       .filter(col("n") < k)
   }
 
+  /** Approximate-percentile contract (the q134 pattern, for quantiles):
+    * per group, the EXACT interpolated percentiles (the oracle-checkable
+    * numbers) plus a Spark-side gate that the Greenwald–Khanna sketch
+    * (`percentile_approx`) lands within its guaranteed rank envelope.
+    * The operator exists for the scale regime where exact per-group
+    * percentiles mean a full sort of every group: the GK sketch is
+    * one-pass and mergeable (partial aggregation ships
+    * O(accuracy·log n) summaries, never rows), with a DETERMINISTIC
+    * worst-case rank error ≤ n/accuracy — so `approx_ok` is a real
+    * measurable property of (data, accuracy), not a coin flip.
+    *
+    * The gate re-derives the approx value's true rank interval
+    * [count(v &lt; a), count(v ≤ a)] from the data and checks it
+    * intersects [(p−ε)·n − 1, (p+ε)·n + 1] with ε = 1/accuracy (±1 row
+    * of discretization slack). A sketch regression — wrong merge, bad
+    * compression — makes Spark emit false and flips the oracle hash.
+    *
+    * Scale shape: the (group, value) projection is pinned once and
+    * consumed by (a) ONE aggregate computing exact + approx arrays
+    * side by side and (b) the rank pass, which fans each row ×|ps|
+    * against the broadcast (|groups|·|ps|)-row candidate frame. The
+    * exact aggregate is the scale ceiling (it is the contract
+    * baseline, same as q78's exact side); production callers at 100 TB
+    * run the sketch alone. Output: (group, p, n, exact_value 4 dp,
+    * approx_ok). */
+  def approxPercentileContract(
+      df: DataFrame, group: Column, value: Column,
+      ps: Seq[Double], accuracy: Int): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0),
+      "percentiles must lie in (0, 1)")
+    require(accuracy >= 10, "accuracy must be >= 10")
+    val eps = 1.0 / accuracy
+    val psLit = typedLit(ps)
+    val base = Dedup.spread(df)
+      .select(group.as("g"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = base.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      percentile(col("v"), psLit).as("__ex"),
+      percentile_approx(col("v"), psLit, lit(accuracy)).as("__ap"))
+    val perP = agg
+      .select(col("g"), col("n"),
+        posexplode(arrays_zip(col("__ex"), col("__ap"))).as(Seq("i", "z")))
+      .select(col("g"), col("n"),
+        element_at(psLit, col("i") + 1).as("p"),
+        col("z.__ex").as("exact_raw"), col("z.__ap").as("a"))
+    val ranks = base
+      .join(broadcast(perP.select(col("g"), col("p"), col("a"))), Seq("g"))
+      .groupBy(col("g"), col("p"), col("a"))
+      .agg(
+        sum(when(col("v") < col("a"), 1L).otherwise(0L)).as("rank_lo"),
+        sum(when(col("v") <= col("a"), 1L).otherwise(0L)).as("rank_hi"))
+    val result = perP.join(ranks, Seq("g", "p", "a"))
+      .select(col("g").as("group"), col("p"), col("n"),
+        round(col("exact_raw"), 4).as("exact_value"),
+        (col("rank_hi").cast("double") >=
+            (col("p") - eps) * col("n").cast("double") - 1.0 &&
+          col("rank_lo").cast("double") <=
+            (col("p") + eps) * col("n").cast("double") + 1.0)
+          .as("approx_ok"))
+    Materialize.andRelease(result, base)
+  }
+
   /** Per-stratum PII density report: how much detectable PII each
     * slice of the corpus carries — the triage view that decides where
     * [[graft.functions.TextFunctions.redactPii]] (q84's batch pass)

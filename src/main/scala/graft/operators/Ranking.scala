@@ -654,6 +654,55 @@ object Ranking {
     * per-doc aggregate, TakeOrderedAndProject for the top-N. The raw
     * token stream shuffles exactly once. Output: (id, n_tokens, z),
     * z DESC, id ASC, top `topN`. */
+  /** Term-level vocabulary drift between two snapshots: for every term
+    * in the UNION vocabulary, its count in each snapshot and the
+    * add-one-smoothed log-ratio of its frequency shares —
+    *
+    *   drift(t) = ln((c_new+1)/(T_new+V)) − ln((c_old+1)/(T_old+V))
+    *
+    * — positive for terms the new crawl says more, negative for terms
+    * it is losing. The top-`topN` by |drift| is the term-level "what
+    * changed between crawls" report that q93 (doc level) and q144
+    * (composition level) cannot see: a topic shift inside surviving
+    * documents. Smoothing over the union vocabulary keeps every drift
+    * finite (a term brand-new to either side still scores).
+    *
+    * Same float discipline as [[dsirWeights]]: the ln difference
+    * rounds to 4 dp (q72's accepted libm grid) and the ranking
+    * compares the ROUNDED value with a term tie-break, so the top-N
+    * cut is engine-exact. Scale shape: one tokenize per snapshot with
+    * the side flag riding the term group key (conditional sums — no
+    * join between the sides), a 1-row totals broadcast,
+    * TakeOrderedAndProject for the cut. Output: (term, n_old, n_new,
+    * drift), |drift| DESC, term ASC. */
+  def termDrift(
+      oldDf: DataFrame, newDf: DataFrame, text: Column,
+      topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    def side(df: DataFrame, isNew: Boolean): DataFrame =
+      Dedup.spread(df)
+        .select(explode(tokens(text)).as("term"),
+          lit(isNew).as("__new"))
+    val counts = side(oldDf, isNew = false)
+      .unionByName(side(newDf, isNew = true))
+      .groupBy(col("term"))
+      .agg(
+        sum(when(!col("__new"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("n_new"))
+    val totals = counts.agg(
+      sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"),
+      count(lit(1)).as("nv"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("term"), col("n_old"), col("n_new"),
+        round(
+          log((col("n_new") + 1).cast("double") /
+            (col("t_new") + col("nv")).cast("double")) -
+          log((col("n_old") + 1).cast("double") /
+            (col("t_old") + col("nv")).cast("double")), 4).as("drift"))
+      .orderBy(abs(col("drift")).desc, col("term").asc)
+      .limit(topN)
+  }
+
   def dsirWeights(
       df: DataFrame, id: Column, text: Column, isTarget: Column,
       topN: Int, materialize: Boolean = true): DataFrame = {

@@ -416,10 +416,24 @@ object AdvancedQueries {
     graft.operators.SkewJoin.skewProfile(Tables.events(spark, dir),
       col("event_type"), topN = 10)
 
+  /** q153 — approximate-percentile contract ([[graft.operators
+    * .CorpusStats.approxPercentileContract]], q134's pattern for
+    * quantiles): per event type, exact interpolated p50/p90/p99 of the
+    * value (the oracle-checkable numbers) plus the Spark-side gate
+    * that the mergeable GK sketch lands inside its guaranteed rank
+    * envelope (ε = 1/accuracy = 1%, ±1 row slack). A sketch
+    * regression emits false and flips the hash. */
+  def q153ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.approxPercentileContract(
+        Tables.events(spark, dir), col("event_type"), col("value"),
+        ps = Seq(0.5, 0.9, 0.99), accuracy = 100)
+      .orderBy(asc_nulls_first("group"), asc("p"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
     "q146_k_anonymity"      -> q146KAnonymity _,
     "q149_skew_profile"     -> q149SkewProfile _,
+    "q153_approx_percentiles" -> q153ApproxPercentiles _,
     "q119_rolling_actives"  -> q119RollingActives _,
     "q118_session_funnel"   -> q118SessionFunnel _,
     "q117_active_users"     -> q117ActiveUsers _,
@@ -449,6 +463,21 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q153_approx_percentiles" ->
+      """WITH b AS (SELECT event_type AS grp, value AS v FROM events
+        |   WHERE value IS NOT NULL),
+        | e AS (SELECT grp, count(*) AS n,
+        |   round(quantile_cont(v, 0.5), 4) AS q50,
+        |   round(quantile_cont(v, 0.9), 4) AS q90,
+        |   round(quantile_cont(v, 0.99), 4) AS q99
+        |  FROM b GROUP BY grp)
+        |SELECT grp AS "group", p, n, exact_value, true AS approx_ok
+        | FROM (
+        |  SELECT grp, CAST(0.5 AS DOUBLE) AS p, n, q50 AS exact_value
+        |    FROM e
+        |  UNION ALL SELECT grp, CAST(0.9 AS DOUBLE), n, q90 FROM e
+        |  UNION ALL SELECT grp, CAST(0.99 AS DOUBLE), n, q99 FROM e)
+        | ORDER BY "group" NULLS FIRST, p""".stripMargin,
     "q149_skew_profile" ->
       """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key,
         |   count(*) AS n FROM events GROUP BY 1),

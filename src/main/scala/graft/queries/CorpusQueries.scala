@@ -670,6 +670,17 @@ object CorpusQueries {
       .withColumnRenamed("stratum", "lang")
       .orderBy(asc_nulls_first("lang"))
 
+  /** q154 — term-level vocabulary drift ([[Ranking.termDrift]])
+    * between the corpus and q93's churned snapshot (ONE churn
+    * definition across q93/q144/q154): the top-30 union-vocabulary
+    * terms by |add-one-smoothed ln share ratio| — the topic-shift
+    * report the doc-level diff (q93) and composition-level card drift
+    * (q144) cannot see. */
+  def q154TermDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Ranking.termDrift(d, churnedDocs(d), col("text"), topN = 30)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_tfidf"              -> q67TfIdf _,
     "q68_bm25"               -> q68Bm25 _,
@@ -717,6 +728,7 @@ object CorpusQueries {
     "q147_dsir_weights"      -> q147DsirWeights _,
     "q148_curriculum_shards" -> q148CurriculumShards _,
     "q152_sequence_budget"   -> q152SequenceBudget _,
+    "q154_term_drift"        -> q154TermDrift _,
   )
 
   /** Shared tokenization fragment (must mirror `TextFunctions.tokens`). */
@@ -940,15 +952,43 @@ object CorpusQueries {
       |  UNION ALL SELECT 'dup', 'exact_dup_docs', CAST(d AS DOUBLE)
       |    FROM dups$sfx)""".stripMargin
 
+  /** The churn-snapshot CTE mirroring [[churnedDocs]] — ONE SQL
+    * definition shared by the q144 and q154 oracles (NOT pre-stripped;
+    * the interpolation sites run stripMargin exactly once — the
+    * curationCtes contract). */
+  private val churnCteSql: String =
+    """churn AS (
+      |   SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+      |       ELSE text END AS text, lang, source
+      |     FROM documents WHERE doc_id % 3 <> 0
+      |   UNION ALL
+      |   SELECT doc_id + 1000000, text, lang, source FROM documents
+      |     WHERE doc_id % 97 = 0)"""
+
   val oracle: Map[String, String] = Map(
+    "q154_term_drift" ->
+      s"""WITH $churnCteSql,
+        | ta AS (SELECT unnest($toksSql) AS term, false AS isnew
+        |   FROM documents),
+        | tb AS (SELECT unnest($toksSql) AS term, true AS isnew
+        |   FROM churn),
+        | u AS (SELECT term, isnew FROM ta
+        |   UNION ALL SELECT term, isnew FROM tb),
+        | c AS (SELECT term,
+        |   sum(CASE WHEN NOT isnew THEN 1 ELSE 0 END) AS n_old,
+        |   sum(CASE WHEN isnew THEN 1 ELSE 0 END) AS n_new
+        |  FROM u GROUP BY term),
+        | t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new,
+        |   count(*) AS nv FROM c)
+        |SELECT term, CAST(n_old AS BIGINT) AS n_old,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  round(ln(CAST(n_new + 1 AS DOUBLE) / CAST(t_new + nv AS DOUBLE))
+        |    - ln(CAST(n_old + 1 AS DOUBLE) / CAST(t_old + nv AS DOUBLE)), 4)
+        |    AS drift
+        | FROM c CROSS JOIN t
+        | ORDER BY abs(drift) DESC, term ASC LIMIT 30""".stripMargin,
     "q144_card_diff" ->
-      s"""WITH churn AS (
-        |   SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
-        |       ELSE text END AS text, lang, source
-        |     FROM documents WHERE doc_id % 3 <> 0
-        |   UNION ALL
-        |   SELECT doc_id + 1000000, text, lang, source FROM documents
-        |     WHERE doc_id % 97 = 0),
+      s"""WITH $churnCteSql,
         |${cardCtes("documents", "_o")},
         |${cardCtes("churn", "_n")}
         |SELECT section, key, o.value AS old_value, n.value AS new_value,

@@ -87,7 +87,10 @@ class PlanDisciplineSpec extends SparkSpec {
     "q149_skew_profile",
     // q150: the 1-row skipped-count frame broadcast under the 1-row
     // bucket-census summary.
-    "q150_rp_bucket_audit")
+    "q150_rp_bucket_audit",
+    // q154: termDrift's 1-row totals broadcast under the
+    // vocabulary-sized drift build (q147's shape).
+    "q154_term_drift")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
