@@ -377,4 +377,138 @@ object Funnel {
         datediff(col("__d"), col("cohort")).as("offset_days"))
       .agg(countDistinct(col("__u")).as("n_users"))
   }
+
+  /** CUSUM upward-drift flags on daily event counts per key (Page
+    * 1954): the sequential change-point screen that catches a SUSTAINED
+    * small shift the per-day 3σ test (q116) is blind to — ten
+    * consecutive days at +1σ never trip a 2σ day test but accumulate
+    * linearly here. Classic one-sided CUSUM with slack k = kSigma·σ
+    * and decision threshold h = hSigma·σ:
+    *
+    *   s_t = max(0, s_{t−1} + (n_t − μ − k)),   flag ⟺ s_t > h.
+    *
+    * The recursion has a WINDOW-EXPRESSIBLE closed form — with prefix
+    * sums p_t = Σ_{i≤t}(n_i − μ − k):  s_t = p_t − min(0, min_{j≤t}
+    * p_j) — so the whole statistic is two frames over ONE
+    * key-partitioned sort (cumulative sum, then running min of it):
+    * no recursion, no driver loop, keys processed in parallel and
+    * days-per-key linear. Float discipline: daily counts are integers;
+    * μ (4 dp), σ (2 dp — q116's stddev convention), k and h (4 dp) are
+    * grid constants, so every prefix term sits on the 1e-4 decimal
+    * grid and the final 4-dp round of s_t is grid-stable.
+    *
+    * Keys with a single day (σ undefined) are dropped, as in q116.
+    * Output: (key, day, n, mu, sigma, cusum, drift). */
+  def cusumDrift(
+      events: DataFrame, key: Column, ts: Column,
+      kSigma: Double = 0.5, hSigma: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(key.as("key"), ts.cast("date").as("day"))
+      .groupBy(col("key"), col("day")).agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("key")).agg(
+        round(sum(col("n")).cast("double") / count(lit(1)), 4).as("mu"),
+        round(stddev_samp(col("n").cast("double")), 2).as("sigma"))
+      .filter(col("sigma").isNotNull)
+    val slack = round(col("sigma") * kSigma, 4)
+    val h = round(col("sigma") * hSigma, 4)
+    val w = Window.partitionBy(col("key")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(stats, Seq("key"))
+      .withColumn("__term",
+        col("n").cast("double") - col("mu") - slack)
+      .withColumn("__cum", sum(col("__term")).over(w))
+      .withColumn("__runmin", min(col("__cum")).over(w))
+      .withColumn("cusum",
+        round(col("__cum") - least(lit(0.0d), col("__runmin")), 4))
+      .withColumn("drift", col("cusum") > h)
+      .select(col("key"), col("day"), col("n"), col("mu"), col("sigma"),
+        col("cusum"), col("drift"))
+  }
+
+  /** Last-touch attribution: credit each conversion event to the most
+    * recent touch event by the same user within `windowMicros` — the
+    * marketing-analytics join that answers "which click gets the
+    * purchase". The touch lookup is the [[AsOf]] backward join (ONE
+    * shuffle on the user + one in-partition sort, regardless of how
+    * many touches precede each conversion — never the quadratic
+    * user-equi range join), carrying the touch timestamp; the window
+    * test and the per-day roll-up are one aggregate on top.
+    *
+    * Micros ride a double through the as-of machinery — exact below
+    * 2^53 µs (≈ year 2255). Conversions with no prior touch, or a
+    * touch outside the window, count in `n_conversions` but not in
+    * `n_attributed`/`attributed_value` (null conversion values
+    * attribute as count-only, contributing nothing to the sum). Output
+    * per conversion day: (day, n_conversions, n_attributed,
+    * attributed_value 2 dp). */
+  def lastTouchAttribution(
+      events: DataFrame, user: Column, ts: Column, eventType: Column,
+      value: Column, touchType: String, convType: String,
+      windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    val conv = events.filter(eventType === convType)
+      .select(user.as("user_id"), ts.as("ts"), value.as("__v"))
+    val touch = events.filter(eventType === touchType)
+      .select(user.as("user_id"), ts.as("ts"))
+    val attributed =
+      AsOf.join(conv, touch, "user_id", "ts",
+          unix_micros(col("ts")).cast("double"), "touch_us")
+        .withColumn("__attr",
+          col("asof_touch_us").isNotNull &&
+            unix_micros(col("ts")).cast("double") - col("asof_touch_us")
+              <= windowMicros.toDouble)
+    attributed
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        sum(when(col("__attr"), 1L).otherwise(0L)).as("n_attributed"),
+        round(coalesce(
+          sum(when(col("__attr"), col("__v"))), lit(0.0d)), 2)
+          .as("attributed_value"))
+  }
+
+  /** Session-level co-occurrence lift (association-rule screen): which
+    * event types appear in the SAME session more often than chance —
+    *
+    *   lift(a, b) = P(a,b) / (P(a)·P(b)) = n_ab · S / (n_a · n_b)
+    *
+    * over session-distinct type sets (S = total sessions). Lift > 1 is
+    * positive association; the classic market-basket read on q45's
+    * sessions. All counts are integers and the one rational rounds at
+    * 4 dp, so the report is engine-exact.
+    *
+    * Scale shape: one [[sessionize]] pass (key-partitioned window),
+    * one distinct on (session, type) — fan-out bounded by |types| per
+    * session — a self-join on the session key whose per-key match is
+    * ≤ |types|² (never corpus-quadratic), and type-cardinality-sized
+    * aggregates with a 1-row total broadcast. Output: (type_a, type_b,
+    * n_ab, n_a, n_b, lift), n_ab DESC then lexicographic, top `topN`. */
+  def sessionCooccurrence(
+      events: DataFrame, user: Column, ts: Column, eventType: Column,
+      gapMicros: Long, topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    val st = sessionize(events, user, ts, gapMicros, seqCol = "__seq")
+      .select(concat_ws("#", user, col("__seq")).as("__skey"),
+        eventType.as("t"))
+      .distinct()
+    val totals = st.agg(countDistinct(col("__skey")).as("s_total"))
+    val perType = st.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val pairs = st.as("a")
+      .join(st.as("b"),
+        col("a.__skey") === col("b.__skey") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("t").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("t").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        round(col("n_ab").cast("double") * col("s_total").cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
+      .orderBy(col("n_ab").desc, col("type_a").asc, col("type_b").asc)
+      .limit(topN)
+  }
 }

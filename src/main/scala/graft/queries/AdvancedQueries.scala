@@ -429,11 +429,45 @@ object AdvancedQueries {
         ps = Seq(0.5, 0.9, 0.99), accuracy = 100)
       .orderBy(asc_nulls_first("group"), asc("p"))
 
+  /** q155 — CUSUM drift flags ([[graft.operators.Funnel.cusumDrift]],
+    * Page 1954) on daily event counts per type: the sequential screen
+    * for SUSTAINED small shifts the per-day σ test (q116) cannot see.
+    * The recursion runs as its prefix-sum closed form — two window
+    * frames over one key-partitioned sort, no driver loop. */
+  def q155CusumDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.cusumDrift(Tables.events(spark, dir),
+        col("event_type"), col("ts"))
+      .orderBy(asc_nulls_first("key"), asc("day"))
+
+  /** q156 — last-touch attribution ([[graft.operators.Funnel
+    * .lastTouchAttribution]]): purchases credited to the most recent
+    * click by the same user within 24 h, through the as-of backward
+    * join (one shuffle + one sort — never the quadratic user-equi
+    * range join), rolled up per conversion day. */
+  def q156Attribution(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.lastTouchAttribution(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_type"), col("value"),
+        touchType = "click", convType = "purchase",
+        windowMicros = 24L * 3600L * 1000000L)
+      .orderBy(asc_nulls_first("day"))
+
+  /** q157 — session co-occurrence lift ([[graft.operators.Funnel
+    * .sessionCooccurrence]]): which event types share a session more
+    * often than chance (market-basket lift over q45's 30-minute
+    * sessions; session self-join bounded by |types|² per session). */
+  def q157SessionLift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.sessionCooccurrence(Tables.events(spark, dir),
+      col("user_id"), col("ts"), col("event_type"),
+      gapMicros = 30L * 60L * 1000000L, topN = 20)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
     "q146_k_anonymity"      -> q146KAnonymity _,
     "q149_skew_profile"     -> q149SkewProfile _,
     "q153_approx_percentiles" -> q153ApproxPercentiles _,
+    "q155_cusum_drift"      -> q155CusumDrift _,
+    "q156_attribution"      -> q156Attribution _,
+    "q157_session_lift"     -> q157SessionLift _,
     "q119_rolling_actives"  -> q119RollingActives _,
     "q118_session_funnel"   -> q118SessionFunnel _,
     "q117_active_users"     -> q117ActiveUsers _,
@@ -463,6 +497,73 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q155_cusum_drift" ->
+      """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |   count(*) AS n FROM events GROUP BY 1, 2),
+        | s AS (SELECT key,
+        |   round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS mu,
+        |   round(stddev_samp(CAST(n AS DOUBLE)), 2) AS sigma
+        |  FROM d GROUP BY 1),
+        | j AS (SELECT d.key, day, n, mu, sigma,
+        |   CAST(n AS DOUBLE) - mu - round(sigma * 0.5, 4) AS term
+        |  FROM d JOIN s USING (key) WHERE sigma IS NOT NULL),
+        | c AS (SELECT key, day, n, mu, sigma,
+        |   sum(term) OVER (PARTITION BY key ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM j),
+        | m AS (SELECT key, day, n, mu, sigma, cum,
+        |   min(cum) OVER (PARTITION BY key ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+        |  FROM c)
+        |SELECT key, day, n, mu, sigma,
+        |  round(cum - least(CAST(0 AS DOUBLE), runmin), 4) AS cusum,
+        |  round(cum - least(CAST(0 AS DOUBLE), runmin), 4)
+        |    > round(sigma * 3.0, 4) AS drift
+        | FROM m ORDER BY key NULLS FIRST, day""".stripMargin,
+    "q156_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        | a AS (SELECT p.event_id, p.ts, p.value, max(c.ts) AS touch_ts
+        |   FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        |   GROUP BY 1, 2, 3),
+        | f AS (SELECT CAST(ts AS DATE) AS day, value,
+        |   touch_ts IS NOT NULL AND
+        |     epoch_us(ts) - epoch_us(touch_ts) <= 86400000000 AS attr
+        |  FROM a)
+        |SELECT day, count(*) AS n_conversions,
+        |  CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_attributed,
+        |  round(coalesce(sum(CASE WHEN attr THEN value END), 0), 2)
+        |    AS attributed_value
+        | FROM f GROUP BY day ORDER BY day NULLS FIRST""".stripMargin,
+    "q157_session_lift" ->
+      """WITH g AS (SELECT user_id, ts, event_type,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        | b AS (SELECT user_id, ts, event_type,
+        |   CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+        |        THEN 1 ELSE 0 END AS boundary
+        |  FROM g),
+        | s AS (SELECT CAST(user_id AS VARCHAR) || '#' || CAST(sum(boundary)
+        |     OVER (PARTITION BY user_id ORDER BY ts
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS VARCHAR) AS skey, event_type AS t
+        |  FROM b),
+        | st AS (SELECT DISTINCT skey, t FROM s),
+        | tot AS (SELECT count(DISTINCT skey) AS s_total FROM st),
+        | nt AS (SELECT t, count(*) AS n_t FROM st GROUP BY 1),
+        | pr AS (SELECT a.t AS type_a, b2.t AS type_b, count(*) AS n_ab
+        |   FROM st a JOIN st b2 ON a.skey = b2.skey AND a.t < b2.t
+        |   GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(na.n_t AS BIGINT) AS n_a, CAST(nb.n_t AS BIGINT) AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) * CAST(s_total AS DOUBLE)
+        |    / CAST(na.n_t * nb.n_t AS DOUBLE), 4) AS lift
+        | FROM pr JOIN nt na ON na.t = type_a JOIN nt nb ON nb.t = type_b
+        |   CROSS JOIN tot
+        | ORDER BY n_ab DESC, type_a, type_b LIMIT 20""".stripMargin,
     "q153_approx_percentiles" ->
       """WITH b AS (SELECT event_type AS grp, value AS v FROM events
         |   WHERE value IS NOT NULL),

@@ -90,7 +90,10 @@ class PlanDisciplineSpec extends SparkSpec {
     "q150_rp_bucket_audit",
     // q154: termDrift's 1-row totals broadcast under the
     // vocabulary-sized drift build (q147's shape).
-    "q154_term_drift")
+    "q154_term_drift",
+    // q157: the 1-row session-total broadcast under the
+    // |types|²-bounded pair frame.
+    "q157_session_lift")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
