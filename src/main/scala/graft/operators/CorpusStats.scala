@@ -595,4 +595,50 @@ object CorpusStats {
           round(col("total_tokens").cast("double") /
             (col("total_seqs") * seqLen).cast("double"), 6)))
   }
+
+  /** Referential-integrity audit — the warehouse DQ constraint check
+    * run before anything joins: for each declared foreign key
+    * (name, child, childKey, parent, parentKey), one row of evidence —
+    * total child rows, rows with a null key, distinct non-null keys,
+    * orphan keys (child keys absent from the parent), rows those
+    * orphans carry, and the orphan row share (4 dp; null when the
+    * child is empty). Null child keys are reported separately, never
+    * counted as orphans — SQL join semantics already exclude them from
+    * every equi-join, so the actionable numbers are disjoint.
+    *
+    * Scale shape: each constraint reduces the child to its key-level
+    * profile FIRST (groupBy childKey count — map-side partial
+    * aggregation; the shuffle carries ≤ |distinct keys| rows, not the
+    * child table), distincts the parent key the same way, and
+    * left-joins the two key-level frames — the membership probe runs
+    * at key cardinality on both sides, and AQE picks a broadcast when
+    * the parent side is dimension-sized. The per-constraint result is
+    * a 1-row aggregate; the report is a |constraints|-row union. */
+  def referentialAudit(
+      constraints: Seq[(String, DataFrame, Column, DataFrame, Column)])
+      : DataFrame = {
+    require(constraints.nonEmpty, "at least one constraint")
+    val rows = constraints.map { case (name, child, childKey, parent, parentKey) =>
+      val g = child.select(childKey.as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val p = parent.select(parentKey.as("k")).distinct()
+        .withColumn("__hit", lit(1))
+      val orphan = col("k").isNotNull && col("__hit").isNull
+      g.join(p, Seq("k"), "left")
+        .agg(
+          coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L))
+            .as("n_null_rows"),
+          count(when(col("k").isNotNull, lit(1))).as("n_distinct_keys"),
+          count(when(orphan, lit(1))).as("n_orphan_keys"),
+          coalesce(sum(when(orphan, col("cnt"))), lit(0L))
+            .as("n_orphan_rows"))
+        .select(lit(name).as("fk_name"), col("n_rows"), col("n_null_rows"),
+          col("n_distinct_keys"), col("n_orphan_keys"), col("n_orphan_rows"),
+          when(col("n_rows") > 0,
+            round(col("n_orphan_rows") * lit(1.0d) / col("n_rows"), 4))
+            .as("orphan_row_share"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
 }

@@ -511,4 +511,103 @@ object Funnel {
       .orderBy(col("n_ab").desc, col("type_a").asc, col("type_b").asc)
       .limit(topN)
   }
+
+  /** Run-length compression of a per-key daily series into validity
+    * intervals — the SCD2 history build: per (key, day) keep the LAST
+    * observed value (max over the (ts, tieBreak) pair, so the reduce is
+    * deterministic even under same-timestamp ties), then collapse
+    * consecutive observed days carrying the same value into one
+    * (key, value, valid_from, valid_to, n_days) row. "Consecutive"
+    * means adjacent in the key's OBSERVED day sequence — a quiet day
+    * does not split an interval (absence of evidence is not a change);
+    * callers wanting calendar-strict intervals filter on
+    * `datediff(valid_to, valid_from) + 1 = n_days` rather than needing
+    * a different operator. Value changes compare null-safely: a null
+    * value is a tracked state, and null→null is "no change".
+    *
+    * Scale shape: the per-(key, day) reduce is `max_by` over a struct —
+    * a hash aggregate with map-side partial aggregation, never a
+    * row_number window over raw events. The island id is lag + running
+    * sum over ONE window spec (partition key, order day): both window
+    * operators share the exchange and the sort, and their input is the
+    * post-aggregation daily frame (≤ |keys|·|days| rows), not the
+    * event table. The final interval aggregate reuses the same key
+    * hashing. */
+  def changeIntervals(
+      events: DataFrame, key: Column, ts: Column, value: Column,
+      tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(key.as("key"), ts.cast("date").as("day"),
+        struct(ts.as("ts"), tieBreak.as("tb")).as("__ord"),
+        value.as("__v"))
+      .groupBy(col("key"), col("day"))
+      .agg(max_by(col("__v"), col("__ord")).as("value"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__chg",
+        when(lag(col("value"), 1).over(w) <=> col("value"), 0).otherwise(1))
+      .withColumn("__island", sum(col("__chg")).over(cum))
+      .groupBy(col("key"), col("value"), col("__island"))
+      .agg(min(col("day")).as("valid_from"), max(col("day")).as("valid_to"),
+        count(lit(1)).as("n_days"))
+      .select(col("key"), col("value"), col("valid_from"), col("valid_to"),
+        col("n_days"))
+  }
+
+  /** Truncated exponentially-weighted moving-average screen on daily
+    * event counts per key: ewma_t = Σ_{j∈window} decay^(t−j)·n_j
+    * normalized by Σ decay^(t−j) over the trailing `span` OBSERVED
+    * days, and a spike flag when today's count sits more than
+    * `hSigma`·σ away from YESTERDAY's smoothed level (one-step-ahead
+    * forecast error — the screen q116's per-day 3σ test runs unsmoothed
+    * and q155's CUSUM runs cumulatively; EWMA sits between them,
+    * discounting history geometrically instead of all-or-nothing).
+    * `decay` is 1−α passed directly — both engines parse the same
+    * literal, so no cross-engine 1.0−α rounding split. The truncated
+    * (finite-window) form is exact — no recursion, no unbounded state.
+    *
+    * Scale shape: the only join runs on the POST-aggregation daily
+    * frame — per-key fan-out is bounded by the calendar (≤ |days|²
+    * intermediate per key before the span filter, independent of event
+    * volume), the same bound q34's note establishes for its calendar
+    * window. One hash aggregate over raw events (map-side partial),
+    * one key-equi sort-merge join, one lag window sharing the key
+    * partitioning, and a key-cardinality σ broadcast. First observed
+    * day per key has no forecast → dev null, spike false by contract.
+    * Output: (key, day, n, sigma, ewma 4 dp, dev 4 dp, spike). */
+  def ewmaScreen(
+      events: DataFrame, key: Column, ts: Column,
+      decay: Double = 0.7, span: Int = 14, hSigma: Double = 3.0): DataFrame = {
+    require(decay > 0.0 && decay < 1.0, "decay must be in (0,1)")
+    require(span >= 1, "span must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(key.as("key"), ts.cast("date").as("day"))
+      .groupBy(col("key"), col("day")).agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("key"))
+      .agg(round(stddev_samp(col("n").cast("double")), 2).as("sigma"))
+      .filter(col("sigma").isNotNull)
+    val w = Window.partitionBy(col("key")).orderBy(col("day").asc)
+    val idx = daily.withColumn("__idx", row_number().over(w))
+    val hist = idx.select(col("key"), col("__idx").as("__j"),
+      col("n").cast("double").as("__nj"))
+    val wgt = pow(lit(decay), col("__idx") - col("__j"))
+    val smoothed = idx.as("a")
+      .join(hist.as("b"),
+        col("a.key") === col("b.key") &&
+          col("__j") <= col("__idx") && col("__j") > col("__idx") - span)
+      .groupBy(col("a.key").as("key"), col("a.day").as("day"),
+        col("a.n").as("n"))
+      .agg(round(sum(wgt * col("__nj")) / sum(wgt), 4).as("ewma"))
+    smoothed
+      .withColumn("__prev", lag(col("ewma"), 1).over(w))
+      .join(broadcast(stats), Seq("key"))
+      .withColumn("dev", round(col("n").cast("double") - col("__prev"), 4))
+      .withColumn("spike",
+        coalesce(abs(col("dev")) > round(col("sigma") * hSigma, 4),
+          lit(false)))
+      .select(col("key"), col("day"), col("n"), col("sigma"), col("ewma"),
+        col("dev"), col("spike"))
+  }
 }

@@ -460,8 +460,33 @@ object AdvancedQueries {
       col("user_id"), col("ts"), col("event_type"),
       gapMicros = 30L * 60L * 1000000L, topN = 20)
 
+  /** q159 — per-user value-bucket validity intervals ([[graft.operators
+    * .Funnel.changeIntervals]], the SCD2 history build): each user's
+    * daily last-observed value bucket (floor(value/100), null tracked
+    * as a state) run-length-compressed over observed days. The reduce
+    * is a max_by hash aggregate, the island id one shared window — the
+    * event table is never windowed row-by-row. */
+  def q159ChangeIntervals(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.changeIntervals(Tables.events(spark, dir),
+        col("user_id"), col("ts"),
+        floor(col("value") / 100.0d).cast("long"), col("event_id"))
+      .orderBy(asc_nulls_first("key"), asc("valid_from"))
+
+  /** q160 — EWMA deviation screen ([[graft.operators.Funnel
+    * .ewmaScreen]]) on daily counts per event type: geometric-decay
+    * smoothing over the trailing 14 observed days (truncated — exact,
+    * no recursion), spike when today's count departs the smoothed
+    * level by more than 3σ. Sits between q116's memoryless per-day
+    * test and q155's all-history CUSUM. */
+  def q160EwmaScreen(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.ewmaScreen(Tables.events(spark, dir),
+        col("event_type"), col("ts"))
+      .orderBy(asc_nulls_first("key"), asc("day"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
+    "q159_change_intervals" -> q159ChangeIntervals _,
+    "q160_ewma_screen"      -> q160EwmaScreen _,
     "q146_k_anonymity"      -> q146KAnonymity _,
     "q149_skew_profile"     -> q149SkewProfile _,
     "q153_approx_percentiles" -> q153ApproxPercentiles _,
@@ -497,6 +522,47 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q159_change_intervals" ->
+      """WITH d AS (SELECT key, day, value FROM (
+        |   SELECT user_id AS key, CAST(ts AS DATE) AS day,
+        |     CAST(floor(value / 100.0) AS BIGINT) AS value,
+        |     row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |       ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM events) WHERE rn = 1),
+        | c AS (SELECT key, day, value,
+        |   CASE WHEN lag(value) OVER (PARTITION BY key ORDER BY day)
+        |     IS NOT DISTINCT FROM value THEN 0 ELSE 1 END AS chg
+        |  FROM d),
+        | i AS (SELECT key, day, value,
+        |   sum(chg) OVER (PARTITION BY key ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM c)
+        |SELECT key, value, min(day) AS valid_from, max(day) AS valid_to,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        | FROM i GROUP BY key, value, island
+        | ORDER BY key NULLS FIRST, valid_from""".stripMargin,
+    "q160_ewma_screen" ->
+      """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |   count(*) AS n FROM events GROUP BY 1, 2),
+        | s AS (SELECT key, round(stddev_samp(CAST(n AS DOUBLE)), 2) AS sigma
+        |  FROM d GROUP BY 1),
+        | i AS (SELECT key, day, n,
+        |   row_number() OVER (PARTITION BY key ORDER BY day) AS idx FROM d),
+        | e AS (SELECT a.key, a.day, a.n,
+        |   round(sum(power(0.7, a.idx - b.idx) * b.n)
+        |     / sum(power(0.7, a.idx - b.idx)), 4) AS ewma
+        |  FROM i a JOIN i b ON a.key = b.key
+        |    AND b.idx <= a.idx AND b.idx > a.idx - 14
+        |  GROUP BY 1, 2, 3),
+        | l AS (SELECT key, day, n, ewma,
+        |   lag(ewma) OVER (PARTITION BY key ORDER BY day) AS prev FROM e)
+        |SELECT key, day, n, sigma, ewma,
+        |  round(CAST(n AS DOUBLE) - prev, 4) AS dev,
+        |  coalesce(abs(round(CAST(n AS DOUBLE) - prev, 4))
+        |    > round(sigma * 3.0, 4), false) AS spike
+        | FROM l JOIN s USING (key)
+        | WHERE sigma IS NOT NULL
+        | ORDER BY key NULLS FIRST, day""".stripMargin,
     "q155_cusum_drift" ->
       """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
         |   count(*) AS n FROM events GROUP BY 1, 2),

@@ -136,7 +136,27 @@ object FunctionQueries {
       .orderBy(asc_nulls_first("user_id"))
   }
 
+  /** q158 — referential-integrity audit ([[graft.operators.CorpusStats
+    * .referentialAudit]]) over the warehouse's declared foreign keys:
+    * per constraint, row/null/distinct/orphan evidence from key-level
+    * frames (the child collapses to its key profile before any join,
+    * so the membership probe runs at key cardinality — dimension-sized
+    * parents broadcast under AQE). A clean warehouse audits to zero
+    * orphans; the operator's value is that the zero is MEASURED. */
+  def q158IntegrityAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.referentialAudit(Seq(
+        ("lineitem.l_orderkey->orders", Tables.lineitem(spark, dir),
+          col("l_orderkey"), Tables.orders(spark, dir), col("o_orderkey")),
+        ("lineitem.l_partkey->part", Tables.lineitem(spark, dir),
+          col("l_partkey"), Tables.part(spark, dir), col("p_partkey")),
+        ("lineitem.l_suppkey->supplier", Tables.lineitem(spark, dir),
+          col("l_suppkey"), Tables.supplier(spark, dir), col("s_suppkey")),
+        ("orders.o_custkey->customer", Tables.orders(spark, dir),
+          col("o_custkey"), Tables.customer(spark, dir), col("c_custkey"))))
+      .orderBy(asc("fk_name"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_integrity_audit" -> q158IntegrityAudit _,
     "q28_weekday"       -> q28Weekday _,
     "q29_weekofyear"    -> q29WeekOfYear _,
     "q30_onehot"        -> q30OneHot _,
@@ -152,6 +172,81 @@ object FunctionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q158_integrity_audit" ->
+      """WITH a1 AS (SELECT g.k, g.cnt, p.pk FROM
+        |   (SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem
+        |    GROUP BY 1) g
+        |   LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+        |     ON g.k = p.pk),
+        | a2 AS (SELECT g.k, g.cnt, p.pk FROM
+        |   (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem
+        |    GROUP BY 1) g
+        |   LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p
+        |     ON g.k = p.pk),
+        | a3 AS (SELECT g.k, g.cnt, p.pk FROM
+        |   (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem
+        |    GROUP BY 1) g
+        |   LEFT JOIN (SELECT DISTINCT s_suppkey AS pk FROM supplier) p
+        |     ON g.k = p.pk),
+        | a4 AS (SELECT g.k, g.cnt, p.pk FROM
+        |   (SELECT o_custkey AS k, count(*) AS cnt FROM orders
+        |    GROUP BY 1) g
+        |   LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p
+        |     ON g.k = p.pk)
+        |SELECT 'lineitem.l_orderkey->orders' AS fk_name,
+        |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0) AS BIGINT)
+        |    AS n_null_rows,
+        |  CAST(count(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS n_distinct_keys,
+        |  CAST(count(CASE WHEN k IS NOT NULL AND pk IS NULL THEN 1 END)
+        |    AS BIGINT) AS n_orphan_keys,
+        |  CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL THEN cnt
+        |    END), 0) AS BIGINT) AS n_orphan_rows,
+        |  CASE WHEN coalesce(sum(cnt), 0) > 0 THEN
+        |    round(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+        |      THEN cnt END), 0) * 1.0 / sum(cnt), 4) END AS orphan_row_share
+        | FROM a1
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  CAST(coalesce(sum(cnt), 0) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0) AS BIGINT),
+        |  CAST(count(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN k IS NOT NULL AND pk IS NULL THEN 1 END)
+        |    AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL THEN cnt
+        |    END), 0) AS BIGINT),
+        |  CASE WHEN coalesce(sum(cnt), 0) > 0 THEN
+        |    round(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+        |      THEN cnt END), 0) * 1.0 / sum(cnt), 4) END
+        | FROM a2
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |  CAST(coalesce(sum(cnt), 0) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0) AS BIGINT),
+        |  CAST(count(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN k IS NOT NULL AND pk IS NULL THEN 1 END)
+        |    AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL THEN cnt
+        |    END), 0) AS BIGINT),
+        |  CASE WHEN coalesce(sum(cnt), 0) > 0 THEN
+        |    round(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+        |      THEN cnt END), 0) * 1.0 / sum(cnt), 4) END
+        | FROM a3
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  CAST(coalesce(sum(cnt), 0) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0) AS BIGINT),
+        |  CAST(count(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN k IS NOT NULL AND pk IS NULL THEN 1 END)
+        |    AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL THEN cnt
+        |    END), 0) AS BIGINT),
+        |  CASE WHEN coalesce(sum(cnt), 0) > 0 THEN
+        |    round(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+        |      THEN cnt END), 0) * 1.0 / sum(cnt), 4) END
+        | FROM a4
+        |ORDER BY fk_name""".stripMargin,
     "q28_weekday" ->
       """SELECT CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INTEGER) AS dow,
         | CAST(CASE WHEN isodow(CAST(o_orderdate AS DATE)) - 1 >= 5
