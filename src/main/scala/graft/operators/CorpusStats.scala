@@ -641,4 +641,44 @@ object CorpusStats {
     }
     rows.reduce(_.unionByName(_))
   }
+
+  /** Source-concentration report — the Gini coefficient of mass across
+    * units within each group (e.g. per language, how unevenly the
+    * corpus mass spreads over sources): 0 = perfectly even, → 1 = one
+    * unit carries everything. Uses the rank form
+    *
+    *   G = 2·Σ i·w_(i) / (n·Σw) − (n+1)/n
+    *
+    * over units ranked ascending by mass (ties broken by unit name, so
+    * the rank — and therefore the statistic — is deterministic).
+    * A concentration audit is the "is this mix actually diverse"
+    * number next to q96's target-mix resampling: a mix plan can hit
+    * its language targets while one source still dominates every
+    * language. All sums are exact integers; the two divisions run as
+    * one double formula on both engines, 4 dp. Groups report null gini
+    * when total mass is not positive.
+    *
+    * Scale shape: one hash aggregate to unit masses (map-side
+    * partial), one rank window and one aggregate on the
+    * |groups|·|units| frame — raw documents are scanned once. */
+  def sourceConcentration(
+      docs: DataFrame, group: Column, unit: Column,
+      mass: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = docs.groupBy(group.as("grp"), unit.as("unit"))
+      .agg(sum(mass).as("w"))
+    val rank = Window.partitionBy(col("grp"))
+      .orderBy(col("w").asc, col("unit").asc)
+    val s = m
+      .withColumn("i", row_number().over(rank).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("w")).as("total_mass"),
+        sum(col("i") * col("w")).as("siw"))
+    def d(c: String): Column = col(c).cast("double")
+    s.select(col("grp"), col("n_units"), col("total_mass"),
+      when(col("total_mass") > 0,
+        round(lit(2.0d) * d("siw") / (d("n_units") * d("total_mass"))
+          - (d("n_units") + lit(1.0d)) / d("n_units"), 4)).as("gini"))
+  }
 }

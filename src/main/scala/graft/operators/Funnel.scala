@@ -610,4 +610,86 @@ object Funnel {
       .select(col("key"), col("day"), col("n"), col("sigma"), col("ewma"),
         col("dev"), col("spike"))
   }
+
+  /** Per-key least-squares trend of daily event counts: slope,
+    * intercept, and R² of n ~ day-index, computed from explicit
+    * integer power sums (n, Σx, Σy, Σx², Σy², Σxy) — never an engine's
+    * `regr_*` built-ins, whose internal accumulation order is not
+    * specified cross-engine. Every sum is an exact integer (the daily
+    * frame is calendar-bounded, so each fits 2^53 with orders of
+    * magnitude to spare); both engines then evaluate the SAME double
+    * formula on the SAME exact inputs, making the 4 dp report
+    * engine-exact rather than engine-close. The x axis is the key's
+    * observed-day index (1..n_days) — rank, not calendar offset — so
+    * quiet days compress rather than anchor the fit; keys need ≥ 2
+    * observed days, and a zero-variance count series reports r2 null.
+    *
+    * Scale shape: one hash aggregate over raw events (map-side
+    * partial), one row_number window and one final aggregate on the
+    * |keys|·|days| daily frame. Nothing rescans events. */
+  def dailyTrend(events: DataFrame, key: Column, ts: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(key.as("key"), ts.cast("date").as("day"))
+      .groupBy(col("key"), col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day").asc)
+    val s = daily
+      .withColumn("x", row_number().over(w).cast("long"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("n")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("n") * col("n")).as("syy"),
+        sum(col("x") * col("n")).as("sxy"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .filter(col("n_days") >= 2)
+    def d(c: String): Column = col(c).cast("double")
+    val num  = d("n_days") * d("sxy") - d("sx") * d("sy")
+    val den  = d("n_days") * d("sxx") - d("sx") * d("sx")
+    val deny = d("n_days") * d("syy") - d("sy") * d("sy")
+    s.select(col("key"), col("n_days"), col("first_day"), col("last_day"),
+      round(num / den, 4).as("slope"),
+      round((d("sy") - (num / den) * d("sx")) / d("n_days"), 4)
+        .as("intercept"),
+      when(deny > 0, round(num * num / (den * deny), 4)).as("r2"))
+  }
+
+  /** Calendar-aligned seasonal autocorrelation of daily event counts:
+    * per key, the Pearson correlation of (n_t, n_{t−lagDays}) over
+    * CALENDAR-matched day pairs — the weekly-seasonality screen when
+    * lagDays = 7 (a high acf says the series repeats on that period;
+    * q160/q155 then decide whether today's level is drift or rhythm).
+    * Matching is by date arithmetic, not observed-day rank: seasonality
+    * is a property of the calendar, so a missing day drops its pair
+    * rather than shifting the alignment. Same explicit-integer-sums
+    * discipline as [[dailyTrend]] — both engines evaluate one double
+    * formula on exact inputs; zero variance on either side reports
+    * null, keys with < 2 matched pairs are dropped.
+    *
+    * Scale shape: the daily frame self-joins on (key, day+lag) — an
+    * equi-join on the calendar-bounded frame — then one per-key
+    * aggregate. Raw events are scanned exactly once. */
+  def seasonalAutocorr(
+      events: DataFrame, key: Column, ts: Column,
+      lagDays: Int = 7): DataFrame = {
+    require(lagDays >= 1, "lagDays must be positive")
+    val daily = events.select(key.as("key"), ts.cast("date").as("day"))
+      .groupBy(col("key"), col("day")).agg(count(lit(1)).as("n"))
+    val prev = daily.select(col("key"),
+      date_add(col("day"), lagDays).as("day"), col("n").as("n_prev"))
+    val s = daily.join(prev, Seq("key", "day"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n")).as("sx"), sum(col("n_prev")).as("sy"),
+        sum(col("n") * col("n")).as("sxx"),
+        sum(col("n_prev") * col("n_prev")).as("syy"),
+        sum(col("n") * col("n_prev")).as("sxy"))
+      .filter(col("n_pairs") >= 2)
+    def d(c: String): Column = col(c).cast("double")
+    val num  = d("n_pairs") * d("sxy") - d("sx") * d("sy")
+    val varx = d("n_pairs") * d("sxx") - d("sx") * d("sx")
+    val vary = d("n_pairs") * d("syy") - d("sy") * d("sy")
+    s.select(col("key"), col("n_pairs"),
+      when(varx > 0 && vary > 0,
+        round(num / sqrt(varx * vary), 4)).as("acf"))
+  }
 }

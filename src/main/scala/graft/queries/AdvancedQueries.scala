@@ -483,10 +483,32 @@ object AdvancedQueries {
         col("event_type"), col("ts"))
       .orderBy(asc_nulls_first("key"), asc("day"))
 
+  /** q161 — per-type daily-count trend lines ([[graft.operators.Funnel
+    * .dailyTrend]]): least-squares slope/intercept/R² from explicit
+    * integer power sums — both engines run one double formula on exact
+    * inputs, so the 4 dp fit is engine-exact. The growth/decay screen
+    * next to q155 (drift) and q160 (level). */
+  def q161DailyTrend(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.dailyTrend(Tables.events(spark, dir),
+        col("event_type"), col("ts"))
+      .orderBy(asc_nulls_first("key"))
+
+  /** q162 — weekly-seasonality screen ([[graft.operators.Funnel
+    * .seasonalAutocorr]]): Pearson acf of (n_t, n_{t−7}) over
+    * calendar-matched day pairs per event type — high acf says the
+    * series repeats on the week, telling q116/q160 whether a swing is
+    * rhythm or anomaly. */
+  def q162SeasonalAcf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.seasonalAutocorr(Tables.events(spark, dir),
+        col("event_type"), col("ts"), lagDays = 7)
+      .orderBy(asc_nulls_first("key"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
     "q159_change_intervals" -> q159ChangeIntervals _,
     "q160_ewma_screen"      -> q160EwmaScreen _,
+    "q161_daily_trend"      -> q161DailyTrend _,
+    "q162_seasonal_acf"     -> q162SeasonalAcf _,
     "q146_k_anonymity"      -> q146KAnonymity _,
     "q149_skew_profile"     -> q149SkewProfile _,
     "q153_approx_percentiles" -> q153ApproxPercentiles _,
@@ -522,6 +544,49 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q161_daily_trend" ->
+      """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |   count(*) AS n FROM events GROUP BY 1, 2),
+        | i AS (SELECT key, day, n,
+        |   CAST(row_number() OVER (PARTITION BY key ORDER BY day) AS BIGINT)
+        |     AS x
+        |  FROM d),
+        | s AS (SELECT key, count(*) AS n_days,
+        |   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(n) AS DOUBLE) AS sy,
+        |   CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |   CAST(sum(n * n) AS DOUBLE) AS syy,
+        |   CAST(sum(x * n) AS DOUBLE) AS sxy,
+        |   min(day) AS first_day, max(day) AS last_day
+        |  FROM i GROUP BY key HAVING count(*) >= 2)
+        |SELECT key, CAST(n_days AS BIGINT) AS n_days, first_day, last_day,
+        |  round((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx), 4)
+        |    AS slope,
+        |  round((sy - ((n_days * sxy - sx * sy)
+        |    / (n_days * sxx - sx * sx)) * sx) / n_days, 4) AS intercept,
+        |  CASE WHEN n_days * syy - sy * sy > 0 THEN
+        |    round((n_days * sxy - sx * sy) * (n_days * sxy - sx * sy)
+        |      / ((n_days * sxx - sx * sx) * (n_days * syy - sy * sy)), 4)
+        |  END AS r2
+        | FROM s ORDER BY key NULLS FIRST""".stripMargin,
+    "q162_seasonal_acf" ->
+      """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |   count(*) AS n FROM events GROUP BY 1, 2),
+        | j AS (SELECT a.key, a.n, b.n AS n_prev
+        |   FROM d a JOIN d b ON a.key = b.key AND a.day = b.day + 7),
+        | s AS (SELECT key, count(*) AS n_pairs,
+        |   CAST(sum(n) AS DOUBLE) AS sx, CAST(sum(n_prev) AS DOUBLE) AS sy,
+        |   CAST(sum(n * n) AS DOUBLE) AS sxx,
+        |   CAST(sum(n_prev * n_prev) AS DOUBLE) AS syy,
+        |   CAST(sum(n * n_prev) AS DOUBLE) AS sxy
+        |  FROM j GROUP BY key HAVING count(*) >= 2)
+        |SELECT key, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CASE WHEN n_pairs * sxx - sx * sx > 0
+        |        AND n_pairs * syy - sy * sy > 0 THEN
+        |    round((n_pairs * sxy - sx * sy)
+        |      / sqrt((n_pairs * sxx - sx * sx)
+        |        * (n_pairs * syy - sy * sy)), 4)
+        |  END AS acf
+        | FROM s ORDER BY key NULLS FIRST""".stripMargin,
     "q159_change_intervals" ->
       """WITH d AS (SELECT key, day, value FROM (
         |   SELECT user_id AS key, CAST(ts AS DATE) AS day,

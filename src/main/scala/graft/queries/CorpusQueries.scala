@@ -681,7 +681,19 @@ object CorpusQueries {
     Ranking.termDrift(d, churnedDocs(d), col("text"), topN = 30)
   }
 
+  /** q163 — source-concentration Gini ([[graft.operators.CorpusStats
+    * .sourceConcentration]]): per language, how unevenly character
+    * mass spreads across sources (0 even → 1 concentrated) — the
+    * diversity audit next to q96's target mix: hitting language
+    * targets can still leave one source dominating each language. */
+  def q163SourceGini(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.sourceConcentration(
+        Tables.documents(spark, dir), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(asc_nulls_first("grp"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_source_gini"       -> q163SourceGini _,
     "q67_tfidf"              -> q67TfIdf _,
     "q68_bm25"               -> q68Bm25 _,
     "q69_shuffle_order"      -> q69ShuffleOrder _,
@@ -966,6 +978,25 @@ object CorpusQueries {
       |     WHERE doc_id % 97 = 0)"""
 
   val oracle: Map[String, String] = Map(
+    "q163_source_gini" ->
+      """WITH m AS (SELECT lang AS grp, source AS unit,
+        |   sum(n_chars) AS w FROM documents GROUP BY 1, 2),
+        | r AS (SELECT grp, w,
+        |   CAST(row_number() OVER (PARTITION BY grp ORDER BY w, unit)
+        |     AS BIGINT) AS i
+        |  FROM m),
+        | s AS (SELECT grp, count(*) AS n_units,
+        |   CAST(sum(w) AS BIGINT) AS total_mass,
+        |   CAST(sum(i * w) AS BIGINT) AS siw
+        |  FROM r GROUP BY grp)
+        |SELECT grp, CAST(n_units AS BIGINT) AS n_units, total_mass,
+        |  CASE WHEN total_mass > 0 THEN
+        |    round(2.0 * CAST(siw AS DOUBLE)
+        |        / (CAST(n_units AS DOUBLE) * CAST(total_mass AS DOUBLE))
+        |      - (CAST(n_units AS DOUBLE) + 1.0) / CAST(n_units AS DOUBLE),
+        |      4)
+        |  END AS gini
+        | FROM s ORDER BY grp NULLS FIRST""".stripMargin,
     "q154_term_drift" ->
       s"""WITH $churnCteSql,
         | ta AS (SELECT unnest($toksSql) AS term, false AS isnew
