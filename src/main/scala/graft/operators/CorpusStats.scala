@@ -681,4 +681,107 @@ object CorpusStats {
         round(lit(2.0d) * d("siw") / (d("n_units") * d("total_mass"))
           - (d("n_units") + lit(1.0d)) / d("n_units"), 4)).as("gini"))
   }
+
+  /** Population-stability-index drift screen: for each unit (e.g.
+    * source), the PSI of its `value` distribution against the REST of
+    * the corpus over `nBuckets` fixed-width buckets —
+    *
+    *   PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+    *
+    * with add-half smoothing (p_b = (c_b + 0.5)/(n + nBuckets/2)) so
+    * empty buckets contribute finitely instead of ±∞. The bucket grid
+    * is COMPLETE by construction (units × 0..nBuckets−1, zeros filled)
+    * — a bucket one side never hits is exactly where drift lives, the
+    * same fail-open lesson as the Benford zero-digit fix. The rule-of-
+    * thumb flag: PSI > 0.2 (computed on the 4 dp rounded value, so the
+    * flag is as engine-exact as the statistic). PSI > 0.1 is "watch",
+    * > 0.2 "act" in the credit-scoring literature the metric comes
+    * from.
+    *
+    * Scale shape: one 1-row min/max broadcast, one hash aggregate to
+    * (unit, bucket) counts, a bucket-cardinality totals broadcast, and
+    * the complete grid built by exploding a literal range against the
+    * distinct units — every frame after the first aggregate is
+    * ≤ |units|·nBuckets rows. Raw rows are scanned twice (min/max,
+    * then bucketing) — the classic two-pass histogram; callers with a
+    * known domain can pass it precomputed one day, but the audit
+    * semantics (data-driven range) want the honest two-pass. */
+  def psiDrift(
+      docs: DataFrame, unit: Column, value: Column,
+      nBuckets: Int = 10, flagAt: Double = 0.2): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    val v = docs.select(unit.as("unit"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val mm = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val bucketed = v.crossJoin(broadcast(mm))
+      .select(col("unit"),
+        when(col("mx") === col("mn"), 0)
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("v") - col("mn")) * nBuckets / (col("mx") - col("mn")))))
+          .cast("int").as("bucket"))
+    val cnt = bucketed.groupBy(col("unit"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val tot = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("t"))
+    val grid = cnt.select(col("unit")).distinct()
+      .select(col("unit"),
+        explode(sequence(lit(0), lit(nBuckets - 1))).as("bucket"))
+    val full = grid
+      .join(cnt, Seq("unit", "bucket"), "left")
+      .join(broadcast(tot), Seq("bucket"), "left")
+      .select(col("unit"), col("bucket"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("t"), lit(0L)).as("t"))
+    val half = lit(0.5d)
+    val pad = lit(nBuckets * 0.5d)
+    val withN = full
+      .join(full.groupBy(col("unit")).agg(sum(col("c")).as("n_unit")),
+        Seq("unit"))
+      .crossJoin(broadcast(
+        tot.agg(sum(col("t")).as("n_all"))))
+    val p = (col("c").cast("double") + half) /
+      (col("n_unit").cast("double") + pad)
+    val q = ((col("t") - col("c")).cast("double") + half) /
+      ((col("n_all") - col("n_unit")).cast("double") + pad)
+    withN
+      .groupBy(col("unit"))
+      .agg(max(col("n_unit")).as("n_docs"),
+        round(sum((p - q) * log(p / q)), 4).as("psi"))
+      .select(col("unit"), col("n_docs"), col("psi"),
+        (col("psi") > flagAt).as("drifted"))
+  }
+
+
+  /** Join fan-out profile — the degree distribution of a child table
+    * over its foreign key: per declared constraint, how many children
+    * each referenced parent key actually has (count, mean, exact
+    * interpolated p50/p90/p99, max). This is the number that predicts
+    * join blow-up BEFORE the join runs: [[referentialAudit]] says the
+    * keys resolve, this says what joining them costs — a p99 degree of
+    * 10⁴ on a "dimension" key is the skew q136/q149 exist for.
+    *
+    * Scale shape: one hash aggregate child→(key, degree) with map-side
+    * partials, then a 1-row summary per constraint over the key-level
+    * frame; percentiles run on degrees (key cardinality), never raw
+    * rows. Null keys are excluded — they join nothing, and q158
+    * already reports them. */
+  def fanoutProfile(
+      constraints: Seq[(String, DataFrame, Column)]): DataFrame = {
+    require(constraints.nonEmpty, "at least one constraint")
+    constraints.map { case (name, child, key) =>
+      val deg = child.select(key.as("k")).filter(col("k").isNotNull)
+        .groupBy(col("k")).agg(count(lit(1)).as("d"))
+      deg.agg(
+        count(lit(1)).as("n_parents"),
+        coalesce(sum(col("d")), lit(0L)).as("n_children"),
+        round(sum(col("d")).cast("double") / count(lit(1)), 4)
+          .as("mean_degree"),
+        round(percentile(col("d"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("d"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("d"), lit(0.99)), 4).as("p99"),
+        max(col("d")).as("max_degree"))
+        .select(lit(name).as("fk_name"), col("n_parents"),
+          col("n_children"), col("mean_degree"), col("p50"), col("p90"),
+          col("p99"), col("max_degree"))
+    }.reduce(_.unionByName(_))
+  }
 }

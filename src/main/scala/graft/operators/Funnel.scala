@@ -692,4 +692,42 @@ object Funnel {
       when(varx > 0 && vary > 0,
         round(num / sqrt(varx * vary), 4)).as("acf"))
   }
+
+  /** Time-to-convert cohorts: per user, the lag from their FIRST
+    * `fromType` event to their first `toType` event at or after it
+    * (first-touch anchoring — q101's funnel convention), cohorted by
+    * the day of the first touch: (day, n_users, mean/p50/p90 lag in
+    * SECONDS, 4 dp). The mean divides the exact integer-micros sum
+    * once; the percentiles interpolate at second scale deliberately —
+    * at raw-micros magnitude (10¹¹) a 4 dp grid sits below the double
+    * ulp and the two engines' interpolation orders disagree in the
+    * last place, while at second scale the grid is ~10⁶ ulps wide.
+    * Users who never convert are not rows here — this is the
+    * conversion-velocity report, not the conversion-rate one (q101).
+    *
+    * Scale shape: two type-filtered user-keyed min-aggregates (both
+    * partial-agg friendly, ≤ |users| rows each) joined on the user —
+    * one shuffle each, reusing the user hashing — then a per-cohort
+    * aggregate on the |users|-row lag frame. */
+  def conversionLag(
+      events: DataFrame, user: Column, ts: Column, eventType: Column,
+      fromType: String, toType: String): DataFrame = {
+    val firstTouch = events.filter(eventType === fromType)
+      .groupBy(user.as("user_id")).agg(min(ts).as("t1"))
+    val conv = events.filter(eventType === toType)
+      .select(user.as("user_id"), ts.as("t2"))
+    val lagged = conv.join(firstTouch, Seq("user_id"))
+      .filter(col("t2") >= col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"))
+      .select(col("t1").cast("date").as("day"),
+        (unix_micros(col("t2")) - unix_micros(col("t1"))).as("lag_us"))
+    val lagS = col("lag_us") / lit(1000000.0d)
+    lagged.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("lag_us")).cast("double") / count(lit(1))
+          / lit(1000000.0d), 4).as("mean_lag_s"),
+        round(percentile(lagS, lit(0.5)), 4).as("p50_lag_s"),
+        round(percentile(lagS, lit(0.9)), 4).as("p90_lag_s"))
+  }
 }

@@ -503,12 +503,26 @@ object AdvancedQueries {
         col("event_type"), col("ts"), lagDays = 7)
       .orderBy(asc_nulls_first("key"))
 
+  /** q165 — time-to-convert cohorts ([[graft.operators.Funnel
+    * .conversionLag]]): per first-click day, mean/p50/p90 of the lag
+    * (seconds, 4 dp — the mean from the exact integer-micros sum, the
+    * percentiles interpolated at second scale where the rounding grid
+    * is ~10⁶ ulps wide) from each user's first click to their first
+    * purchase at or after it — the conversion-VELOCITY report beside
+    * q101's conversion-rate funnel. */
+  def q165ConversionLag(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.conversionLag(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        fromType = "click", toType = "purchase")
+      .orderBy(asc_nulls_first("day"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
     "q159_change_intervals" -> q159ChangeIntervals _,
     "q160_ewma_screen"      -> q160EwmaScreen _,
     "q161_daily_trend"      -> q161DailyTrend _,
     "q162_seasonal_acf"     -> q162SeasonalAcf _,
+    "q165_conversion_lag"   -> q165ConversionLag _,
     "q146_k_anonymity"      -> q146KAnonymity _,
     "q149_skew_profile"     -> q149SkewProfile _,
     "q153_approx_percentiles" -> q153ApproxPercentiles _,
@@ -544,6 +558,20 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q165_conversion_lag" ->
+      """WITH f AS (SELECT user_id, min(ts) AS t1 FROM events
+        |   WHERE event_type = 'click' GROUP BY 1),
+        | c AS (SELECT e.user_id, min(f.t1) AS t1, min(e.ts) AS t2
+        |   FROM events e JOIN f ON e.user_id = f.user_id AND e.ts >= f.t1
+        |   WHERE e.event_type = 'purchase' GROUP BY 1),
+        | l AS (SELECT CAST(t1 AS DATE) AS day,
+        |   epoch_us(t2) - epoch_us(t1) AS lag_us FROM c)
+        |SELECT day, count(*) AS n_users,
+        |  round(CAST(sum(lag_us) AS DOUBLE) / count(*) / 1000000.0, 4)
+        |    AS mean_lag_s,
+        |  round(quantile_cont(lag_us / 1000000.0, 0.5), 4) AS p50_lag_s,
+        |  round(quantile_cont(lag_us / 1000000.0, 0.9), 4) AS p90_lag_s
+        | FROM l GROUP BY day ORDER BY day NULLS FIRST""".stripMargin,
     "q161_daily_trend" ->
       """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
         |   count(*) AS n FROM events GROUP BY 1, 2),

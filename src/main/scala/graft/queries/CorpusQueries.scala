@@ -692,7 +692,19 @@ object CorpusQueries {
         col("n_chars"))
       .orderBy(asc_nulls_first("grp"))
 
+  /** q164 — PSI length-drift screen ([[graft.operators.CorpusStats
+    * .psiDrift]]): per source, the population stability index of its
+    * document-length distribution against the rest of the corpus over
+    * a complete 10-bucket grid (add-half smoothed, so never-hit
+    * buckets — exactly where drift lives — still contribute). Flag at
+    * the literature's PSI > 0.2 "act" threshold. */
+  def q164PsiDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.psiDrift(Tables.documents(spark, dir),
+        col("source"), col("n_chars"))
+      .orderBy(asc_nulls_first("unit"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_psi_drift"         -> q164PsiDrift _,
     "q163_source_gini"       -> q163SourceGini _,
     "q67_tfidf"              -> q67TfIdf _,
     "q68_bm25"               -> q68Bm25 _,
@@ -978,6 +990,42 @@ object CorpusQueries {
       |     WHERE doc_id % 97 = 0)"""
 
   val oracle: Map[String, String] = Map(
+    "q164_psi_drift" ->
+      """WITH v AS (SELECT source AS unit, CAST(n_chars AS DOUBLE) AS v
+        |   FROM documents WHERE n_chars IS NOT NULL),
+        | mm AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+        | b AS (SELECT unit, CAST(CASE WHEN mx = mn THEN 0
+        |    ELSE least(9, floor((v - mn) * 10 / (mx - mn))) END AS INTEGER)
+        |    AS bucket FROM v, mm),
+        | cnt AS (SELECT unit, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+        | tot AS (SELECT bucket, count(*) AS t FROM b GROUP BY 1),
+        | grid AS (SELECT unit, bucket FROM
+        |   (SELECT DISTINCT unit FROM cnt)
+        |   CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket)),
+        | f0 AS (SELECT g.unit, g.bucket, coalesce(c, 0) AS c,
+        |    coalesce(t, 0) AS t
+        |   FROM grid g LEFT JOIN cnt USING (unit, bucket)
+        |   LEFT JOIN tot USING (bucket)),
+        | nu AS (SELECT unit, sum(c) AS n_unit FROM f0 GROUP BY 1),
+        | na AS (SELECT sum(t) AS n_all FROM tot)
+        |SELECT unit, CAST(max(n_unit) AS BIGINT) AS n_docs,
+        |  round(sum(
+        |    ((CAST(c AS DOUBLE) + 0.5) / (CAST(n_unit AS DOUBLE) + 5.0)
+        |     - (CAST(t - c AS DOUBLE) + 0.5)
+        |       / (CAST(n_all - n_unit AS DOUBLE) + 5.0))
+        |    * ln(((CAST(c AS DOUBLE) + 0.5) / (CAST(n_unit AS DOUBLE) + 5.0))
+        |      / ((CAST(t - c AS DOUBLE) + 0.5)
+        |        / (CAST(n_all - n_unit AS DOUBLE) + 5.0)))), 4) AS psi,
+        |  round(sum(
+        |    ((CAST(c AS DOUBLE) + 0.5) / (CAST(n_unit AS DOUBLE) + 5.0)
+        |     - (CAST(t - c AS DOUBLE) + 0.5)
+        |       / (CAST(n_all - n_unit AS DOUBLE) + 5.0))
+        |    * ln(((CAST(c AS DOUBLE) + 0.5) / (CAST(n_unit AS DOUBLE) + 5.0))
+        |      / ((CAST(t - c AS DOUBLE) + 0.5)
+        |        / (CAST(n_all - n_unit AS DOUBLE) + 5.0)))), 4) > 0.2
+        |    AS drifted
+        | FROM f0 JOIN nu USING (unit) CROSS JOIN na
+        | GROUP BY unit ORDER BY unit NULLS FIRST""".stripMargin,
     "q163_source_gini" ->
       """WITH m AS (SELECT lang AS grp, source AS unit,
         |   sum(n_chars) AS w FROM documents GROUP BY 1, 2),

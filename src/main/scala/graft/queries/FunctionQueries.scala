@@ -155,8 +155,22 @@ object FunctionQueries {
           col("o_custkey"), Tables.customer(spark, dir), col("c_custkey"))))
       .orderBy(asc("fk_name"))
 
+  /** q166 — join fan-out profile ([[graft.operators.CorpusStats
+    * .fanoutProfile]]): the degree distribution of each declared
+    * foreign key (exact interpolated p50/p90/p99, max) — the number
+    * that predicts join blow-up before the join runs; q158 says the
+    * keys resolve, this says what joining them costs. */
+  def q166JoinFanout(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.fanoutProfile(Seq(
+        ("lineitem.l_orderkey->orders", Tables.lineitem(spark, dir),
+          col("l_orderkey")),
+        ("orders.o_custkey->customer", Tables.orders(spark, dir),
+          col("o_custkey"))))
+      .orderBy(asc("fk_name"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_integrity_audit" -> q158IntegrityAudit _,
+    "q166_join_fanout"     -> q166JoinFanout _,
     "q28_weekday"       -> q28Weekday _,
     "q29_weekofyear"    -> q29WeekOfYear _,
     "q30_onehot"        -> q30OneHot _,
@@ -172,6 +186,28 @@ object FunctionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q166_join_fanout" ->
+      """WITH d1 AS (SELECT l_orderkey AS k, count(*) AS d FROM lineitem
+        |   WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        | d2 AS (SELECT o_custkey AS k, count(*) AS d FROM orders
+        |   WHERE o_custkey IS NOT NULL GROUP BY 1)
+        |SELECT 'lineitem.l_orderkey->orders' AS fk_name,
+        |  count(*) AS n_parents,
+        |  CAST(coalesce(sum(d), 0) AS BIGINT) AS n_children,
+        |  round(CAST(sum(d) AS DOUBLE) / count(*), 4) AS mean_degree,
+        |  round(quantile_cont(d, 0.5), 4) AS p50,
+        |  round(quantile_cont(d, 0.9), 4) AS p90,
+        |  round(quantile_cont(d, 0.99), 4) AS p99,
+        |  max(d) AS max_degree
+        | FROM d1
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', count(*),
+        |  CAST(coalesce(sum(d), 0) AS BIGINT),
+        |  round(CAST(sum(d) AS DOUBLE) / count(*), 4),
+        |  round(quantile_cont(d, 0.5), 4), round(quantile_cont(d, 0.9), 4),
+        |  round(quantile_cont(d, 0.99), 4), max(d)
+        | FROM d2
+        |ORDER BY fk_name""".stripMargin,
     "q158_integrity_audit" ->
       """WITH a1 AS (SELECT g.k, g.cnt, p.pk FROM
         |   (SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem
