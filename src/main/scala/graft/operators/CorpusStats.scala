@@ -784,4 +784,85 @@ object CorpusStats {
           col("p99"), col("max_degree"))
     }.reduce(_.unionByName(_))
   }
+  /** Chi-square test of independence between two categorical columns:
+    * the classic contingency screen — "is the language mix independent
+    * of the source" — reported as one row of evidence: level counts,
+    * degrees of freedom, N, and the χ² statistic over the COMPLETE
+    * R×C grid (a cell the data never hits still contributes its
+    * expected count to the statistic — the fail-open-grid lesson from
+    * the Benford audit; dropping empty cells understates χ² exactly
+    * when association is strongest). Null category values are levels
+    * like any other. Compare χ² to the caller's critical value for
+    * (R−1)(C−1) dof — the operator reports evidence, not a p-value
+    * table.
+    *
+    * Scale shape: one hash aggregate over raw rows to (a, b) counts
+    * (map-side partials), then every frame — marginals, the exploded
+    * complete grid, the final 1-row reduce — is level-cardinality
+    * sized, joined by broadcast. */
+  def chiSquareIndependence(
+      df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cnt = df.groupBy(a.as("ra"), b.as("cb"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cnt.groupBy(col("ra")).agg(sum(col("n")).as("r"))
+    val cols = cnt.groupBy(col("cb")).agg(sum(col("n")).as("c"))
+    val tot = cnt.agg(sum(col("n")).as("n_total"))
+    val grid = rows.select(col("ra")).crossJoin(cols.select(col("cb")))
+    val full = grid
+      .join(cnt, Seq("ra", "cb"), "left")
+      .join(broadcast(rows), Seq("ra"))
+      .join(broadcast(cols), Seq("cb"))
+      .crossJoin(broadcast(tot))
+      .select(coalesce(col("n"), lit(0L)).cast("double").as("o"),
+        (col("r").cast("double") * col("c").cast("double")
+          / col("n_total").cast("double")).as("e"))
+    val chi = full.agg(
+      round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 4)
+        .as("chi2"))
+    val nr = rows.agg(count(lit(1)).as("n_levels_a"))
+    val nc = cols.agg(count(lit(1)).as("n_levels_b"))
+    chi.crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(tot))
+      .select(col("n_levels_a"), col("n_levels_b"),
+        ((col("n_levels_a") - 1) * (col("n_levels_b") - 1)).as("dof"),
+        col("n_total"), col("chi2"))
+  }
+
+  /** Neyman-optimal sample allocation: given a row budget B and strata
+    * with sizes N_h and within-stratum spread σ_h, the variance-
+    * minimizing allocation n_h ∝ N_h·σ_h — the sampling-DESIGN step
+    * in front of q96's target-mix resampler (q96 executes a mix;
+    * this computes the mix a measurement goal implies). σ is rounded
+    * to 2 dp BEFORE the allocation arithmetic (the q155 convention)
+    * so the report is engine-exact; single-row strata carry σ = 0 —
+    * reported with a zero allocation, never silently dropped (the
+    * epoch-plan deficit lesson). Allocations are capped at the
+    * stratum size (you cannot sample rows that don't exist); the cap
+    * means Σ alloc_n may fall short of B — visible in the report, the
+    * caller's cue to re-spread.
+    *
+    * Scale shape: one hash aggregate to per-stratum (N, σ), a 1-row
+    * total broadcast, pure arithmetic after — nothing beyond the
+    * first pass sees raw rows. */
+  def neymanAllocation(
+      df: DataFrame, stratum: Column, value: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val s = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(round(stddev_samp(value.cast("double")), 2), lit(0.0d))
+          .as("sigma"))
+    val weighted = s.withColumn("__w",
+      col("n_rows").cast("double") * col("sigma"))
+    val tot = weighted.agg(sum(col("__w")).as("__tw"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_rows"), col("sigma"),
+        when(col("__tw") > 0,
+          round(lit(budget.toDouble) * col("__w") / col("__tw"), 4))
+          .as("alloc_frac"),
+        when(col("__tw") > 0,
+          least(round(lit(budget.toDouble) * col("__w") / col("__tw"), 0)
+            .cast("long"), col("n_rows")))
+          .as("alloc_n"))
+  }
 }

@@ -730,4 +730,40 @@ object Funnel {
         round(percentile(lagS, lit(0.5)), 4).as("p50_lag_s"),
         round(percentile(lagS, lit(0.9)), 4).as("p90_lag_s"))
   }
+  /** Peak concurrent sessions — the sweep-line read on q45's sessions:
+    * each session contributes a +1 boundary at its start and a −1 at
+    * its end; the running sum over ALL boundaries in (ts, delta DESC,
+    * session) order is the instantaneous concurrency, and the report
+    * is each day's maximum. Closed-interval semantics by the tie rule
+    * (+1 sorts before −1 at the same instant): a session starting
+    * exactly when another ends overlaps it, and a single-event session
+    * still registers concurrency ≥ 1 on its day. Days with no
+    * boundary events have no row — a session silently spanning a
+    * whole quiet day holds the LEVEL up (the carry-in is in the
+    * running sum) but the day itself reports nothing, which is the
+    * honest reading of "report days with activity".
+    *
+    * Scale shape: sessionize's key window, a per-session aggregate,
+    * and then the one genuinely global step — the boundary cumsum —
+    * runs through [[ScalableWindow.runningTotalBy]]'s two-phase
+    * range-partitioned form: no single-partition window over the
+    * boundary stream, ±1 integer sums are exact at any scale. */
+  def peakConcurrency(
+      events: DataFrame, user: Column, ts: Column, gapMicros: Long,
+      partitions: Int = 32): DataFrame = {
+    val sess = sessionize(events, user, ts, gapMicros, seqCol = "__seq")
+      .groupBy(user.as("__u"), col("__seq"))
+      .agg(min(ts).as("start_ts"), max(ts).as("end_ts"))
+      .withColumn("__skey", concat_ws("#", col("__u"), col("__seq")))
+    val bounds = sess
+      .select(col("start_ts").as("ts"), lit(1L).as("delta"), col("__skey"))
+      .unionByName(sess.select(col("end_ts").as("ts"),
+        lit(-1L).as("delta"), col("__skey")))
+    val cum = ScalableWindow.runningTotalBy(bounds,
+      Seq(col("ts").asc, col("delta").desc, col("__skey").asc),
+      col("delta"), "concurrent", partitions)
+    cum.groupBy(col("ts").cast("date").as("day"))
+      .agg(max(col("concurrent")).as("peak_concurrent"),
+        count(lit(1)).as("n_boundaries"))
+  }
 }

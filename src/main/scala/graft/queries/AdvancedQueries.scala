@@ -516,6 +516,17 @@ object AdvancedQueries {
         fromType = "click", toType = "purchase")
       .orderBy(asc_nulls_first("day"))
 
+  /** q169 — peak concurrent sessions ([[graft.operators.Funnel
+    * .peakConcurrency]]): the sweep-line over q45's session intervals
+    * — ±1 boundaries, one GLOBAL running sum through ScalableWindow's
+    * two-phase cumsum (never a single-partition window), per-day
+    * maxima. Closed intervals: a touch overlaps, a single-event
+    * session registers. */
+  def q169PeakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.peakConcurrency(Tables.events(spark, dir),
+        col("user_id"), col("ts"), gapMicros = 30L * 60L * 1000000L)
+      .orderBy(asc_nulls_first("day"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
     "q159_change_intervals" -> q159ChangeIntervals _,
@@ -523,6 +534,7 @@ object AdvancedQueries {
     "q161_daily_trend"      -> q161DailyTrend _,
     "q162_seasonal_acf"     -> q162SeasonalAcf _,
     "q165_conversion_lag"   -> q165ConversionLag _,
+    "q169_peak_concurrency" -> q169PeakConcurrency _,
     "q146_k_anonymity"      -> q146KAnonymity _,
     "q149_skew_profile"     -> q149SkewProfile _,
     "q153_approx_percentiles" -> q153ApproxPercentiles _,
@@ -558,6 +570,33 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q169_peak_concurrency" ->
+      """WITH g AS (SELECT user_id, ts,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        | b0 AS (SELECT user_id, ts,
+        |   CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+        |        THEN 1 ELSE 0 END AS boundary
+        |  FROM g),
+        | sq AS (SELECT user_id, ts, sum(boundary)
+        |     OVER (PARTITION BY user_id ORDER BY ts
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM b0),
+        | s AS (SELECT CAST(user_id AS VARCHAR) || '#'
+        |     || CAST(seq AS VARCHAR) AS skey,
+        |   min(ts) AS start_ts, max(ts) AS end_ts
+        |  FROM sq GROUP BY 1),
+        | b AS (SELECT start_ts AS ts, 1 AS delta, skey FROM s
+        |  UNION ALL SELECT end_ts, -1, skey FROM s),
+        | c AS (SELECT ts, sum(delta) OVER (ORDER BY ts, delta DESC, skey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS concurrent
+        |  FROM b)
+        |SELECT CAST(ts AS DATE) AS day,
+        |  CAST(max(concurrent) AS BIGINT) AS peak_concurrent,
+        |  CAST(count(*) AS BIGINT) AS n_boundaries
+        | FROM c GROUP BY 1 ORDER BY day NULLS FIRST""".stripMargin,
     "q165_conversion_lag" ->
       """WITH f AS (SELECT user_id, min(ts) AS t1 FROM events
         |   WHERE event_type = 'click' GROUP BY 1),

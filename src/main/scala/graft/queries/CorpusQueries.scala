@@ -703,8 +703,31 @@ object CorpusQueries {
         col("source"), col("n_chars"))
       .orderBy(asc_nulls_first("unit"))
 
+  /** q167 — chi-square independence screen ([[graft.operators
+    * .CorpusStats.chiSquareIndependence]]): is the language mix
+    * independent of the source? One row: level counts, dof, N, and χ²
+    * over the COMPLETE lang×source grid (empty cells contribute their
+    * expectation — dropping them understates association). */
+  def q167ChiSquare(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.chiSquareIndependence(
+      Tables.documents(spark, dir), col("lang"), col("source"))
+
+  /** q168 — Neyman sample allocation ([[graft.operators.CorpusStats
+    * .neymanAllocation]]): the variance-minimizing row budget split
+    * n_h ∝ N_h·σ_h across languages for a length-measurement goal —
+    * the sampling-DESIGN step in front of q96's mix executor.
+    * Single-row strata report σ = 0, never vanish; allocations cap at
+    * stratum size. */
+  def q168NeymanAlloc(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.neymanAllocation(
+        Tables.documents(spark, dir), col("lang"), col("n_chars"),
+        budget = 1000L)
+      .orderBy(asc_nulls_first("stratum"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_psi_drift"         -> q164PsiDrift _,
+    "q167_chi_square"        -> q167ChiSquare _,
+    "q168_neyman_alloc"      -> q168NeymanAlloc _,
     "q163_source_gini"       -> q163SourceGini _,
     "q67_tfidf"              -> q67TfIdf _,
     "q68_bm25"               -> q68Bm25 _,
@@ -990,6 +1013,44 @@ object CorpusQueries {
       |     WHERE doc_id % 97 = 0)"""
 
   val oracle: Map[String, String] = Map(
+    "q167_chi_square" ->
+      """WITH cnt AS (SELECT lang AS ra, source AS cb, count(*) AS n
+        |   FROM documents GROUP BY 1, 2),
+        | r AS (SELECT ra, CAST(sum(n) AS BIGINT) AS r FROM cnt GROUP BY 1),
+        | c AS (SELECT cb, CAST(sum(n) AS BIGINT) AS c FROM cnt GROUP BY 1),
+        | t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cnt),
+        | grid AS (SELECT ra, cb FROM (SELECT ra FROM r)
+        |   CROSS JOIN (SELECT cb FROM c)),
+        | f0 AS (SELECT
+        |   CAST(coalesce(n, 0) AS DOUBLE) AS o,
+        |   CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |     AS e
+        |  FROM grid LEFT JOIN cnt USING (ra, cb)
+        |  JOIN r USING (ra) JOIN c USING (cb) CROSS JOIN t),
+        | chi AS (SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2
+        |   FROM f0),
+        | nr AS (SELECT count(*) AS n_levels_a FROM r),
+        | nc AS (SELECT count(*) AS n_levels_b FROM c)
+        |SELECT CAST(n_levels_a AS BIGINT) AS n_levels_a,
+        |  CAST(n_levels_b AS BIGINT) AS n_levels_b,
+        |  CAST((n_levels_a - 1) * (n_levels_b - 1) AS BIGINT) AS dof,
+        |  n_total, chi2
+        | FROM chi CROSS JOIN nr CROSS JOIN nc CROSS JOIN t""".stripMargin,
+    "q168_neyman_alloc" ->
+      """WITH s AS (SELECT lang AS stratum, count(*) AS n_rows,
+        |   coalesce(round(stddev_samp(CAST(n_chars AS DOUBLE)), 2), 0.0)
+        |     AS sigma
+        |  FROM documents GROUP BY 1),
+        | w AS (SELECT stratum, n_rows, sigma,
+        |   CAST(n_rows AS DOUBLE) * sigma AS wt FROM s),
+        | t AS (SELECT sum(wt) AS tw FROM w)
+        |SELECT stratum, CAST(n_rows AS BIGINT) AS n_rows, sigma,
+        |  CASE WHEN tw > 0 THEN round(1000.0 * wt / tw, 4) END
+        |    AS alloc_frac,
+        |  CASE WHEN tw > 0 THEN
+        |    least(CAST(round(1000.0 * wt / tw, 0) AS BIGINT),
+        |      CAST(n_rows AS BIGINT)) END AS alloc_n
+        | FROM w CROSS JOIN t ORDER BY stratum NULLS FIRST""".stripMargin,
     "q164_psi_drift" ->
       """WITH v AS (SELECT source AS unit, CAST(n_chars AS DOUBLE) AS v
         |   FROM documents WHERE n_chars IS NOT NULL),
