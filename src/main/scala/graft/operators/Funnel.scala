@@ -579,30 +579,46 @@ object Funnel {
     * Output: (key, day, n, sigma, ewma 4 dp, dev 4 dp, spike). */
   def ewmaScreen(
       events: DataFrame, key: Column, ts: Column,
+      decay: Double = 0.7, span: Int = 14, hSigma: Double = 3.0): DataFrame =
+    ewmaScreenDaily(
+      events.select(key.as("key"), ts.cast("date").as("day"))
+        .groupBy(col("key"), col("day")).agg(count(lit(1)).as("n")),
+      decay, span, hSigma)
+
+  /** [[ewmaScreen]] on a PRE-AGGREGATED daily frame (key, day, n) —
+    * the entry point the streaming drift watch shares with the batch
+    * query, so stream ≡ batch is one definition, not two kept in
+    * sync. */
+  def ewmaScreenDaily(
+      daily: DataFrame,
       decay: Double = 0.7, span: Int = 14, hSigma: Double = 3.0): DataFrame = {
     require(decay > 0.0 && decay < 1.0, "decay must be in (0,1)")
     require(span >= 1, "span must be positive")
     import org.apache.spark.sql.expressions.Window
-    val daily = events.select(key.as("key"), ts.cast("date").as("day"))
-      .groupBy(col("key"), col("day")).agg(count(lit(1)).as("n"))
-    val stats = daily.groupBy(col("key"))
+    // __skey, not key: same renamed-self-join discipline as `hist`
+    // below (a shared-view source defeats dataset-alias dedup).
+    val stats = daily.groupBy(col("key").as("__skey"))
       .agg(round(stddev_samp(col("n").cast("double")), 2).as("sigma"))
       .filter(col("sigma").isNotNull)
     val w = Window.partitionBy(col("key")).orderBy(col("day").asc)
     val idx = daily.withColumn("__idx", row_number().over(w))
-    val hist = idx.select(col("key"), col("__idx").as("__j"),
+    // The history side renames EVERY column before the self-join:
+    // dataset aliases (`as("a")`/`as("b")`) fail to resolve when the
+    // daily frame is a view over identical attribute ids (e.g. a
+    // streaming memory table), while distinct names join from any
+    // source.
+    val hist = idx.select(col("key").as("__bkey"), col("__idx").as("__j"),
       col("n").cast("double").as("__nj"))
     val wgt = pow(lit(decay), col("__idx") - col("__j"))
-    val smoothed = idx.as("a")
-      .join(hist.as("b"),
-        col("a.key") === col("b.key") &&
+    val smoothed = idx
+      .join(hist,
+        col("key") === col("__bkey") &&
           col("__j") <= col("__idx") && col("__j") > col("__idx") - span)
-      .groupBy(col("a.key").as("key"), col("a.day").as("day"),
-        col("a.n").as("n"))
+      .groupBy(col("key"), col("day"), col("n"))
       .agg(round(sum(wgt * col("__nj")) / sum(wgt), 4).as("ewma"))
     smoothed
       .withColumn("__prev", lag(col("ewma"), 1).over(w))
-      .join(broadcast(stats), Seq("key"))
+      .join(broadcast(stats), col("key") === col("__skey"))
       .withColumn("dev", round(col("n").cast("double") - col("__prev"), 4))
       .withColumn("spike",
         coalesce(abs(col("dev")) > round(col("sigma") * hSigma, 4),
@@ -765,5 +781,89 @@ object Funnel {
     cum.groupBy(col("ts").cast("date").as("day"))
       .agg(max(col("concurrent")).as("peak_concurrent"),
         count(lit(1)).as("n_boundaries"))
+  }
+  /** Two-proportion A/B test on a conversion funnel: per cohort, users
+    * EXPOSED (≥ 1 `fromType` event) and CONVERTED (≥ 1 `toType` event
+    * at or after their first exposure — q101's two-step semantics),
+    * then the pooled two-proportion z statistic
+    *
+    *   z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled
+    *
+    * in one row of evidence. All counts are exact integers, the z
+    * formula is one double expression mirrored in the oracle, and the
+    * significance flag compares the 4 dp-rounded z to `zCrit` — so
+    * the verdict is engine-exact, not library-dependent. Degenerate
+    * designs (an empty cohort, or pooled rate 0/1 → zero standard
+    * error) report null z and a false flag rather than ±∞.
+    *
+    * The cohort expression must be DETERMINISTIC in the user (e.g. a
+    * user-id parity or hash bucket) — a per-event cohort would let one
+    * user convert in both arms. Scale shape: two type-filtered
+    * user-keyed aggregates reusing one (cohort, user) hashing, then
+    * 1-row cohort aggregates crossed by broadcast. */
+  def abTestProportions(
+      events: DataFrame, user: Column, ts: Column, eventType: Column,
+      cohort: Column, cohortA: String, cohortB: String,
+      fromType: String, toType: String, zCrit: Double = 1.96): DataFrame = {
+    val base = events.select(user.as("__u"), ts.as("__ts"),
+      eventType.as("__et"), cohort.as("__c"))
+    val exposed = base.filter(col("__et") === fromType)
+      .groupBy(col("__c"), col("__u")).agg(min(col("__ts")).as("__t1"))
+    val converted = base.filter(col("__et") === toType)
+      .join(exposed, Seq("__c", "__u"))
+      .filter(col("__ts") >= col("__t1"))
+      .select(col("__c"), col("__u")).distinct()
+    def one(df: DataFrame, c: String, as: String): DataFrame =
+      df.filter(col("__c") === c).agg(count(lit(1)).as(as))
+    val counts = one(exposed.select(col("__c")), cohortA, "n_a")
+      .crossJoin(one(converted, cohortA, "x_a"))
+      .crossJoin(one(exposed.select(col("__c")), cohortB, "n_b"))
+      .crossJoin(one(converted, cohortB, "x_b"))
+    def d(c: String): Column = col(c).cast("double")
+    val pa = d("x_a") / d("n_a")
+    val pb = d("x_b") / d("n_b")
+    val pp = (d("x_a") + d("x_b")) / (d("n_a") + d("n_b"))
+    val se = sqrt(pp * (lit(1.0d) - pp) * (lit(1.0d) / d("n_a") + lit(1.0d) / d("n_b")))
+    val z = round((pa - pb) / se, 4)
+    counts.select(col("n_a"), col("x_a"),
+      when(col("n_a") > 0, round(pa, 4)).as("rate_a"),
+      col("n_b"), col("x_b"),
+      when(col("n_b") > 0, round(pb, 4)).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0, z).as("z"),
+      coalesce(when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        abs(z) > zCrit), lit(false)).as("significant"))
+  }
+
+  /** Session entry/exit matrix — web analytics' landing/bounce read on
+    * q45's sessions: for every session its FIRST and LAST event type
+    * (deterministic under same-timestamp ties via the caller's
+    * tie-break column), aggregated to (entry_type, exit_type,
+    * n_sessions, share). The diagonal at session length 1 is the
+    * bounce mass; q105's paths say what happens inside sessions, this
+    * says where they start and end.
+    *
+    * Scale shape: sessionize's key window, then a min_by/max_by
+    * session reduce (map-side partials over the struct ordering — no
+    * second window), a \|types\|²-bounded aggregate, and a 1-row total
+    * broadcast. */
+  def entryExitMatrix(
+      events: DataFrame, user: Column, ts: Column, eventType: Column,
+      tieBreak: Column, gapMicros: Long): DataFrame = {
+    val s = sessionize(events, user, ts, gapMicros, seqCol = "__seq")
+    val per = s
+      .select(user.as("__u"), col("__seq"),
+        struct(ts.as("ts"), tieBreak.as("tb")).as("__ord"),
+        eventType.as("__et"))
+      .groupBy(col("__u"), col("__seq"))
+      .agg(min_by(col("__et"), col("__ord")).as("entry_type"),
+        max_by(col("__et"), col("__ord")).as("exit_type"))
+    val tot = per.agg(count(lit(1)).as("__total"))
+    per.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(tot))
+      .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+        round(col("n_sessions") * lit(1.0d) / col("__total"), 4).as("share"))
+      .orderBy(col("n_sessions").desc, col("entry_type").asc,
+        col("exit_type").asc)
   }
 }

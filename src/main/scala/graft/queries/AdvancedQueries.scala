@@ -527,6 +527,28 @@ object AdvancedQueries {
         col("user_id"), col("ts"), gapMicros = 30L * 60L * 1000000L)
       .orderBy(asc_nulls_first("day"))
 
+  /** q170 — two-proportion A/B test ([[graft.operators.Funnel
+    * .abTestProportions]]): view→purchase conversion compared between
+    * the user-id-parity cohorts, pooled z statistic, engine-exact
+    * verdict at z > 1.96. Parity via the truncation-safe
+    * ((u % 2) + 2) % 2 (the q103 negative-key lesson). */
+  def q170AbTest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.abTestProportions(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        when(((col("user_id") % 2) + 2) % 2 === 0, "A").otherwise("B"),
+        cohortA = "A", cohortB = "B",
+        fromType = "view", toType = "purchase")
+
+  /** q171 — session entry/exit matrix ([[graft.operators.Funnel
+    * .entryExitMatrix]]): where sessions start and end (first/last
+    * event type per q45 session, deterministic ties via event_id),
+    * with each pair's share of all sessions — the landing/bounce read
+    * beside q105's in-session paths. */
+  def q171EntryExit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.entryExitMatrix(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        gapMicros = 30L * 60L * 1000000L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_funnel"           -> q101Funnel _,
     "q159_change_intervals" -> q159ChangeIntervals _,
@@ -535,6 +557,8 @@ object AdvancedQueries {
     "q162_seasonal_acf"     -> q162SeasonalAcf _,
     "q165_conversion_lag"   -> q165ConversionLag _,
     "q169_peak_concurrency" -> q169PeakConcurrency _,
+    "q170_ab_test"          -> q170AbTest _,
+    "q171_entry_exit"       -> q171EntryExit _,
     "q146_k_anonymity"      -> q146KAnonymity _,
     "q149_skew_profile"     -> q149SkewProfile _,
     "q153_approx_percentiles" -> q153ApproxPercentiles _,
@@ -570,6 +594,69 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q170_ab_test" ->
+      """WITH base AS (SELECT user_id AS u, ts, event_type AS et,
+        |   CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 'A' ELSE 'B' END AS c
+        |  FROM events),
+        | exposed AS (SELECT c, u, min(ts) AS t1 FROM base
+        |   WHERE et = 'view' GROUP BY 1, 2),
+        | conv AS (SELECT DISTINCT b.c, b.u FROM base b
+        |   JOIN exposed e ON b.c = e.c AND b.u = e.u AND b.ts >= e.t1
+        |   WHERE b.et = 'purchase'),
+        | k AS (SELECT
+        |   (SELECT count(*) FROM exposed WHERE c = 'A') AS n_a,
+        |   (SELECT count(*) FROM conv WHERE c = 'A') AS x_a,
+        |   (SELECT count(*) FROM exposed WHERE c = 'B') AS n_b,
+        |   (SELECT count(*) FROM conv WHERE c = 'B') AS x_b),
+        | f AS (SELECT n_a, x_a, n_b, x_b,
+        |   CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |   CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |   (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+        |     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+        |  FROM k),
+        | g AS (SELECT n_a, x_a, n_b, x_b, pa, pb,
+        |   sqrt(pp * (1.0 - pp)
+        |     * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |     AS se
+        |  FROM f)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+        |  CASE WHEN n_a > 0 THEN round(pa, 4) END AS rate_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+        |  CASE WHEN n_b > 0 THEN round(pb, 4) END AS rate_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+        |    THEN round((pa - pb) / se, 4) END AS z,
+        |  coalesce(CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+        |    THEN abs(round((pa - pb) / se, 4)) > 1.96 END, false)
+        |    AS significant
+        | FROM g""".stripMargin,
+    "q171_entry_exit" ->
+      """WITH g AS (SELECT user_id, ts, event_type, event_id,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        | b0 AS (SELECT user_id, ts, event_type, event_id,
+        |   CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+        |        THEN 1 ELSE 0 END AS boundary
+        |  FROM g),
+        | sq AS (SELECT user_id, ts, event_type, event_id, sum(boundary)
+        |     OVER (PARTITION BY user_id ORDER BY ts
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM b0),
+        | e AS (SELECT user_id, seq, event_type,
+        |   row_number() OVER (PARTITION BY user_id, seq
+        |     ORDER BY ts, event_id) AS rn_a,
+        |   row_number() OVER (PARTITION BY user_id, seq
+        |     ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM sq),
+        | per AS (SELECT user_id, seq,
+        |   max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+        |   max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+        |  FROM e GROUP BY 1, 2),
+        | t AS (SELECT count(*) AS total FROM per)
+        |SELECT entry_type, exit_type, count(*) AS n_sessions,
+        |  round(count(*) * 1.0 / total, 4) AS share
+        | FROM per CROSS JOIN t GROUP BY entry_type, exit_type, total
+        | ORDER BY n_sessions DESC, entry_type, exit_type""".stripMargin,
     "q169_peak_concurrency" ->
       """WITH g AS (SELECT user_id, ts,
         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
