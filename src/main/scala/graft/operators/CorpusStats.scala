@@ -865,4 +865,49 @@ object CorpusStats {
             .cast("long"), col("n_rows")))
           .as("alloc_n"))
   }
+  /** Two-sample Kolmogorov–Smirnov screen: per key, the KS statistic
+    * D = max_v |F₁(v) − F₂(v)| between two halves of a column's
+    * distribution (e.g. a train/test split), with the asymptotic 5%
+    * flag D > 1.36·√((n₁+n₂)/(n₁·n₂)) — the distributional check a
+    * split audit runs AFTER q82 proves no leakage: disjointness says
+    * the halves don't share rows, KS says they look alike. The step
+    * functions are evaluated at every distinct value AFTER folding in
+    * that value's ties (the textbook right-continuous convention), so
+    * the statistic is exact on ties; all cumulative counts are
+    * integers and D is one double formula, 4 dp.
+    *
+    * Scale shape: one hash aggregate to (key, value, side counts)
+    * with map-side partials, then one key-partitioned window over the
+    * DISTINCT-value frame (bounded by the value domain, not row
+    * count) and a per-key max. Keys missing either side report null
+    * D — a one-sided "split" is not a comparison. */
+  def ksTwoSample(
+      df: DataFrame, key: Column, value: Column, side: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(key.as("key"), value.as("v"),
+        when(side, 1L).otherwise(0L).as("__s1"))
+      .filter(col("v").isNotNull)
+    val perV = base.groupBy(col("key"), col("v"))
+      .agg(sum(col("__s1")).as("c1"),
+        sum(lit(1L) - col("__s1")).as("c2"))
+    val w = Window.partitionBy(col("key")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perV
+      .withColumn("__a1", sum(col("c1")).over(w))
+      .withColumn("__a2", sum(col("c2")).over(w))
+    val totals = perV.groupBy(col("key").as("__tkey"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    def d(c: String): Column = col(c).cast("double")
+    val ks = cum.join(broadcast(totals), col("key") === col("__tkey"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .groupBy(col("key"), col("n1"), col("n2"))
+      .agg(round(max(abs(col("__a1").cast("double") / col("n1").cast("double")
+        - col("__a2").cast("double") / col("n2").cast("double"))), 4)
+        .as("ks"))
+    ks.select(col("key"), col("n1"), col("n2"), col("ks"),
+      (col("ks") > round(lit(1.36d) *
+        sqrt((d("n1") + d("n2")) / (d("n1") * d("n2"))), 4))
+        .as("drifted"))
+  }
 }

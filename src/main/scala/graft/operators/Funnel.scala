@@ -866,4 +866,81 @@ object Funnel {
       .orderBy(col("n_sessions").desc, col("entry_type").asc,
         col("exit_type").asc)
   }
+  /** Transition dwell-time profile — q106's transition matrix with a
+    * clock: for each consecutive (prev_type → next_type) pair within a
+    * user's event stream, how long the step takes (n, mean and exact
+    * interpolated p50/p90, all in SECONDS at 4 dp — the q165 scale
+    * discipline: the mean divides the exact integer-micros sum once,
+    * and percentiles interpolate where the rounding grid is ~10⁶ ulps
+    * wide). Same-timestamp ties order by the caller's tie-break, so
+    * consecutive-pair extraction is deterministic.
+    *
+    * Scale shape: ONE user-partitioned lag window over events (the
+    * q49 shape), then a \|types\|²-bounded aggregate. */
+  def transitionDwell(
+      events: DataFrame, user: Column, ts: Column, eventType: Column,
+      tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts").asc, col("__tb").asc)
+    val paired = events
+      .select(user.as("__u"), ts.as("__ts"), tieBreak.as("__tb"),
+        eventType.as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .withColumn("__prev_ts", lag(col("__ts"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("next_type"),
+        (unix_micros(col("__ts")) - unix_micros(col("__prev_ts")))
+          .as("__dwell_us"))
+    val dwellS = col("__dwell_us") / lit(1000000.0d)
+    paired.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__dwell_us")).cast("double") / count(lit(1))
+          / lit(1000000.0d), 4).as("mean_dwell_s"),
+        round(percentile(dwellS, lit(0.5)), 4).as("p50_dwell_s"),
+        round(percentile(dwellS, lit(0.9)), 4).as("p90_dwell_s"))
+  }
+
+  /** Cohort-aligned LTV curve: cumulative conversion value per
+    * onboarded user by days since that user's FIRST event (any type —
+    * the onboarding anchor), the product-analytics "when does a user
+    * pay back" curve. Money stays on the 2-decimal grid (per-offset
+    * sums rounded, the cumulative sum re-rounded — q34's convention),
+    * and the per-user normalization divides by the FIXED onboarded-
+    * user count, so the curve is monotone and engine-exact. Offsets
+    * past `maxDays` fold into the final bucket (capped, not dropped —
+    * the tail's value still lands in the curve).
+    *
+    * Scale shape: one user-keyed min aggregate (the anchor frame,
+    * ≤ \|users\| rows, reused partitioning for the conversion join),
+    * one offset aggregate, then a calendar-bounded window over
+    * ≤ maxDays+1 rows. */
+  def ltvCurve(
+      events: DataFrame, user: Column, ts: Column, eventType: Column,
+      value: Column, convType: String, maxDays: Int): DataFrame = {
+    require(maxDays >= 0, "maxDays must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val first = events.groupBy(user.as("__u"))
+      .agg(min(ts.cast("date")).as("__d0"))
+    val nUsers = first.agg(count(lit(1)).as("__n_users"))
+    val conv = events.filter(eventType === convType)
+      .select(user.as("__u"), ts.cast("date").as("__d"), value.as("__v"))
+    val offsets = conv.join(first, Seq("__u"))
+      .select(least(datediff(col("__d"), col("__d0")), lit(maxDays))
+        .as("day_offset"), col("__v"))
+      .groupBy(col("day_offset"))
+      .agg(round(coalesce(sum(col("__v")), lit(0.0d)), 2).as("value_day"),
+        count(lit(1)).as("n_conversions"))
+    val w = Window.orderBy(col("day_offset").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Unpartitioned window: input is the ≤ maxDays+1-row offset frame
+    // (calendar-bounded — q34's note), never raw conversions.
+    offsets
+      .withColumn("cum_value", round(sum(col("value_day")).over(w), 2))
+      .crossJoin(broadcast(nUsers))
+      .select(col("day_offset"), col("n_conversions"), col("value_day"),
+        col("cum_value"),
+        round(col("cum_value") / col("__n_users").cast("double"), 4)
+          .as("cum_value_per_user"))
+  }
 }

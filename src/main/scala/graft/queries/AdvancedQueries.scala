@@ -527,6 +527,26 @@ object AdvancedQueries {
         col("user_id"), col("ts"), gapMicros = 30L * 60L * 1000000L)
       .orderBy(asc_nulls_first("day"))
 
+  /** q173 — transition dwell-time profile ([[graft.operators.Funnel
+    * .transitionDwell]]): q106's transition matrix with a clock —
+    * per consecutive (prev → next) type pair, n and mean/p50/p90 step
+    * time in seconds (q165's scale discipline). */
+  def q173TransitionDwell(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.transitionDwell(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .orderBy(asc_nulls_first("prev_type"), asc_nulls_first("next_type"))
+
+  /** q174 — cohort-aligned LTV curve ([[graft.operators.Funnel
+    * .ltvCurve]]): cumulative purchase value per onboarded user by
+    * days since each user's first event, tail folded into the 30-day
+    * cap bucket; money on the 2-decimal grid, q34's cumsum
+    * convention. */
+  def q174LtvCurve(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.ltvCurve(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_type"), col("value"),
+        convType = "purchase", maxDays = 30)
+      .orderBy(asc_nulls_first("day_offset"))
+
   /** q170 — two-proportion A/B test ([[graft.operators.Funnel
     * .abTestProportions]]): view→purchase conversion compared between
     * the user-id-parity cohorts, pooled z statistic, engine-exact
@@ -559,6 +579,8 @@ object AdvancedQueries {
     "q169_peak_concurrency" -> q169PeakConcurrency _,
     "q170_ab_test"          -> q170AbTest _,
     "q171_entry_exit"       -> q171EntryExit _,
+    "q173_transition_dwell" -> q173TransitionDwell _,
+    "q174_ltv_curve"        -> q174LtvCurve _,
     "q146_k_anonymity"      -> q146KAnonymity _,
     "q149_skew_profile"     -> q149SkewProfile _,
     "q153_approx_percentiles" -> q153ApproxPercentiles _,
@@ -594,6 +616,44 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q173_transition_dwell" ->
+      """WITH p AS (SELECT
+        |   lag(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS prev_type,
+        |   event_type AS next_type,
+        |   epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id)) AS dwell_us
+        |  FROM events)
+        |SELECT prev_type, next_type, count(*) AS n,
+        |  round(CAST(sum(dwell_us) AS DOUBLE) / count(*) / 1000000.0, 4)
+        |    AS mean_dwell_s,
+        |  round(quantile_cont(dwell_us / 1000000.0, 0.5), 4) AS p50_dwell_s,
+        |  round(quantile_cont(dwell_us / 1000000.0, 0.9), 4) AS p90_dwell_s
+        | FROM p WHERE prev_type IS NOT NULL
+        | GROUP BY 1, 2
+        | ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST""".stripMargin,
+    "q174_ltv_curve" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+        |   FROM events GROUP BY 1),
+        | nu AS (SELECT count(*) AS n_users FROM f),
+        | off AS (SELECT CAST(least(datediff('day', d0,
+        |       CAST(e.ts AS DATE)), 30) AS INTEGER) AS day_offset,
+        |   e.value AS v
+        |   FROM events e JOIN f ON e.user_id = f.user_id
+        |   WHERE e.event_type = 'purchase'),
+        | agg AS (SELECT day_offset,
+        |   round(coalesce(sum(v), 0), 2) AS value_day,
+        |   count(*) AS n_conversions
+        |  FROM off GROUP BY 1),
+        | c AS (SELECT day_offset, n_conversions, value_day,
+        |   round(sum(value_day) OVER (ORDER BY day_offset
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |     AS cum_value
+        |  FROM agg)
+        |SELECT day_offset, n_conversions, value_day, cum_value,
+        |  round(cum_value / CAST(n_users AS DOUBLE), 4)
+        |    AS cum_value_per_user
+        | FROM c CROSS JOIN nu ORDER BY day_offset NULLS FIRST""".stripMargin,
     "q170_ab_test" ->
       """WITH base AS (SELECT user_id AS u, ts, event_type AS et,
         |   CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 'A' ELSE 'B' END AS c

@@ -724,10 +724,23 @@ object CorpusQueries {
         budget = 1000L)
       .orderBy(asc_nulls_first("stratum"))
 
+  /** q172 — two-sample KS split audit ([[graft.operators.CorpusStats
+    * .ksTwoSample]]): per language, the KS statistic between the two
+    * doc-id-parity halves of the length distribution with the 5%
+    * asymptotic flag — the distributional check after q82's
+    * leakage-safety: the halves must not just be disjoint, they must
+    * look alike. Parity via the truncation-safe ((id % 2) + 2) % 2. */
+  def q172KsSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.ksTwoSample(Tables.documents(spark, dir),
+        col("lang"), col("n_chars"),
+        ((col("doc_id") % 2) + 2) % 2 === 0)
+      .orderBy(asc_nulls_first("key"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_psi_drift"         -> q164PsiDrift _,
     "q167_chi_square"        -> q167ChiSquare _,
     "q168_neyman_alloc"      -> q168NeymanAlloc _,
+    "q172_ks_split"          -> q172KsSplit _,
     "q163_source_gini"       -> q163SourceGini _,
     "q67_tfidf"              -> q67TfIdf _,
     "q68_bm25"               -> q68Bm25 _,
@@ -1013,6 +1026,31 @@ object CorpusQueries {
       |     WHERE doc_id % 97 = 0)"""
 
   val oracle: Map[String, String] = Map(
+    "q172_ks_split" ->
+      """WITH base AS (SELECT lang AS key, n_chars AS v,
+        |   CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END AS s1
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        | pv AS (SELECT key, v, CAST(sum(s1) AS BIGINT) AS c1,
+        |   CAST(sum(1 - s1) AS BIGINT) AS c2
+        |  FROM base GROUP BY 1, 2),
+        | cum AS (SELECT key, v, c1, c2,
+        |   sum(c1) OVER (PARTITION BY key ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+        |   sum(c2) OVER (PARTITION BY key ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2
+        |  FROM pv),
+        | tot AS (SELECT key, CAST(sum(c1) AS BIGINT) AS n1,
+        |   CAST(sum(c2) AS BIGINT) AS n2 FROM pv GROUP BY 1),
+        | ks AS (SELECT c.key, n1, n2,
+        |   round(max(abs(CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |     - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 4) AS ks
+        |  FROM cum c JOIN tot t ON c.key = t.key
+        |  WHERE n1 > 0 AND n2 > 0
+        |  GROUP BY 1, 2, 3)
+        |SELECT key, n1, n2, ks,
+        |  ks > round(1.36 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 4) AS drifted
+        | FROM ks ORDER BY key NULLS FIRST""".stripMargin,
     "q167_chi_square" ->
       """WITH cnt AS (SELECT lang AS ra, source AS cb, count(*) AS n
         |   FROM documents GROUP BY 1, 2),
