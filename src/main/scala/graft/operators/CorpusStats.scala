@@ -910,4 +910,66 @@ object CorpusStats {
         sqrt((d("n1") + d("n2")) / (d("n1") * d("n2"))), 4))
         .as("drifted"))
   }
+  /** Entropy profile — Shannon entropy of mass across units within
+    * each group and its exponential, the "effective number of units"
+    * (Hill number of order 1): exp(H) ≈ 3 says the group behaves as
+    * if it had three equal sources no matter how many it nominally
+    * has. The additive companion to [[sourceConcentration]]'s Gini —
+    * Gini measures inequality, exp(H) counts the units that matter.
+    * Zero-mass units contribute zero (lim x·ln x = 0, taken
+    * explicitly, not left to NaN). One double formula per group,
+    * 4 dp.
+    *
+    * Scale shape: one hash aggregate to unit masses, a group-level
+    * total broadcast, one group aggregate — raw rows scanned once. */
+  def entropyProfile(
+      docs: DataFrame, group: Column, unit: Column,
+      mass: Column): DataFrame = {
+    val m = docs.groupBy(group.as("grp"), unit.as("unit"))
+      .agg(sum(mass).as("w"))
+    val tot = m.groupBy(col("grp").as("__tgrp"))
+      .agg(sum(col("w")).as("__tw"))
+    val share = col("w").cast("double") / col("__tw").cast("double")
+    val term = when(col("w") > 0, -share * log(share)).otherwise(lit(0.0d))
+    m.join(broadcast(tot), col("grp") === col("__tgrp"))
+      .filter(col("__tw") > 0)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("w")).as("total_mass"),
+        round(sum(term), 4).as("entropy"),
+        round(exp(sum(term)), 4).as("effective_units"))
+  }
+
+  /** Per-unit → pooled quantile mapping table: for each unit and each
+    * requested quantile, the unit's value, the pooled corpus value at
+    * the same quantile, and the shift — the planning read for
+    * quantile normalization ("source X's median is 40 chars above the
+    * corpus"), and the numeric companion to [[psiDrift]]'s bucketed
+    * screen. Quantiles are exact interpolated, rounded to 4 dp BEFORE
+    * the shift so the table sits on one grid.
+    *
+    * Scale shape: two aggregates over the same scan shape (per-unit
+    * and pooled percentiles), melted to \|units\|·\|ps\| rows with a
+    * 1-row pooled broadcast per quantile. */
+  def quantileMap(
+      docs: DataFrame, unit: Column, value: Column,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(ps.nonEmpty, "need at least one quantile")
+    val base = docs.select(unit.as("unit"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    def aggs(prefix: String) = ps.zipWithIndex.map { case (p, i) =>
+      round(percentile(col("v"), lit(p)), 4).as(s"$prefix$i")
+    }
+    val perUnit = base.groupBy(col("unit"))
+      .agg(aggs("__q").head, aggs("__q").tail: _*)
+    val pooled = base.agg(aggs("__p").head, aggs("__p").tail: _*)
+    ps.zipWithIndex.map { case (p, i) =>
+      perUnit.select(col("unit"),
+          lit(math.round(p * 100).toInt).as("pct"),
+          col(s"__q$i").as("unit_value"))
+        .crossJoin(broadcast(pooled.select(col(s"__p$i").as("pooled_value"))))
+    }.reduce(_.unionByName(_))
+      .select(col("unit"), col("pct"), col("unit_value"), col("pooled_value"),
+        round(col("unit_value") - col("pooled_value"), 4).as("shift"))
+  }
 }

@@ -943,4 +943,43 @@ object Funnel {
         round(col("cum_value") / col("__n_users").cast("double"), 4)
           .as("cum_value_per_user"))
   }
+  /** Stationary distribution of the event-type Markov chain — where
+    * the user flow settles: `iterations` synchronous power-iteration
+    * steps v ← vP from a uniform start over the observed from-states,
+    * on q106's row-normalized transition matrix. P's entries are the
+    * 4 dp-rounded probabilities the matrix REPORTS (both engines
+    * iterate the identical grid doubles, so the fixed-iteration
+    * result is engine-exact at the final 4 dp rounding); rows
+    * therefore sum to ≈1 and states with no outgoing edges leak their
+    * mass — the report is the fixed-iteration estimate, declared as
+    * such, not an eigensolver.
+    *
+    * Scale shape: the matrix build is [[transitionMatrix]] (one lag
+    * window + \|types\|² aggregate); every iteration is a join and
+    * aggregate over \|types\|-sized frames, pinned per step
+    * ([[Materialize.pin]]) so the plan stays depth-1 instead of
+    * growing by one join per iteration. Iteration count bounds the
+    * chain — never the data. */
+  def stationaryDistribution(
+      events: DataFrame, user: Column, ts: Column, tieBreak: Column,
+      eventType: Column, iterations: Int = 8): DataFrame = {
+    require(iterations >= 1 && iterations <= 32,
+      "iterations must be in [1, 32]")
+    val trans = Materialize.pin(
+      transitionMatrix(events, user, ts, tieBreak, eventType)
+        .select(col("from_type"), col("to_type"), col("p").as("__pij")))
+    val states = Materialize.pin(
+      trans.select(col("from_type").as("state")).distinct())
+    val n1 = states.agg(count(lit(1)).as("__n"))
+    var dist = states.crossJoin(broadcast(n1))
+      .select(col("state"), (lit(1.0d) / col("__n").cast("double")).as("p"))
+    (1 to iterations).foreach { _ =>
+      dist = Materialize.pin(
+        dist.select(col("state").as("__i"), col("p").as("__pi"))
+          .join(trans, col("__i") === col("from_type"))
+          .groupBy(col("to_type").as("state"))
+          .agg(sum(col("__pi") * col("__pij")).as("p")))
+    }
+    dist.select(col("state"), round(col("p"), 4).as("stationary"))
+  }
 }

@@ -547,6 +547,17 @@ object AdvancedQueries {
         convType = "purchase", maxDays = 30)
       .orderBy(asc_nulls_first("day_offset"))
 
+  /** q175 — Markov stationary distribution ([[graft.operators.Funnel
+    * .stationaryDistribution]]): eight synchronous power-iteration
+    * steps over q106's 4 dp transition grid from a uniform start —
+    * where the user flow settles; the oracle unrolls the same eight
+    * steps as CTEs (the q126 fixed-iteration pattern). */
+  def q175Stationary(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.stationaryDistribution(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        iterations = 8)
+      .orderBy(asc_nulls_first("state"))
+
   /** q170 — two-proportion A/B test ([[graft.operators.Funnel
     * .abTestProportions]]): view→purchase conversion compared between
     * the user-id-parity cohorts, pooled z statistic, engine-exact
@@ -581,6 +592,7 @@ object AdvancedQueries {
     "q171_entry_exit"       -> q171EntryExit _,
     "q173_transition_dwell" -> q173TransitionDwell _,
     "q174_ltv_curve"        -> q174LtvCurve _,
+    "q175_stationary"       -> q175Stationary _,
     "q146_k_anonymity"      -> q146KAnonymity _,
     "q149_skew_profile"     -> q149SkewProfile _,
     "q153_approx_percentiles" -> q153ApproxPercentiles _,
@@ -616,6 +628,41 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q175_stationary" ->
+      """WITH pr AS (SELECT
+        |   event_type AS from_type,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        | pairs AS (SELECT from_type, to_type, count(*) AS n FROM pr
+        |   WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        | m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS rn FROM pairs
+        |   GROUP BY 1),
+        | t AS (SELECT p.from_type, p.to_type,
+        |   round(CAST(n AS DOUBLE) / CAST(rn AS DOUBLE), 4) AS pij
+        |  FROM pairs p JOIN m USING (from_type)),
+        | s AS (SELECT DISTINCT from_type AS state FROM t),
+        | n1 AS (SELECT count(*) AS n FROM s),
+        | d0 AS (SELECT state, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS p
+        |   FROM s CROSS JOIN n1),
+        | d1 AS (SELECT to_type AS state, sum(d0.p * t.pij) AS p
+        |   FROM d0 JOIN t ON d0.state = t.from_type GROUP BY 1),
+        | d2 AS (SELECT to_type AS state, sum(d1.p * t.pij) AS p
+        |   FROM d1 JOIN t ON d1.state = t.from_type GROUP BY 1),
+        | d3 AS (SELECT to_type AS state, sum(d2.p * t.pij) AS p
+        |   FROM d2 JOIN t ON d2.state = t.from_type GROUP BY 1),
+        | d4 AS (SELECT to_type AS state, sum(d3.p * t.pij) AS p
+        |   FROM d3 JOIN t ON d3.state = t.from_type GROUP BY 1),
+        | d5 AS (SELECT to_type AS state, sum(d4.p * t.pij) AS p
+        |   FROM d4 JOIN t ON d4.state = t.from_type GROUP BY 1),
+        | d6 AS (SELECT to_type AS state, sum(d5.p * t.pij) AS p
+        |   FROM d5 JOIN t ON d5.state = t.from_type GROUP BY 1),
+        | d7 AS (SELECT to_type AS state, sum(d6.p * t.pij) AS p
+        |   FROM d6 JOIN t ON d6.state = t.from_type GROUP BY 1),
+        | d8 AS (SELECT to_type AS state, sum(d7.p * t.pij) AS p
+        |   FROM d7 JOIN t ON d7.state = t.from_type GROUP BY 1)
+        |SELECT state, round(p, 4) AS stationary
+        | FROM d8 ORDER BY state NULLS FIRST""".stripMargin,
     "q173_transition_dwell" ->
       """WITH p AS (SELECT
         |   lag(event_type) OVER (PARTITION BY user_id

@@ -736,11 +736,34 @@ object CorpusQueries {
         ((col("doc_id") % 2) + 2) % 2 === 0)
       .orderBy(asc_nulls_first("key"))
 
+  /** q176 — entropy profile ([[graft.operators.CorpusStats
+    * .entropyProfile]]): per language, Shannon entropy of character
+    * mass across sources and exp(H) — the effective number of sources
+    * (Hill number of order 1), the additive companion to q163's
+    * Gini. */
+  def q176EntropyProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.entropyProfile(
+        Tables.documents(spark, dir), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(asc_nulls_first("grp"))
+
+  /** q177 — quantile mapping table ([[graft.operators.CorpusStats
+    * .quantileMap]]): each source's quartiles of document length next
+    * to the pooled corpus quartiles with the shift — the planning
+    * read for quantile normalization, numeric companion to q164's
+    * bucketed PSI. */
+  def q177QuantileMap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.quantileMap(
+        Tables.documents(spark, dir), col("source"), col("n_chars"))
+      .orderBy(asc_nulls_first("unit"), asc("pct"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_psi_drift"         -> q164PsiDrift _,
     "q167_chi_square"        -> q167ChiSquare _,
     "q168_neyman_alloc"      -> q168NeymanAlloc _,
     "q172_ks_split"          -> q172KsSplit _,
+    "q176_entropy_profile"   -> q176EntropyProfile _,
+    "q177_quantile_map"      -> q177QuantileMap _,
     "q163_source_gini"       -> q163SourceGini _,
     "q67_tfidf"              -> q67TfIdf _,
     "q68_bm25"               -> q68Bm25 _,
@@ -1026,6 +1049,47 @@ object CorpusQueries {
       |     WHERE doc_id % 97 = 0)"""
 
   val oracle: Map[String, String] = Map(
+    "q176_entropy_profile" ->
+      """WITH m AS (SELECT lang AS grp, source AS unit,
+        |   CAST(sum(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1, 2),
+        | t AS (SELECT grp, CAST(sum(w) AS BIGINT) AS tw FROM m
+        |  GROUP BY 1)
+        |SELECT m.grp, count(*) AS n_units,
+        |  CAST(sum(w) AS BIGINT) AS total_mass,
+        |  round(sum(CASE WHEN w > 0 THEN
+        |    -(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+        |      * ln(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+        |    ELSE 0.0 END), 4) AS entropy,
+        |  round(exp(sum(CASE WHEN w > 0 THEN
+        |    -(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+        |      * ln(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+        |    ELSE 0.0 END)), 4) AS effective_units
+        | FROM m JOIN t ON m.grp = t.grp
+        | WHERE tw > 0
+        | GROUP BY m.grp ORDER BY m.grp NULLS FIRST""".stripMargin,
+    "q177_quantile_map" ->
+      """WITH b AS (SELECT source AS unit, CAST(n_chars AS DOUBLE) AS v
+        |   FROM documents WHERE n_chars IS NOT NULL),
+        | u AS (SELECT unit,
+        |   round(quantile_cont(v, 0.25), 4) AS q1,
+        |   round(quantile_cont(v, 0.5), 4) AS q2,
+        |   round(quantile_cont(v, 0.75), 4) AS q3
+        |  FROM b GROUP BY 1),
+        | p AS (SELECT
+        |   round(quantile_cont(v, 0.25), 4) AS q1,
+        |   round(quantile_cont(v, 0.5), 4) AS q2,
+        |   round(quantile_cont(v, 0.75), 4) AS q3
+        |  FROM b)
+        |SELECT unit, 25 AS pct, u.q1 AS unit_value, p.q1 AS pooled_value,
+        |  round(u.q1 - p.q1, 4) AS shift FROM u CROSS JOIN p
+        |UNION ALL
+        |SELECT unit, 50, u.q2, p.q2, round(u.q2 - p.q2, 4)
+        | FROM u CROSS JOIN p
+        |UNION ALL
+        |SELECT unit, 75, u.q3, p.q3, round(u.q3 - p.q3, 4)
+        | FROM u CROSS JOIN p
+        |ORDER BY unit NULLS FIRST, pct""".stripMargin,
     "q172_ks_split" ->
       """WITH base AS (SELECT lang AS key, n_chars AS v,
         |   CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END AS s1
