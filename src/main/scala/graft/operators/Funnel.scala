@@ -982,4 +982,126 @@ object Funnel {
     }
     dist.select(col("state"), round(col("p"), 4).as("stationary"))
   }
+  /** Revenue-concentration report — the Lorenz read at named points:
+    * for each requested top percentile, the user-revenue cutoff (the
+    * exact interpolated (100−p)th percentile of per-user conversion
+    * revenue), how many users clear it, and the share of total
+    * revenue they carry. Formulated via percentile CUTOFFS rather
+    * than a global rank so nothing ever globally sorts: per-user
+    * revenue sits on the 2-decimal grid, the cutoff on the 4 dp grid,
+    * and the `rev ≥ cutoff` comparison is therefore engine-exact
+    * (users tied at the cutoff are all in — deterministic, declared).
+    *
+    * Scale shape: one type-filtered user-keyed sum (map-side
+    * partials), one percentile+total aggregate over the \|users\|-row
+    * revenue frame, and a \|pcts\|-row report crossed by broadcast. */
+  def revenueConcentration(
+      events: DataFrame, user: Column, value: Column, eventType: Column,
+      convType: String, pcts: Seq[Int] = Seq(1, 5, 10, 25)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 99),
+      "pcts must be in [1, 99]")
+    val rev = events.filter(eventType === convType)
+      .groupBy(user.as("__u"))
+      .agg(round(coalesce(sum(value), lit(0.0d)), 2).as("__rev"))
+    val cutoffs = pcts.zipWithIndex.map { case (p, i) =>
+      round(percentile(col("__rev"), lit((100 - p) / 100.0d)), 4)
+        .as(s"__c$i")
+    }
+    val totalsAggs = Seq(count(lit(1)).as("__n_users"),
+      round(sum(col("__rev")), 2).as("__total")) ++ cutoffs
+    val totals = rev.agg(totalsAggs.head, totalsAggs.tail: _*)
+    val shares = pcts.zipWithIndex.map { case (p, i) =>
+      rev.crossJoin(broadcast(totals))
+        .filter(col("__rev") >= col(s"__c$i"))
+        .agg(count(lit(1)).as("n_users_above"),
+          round(coalesce(sum(col("__rev")), lit(0.0d)), 2)
+            .as("value_above"))
+        .crossJoin(broadcast(totals.select(col("__total"),
+          col(s"__c$i").as("cutoff"))))
+        .select(lit(p).as("top_pct"), col("cutoff"),
+          col("n_users_above"), col("value_above"),
+          when(col("__total") > 0,
+            round(col("value_above") / col("__total"), 4))
+            .as("value_share"))
+    }
+    shares.reduce(_.unionByName(_))
+  }
+
+  /** Segmented conversion funnel: q101's two-step exposed→converted
+    * semantics, reported per SEGMENT of the first touch (any
+    * deterministic function of the exposure anchor — hour of day,
+    * weekday, a cohort tag): which entry contexts convert. Output:
+    * (segment, n_exposed, n_converted, rate 4 dp).
+    *
+    * Scale shape: one user-keyed min aggregate (anchors), one
+    * semi-join-shaped conversion probe on the same user hashing, one
+    * segment-cardinality aggregate. */
+  def segmentedFunnel(
+      events: DataFrame, user: Column, ts: Column, eventType: Column,
+      fromType: String, toType: String,
+      segmentOfAnchor: Column => Column): DataFrame = {
+    val anchors = events.filter(eventType === fromType)
+      .groupBy(user.as("__u")).agg(min(ts).as("__t1"))
+    val converted = events.filter(eventType === toType)
+      .select(user.as("__u"), ts.as("__ts"))
+      .join(anchors, Seq("__u"))
+      .filter(col("__ts") >= col("__t1"))
+      .select(col("__u")).distinct()
+      .withColumn("__conv", lit(1L))
+    anchors
+      .join(converted, Seq("__u"), "left")
+      .groupBy(segmentOfAnchor(col("__t1")).as("segment"))
+      .agg(count(lit(1)).as("n_exposed"),
+        coalesce(sum(col("__conv")), lit(0L)).as("n_converted"))
+      .select(col("segment"), col("n_exposed"), col("n_converted"),
+        when(col("n_exposed") > 0,
+          round(col("n_converted").cast("double")
+            / col("n_exposed").cast("double"), 4)).as("rate"))
+  }
+
+  /** Per-user behavioral-diversity histogram: each user's Shannon
+    * entropy over their event-type mix, bucketed into `nBuckets`
+    * fixed bins on [0, ln |types|] — how specialized the user base
+    * is. The bin edge arithmetic is one double formula on exact
+    * integer counts; H = 0 (single-type users) lands exactly in
+    * bucket 0 and H = ln |types| (perfectly uniform over every type)
+    * is caught by the `least` guard — the two representable boundary
+    * cases, handled explicitly. Output: (bucket, lo, hi, n_users).
+    *
+    * Scale shape: one (user, type) hash aggregate, one user
+    * aggregate, a 1-row type-count broadcast, one bucket aggregate —
+    * the complete-grid lesson does NOT apply here (an empty entropy
+    * bucket carries no users by definition, absence IS the report),
+    * but the output still enumerates only observed buckets; callers
+    * wanting a dense axis left-join a literal range. */
+  def userDiversityHistogram(
+      events: DataFrame, user: Column, eventType: Column,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    val perUt = events.select(user.as("__u"), eventType.as("__et"))
+      .groupBy(col("__u"), col("__et")).agg(count(lit(1)).as("__c"))
+    val nTypes = perUt.select(col("__et")).distinct()
+      .agg(count(lit(1)).as("__n_types"))
+    val perU = perUt.groupBy(col("__u"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double")))
+          .as("__clogc"))
+      // H = ln n − (Σ c·ln c)/n — one formula, no per-type division
+      // greatest(0, ·): n·ln n / n can land one ulp under ln n, and a
+      // single-type user's H must not floor into bucket −1
+      .select(col("__u"),
+        greatest(lit(0.0d), log(col("__n").cast("double"))
+          - col("__clogc") / col("__n").cast("double")).as("__h"))
+    val hMax = log(col("__n_types").cast("double"))
+    perU.crossJoin(broadcast(nTypes))
+      .select(least(lit(nBuckets - 1),
+        floor(col("__h") * nBuckets / hMax)).cast("int").as("bucket"),
+        col("__h"), hMax.as("__hmax"))
+      .groupBy(col("bucket"), col("__hmax"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("bucket"),
+        round(col("bucket") * col("__hmax") / nBuckets, 4).as("lo"),
+        round((col("bucket") + 1) * col("__hmax") / nBuckets, 4).as("hi"),
+        col("n_users"))
+  }
 }

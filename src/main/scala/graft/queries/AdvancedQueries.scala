@@ -547,6 +547,36 @@ object AdvancedQueries {
         convType = "purchase", maxDays = 30)
       .orderBy(asc_nulls_first("day_offset"))
 
+  /** q178 — revenue concentration ([[graft.operators.Funnel
+    * .revenueConcentration]]): the Lorenz read at the top 1/5/10/25%
+    * — per-user purchase revenue cutoffs (exact interpolated
+    * percentiles), users above, and their share of total revenue; no
+    * global sort anywhere. */
+  def q178RevenueConcentration(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.revenueConcentration(Tables.events(spark, dir),
+        col("user_id"), col("value"), col("event_type"),
+        convType = "purchase")
+      .orderBy(asc("top_pct"))
+
+  /** q179 — funnel by entry context ([[graft.operators.Funnel
+    * .segmentedFunnel]]): q101's exposed→converted semantics reported
+    * per hour-of-day of the FIRST view — which entry hours convert. */
+  def q179SegmentedFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.segmentedFunnel(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        fromType = "view", toType = "purchase",
+        segmentOfAnchor = t1 => hour(t1))
+      .orderBy(asc_nulls_first("segment"))
+
+  /** q180 — user-diversity histogram ([[graft.operators.Funnel
+    * .userDiversityHistogram]]): per-user Shannon entropy over the
+    * event-type mix, bucketed on [0, ln |types|] — how specialized
+    * the user base is; requires ≥ 2 observed types (hmax > 0). */
+  def q180DiversityHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.userDiversityHistogram(Tables.events(spark, dir),
+        col("user_id"), col("event_type"), nBuckets = 10)
+      .orderBy(asc("bucket"))
+
   /** q175 — Markov stationary distribution ([[graft.operators.Funnel
     * .stationaryDistribution]]): eight synchronous power-iteration
     * steps over q106's 4 dp transition grid from a uniform start —
@@ -593,6 +623,9 @@ object AdvancedQueries {
     "q173_transition_dwell" -> q173TransitionDwell _,
     "q174_ltv_curve"        -> q174LtvCurve _,
     "q175_stationary"       -> q175Stationary _,
+    "q178_revenue_concentration" -> q178RevenueConcentration _,
+    "q179_segmented_funnel" -> q179SegmentedFunnel _,
+    "q180_diversity_histogram" -> q180DiversityHistogram _,
     "q146_k_anonymity"      -> q146KAnonymity _,
     "q149_skew_profile"     -> q149SkewProfile _,
     "q153_approx_percentiles" -> q153ApproxPercentiles _,
@@ -628,6 +661,74 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q178_revenue_concentration" ->
+      """WITH rev AS (SELECT user_id AS u,
+        |   round(coalesce(sum(value), 0), 2) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | t AS (SELECT count(*) AS n_users, round(sum(rev), 2) AS total,
+        |   round(quantile_cont(rev, 0.99), 4) AS c0,
+        |   round(quantile_cont(rev, 0.95), 4) AS c1,
+        |   round(quantile_cont(rev, 0.9), 4) AS c2,
+        |   round(quantile_cont(rev, 0.75), 4) AS c3
+        |  FROM rev)
+        |SELECT 1 AS top_pct, c0 AS cutoff, x.n AS n_users_above,
+        |  x.v AS value_above,
+        |  CASE WHEN total > 0 THEN round(x.v / total, 4) END AS value_share
+        | FROM t, (SELECT count(*) AS n,
+        |   round(coalesce(sum(rev), 0), 2) AS v
+        |  FROM rev, t WHERE rev >= c0) x
+        |UNION ALL
+        |SELECT 5, c1, x.n, x.v,
+        |  CASE WHEN total > 0 THEN round(x.v / total, 4) END
+        | FROM t, (SELECT count(*) AS n,
+        |   round(coalesce(sum(rev), 0), 2) AS v
+        |  FROM rev, t WHERE rev >= c1) x
+        |UNION ALL
+        |SELECT 10, c2, x.n, x.v,
+        |  CASE WHEN total > 0 THEN round(x.v / total, 4) END
+        | FROM t, (SELECT count(*) AS n,
+        |   round(coalesce(sum(rev), 0), 2) AS v
+        |  FROM rev, t WHERE rev >= c2) x
+        |UNION ALL
+        |SELECT 25, c3, x.n, x.v,
+        |  CASE WHEN total > 0 THEN round(x.v / total, 4) END
+        | FROM t, (SELECT count(*) AS n,
+        |   round(coalesce(sum(rev), 0), 2) AS v
+        |  FROM rev, t WHERE rev >= c3) x
+        |ORDER BY top_pct""".stripMargin,
+    "q179_segmented_funnel" ->
+      """WITH a AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+        |   WHERE event_type = 'view' GROUP BY 1),
+        | c AS (SELECT DISTINCT e.user_id AS u FROM events e
+        |   JOIN a ON e.user_id = a.u AND e.ts >= a.t1
+        |   WHERE e.event_type = 'purchase'),
+        | j AS (SELECT CAST(hour(t1) AS INTEGER) AS segment,
+        |   CASE WHEN c.u IS NULL THEN 0 ELSE 1 END AS conv
+        |  FROM a LEFT JOIN c ON a.u = c.u)
+        |SELECT segment, count(*) AS n_exposed,
+        |  CAST(sum(conv) AS BIGINT) AS n_converted,
+        |  CASE WHEN count(*) > 0 THEN
+        |    round(CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |  END AS rate
+        | FROM j GROUP BY 1 ORDER BY segment NULLS FIRST""".stripMargin,
+    "q180_diversity_histogram" ->
+      """WITH ut AS (SELECT user_id AS u, event_type AS et, count(*) AS c
+        |   FROM events GROUP BY 1, 2),
+        | nt AS (SELECT count(DISTINCT et) AS n_types FROM ut),
+        | pu AS (SELECT u, greatest(0.0,
+        |     ln(CAST(sum(c) AS DOUBLE))
+        |     - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |       / CAST(sum(c) AS DOUBLE)) AS h
+        |  FROM ut GROUP BY 1),
+        | b AS (SELECT CAST(least(9,
+        |     floor(h * 10 / ln(CAST(n_types AS DOUBLE)))) AS INTEGER)
+        |     AS bucket,
+        |   ln(CAST(n_types AS DOUBLE)) AS hmax
+        |  FROM pu CROSS JOIN nt)
+        |SELECT bucket, round(bucket * hmax / 10, 4) AS lo,
+        |  round((bucket + 1) * hmax / 10, 4) AS hi,
+        |  count(*) AS n_users
+        | FROM b GROUP BY bucket, hmax ORDER BY bucket""".stripMargin,
     "q175_stationary" ->
       """WITH pr AS (SELECT
         |   event_type AS from_type,
