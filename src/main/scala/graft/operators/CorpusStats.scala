@@ -807,7 +807,8 @@ object CorpusStats {
     val rows = cnt.groupBy(col("ra")).agg(sum(col("n")).as("r"))
     val cols = cnt.groupBy(col("cb")).agg(sum(col("n")).as("c"))
     val tot = cnt.agg(sum(col("n")).as("n_total"))
-    val grid = rows.select(col("ra")).crossJoin(cols.select(col("cb")))
+    val grid = rows.select(col("ra"))
+      .crossJoin(broadcast(cols.select(col("cb"))))
     val full = grid
       .join(cnt, Seq("ra", "cb"), "left")
       .join(broadcast(rows), Seq("ra"))

@@ -816,9 +816,9 @@ object Funnel {
     def one(df: DataFrame, c: String, as: String): DataFrame =
       df.filter(col("__c") === c).agg(count(lit(1)).as(as))
     val counts = one(exposed.select(col("__c")), cohortA, "n_a")
-      .crossJoin(one(converted, cohortA, "x_a"))
-      .crossJoin(one(exposed.select(col("__c")), cohortB, "n_b"))
-      .crossJoin(one(converted, cohortB, "x_b"))
+      .crossJoin(broadcast(one(converted, cohortA, "x_a")))
+      .crossJoin(broadcast(one(exposed.select(col("__c")), cohortB, "n_b")))
+      .crossJoin(broadcast(one(converted, cohortB, "x_b")))
     def d(c: String): Column = col(c).cast("double")
     val pa = d("x_a") / d("n_a")
     val pb = d("x_b") / d("n_b")

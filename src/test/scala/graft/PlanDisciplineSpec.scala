@@ -93,7 +93,38 @@ class PlanDisciplineSpec extends SparkSpec {
     "q154_term_drift",
     // q157: the 1-row session-total broadcast under the
     // |types|²-bounded pair frame.
-    "q157_session_lift")
+    "q157_session_lift",
+    // q164: psiDrift's 1-row min/max and 1-row corpus-total broadcasts
+    // under the raw scan / the |units|·B grid.
+    "q164_psi_drift",
+    // q167: the complete R×C grid — the |levels_b|-row frame broadcast
+    // under the |levels_a|-row frame (bounded by level cardinalities),
+    // plus the 1-row level-count/total crosses.
+    "q167_chi_square",
+    // q168: the 1-row Neyman weight-total broadcast under the
+    // |strata|-row frame.
+    "q168_neyman_alloc",
+    // q170: four 1-row cohort-count frames crossed into the single
+    // z-test evidence row.
+    "q170_ab_test",
+    // q171: the 1-row session-total broadcast under the
+    // |types|²-bounded entry/exit frame (q157's shape).
+    "q171_entry_exit",
+    // q174: the 1-row onboarded-user denominator broadcast under the
+    // ≤ maxDays+1-row offset frame.
+    "q174_ltv_curve",
+    // q175: the 1-row state-count broadcast building the uniform v0
+    // over the |types|-row state frame.
+    "q175_stationary",
+    // q177: the 1-row pooled-percentile frame broadcast under each
+    // |units|-row quantile slice.
+    "q177_quantile_map",
+    // q178: the 1-row totals/cutoff frame broadcast under the
+    // |users|-row revenue frame, once per requested percentile.
+    "q178_revenue_concentration",
+    // q180: the 1-row type-count broadcast (the hmax denominator)
+    // under the |users|-row entropy frame.
+    "q180_diversity_histogram")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
