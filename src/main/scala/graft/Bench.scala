@@ -3,8 +3,12 @@ package graft
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line (stdout) with per-query
-  * seconds.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line (stdout). The per-query
+  * record is written to `bench_full.json` (and incrementally to
+  * `bench_partial.json`); stdout carries the full record only when it
+  * fits the driver's ~2 KB tail-capture window, otherwise a compact
+  * summary line with a `queries_file` path marker — a 13 KB line would
+  * be truncated into an unparseable artifact (rounds 11/12 evidence).
   *
   * Methodology (round 10): one warmup execution per query (JVM/codegen +
   * OS page cache), then TWO timed cold-cache executions; the reported
@@ -286,7 +290,28 @@ object Bench {
     probeTimes.foreach { case (n, s) =>
       System.err.println(f"[bench] $n $s%.3f s (warm, min of 3)")
     }
-    println(resultsJson(done, failed, flaky, load, probeTimes))
+    // The driver captures only the LAST ~2000 chars of stdout; the full
+    // 180-query record is ~13 KB, so printing it verbatim guarantees a
+    // truncated (unparseable) driver artifact — rounds 11/12 both landed
+    // `parsed: null` with the tail mid-map. The full record therefore
+    // goes to a FILE (bench_full.json, alongside the per-query
+    // bench_partial.json this loop already maintains), and stdout gets
+    // the full line only when it fits the capture window (narrowed local
+    // runs); otherwise a compact summary that parses on its own —
+    // total, counts, failures, load — plus the path marker to the
+    // complete per-query record.
+    val full = resultsJson(done, failed, flaky, load, probeTimes)
+    Files.write(Paths.get("bench_full.json"), (full + "\n").getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+    val out =
+      if (full.length <= 1800) full
+      else {
+        val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val total = done.map(_._2).sum
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${done.size},"failed":$failedJson,"n_flaky":${flaky.size},"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_now":"${loadavg()}","queries_file":"bench_full.json"}"""
+      }
+    println(out)
     spark.stop()
   }
 }

@@ -287,7 +287,14 @@ object CorpusStats {
   def benfordAudit(df: DataFrame, value: Column): DataFrame = {
     val spark = df.sparkSession
     val x = value.cast("double")
-    val digit = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+    // Clamp into [1, 9]: at exact powers of ten a 1-ulp-low log10 makes
+    // floor(log10 x) one too small and the raw quotient lands on 10;
+    // unclamped, such rows would silently vanish in the 1..9 grid join,
+    // shrinking both the digit counts and the chi-square total N. The
+    // oracle SQL applies the identical clamp.
+    val digit = least(greatest(
+      floor(x / pow(lit(10.0), floor(log10(x)))).cast("int"),
+      lit(1)), lit(9))
     val observed = Dedup.spread(df)
       .filter(x.isNotNull && x > 0)
       .groupBy(digit.as("digit"))

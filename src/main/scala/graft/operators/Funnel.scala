@@ -1094,8 +1094,12 @@ object Funnel {
           - col("__clogc") / col("__n").cast("double")).as("__h"))
     val hMax = log(col("__n_types").cast("double"))
     perU.crossJoin(broadcast(nTypes))
-      .select(least(lit(nBuckets - 1),
-        floor(col("__h") * nBuckets / hMax)).cast("int").as("bucket"),
+      // hMax == 0 (a single observed event type) would make the bucket
+      // formula 0/0 = NaN; every user is then maximally specialized by
+      // definition and belongs in bucket 0 directly.
+      .select(when(hMax > lit(0.0d),
+          least(lit(nBuckets - 1), floor(col("__h") * nBuckets / hMax)))
+          .otherwise(lit(0)).cast("int").as("bucket"),
         col("__h"), hMax.as("__hmax"))
       .groupBy(col("bucket"), col("__hmax"))
       .agg(count(lit(1)).as("n_users"))

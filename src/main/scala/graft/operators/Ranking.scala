@@ -489,9 +489,12 @@ object Ranking {
     * by md5 (no vocabulary state — the point of the hashing trick),
     * the parameter-sized weight table broadcast onto the feature
     * frame, one per-doc aggregation. Docs with no token events (null
-    * text) get z = 0 = bias·0 via the left join — scored (they sit
-    * exactly at the decision boundary: σ(0/0⁺) = 0.5), never
-    * dropped. Output: (id, n_tokens, z, keep). */
+    * text) get z = 0 = bias·0 via the left join — scored at exactly
+    * the decision boundary sigma = 0.5, and gated EXPLICITLY there
+    * (keep iff threshold <= 0.5) rather than through the generic
+    * z >= zThreshold·n_tokens comparison, which degenerates to
+    * 0 >= 0 = true for any threshold when n_tokens = 0.
+    * Output: (id, n_tokens, z, keep). */
   def hashedLinearScore(
       df: DataFrame, id: Column, text: Column,
       nBuckets: Int, seed: String, bias: Double, threshold: Double,
@@ -520,9 +523,16 @@ object Ranking {
         .select(col("__id").as("id"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
           coalesce(col("__z"), lit(0.0d)).as("z"))
+        // Zero-token docs carry no evidence either way: the generic gate
+        // would degenerate to 0 >= 0 = true for ANY threshold (the
+        // 0·zThreshold cancellation), silently keeping empty docs even
+        // under a strict cut. Decide them explicitly by where the
+        // boundary sits: they score sigma = 0.5, so keep iff the
+        // requested threshold admits the boundary (zThreshold <= 0).
         .withColumn("keep",
-          col("z") >= round(lit(zThreshold) *
-            col("n_tokens").cast("double"), 6))
+          when(col("n_tokens") === 0, lit(zThreshold <= 0.0))
+            .otherwise(col("z") >= round(lit(zThreshold) *
+              col("n_tokens").cast("double"), 6)))
     }
   }
 
@@ -566,7 +576,16 @@ object Ranking {
       .orderBy(col("logprob").desc, col("__id").asc)
     val banded = base.join(scored, Seq("__id"))
       .withColumn("bucket", ntile(nBuckets).over(w))
-    val unscored = base.join(scored, Seq("__id"), "left_anti")
+    // The unscored set is DEFINED by the same predicate bigramLogProb
+    // uses to admit docs (>= 2 tokens), so derive it directly from the
+    // input with one cheap narrow tokenize — a left_anti against
+    // `scored` would instantiate the whole LM aggregation chain a
+    // SECOND time (the chain is the query's entire cost; the r12 bench
+    // had q137 at ~2x q83 for exactly this reason). coalesce(-1):
+    // null text tokenizes to a null array, and a null size must land
+    // in the unscored branch, not vanish from the filter.
+    val unscored = df.select(id.as("__id"), lang.as("lang"), text.as("__t"))
+      .filter(coalesce(size(tokens(col("__t"))), lit(-1)) < 2)
       .select(col("__id"), col("lang"),
         lit(null).cast("long").as("n_bigrams"),
         lit(null).cast("double").as("logprob"), lit(0).as("bucket"))

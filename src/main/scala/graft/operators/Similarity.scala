@@ -503,9 +503,12 @@ object Similarity {
     * "how much recall do we keep if we store only d dims per vector?".
     * The answer decides the dominant storage/bandwidth knob of an
     * embedding pipeline (a 64→16 truncation is a 4× cut on every scan
-    * downstream). Output: (dim, recall), recall = |top_d ∩ top_full|/k
-    * rounded to 4 dp; the full dimension itself appears as the
-    * recall=1 control row when included in `dims`.
+    * downstream). Output: (dim, recall), recall = |top_d ∩ top_full|
+    * over the ACTUAL truth-list size (= k when the corpus has at least
+    * k rows, fewer otherwise), rounded to 4 dp; the full dimension
+    * itself appears as the recall=1 control row when included in
+    * `dims` — including on a sub-k corpus, which a literal-k
+    * denominator would misreport as recall < 1.
     *
     * Scale shape: one [[bruteForceTopK]] per probed dimension — each a
     * single corpus scan over a PREFIX slice (columnar float arrays:
@@ -519,6 +522,11 @@ object Similarity {
     require(dims.nonEmpty, "need at least one probe dimension")
     val fullTruth = bruteForceTopK(corpus, id, vec, query, k)
       .select(col("id"))
+    // Denominator is the ACTUAL ground-truth list size, not the literal
+    // k: a corpus with fewer than k rows yields truth lists shorter than
+    // k, and dividing by k would report recall < 1 even for the
+    // full-dimension control row. 1-row broadcast, q22's scalar shape.
+    val truthN = fullTruth.agg(count(lit(1)).as("__truth_n"))
     dims.map { d =>
       val topD = bruteForceTopK(
         corpus.select(id.as("__tid"), slice(vec, 1, d).as("__tv")),
@@ -526,9 +534,10 @@ object Similarity {
         query.select(slice(col("qv"), 1, d).as("qv")), k)
       topD.join(fullTruth, Seq("id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(truthN))
         .select(lit(d).as("dim"),
-          round(col("hits").cast("double") / lit(k).cast("double"), 4)
-            .as("recall"))
+          round(col("hits").cast("double") / col("__truth_n").cast("double"),
+            4).as("recall"))
     }.reduce(_ unionAll _).orderBy(asc("dim"))
   }
 

@@ -1746,8 +1746,8 @@ object CorpusQueries {
     "q114_benford" ->
       """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
         |   WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
-        | d AS (SELECT CAST(floor(x / power(CAST(10 AS DOUBLE),
-        |     floor(log10(x)))) AS INTEGER) AS digit FROM v),
+        | d AS (SELECT least(greatest(CAST(floor(x / power(CAST(10 AS DOUBLE),
+        |     floor(log10(x)))) AS INTEGER), 1), 9) AS digit FROM v),
         | obs9 AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
         | d9 AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
         | c AS (SELECT d9.digit, coalesce(n, 0) AS n

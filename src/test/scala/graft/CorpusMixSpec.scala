@@ -756,5 +756,10 @@ class CorpusMixSpec extends SparkSpec {
         nBuckets = 8, seed = "s", bias = 0.0, threshold = 0.9)
       .orderBy("id").collect()
     assert(!strict(0).getBoolean(3))
+    // The zero-token doc must ALSO be dropped under a strict cut: the
+    // generic gate would degenerate to 0 >= 0 = true for any threshold;
+    // boundary docs (σ = 0.5) are kept only when threshold <= 0.5.
+    assert(!strict(1).getBoolean(3),
+      "empty doc must not pass a threshold above the 0.5 boundary")
   }
 }

@@ -104,6 +104,20 @@ class CorpusStatsSpec extends SparkSpec {
       (6, 0L), (7, 0L), (8, 0L), (9, 1L)))
   }
 
+  test("benfordAudit: exact powers of ten stay digit 1 under the clamp " +
+    "and the total N is preserved") {
+    // A 1-ulp-low log10 at exact powers of ten can make the raw
+    // quotient land on 10; the clamp must keep such rows in digit 9's
+    // neighbour-free [1,9] range (here: digit 1) instead of dropping
+    // them through the grid join.
+    val vals = Seq(1.0, 10.0, 100.0, 1000.0, 10000.0, 100000.0, 1e6, 1e7)
+      .map(Tuple1(_)).toDF("x")
+    val rows = CorpusStats.benfordAudit(vals, col("x"))
+      .orderBy("digit").collect()
+    assert(rows.map(_.getLong(1)).sum == 8L, "no row may vanish")
+    assert(rows.head.getInt(0) == 1 && rows.head.getLong(1) == 8L)
+  }
+
   test("benfordAudit: zero-observation digits carry their N·exp chi2 part") {
     // The most non-Benford data possible: every value leads with 9.
     // Absent digits 1..8 must each contribute N·exp to the chi-square,

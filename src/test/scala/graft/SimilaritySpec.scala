@@ -226,6 +226,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1) == 0.5, s"d=1 should half-miss: $got")
   }
 
+  test("truncatedDimRecall: sub-k corpus still reports recall 1 for the " +
+    "full-dimension control row (denominator is the truth size, not k)") {
+    val c = Seq((1L, Array(1.0f, 0.9f)), (2L, Array(1.0f, 0.1f)))
+      .toDF("id", "vec")
+    val q = Seq(Tuple1(Array(1.0f, 1.0f))).toDF("qv")
+    val got = Similarity.truncatedDimRecall(
+        c, col("id"), col("vec"), q, dims = Seq(2), k = 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(2) == 1.0,
+      s"2-row corpus, k=10: truth list has 2 rows and both hit: $got")
+  }
+
   test("projectedTopK: corpus-sized shortlist degenerates to exact " +
     "brute force (completeness gate)") {
     val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qv")

@@ -70,4 +70,18 @@ class Wave19Spec extends SparkSpec {
     assert(got(b3) == 1L, s"mixed user in bucket $b3")
     assert(got.values.sum == 3L)
   }
+
+  test("userDiversityHistogram: a single observed event type (hMax = 0) " +
+    "puts every user in bucket 0, not NaN") {
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    val events = Seq((1L, t(1), "A"), (1L, t(2), "A"), (2L, t(3), "A"))
+      .toDF("user_id", "ts", "event_type")
+    val rows = Funnel.userDiversityHistogram(events, col("user_id"),
+        col("event_type"), nBuckets = 10).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getInt(0) == 0, "bucket must be 0, not NaN/null")
+    assert(r.getLong(3) == 2L)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+  }
 }
