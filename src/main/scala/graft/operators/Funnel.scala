@@ -361,6 +361,50 @@ object Funnel {
       .agg(countDistinct(col("__u")).as("active_users"))
   }
 
+  /** [[rollingActives]] with the HLL++ swap SHIPPED as a contract (the
+    * [[graft.operators.CorpusStats.approxPercentileContract]] pattern):
+    * the same bucketed range join feeds exact `countDistinct` (the
+    * oracle-checkable number) AND `approx_count_distinct` over
+    * identical rows, and the row carries `approx_ok` — whether the
+    * sketch landed within `sigmas`·`rsd` relative error (plus
+    * `absSlack` rows for small days). A sketch regression flips the
+    * hash; an oracle asserts the literal `true`.
+    *
+    * Unlike the GK quantile contract, HLL's bound is probabilistic
+    * (rsd IS the standard error), so `sigmas` is margin, not a
+    * guarantee — but the sketch is hash-deterministic: a tolerance
+    * that passes on a given corpus passes on it forever. At the
+    * arbitrary-grain scale where exact per-window `countDistinct`
+    * state is the risk (the reason this variant exists), drop the
+    * exact column and keep the sketch — mergeable partials, constant
+    * state per (end_day). Output: (end_day, active_users, approx_ok). */
+  def rollingActivesApprox(
+      events: DataFrame, user: Column, ts: Column,
+      windowDays: Int = 7, rsd: Double = 0.05,
+      sigmas: Double = 4.0, absSlack: Long = 8L): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    require(rsd > 0.0 && rsd < 0.4, "rsd must be in (0, 0.4)")
+    val epoch = lit("1970-01-01")
+    val du = events.select(to_date(ts).as("__day"), user.as("__u"))
+      .distinct()
+      .withColumn("__dn", datediff(col("__day"), epoch).cast("double"))
+    val ends = du.select(col("__day").as("end_day")).distinct()
+      .withColumn("__lo",
+        (datediff(col("end_day"), epoch) - (windowDays - 1)).cast("double"))
+      .withColumn("__hi",
+        (datediff(col("end_day"), epoch) + 1).cast("double"))
+    RangeJoin.pointInInterval(du, col("__dn"), ends,
+        col("__lo"), col("__hi"), bucketWidth = windowDays.toDouble)
+      .groupBy(col("end_day"))
+      .agg(countDistinct(col("__u")).as("active_users"),
+        approx_count_distinct(col("__u"), rsd).as("__approx"))
+      .select(col("end_day"), col("active_users"),
+        (abs(col("__approx") - col("active_users")) <=
+          greatest(ceil(lit(sigmas * rsd) *
+            col("active_users").cast("double")).cast("long"),
+            lit(absSlack))).as("approx_ok"))
+  }
+
   /** Retention cohort triangle: users grouped by their first active
     * DAY, counted distinct on each day-offset they return — the
     * standard activation/retention report. Cohort assignment is one

@@ -536,6 +536,106 @@ object Ranking {
     }
   }
 
+  /** In-engine training of the hashed-feature logistic-regression
+    * quality classifier — the closed loop behind [[hashedLinearScore]]:
+    * instead of scoring with seeded stand-in weights, learn the weight
+    * table from a labeled corpus by `iters` full-batch gradient steps
+    * (w ← w − lr·∇; ∇_b = Σ_d tf_{d,b}(σ(z_d) − y_d)/N over the N docs
+    * with token events, w₀ = 0). Returns (weights, losses): the
+    * (bucket, w) table — the trained model, engine-portable because
+    * every intermediate lives on a shared decimal grid (z, σ, w at
+    * 6 dp; ∇ at 5 dp so lr·∇ stays ON the weight grid — see the
+    * in-loop comments) and the z/∇ sums accumulate in exact DECIMAL
+    * (the [[Subword]]/q126 iterate-and-collect discipline; an oracle
+    * unrolls the same fixed iterations as CTEs)
+    * — and the per-iteration mean cross-entropy (diagnostic only,
+    * clamped away from log 0; not part of the gated output).
+    *
+    * Scale shape: the (doc, bucket) feature frame is built once (the
+    * corpus's only token-volume shuffle) and persisted for the loop;
+    * each iteration is one doc-keyed aggregate (z), one broadcast-sized
+    * join of the parameter-sized weight LITERAL (no weight shuffle —
+    * weights live in the plan, [[Similarity.randomProjection]]'s
+    * matrix discipline), one bucket-keyed aggregate (∇), and a
+    * `nBuckets`-row collect. Iteration count bounds the chain, never
+    * the data. At production feature widths (2²⁰ buckets) swap the
+    * weight literal for a broadcast join and the driver update for
+    * `spark.ml.classification.LogisticRegression` — this form keeps
+    * the weights on an oracle-checkable grid. */
+  def trainHashedLogReg(
+      df: DataFrame, id: Column, text: Column, label: Column,
+      nBuckets: Int, iters: Int, lr: Double): (DataFrame, Seq[Double]) = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    val spark = df.sparkSession
+    val feats = termFreqs(df, id, text)
+      .withColumn("__b",
+        pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+      .groupBy(col("__id"), col("__b"))
+      .agg(sum(col("tf")).cast("long").as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = df.select(id.as("__id"),
+      when(coalesce(label, lit(false)), lit(1.0d)).otherwise(lit(0.0d))
+        .as("__y"))
+    // N = docs with token events (zero-token docs carry no gradient and
+    // no loss); one count bounds every iteration's mean.
+    val n = feats.select(col("__id")).distinct().count()
+    require(n > 0, "no documents with token events to train on")
+    val w = Array.fill(nBuckets)(0.0d)
+    var losses = Vector.empty[Double]
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to iters).foreach { _ =>
+      val wLit = typedLit(w.toSeq)
+      // z and ∇ accumulate in DECIMAL, not double: every term is an
+      // integer tf times a 6-dp-grid value, exactly representable, so
+      // the decimal sum is ORDER-INDEPENDENT — a double sum's
+      // association noise crossed the 6-dp round boundary on real data
+      // (one bucket in 64 at sf0.01) and flipped the last digit
+      // between engines. One cast back to double after the exact sum.
+      val z = feats.groupBy(col("__id"))
+        .agg(round(sum(col("tf").cast("decimal(20,0)") *
+          element_at(wLit, (col("__b") + 1).cast("int"))
+            .cast("decimal(12,6)")).cast("double"), 6).as("__z"))
+      val p = z.join(labels, Seq("__id"))
+        .select(col("__id"), col("__y"),
+          round(lit(1.0d) / (lit(1.0d) + exp(-col("__z"))), 6).as("__p"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // ∇ rounds to 5 dp, one digit COARSER than the 6-dp weight grid:
+      // lr·∇ is then an exact multiple of 1e-6 (lr = 0.5 halves a 1e-5
+      // grid onto 5e-6), so the weight update never lands ON the 5e-7
+      // half-grid — where Spark's exact-BigDecimal round and DuckDB's
+      // multiply-then-round disagree about the same double (observed:
+      // one bucket in 64 flipped its last digit).
+      val gradRows = feats.join(p, Seq("__id"))
+        .groupBy(col("__b"))
+        .agg(round(sum(col("tf").cast("decimal(20,0)") *
+          (col("__p").cast("decimal(12,6)") -
+            col("__y").cast("decimal(12,6)"))).cast("double") /
+          lit(n.toDouble), 5).as("__g"))
+        .collect()
+      // Clamp only the DIAGNOSTIC loss away from ln 0 (a 6-dp-rounded
+      // p can land exactly on 0 or 1); the gradient uses raw p.
+      val pc = least(greatest(col("__p"), lit(1e-9d)), lit(1.0d - 1e-9d))
+      val loss = p.agg(
+        (-avg(col("__y") * log(pc) + (lit(1.0d) - col("__y")) * log(lit(1.0d) - pc)))
+          .as("loss")).collect()(0).getDouble(0)
+      p.unpersist(false)
+      losses :+= loss
+      gradRows.foreach { r =>
+        val b = r.getLong(0).toInt
+        w(b) = round6(w(b) - lr * r.getDouble(1))
+      }
+    }
+    feats.unpersist(false)
+    val weights = spark.range(nBuckets.toLong)
+      .select(col("id").cast("int").as("bucket"),
+        element_at(typedLit(w.toSeq), (col("id") + 1).cast("int")).as("w"))
+      .orderBy(asc("bucket"))
+    (weights, losses)
+  }
+
   /** CCNet-style per-language perplexity buckets: score every document
     * with the corpus bigram LM ([[bigramLogProb]] — Jelinek-Mercer
     * interpolated, mean log-probability per bigram), then split each

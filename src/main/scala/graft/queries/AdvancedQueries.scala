@@ -386,6 +386,22 @@ object AdvancedQueries {
         col("user_id"), col("ts"), windowDays = 7)
       .orderBy(asc_nulls_first("end_day"))
 
+  /** q183 — q119's rolling actives with the HLL++ swap shipped as a
+    * CONTRACT ([[graft.operators.Funnel.rollingActivesApprox]]): the
+    * same bucketed range join feeds exact countDistinct (the
+    * oracle-checkable column) and `approx_count_distinct` (rsd 5%)
+    * over identical rows; `approx_ok` asserts the sketch landed
+    * within 4·rsd (+8 rows slack) of exact. The sketch is
+    * hash-deterministic, so the oracle's literal TRUE is a hard gate:
+    * an HLL regression flips the hash. This is the arbitrary-grain
+    * escape hatch q119's scaladoc declares — here measured, not
+    * promised. */
+  def q183RollingActivesApprox(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.rollingActivesApprox(Tables.events(spark, dir),
+        col("user_id"), col("ts"), windowDays = 7, rsd = 0.05,
+        sigmas = 4.0, absSlack = 8L)
+      .orderBy(asc_nulls_first("end_day"))
+
   /** q146 — k-anonymity audit ([[graft.operators.CorpusStats
     * .kAnonymity]], k = 5) over the event table's released view:
     * quasi-identifiers (event_type, event date, value bucketed to 100)
@@ -633,6 +649,7 @@ object AdvancedQueries {
     "q156_attribution"      -> q156Attribution _,
     "q157_session_lift"     -> q157SessionLift _,
     "q119_rolling_actives"  -> q119RollingActives _,
+    "q183_rolling_actives_hll" -> q183RollingActivesApprox _,
     "q118_session_funnel"   -> q118SessionFunnel _,
     "q117_active_users"     -> q117ActiveUsers _,
     "q115_rfm"              -> q115Rfm _,
@@ -1097,6 +1114,18 @@ object AdvancedQueries {
         | days AS (SELECT DISTINCT day FROM du)
         |SELECT d.day AS end_day,
         |  count(DISTINCT u.user_id) AS active_users
+        | FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        | GROUP BY 1 ORDER BY end_day NULLS FIRST""".stripMargin,
+    // approx_ok is a LITERAL TRUE: the Spark side computes the HLL
+    // sketch and asserts its error envelope row-by-row — a sketch
+    // regression makes the Spark column false and the hash mismatch.
+    "q183_rolling_actives_hll" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |   FROM events),
+        | days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day AS end_day,
+        |  count(DISTINCT u.user_id) AS active_users,
+        |  TRUE AS approx_ok
         | FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
         | GROUP BY 1 ORDER BY end_day NULLS FIRST""".stripMargin,
     "q118_session_funnel" ->

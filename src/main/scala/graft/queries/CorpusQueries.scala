@@ -757,7 +757,52 @@ object CorpusQueries {
         Tables.documents(spark, dir), col("source"), col("n_chars"))
       .orderBy(asc_nulls_first("unit"), asc("pct"))
 
+  /** q181 — per-domain governance report ([[graft.operators.Domains
+    * .governanceReport]]): docs/hosts/tokens/dup-rate/quality-mix per
+    * registered domain, two-level blocklist semantics (exact host +
+    * registered-domain rollup, incl. a co.uk multi-part suffix), and
+    * the "≤ 40 docs per domain" diversity cap through the bounded-heap
+    * capPerStratum. The synthetic corpus carries no URL column, so the
+    * query derives a deterministic 8-host URL from (doc_id mod 8) —
+    * both engines build and then PARSE the same URL strings, so host
+    * extraction, suffix rollup and blocklists are all under the gate. */
+  def q181DomainGovernance(spark: SparkSession, dir: String): DataFrame = {
+    val hosts = Seq(
+      "www.alpha-press.com", "m.alpha-press.com",
+      "news.daily.co.uk", "sport.daily.co.uk",
+      "cdn.spamfarm.net", "mirror.spamfarm.net",
+      "bad.actor.org", "good.actor.org")
+    val docs = Tables.documents(spark, dir)
+    // Double-mod on BOTH engines (the q103 lesson), though doc_id >= 0.
+    val mod8 = ((col("doc_id") % 8) + 8) % 8
+    val url = concat(lit("https://"),
+      element_at(typedLit(hosts), (mod8 + 1).cast("int")),
+      lit("/art/"), col("doc_id").cast("string"))
+    graft.operators.Domains.governanceReport(
+      docs.withColumn("__url", url),
+      col("doc_id"), col("__url"), col("text"),
+      quality = col("n_chars") >= 300,
+      blockedHosts = Seq("bad.actor.org"),
+      blockedDomains = Seq("spamfarm.net"),
+      multiPartTlds = Seq("co.uk", "com.au"),
+      capPerDomain = 40)
+  }
+
+  /** q182 — in-engine training of the quality classifier
+    * ([[Ranking.trainHashedLogReg]]): 3 full-batch gradient steps of
+    * hashed-feature logistic regression (64 buckets, lr 0.5, label
+    * lang = 'en'), every intermediate on the shared 6-dp grid; the
+    * gated output is the trained (bucket, w) table itself, the model
+    * q130 scores with. Oracle unrolls the identical three iterations
+    * as CTEs (the q126/q175 fixed-iteration discipline). */
+  def q182TrainQualityLr(spark: SparkSession, dir: String): DataFrame =
+    Ranking.trainHashedLogReg(Tables.documents(spark, dir),
+      col("doc_id"), col("text"), label = col("lang") === "en",
+      nBuckets = 64, iters = 3, lr = 0.5)._1
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_domain_governance" -> q181DomainGovernance _,
+    "q182_train_quality_lr"  -> q182TrainQualityLr _,
     "q164_psi_drift"         -> q164PsiDrift _,
     "q167_chi_square"        -> q167ChiSquare _,
     "q168_neyman_alloc"      -> q168NeymanAlloc _,
@@ -1049,6 +1094,115 @@ object CorpusQueries {
       |     WHERE doc_id % 97 = 0)"""
 
   val oracle: Map[String, String] = Map(
+    "q181_domain_governance" ->
+      """WITH hosts(i, h) AS (VALUES
+        |   (0, 'www.alpha-press.com'), (1, 'm.alpha-press.com'),
+        |   (2, 'news.daily.co.uk'), (3, 'sport.daily.co.uk'),
+        |   (4, 'cdn.spamfarm.net'), (5, 'mirror.spamfarm.net'),
+        |   (6, 'bad.actor.org'), (7, 'good.actor.org')),
+        | d AS (SELECT doc_id, text, n_chars,
+        |   'https://' || h.h || '/art/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents JOIN hosts h ON ((doc_id % 8) + 8) % 8 = h.i),
+        | p AS (SELECT doc_id, text, n_chars,
+        |   nullif(lower(regexp_extract(url,
+        |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '') AS host
+        |  FROM d),
+        | rd AS (SELECT doc_id, text, n_chars, host,
+        |   CASE WHEN host IS NULL THEN NULL
+        |    WHEN len(string_split(host, '.')) <= 2 THEN host
+        |    WHEN (string_split(host, '.')[-2] || '.'
+        |        || string_split(host, '.')[-1]) IN ('co.uk', 'com.au')
+        |      THEN string_split(host, '.')[-3] || '.'
+        |        || string_split(host, '.')[-2] || '.'
+        |        || string_split(host, '.')[-1]
+        |    ELSE string_split(host, '.')[-2] || '.'
+        |      || string_split(host, '.')[-1] END AS dom
+        |  FROM p),
+        | base AS (SELECT doc_id, host, dom,
+        |   md5(array_to_string(string_split_regex(
+        |     lower(trim(coalesce(text, ''))), '\s+'), ' ')) AS canon,
+        |   CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |     ELSE len(string_split_regex(lower(trim(text)), '\s+')) END
+        |     AS nt,
+        |   coalesce(n_chars >= 300, FALSE) AS q,
+        |   (host IN ('bad.actor.org') OR dom IN ('spamfarm.net'))
+        |     AS blocked
+        |  FROM rd),
+        | dup AS (SELECT canon FROM base GROUP BY canon
+        |   HAVING count(*) >= 2),
+        | fl AS (SELECT base.*, (dup.canon IS NOT NULL) AS isdup
+        |   FROM base LEFT JOIN dup USING (canon)),
+        | rep AS (SELECT dom AS domain,
+        |   count(DISTINCT host) AS n_hosts, count(*) AS n_docs,
+        |   CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |   CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS dup_docs,
+        |   CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS quality_docs,
+        |   CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS blocked_docs
+        |  FROM fl GROUP BY 1),
+        | keptr AS (SELECT dom, row_number() OVER (PARTITION BY dom
+        |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM fl WHERE NOT blocked),
+        | kept AS (SELECT dom AS domain, count(*) AS kept_after_cap
+        |  FROM keptr WHERE rn <= 40 GROUP BY 1)
+        |SELECT r.domain, n_hosts, n_docs, n_tokens, dup_docs,
+        |  round(CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+        |    AS dup_rate,
+        |  quality_docs,
+        |  round(CAST(quality_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+        |    AS quality_share,
+        |  blocked_docs, coalesce(kept_after_cap, 0) AS kept_after_cap
+        | FROM rep r LEFT JOIN kept USING (domain)
+        | ORDER BY domain NULLS FIRST""".stripMargin,
+    "q182_train_quality_lr" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term
+        |   FROM documents),
+        | tfb AS (SELECT doc_id,
+        |   CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b,
+        |   count(*) AS tf
+        |  FROM t GROUP BY 1, 2),
+        | y AS (SELECT doc_id, CASE WHEN lang = 'en'
+        |     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM documents),
+        | n AS (SELECT count(DISTINCT doc_id) AS n FROM tfb),
+        | bs AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS b),
+        | g1 AS (SELECT b, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * (CAST(0.5 AS DECIMAL(12,6)) - CAST(y.y AS DECIMAL(12,6))))
+        |     AS DOUBLE) / n.n, 5) AS g
+        |  FROM tfb JOIN y USING (doc_id) CROSS JOIN n GROUP BY b, n.n),
+        | w1 AS (SELECT bs.b,
+        |   round(0.0 - 0.5 * coalesce(g, 0.0), 6) AS w
+        |  FROM bs LEFT JOIN g1 USING (b)),
+        | z2 AS (SELECT doc_id, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * CAST(w1.w AS DECIMAL(12,6))) AS DOUBLE), 6) AS z
+        |  FROM tfb JOIN w1 USING (b) GROUP BY doc_id),
+        | p2 AS (SELECT doc_id,
+        |   round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z2),
+        | g2 AS (SELECT b, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * (CAST(p2.p AS DECIMAL(12,6)) - CAST(y.y AS DECIMAL(12,6))))
+        |     AS DOUBLE) / n.n, 5) AS g
+        |  FROM tfb JOIN p2 USING (doc_id) JOIN y USING (doc_id)
+        |  CROSS JOIN n GROUP BY b, n.n),
+        | w2 AS (SELECT w1.b,
+        |   round(w1.w - 0.5 * coalesce(g2.g, 0.0), 6) AS w
+        |  FROM w1 LEFT JOIN g2 USING (b)),
+        | z3 AS (SELECT doc_id, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * CAST(w2.w AS DECIMAL(12,6))) AS DOUBLE), 6) AS z
+        |  FROM tfb JOIN w2 USING (b) GROUP BY doc_id),
+        | p3 AS (SELECT doc_id,
+        |   round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z3),
+        | g3 AS (SELECT b, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * (CAST(p3.p AS DECIMAL(12,6)) - CAST(y.y AS DECIMAL(12,6))))
+        |     AS DOUBLE) / n.n, 5) AS g
+        |  FROM tfb JOIN p3 USING (doc_id) JOIN y USING (doc_id)
+        |  CROSS JOIN n GROUP BY b, n.n),
+        | w3 AS (SELECT w2.b,
+        |   round(w2.w - 0.5 * coalesce(g3.g, 0.0), 6) AS w
+        |  FROM w2 LEFT JOIN g3 USING (b))
+        |SELECT CAST(b AS INTEGER) AS bucket, w
+        | FROM w3 ORDER BY bucket""".stripMargin,
     "q176_entropy_profile" ->
       """WITH m AS (SELECT lang AS grp, source AS unit,
         |   CAST(sum(n_chars) AS BIGINT) AS w
