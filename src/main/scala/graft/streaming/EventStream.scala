@@ -293,6 +293,109 @@ object EventStream {
       }
   }
 
+  /** Per-user session-funnel state: the open session's bounds, event
+    * count, and step anchors (epoch-micros, [[FunnelUnset]] when
+    * unreached) — |steps|+3 longs per active user. */
+  case class SessionFunnelState(start: Long, last: Long, nEvents: Long,
+      anchors: Seq[Long])
+  /** One CLOSED session with its funnel depth: how many steps of the
+    * chain completed inside the session (strictly ordered, ties count
+    * — [[graft.operators.Funnel.conversionFunnel]]'s semantics scoped
+    * to the session, i.e. q118's entity). */
+  case class SessionFunnel(user_id: Long, start_ts: Timestamp,
+      end_ts: Timestamp, n_events: Long, steps_completed: Int)
+
+  /** Streaming SESSION-scoped funnel — the q118 composition
+    * ([[sessionize]] gap semantics feeding [[graft.operators.Funnel
+    * .conversionFunnel]]) as ONE keyed-state operator: per user, an
+    * open session closes when a later event arrives more than `gapMs`
+    * after the session's last event, and each closed session is
+    * emitted with the number of funnel `steps` completed inside it
+    * (t₁ = first step-1 event in the session; tᵢ = first step-i event
+    * at/after tᵢ₋₁ — same-instant chains count, handled by a fixpoint
+    * pass over equal-timestamp events so intra-timestamp arrival order
+    * cannot change the result). The per-step session counts q118
+    * reports are then a plain aggregation of the emissions:
+    * n_sessions(step i) = |{sessions : steps_completed ≥ i}| among
+    * sessions containing step 1.
+    *
+    * Exactness contract (the [[funnelStream]] family's): equals the
+    * batch composition whenever each user's events arrive in
+    * event-time order ACROSS batches (within-batch disorder is handled
+    * exactly — each batch sorts by (ts, event_id) before folding).
+    * Cross-batch disorder can split a session or under-count a chain —
+    * missed, never invented. Sessions still open at end of input are
+    * never emitted (Append-mode semantics): drive a terminal flush
+    * event per user past the gap to close them, or read open state as
+    * "in flight". State is one small struct per ACTIVE user,
+    * deterministic replay, no wall-clock timeouts. */
+  def sessionFunnelStream(
+      events: Dataset[Event], gapMs: Long, steps: Seq[String])
+      (implicit spark: SparkSession): Dataset[SessionFunnel] = {
+    import spark.implicits._
+    require(gapMs > 0, "gapMs must be positive")
+    require(steps.nonEmpty, "steps must be non-empty")
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.length
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionFunnelState, SessionFunnel](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[SessionFunnelState]) =>
+          def micros(ts: Timestamp): Long =
+            ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+          def toTs(us: Long): Timestamp = {
+            val t = new Timestamp(us / 1000000L * 1000L)
+            t.setNanos((us % 1000000L).toInt * 1000)
+            t
+          }
+          val gapUs = gapMs * 1000L
+          val evs = rows.toSeq
+            .map(e => (micros(e.ts), e.event_id, e.event_type))
+            .sorted
+          val closed = Seq.newBuilder[SessionFunnel]
+          var cur = state.getOption
+          def close(s: SessionFunnelState): Unit = {
+            val depth = s.anchors.indexWhere(_ == FunnelUnset) match {
+              case -1 => k
+              case i => i
+            }
+            closed += SessionFunnel(userId, toTs(s.start), toTs(s.last),
+              s.nEvents, depth)
+          }
+          // fold runs of equal timestamps so a same-instant
+          // view→click→purchase chain lands regardless of intra-ts order
+          var i = 0
+          while (i < evs.length) {
+            var j = i
+            while (j < evs.length && evs(j)._1 == evs(i)._1) j += 1
+            val t = evs(i)._1
+            cur.foreach { s => if (t - s.last > gapUs) { close(s); cur = None } }
+            val s0 = cur.getOrElse(
+              SessionFunnelState(t, t, 0L, Seq.fill(k)(FunnelUnset)))
+            val anchors = s0.anchors.toArray
+            val types = evs.slice(i, j).iterator
+              .flatMap(e => stepIdx.get(e._3)).toSet
+            var changed = true
+            while (changed) {
+              changed = false
+              types.foreach { si =>
+                val qualifies = si == 0 ||
+                  (anchors(si - 1) != FunnelUnset && t >= anchors(si - 1))
+                if (qualifies && t < anchors(si)) {
+                  anchors(si) = t; changed = true
+                }
+              }
+            }
+            cur = Some(SessionFunnelState(s0.start, t,
+              s0.nEvents + (j - i), anchors.toSeq))
+            i = j
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** Streaming deduplication: drop repeated `idCols` across micro-batches,
     * keeping state only within the watermark horizon (bounded state — the
     * streaming form of exact dedup; duplicates arriving later than the

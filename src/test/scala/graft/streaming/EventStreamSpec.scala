@@ -337,4 +337,73 @@ class EventStreamSpec extends SparkSpec {
       assert(got == Set("2024-01-10", "2024-01-08"))
     } finally q.stop()
   }
+
+  test("sessionFunnelStream: closed sessions equal the batch q118 " +
+    "composition on a drained ordered shard sequence") {
+    implicit val s = spark
+    def ts(x: String) = Timestamp.valueOf(x)
+    val gapMs = 30L * 60L * 1000L
+    // Shard 1: u1 completes the chain inside one session (purchase
+    // SAME-INSTANT as the click, listed before it — the fixpoint must
+    // land it); u2 clicks before viewing (no chain); u3 views once.
+    val shard1 = Seq(
+      Event(3, ts("2024-01-01 00:10:00"), 1, "purchase", 0),
+      Event(1, ts("2024-01-01 00:00:00"), 1, "view", 0),
+      Event(2, ts("2024-01-01 00:10:00"), 1, "click", 0),
+      Event(5, ts("2024-01-01 00:25:00"), 2, "view", 0),
+      Event(4, ts("2024-01-01 00:20:00"), 2, "click", 0),
+      Event(6, ts("2024-01-01 00:05:00"), 3, "view", 0))
+    // Shard 2: every event exceeds its user's gap — closes the first
+    // sessions and opens second ones.
+    val shard2 = Seq(
+      Event(7, ts("2024-01-01 02:00:00"), 1, "view", 0),
+      Event(8, ts("2024-01-01 02:05:00"), 1, "other", 0),
+      Event(9, ts("2024-01-01 01:30:00"), 2, "purchase", 0),
+      Event(10, ts("2024-01-01 01:00:00"), 3, "click", 0))
+    // Terminal flush: one far-future non-step event per user closes
+    // the in-flight sessions (the operator's documented drain).
+    val flush = Seq(1L, 2L, 3L).map(u =>
+      Event(100 + u, ts("2024-01-02 00:00:00"), u, "noop", 0))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = EventStream.sessionFunnelStream(input.toDS(), gapMs,
+        Seq("view", "click", "purchase"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ev_sess_funnel")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      Seq(shard1, shard2, flush).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("ev_sess_funnel").as[SessionFunnel].collect()
+      // Hand-computed: 6 closed sessions (flush singletons stay open).
+      assert(got.length == 6, got.mkString(","))
+      val byKey = got.map(sf =>
+        (sf.user_id, sf.start_ts.toString) -> (sf.n_events, sf.steps_completed))
+        .toMap
+      assert(byKey((1L, "2024-01-01 00:00:00.0")) == ((3L, 3)),
+        "same-instant click+purchase must chain")
+      assert(byKey((1L, "2024-01-01 02:00:00.0")) == ((2L, 1)))
+      assert(byKey((2L, "2024-01-01 00:20:00.0")) == ((2L, 1)),
+        "click before view anchors only step 1")
+      assert(byKey((2L, "2024-01-01 01:30:00.0")) == ((1L, 0)))
+      assert(byKey((3L, "2024-01-01 00:05:00.0")) == ((1L, 1)))
+      assert(byKey((3L, "2024-01-01 01:00:00.0")) == ((1L, 0)))
+      // Batch equivalence: q118's composition (sessionize →
+      // conversionFunnel on the session key) over the SAME drained
+      // input must report the same per-step session counts as the
+      // stream's closed-session depths.
+      val all = (shard1 ++ shard2 ++ flush).toDF()
+      val tagged = graft.operators.Funnel.sessionize(all, col("user_id"),
+          col("ts"), gapMicros = gapMs * 1000L, seqCol = "__seq")
+        .withColumn("__skey", concat_ws("#", col("user_id"), col("__seq")))
+      val batch = graft.operators.Funnel.conversionFunnel(tagged,
+          col("__skey"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val streamCounts = (1 to 3).map(i =>
+        i -> got.count(_.steps_completed >= i).toLong).toMap
+      assert(streamCounts == batch,
+        s"stream $streamCounts vs batch $batch")
+    } finally q.stop()
+  }
 }
