@@ -1,0 +1,122 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, SparkEntry}
+import graft.sources.Tables
+
+/** Standing scale fixture + sweep (round-12 verdict stretch #9): the
+  * per-family K-replication harnesses (FunnelSweep, Q87Sweep, R12*Sweep)
+  * generalized into ONE tool that
+  *
+  *   1. materializes a deterministic K× replica of the sf0.1
+  *      documents/embeddings/events tables ONCE per (K, fixture
+  *      version) under /tmp/graft_scale/ (marker-file cached — reruns
+  *      in the same session or round reuse the parquet), and
+  *   2. runs the round's most expensive SparkEntry queries against it,
+  *      printing the BASELINE.md section verbatim (K=1 column measured
+  *      on the pristine sf0.1 directory through the same harness).
+  *
+  * Replication is honest per table:
+  *   - documents: doc_id shifted per replica; ONE replica-distinct
+  *     token appended to the text so exact/canonical dedup stages see
+  *     K× distinct docs (pure duplication would let a dedup stage drop
+  *     (K−1)/K of the corpus and under-measure every later stage) while
+  *     token volume stays within one token per doc;
+  *   - embeddings: vec_id shifted; a deterministic ±5e-4 per-component
+  *     perturbation breaks exact vector ties so ANN recall contracts
+  *     rank distinct neighbors instead of K-way rounded-score ties
+  *     (probe vec_id 0 exists only in replica 0);
+  *   - events: user_id/event_id shifted per replica — user count and
+  *     event volume scale K× with per-user profiles unchanged
+  *     (FunnelSweep's device).
+  *
+  * Timing: warmup + min-of-2 cold-cache noop-sink passes per query —
+  * graft.Bench's methodology, so the K=1 column is comparable to the
+  * committed bench pair.
+  *
+  * Run: sbt "Test/runMain graft.tools.ScaleFixture [K] [query...]"
+  * (default K=16 over the ten most expensive replicable queries).
+  */
+object ScaleFixture {
+  private val Version = 1 // bump to invalidate cached fixtures
+  private val DefaultQueries = Seq(
+    "q120_curation_pipeline", "q129_curation_funnel", "q89_pq_recall",
+    "q121_subword_encode", "q78_ivf_recall", "q79_lsh_recall",
+    "q137_ppl_buckets", "q94_fertility", "q110_collocations",
+    "q83_bigram_lm")
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(16)
+    require(k >= 1, "K must be >= 1")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val spark = GraftSession.local()
+    val baseDir = "/root/testdata/sf0.1"
+    val dir = s"/tmp/graft_scale/v${Version}_k$k"
+    val marker = Paths.get(s"$dir/_GRAFT_FIXTURE_READY")
+
+    if (!Files.exists(marker)) {
+      val docs = Tables.documents(spark, baseDir)
+      val emb = Tables.embeddings(spark, baseDir)
+      val ev = Tables.events(spark, baseDir)
+      val docShift = 10000000L
+      (0 until k).map { r =>
+        docs.select(
+          (col("doc_id") + lit(r * docShift)).as("doc_id"),
+          // one appended replica-distinct token defeats exact dedup
+          concat(coalesce(col("text"), lit("")), lit(s" grepl$r")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+      (0 until k).map { r =>
+        emb.select(
+          (col("vec_id") + lit(r * docShift)).as("vec_id"),
+          (if (r == 0) col("embedding")
+           else transform(col("embedding"), (x, j) =>
+             (x + ((pmod(col("vec_id") * 31 + j * 7 + lit(r), lit(11)) - 5)
+               .cast("float") * lit(1e-4f))).cast("float")))
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+      (0 until k).map { r =>
+        ev.select(
+          (col("event_id") + lit(r * docShift)).as("event_id"), col("ts"),
+          (col("user_id") + lit(r * docShift)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+      Files.createFile(marker)
+      System.err.println(s"[scalefixture] materialized K=$k under $dir")
+    } else System.err.println(s"[scalefixture] reusing fixture $dir")
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(f: => Unit): Double = {
+      f
+      def once(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+
+    println(s"| query | sf0.1 s | K=$k s | ratio |")
+    println("|---|---|---|---|")
+    names.foreach { n =>
+      val q = SparkEntry.queries(n)
+      val t1 = timed(noop(q(spark, baseDir)))
+      val tk = timed(noop(q(spark, dir)))
+      println(f"| $n | $t1%.2f | $tk%.2f | ${tk / t1}%.1f× |")
+    }
+    println(f"(K=$k ⇒ ${k}× docs/vectors/users; linear-in-volume ⇒ " +
+      f"ratio ≈ $k, flat job floor pulls it below)")
+    spark.stop()
+  }
+}
