@@ -93,10 +93,15 @@ object Domains {
       if (blockedHosts.isEmpty) lit(false) else h.isin(blockedHosts: _*)
     val blockedD =
       if (blockedDomains.isEmpty) lit(false) else dom.isin(blockedDomains: _*)
+    // coalesce each blocklist hit: `isin` over a NULL host/domain
+    // (unparseable URL) yields null, and null || null = null would make
+    // the cap's NOT-blocked filter silently drop those docs instead of
+    // letting them through unblocked under the null domain.
     val base = df.select(id.as("__id"), h.as("__host"), dom.as("__dom"),
       canon.as("__canon"), nToks.cast("long").as("__nt"),
       coalesce(quality, lit(false)).as("__q"),
-      (blockedH || blockedD).as("__blocked"))
+      (coalesce(blockedH, lit(false)) || coalesce(blockedD, lit(false)))
+        .as("__blocked"))
     // Corpus-wide duplicate screen on digests only.
     val dupKeys = base.groupBy(col("__canon"))
       .agg(count(lit(1)).as("__kc"))
@@ -116,9 +121,13 @@ object Domains {
     val kept = Split.capPerStratum(
         base.filter(!col("__blocked")).select(col("__dom"), col("__id")),
         col("__dom"), col("__id"), capPerDomain)
-      .groupBy(col("__dom").as("domain"))
+      .groupBy(col("__dom").as("__kdom"))
       .agg(count(lit(1)).as("kept_after_cap"))
-    report.join(kept, Seq("domain"), "left")
+    // Null-SAFE join key: the null domain (unparseable URLs) is a real
+    // report row, and an equi-join would never match it — its kept
+    // count would silently read 0.
+    report.join(kept, col("domain") <=> col("__kdom"), "left")
+      .drop("__kdom")
       .select(col("domain"), col("n_hosts"), col("n_docs"), col("n_tokens"),
         col("dup_docs"),
         round(col("dup_docs").cast("double") / col("n_docs").cast("double"),

@@ -1154,8 +1154,9 @@ object CorpusQueries {
         |  round(CAST(quality_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
         |    AS quality_share,
         |  blocked_docs, coalesce(kept_after_cap, 0) AS kept_after_cap
-        | FROM rep r LEFT JOIN kept USING (domain)
-        | ORDER BY domain NULLS FIRST""".stripMargin,
+        | FROM rep r LEFT JOIN kept
+        |   ON r.domain IS NOT DISTINCT FROM kept.domain
+        | ORDER BY r.domain NULLS FIRST""".stripMargin,
     "q182_train_quality_lr" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term
         |   FROM documents),

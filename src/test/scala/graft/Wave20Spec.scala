@@ -77,6 +77,25 @@ class Wave20Spec extends SparkSpec {
       ((1L, 0L, 0L, 1L)))
   }
 
+  test("governanceReport: unparseable URLs land under the null domain, " +
+    "unblocked, and still survive the cap") {
+    val docs = Seq(
+      (1L, "not a url at all", "some text", true),
+      (2L, "https://ok.example.com/x", "other text", true))
+      .toDF("id", "url", "text", "q")
+    val got = Domains.governanceReport(docs, col("id"), col("url"),
+        col("text"), col("q"),
+        blockedHosts = Seq("bad.example.com"), blockedDomains = Seq("x.y"),
+        multiPartTlds = Nil, capPerDomain = 5)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0)) -> r).toMap
+    val nul = got(null)
+    assert(nul.getLong(2) == 1L, "one doc under the null domain")
+    assert(nul.getLong(8) == 0L, "unparseable is not blocked")
+    assert(nul.getLong(9) == 1L, "and survives the cap")
+    assert(got("example.com").getLong(9) == 1L)
+  }
+
   // ---- Ranking.trainHashedLogReg ----
 
   test("trainHashedLogReg: loss strictly decreases and the trained " +
