@@ -239,4 +239,51 @@ object Subword {
       i => word.substr(i + 1, lit(1)))
     merges.foldLeft(init) { case (acc, (a, b)) => mergeOnce(acc, a, b) }
   }
+
+  /** Fixed-size token chunking with stride — the RAG/pretraining
+    * windowing step: each document's token stream cut into windows of
+    * `chunkTokens` starting every `stride` tokens (stride < chunk ⇒
+    * overlapping windows; stride = chunk ⇒ [[Split]]-style disjoint
+    * packing at the document grain). Every start position below the
+    * token count emits a window, so the tail windows are SHORTER than
+    * `chunkTokens` (kept, not dropped — the tail's tokens still reach
+    * training/retrieval; callers filter `n_tokens < min` if they want
+    * the FAISS-ish drop-short convention). Blank/null docs emit no
+    * chunks. Output: (id, chunk_idx, start_tok (0-based), n_tokens,
+    * chunk_md5) — the md5 of the space-joined window, so an oracle
+    * gates the actual window CONTENT, not just its geometry.
+    *
+    * Scale shape: one codegen'd projection — tokenize, an exploded
+    * index sequence of ⌈n/stride⌉ ints per doc, a row-local slice +
+    * hash per window. No shuffle, no join, no state: the operator is
+    * embarrassingly parallel and its output volume is the input token
+    * volume times the overlap factor chunk/stride (callers pick the
+    * write-amplification). Start-index arithmetic uses floor() on
+    * doubles — exact below 2^53 tokens per DOCUMENT, 9 orders above
+    * any real document. */
+  def chunkDocs(
+      df: DataFrame, id: Column, text: Column,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(stride >= 1, "stride must be >= 1")
+    val toks = TextFunctions.tokens(text)
+    df.filter(length(trim(coalesce(text, lit("")))) > 0)
+      .select(id.as("id"), toks.as("__toks"), size(toks).as("__n"))
+      .select(col("id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0L),
+          floor((col("__n") - lit(1)).cast("double") / lit(stride))
+            .cast("long"))).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("chunk_idx") * lit(stride.toLong)).as("start_tok"),
+        least(lit(chunkTokens.toLong),
+          col("__n").cast("long") - col("chunk_idx") * lit(stride.toLong))
+          .as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("__toks"),
+            (col("chunk_idx") * lit(stride) + lit(1)).cast("int"),
+            least(lit(chunkTokens),
+              col("__n") - col("chunk_idx").cast("int") * lit(stride))
+              .cast("int"))))
+          .as("chunk_md5"))
+  }
 }

@@ -800,9 +800,21 @@ object CorpusQueries {
       col("doc_id"), col("text"), label = col("lang") === "en",
       nBuckets = 64, iters = 3, lr = 0.5)._1
 
+  /** q184 — fixed-size token chunking with stride
+    * ([[Subword.chunkDocs]], 64-token windows every 48): the
+    * RAG/pretraining windowing pass; gated on the md5 of every
+    * window's CONTENT, so tokenize, start arithmetic, tail-window
+    * shortening and the slice itself are all under the oracle. */
+  def q184Chunking(spark: SparkSession, dir: String): DataFrame =
+    Subword.chunkDocs(Tables.documents(spark, dir), col("doc_id"),
+        col("text"), chunkTokens = 64, stride = 48)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(asc_nulls_first("doc_id"), asc("chunk_idx"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_domain_governance" -> q181DomainGovernance _,
     "q182_train_quality_lr"  -> q182TrainQualityLr _,
+    "q184_chunking"          -> q184Chunking _,
     "q164_psi_drift"         -> q164PsiDrift _,
     "q167_chi_square"        -> q167ChiSquare _,
     "q168_neyman_alloc"      -> q168NeymanAlloc _,
@@ -1094,6 +1106,22 @@ object CorpusQueries {
       |     WHERE doc_id % 97 = 0)"""
 
   val oracle: Map[String, String] = Map(
+    "q184_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |   string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE len(trim(coalesce(text, ''))) > 0),
+        | c AS (SELECT doc_id, toks, len(toks) AS n,
+        |   unnest(range(CAST(floor(CAST(len(toks) - 1 AS DOUBLE)
+        |     / CAST(48 AS DOUBLE)) AS BIGINT) + 1)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |  CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[CAST(chunk_idx * 48 + 1 AS BIGINT)
+        |    : CAST(chunk_idx * 48
+        |        + least(64, n - chunk_idx * 48) AS BIGINT)], ' '))
+        |    AS chunk_md5
+        | FROM c ORDER BY doc_id NULLS FIRST, chunk_idx""".stripMargin,
     "q181_domain_governance" ->
       """WITH hosts(i, h) AS (VALUES
         |   (0, 'www.alpha-press.com'), (1, 'm.alpha-press.com'),

@@ -144,6 +144,39 @@ class Wave20Spec extends SparkSpec {
     assert(losses.forall(l => !l.isNaN && !l.isInfinite))
   }
 
+  // ---- Subword.chunkDocs ----
+
+  test("chunkDocs: hand-computed windows — overlap, short tail, blank " +
+    "docs excluded") {
+    def m(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = graft.operators.Subword.chunkDocs(docs, col("id"),
+        col("text"), chunkTokens = 4, stride = 3)
+      .orderBy("id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0L, 4L, m("a b c d")),
+      (1L, 1, 3L, 4L, m("d e f g")),
+      (1L, 2, 6L, 4L, m("g h i j")),
+      (1L, 3, 9L, 1L, m("j"))),
+      got.mkString(","))
+  }
+
+  test("chunkDocs: stride = chunk is disjoint full packing") {
+    val docs = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val got = graft.operators.Subword.chunkDocs(docs, col("id"),
+        col("text"), chunkTokens = 3, stride = 3)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0, 0L, 3L), (1, 3L, 3L)))
+  }
+
   // ---- Funnel.rollingActivesApprox ----
 
   test("rollingActivesApprox: exact column equals rollingActives and " +
