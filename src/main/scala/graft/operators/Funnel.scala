@@ -999,32 +999,76 @@ object Funnel {
     * such, not an eigensolver.
     *
     * Scale shape: the matrix build is [[transitionMatrix]] (one lag
-    * window + \|types\|² aggregate); every iteration is a join and
-    * aggregate over \|types\|-sized frames, pinned per step
-    * ([[Materialize.pin]]) so the plan stays depth-1 instead of
-    * growing by one join per iteration. Iteration count bounds the
-    * chain — never the data. */
+    * window + \|types\|² aggregate — the only data-sized work). The
+    * matrix itself is \|types\|²-bounded — PARAMETER-sized, the
+    * codebook discipline — so the power iteration runs on the DRIVER
+    * over the collected grid (≤ `maxCollectStates`² rows, one job
+    * total instead of one pinned join+aggregate job per step; the
+    * sf0.1 bench had 8 distributed iterations costing ~0.8 s of pure
+    * scheduling on frames of a few dozen rows). Above the cap the
+    * operator falls back to the distributed per-step loop, so type
+    * cardinality can never overrun driver memory. Driver sums
+    * accumulate in sorted (from, to) order — deterministic, and
+    * association noise sits ~1e-15, far inside the final 4 dp round
+    * (the same argument the distributed form relied on vs DuckDB's
+    * sum order). */
   def stationaryDistribution(
       events: DataFrame, user: Column, ts: Column, tieBreak: Column,
-      eventType: Column, iterations: Int = 8): DataFrame = {
+      eventType: Column, iterations: Int = 8,
+      maxCollectStates: Int = 4096): DataFrame = {
     require(iterations >= 1 && iterations <= 32,
       "iterations must be in [1, 32]")
-    val trans = Materialize.pin(
-      transitionMatrix(events, user, ts, tieBreak, eventType)
-        .select(col("from_type"), col("to_type"), col("p").as("__pij")))
-    val states = Materialize.pin(
-      trans.select(col("from_type").as("state")).distinct())
-    val n1 = states.agg(count(lit(1)).as("__n"))
-    var dist = states.crossJoin(broadcast(n1))
-      .select(col("state"), (lit(1.0d) / col("__n").cast("double")).as("p"))
-    (1 to iterations).foreach { _ =>
-      dist = Materialize.pin(
-        dist.select(col("state").as("__i"), col("p").as("__pi"))
-          .join(trans, col("__i") === col("from_type"))
-          .groupBy(col("to_type").as("state"))
-          .agg(sum(col("__pi") * col("__pij")).as("p")))
+    val spark = events.sparkSession
+    val trans = transitionMatrix(events, user, ts, tieBreak, eventType)
+      .select(col("from_type"), col("to_type"), col("p").as("__pij"))
+    val rows = trans.collect()
+    val nullKey = " __null__"
+    if (rows.iterator.map(r => if (r.isNullAt(0)) nullKey else r.getString(0))
+          .toSet.size > maxCollectStates) {
+      // Distributed fallback: per-step pinned join+aggregate.
+      val pinned = Materialize.pin(trans)
+      val states = Materialize.pin(
+        pinned.select(col("from_type").as("state")).distinct())
+      val n1 = states.agg(count(lit(1)).as("__n"))
+      var dist = states.crossJoin(broadcast(n1))
+        .select(col("state"),
+          (lit(1.0d) / col("__n").cast("double")).as("p"))
+      (1 to iterations).foreach { _ =>
+        dist = Materialize.pin(
+          dist.select(col("state").as("__i"), col("p").as("__pi"))
+            .join(pinned, col("__i") === col("from_type"))
+            .groupBy(col("to_type").as("state"))
+            .agg(sum(col("__pi") * col("__pij")).as("p")))
+      }
+      dist.select(col("state"), round(col("p"), 4).as("stationary"))
+    } else {
+      def key(r: org.apache.spark.sql.Row, i: Int): String =
+        if (r.isNullAt(i)) nullKey else r.getString(i)
+      // Sorted edge list: a fixed accumulation order per to-state.
+      val edges = rows.map(r => (key(r, 0), key(r, 1), r.getDouble(2)))
+        .sortBy(e => (e._1, e._2))
+      val states = edges.map(_._1).distinct
+      var v: Map[String, Double] =
+        states.map(_ -> 1.0d / states.length).toMap
+      (1 to iterations).foreach { _ =>
+        val next = scala.collection.mutable.LinkedHashMap[String, Double]()
+        edges.foreach { case (from, to, pij) =>
+          v.get(from).foreach { pi =>
+            next(to) = next.getOrElse(to, 0.0d) + pi * pij
+          }
+        }
+        v = next.toMap
+      }
+      // Final 4 dp round stays IN the engine (identical `round`
+      // semantics to the distributed form — no driver re-implementation
+      // of Catalyst's double rounding at the half-grid).
+      val out = v.toSeq.map { case (s, p) =>
+        (if (s == nullKey) null else s, p)
+      }
+      import spark.implicits._
+      out.toDF("state", "p")
+        .select(col("state"), round(col("p"), 4).as("stationary"))
     }
-    dist.select(col("state"), round(col("p"), 4).as("stationary"))
   }
   /** Revenue-concentration report — the Lorenz read at named points:
     * for each requested top percentile, the user-revenue cutoff (the

@@ -682,29 +682,23 @@ object Ranking {
     require(nBuckets >= 1, "nBuckets must be positive")
     val scored = bigramLogProb(df, id, text, lambdaJm, materialize)
     val base = df.select(id.as("__id"), lang.as("lang"))
-    // The band window runs over SCORED docs only — letting the
-    // unscored (degenerate) docs into the partition would shift every
-    // ntile boundary by however many empty docs the language has.
-    val w = Window.partitionBy(col("lang"))
+    // ONE left join carries every doc; the scored-ness flag splits the
+    // band window's PARTITION key, so the unscored (degenerate) docs
+    // land in their own (lang, false) partitions and never shift a
+    // scored language's ntile boundaries. This replaces the previous
+    // two-branch shape (inner join + a second full-corpus tokenize to
+    // re-derive the <2-token set + unionAll): the corpus text is now
+    // read exactly once (inside the LM chain) and the banding is one
+    // join and one window pass instead of two plan branches.
+    // Scored-ness is JOIN PRESENCE (an explicit marker), not a
+    // null-test on a payload column — the distinction matters if the
+    // LM score ever legitimately aggregates to null.
+    val isScored = col("__sc").isNotNull
+    val w = Window.partitionBy(col("lang"), isScored)
       .orderBy(col("logprob").desc, col("__id").asc)
-    val banded = base.join(scored, Seq("__id"))
-      .withColumn("bucket", ntile(nBuckets).over(w))
-    // The unscored set is DEFINED by the same predicate bigramLogProb
-    // uses to admit docs (>= 2 tokens), so derive it directly from the
-    // input with one cheap narrow tokenize — a left_anti against
-    // `scored` would instantiate the whole LM aggregation chain a
-    // SECOND time (the chain is the query's entire cost; the r12 bench
-    // had q137 at ~2x q83 for exactly this reason). coalesce(-1):
-    // null text tokenizes to a null array, and a null size must land
-    // in the unscored branch, not vanish from the filter.
-    val unscored = df.select(id.as("__id"), lang.as("lang"), text.as("__t"))
-      .filter(coalesce(size(tokens(col("__t"))), lit(-1)) < 2)
-      .select(col("__id"), col("lang"),
-        lit(null).cast("long").as("n_bigrams"),
-        lit(null).cast("double").as("logprob"), lit(0).as("bucket"))
-    banded.select(col("__id"), col("lang"), col("n_bigrams"),
-        col("logprob"), col("bucket"))
-      .unionAll(unscored)
+    base.join(scored.withColumn("__sc", lit(1)), Seq("__id"), "left")
+      .withColumn("bucket",
+        when(isScored, ntile(nBuckets).over(w)).otherwise(lit(0)))
       .select(col("__id").as("id"), col("lang"),
         col("n_bigrams"), col("logprob"), col("bucket"))
   }
