@@ -531,10 +531,15 @@ object Funnel {
       events: DataFrame, user: Column, ts: Column, eventType: Column,
       gapMicros: Long, topN: Int): DataFrame = {
     require(topN >= 1, "topN must be positive")
-    val st = sessionize(events, user, ts, gapMicros, seqCol = "__seq")
-      .select(concat_ws("#", user, col("__seq")).as("__skey"),
-        eventType.as("t"))
-      .distinct()
+    // Pinned: the session-distinct type frame (≤ sessions·|types| rows)
+    // feeds THREE consumers (totals, per-type marginals, the pair
+    // self-join) — without the pin each one re-runs the events-sized
+    // sessionize window.
+    val st = Materialize.pin(
+      sessionize(events, user, ts, gapMicros, seqCol = "__seq")
+        .select(concat_ws("#", user, col("__seq")).as("__skey"),
+          eventType.as("t"))
+        .distinct())
     val totals = st.agg(countDistinct(col("__skey")).as("s_total"))
     val perType = st.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
     val pairs = st.as("a")

@@ -565,16 +565,20 @@ object Ranking {
     * clamped away from log 0; not part of the gated output).
     *
     * Scale shape: the (doc, bucket) feature frame is built once (the
-    * corpus's only token-volume shuffle) and persisted for the loop;
-    * each iteration is one doc-keyed aggregate (z), one broadcast-sized
-    * join of the parameter-sized weight LITERAL (no weight shuffle —
-    * weights live in the plan, [[Similarity.randomProjection]]'s
-    * matrix discipline), one bucket-keyed aggregate (∇), and a
-    * `nBuckets`-row collect. Iteration count bounds the chain, never
-    * the data. At production feature widths (2²⁰ buckets) swap the
-    * weight literal for a broadcast join and the driver update for
-    * `spark.ml.classification.LogisticRegression` — this form keeps
-    * the weights on an oracle-checkable grid. */
+    * corpus's only token-volume shuffle), folded to one sorted
+    * (bucket, tf)-pairs row per doc, labeled, and persisted — the
+    * loop's whole cached input. Each iteration then touches NO
+    * doc-keyed exchange: z is a codegen'd `aggregate` HOF over the
+    * per-doc pairs against the parameter-sized weight LITERAL (no
+    * weight shuffle — weights live in the plan,
+    * [[Similarity.randomProjection]]'s matrix discipline), ∇ is one
+    * explode into a `nBuckets`-key aggregate with map-side partials,
+    * and the update is a `nBuckets`-row collect. Iteration count
+    * bounds the chain, never the data. At production feature widths
+    * (2²⁰ buckets) swap the weight literal for a broadcast join and
+    * the driver update for `spark.ml.classification
+    * .LogisticRegression` — this form keeps the weights on an
+    * oracle-checkable grid. */
   def trainHashedLogReg(
       df: DataFrame, id: Column, text: Column, label: Column,
       nBuckets: Int, iters: Int, lr: Double): (DataFrame, Seq[Double]) = {
@@ -587,13 +591,30 @@ object Ranking {
           lit(nBuckets.toLong)))
       .groupBy(col("__id"), col("__b"))
       .agg(sum(col("tf")).cast("long").as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val labels = df.select(id.as("__id"),
       when(coalesce(label, lit(false)), lit(1.0d)).otherwise(lit(0.0d))
         .as("__y"))
+    // Per-doc compact layout, built ONCE: the (doc, bucket, tf) frame
+    // folded to one row per doc carrying its sorted (bucket, tf) pairs
+    // plus the label. This is the loop's entire cached input — each
+    // iteration's z is then a codegen'd `aggregate` HOF over the
+    // array (NO doc-keyed shuffle, no label join), and the gradient
+    // re-expands the pairs with one explode into a nBuckets-key
+    // aggregate with map-side partials. The previous shape re-shuffled
+    // the (doc, bucket) frame TWICE per iteration (z groupBy + the
+    // gradient's join back on __id); at sf0.1 that was ~0.8 s of pure
+    // exchange per iteration on frames this loop never changes.
+    // sort_array is for plan determinism only — z and ∇ accumulate in
+    // exact DECIMAL, so no summation order can change a value.
+    val docFeats = feats
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__b"), col("tf"))))
+        .as("__fs"))
+      .join(labels, Seq("__id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // N = docs with token events (zero-token docs carry no gradient and
-    // no loss); one count bounds every iteration's mean.
-    val n = feats.select(col("__id")).distinct().count()
+    // no loss); the count also materializes the cached frame.
+    val n = docFeats.count()
     require(n > 0, "no documents with token events to train on")
     val w = Array.fill(nBuckets)(0.0d)
     var losses = Vector.empty[Double]
@@ -607,12 +628,17 @@ object Ranking {
       // association noise crossed the 6-dp round boundary on real data
       // (one bucket in 64 at sf0.01) and flipped the last digit
       // between engines. One cast back to double after the exact sum.
-      val z = feats.groupBy(col("__id"))
-        .agg(round(sum(col("tf").cast("decimal(20,0)") *
-          element_at(wLit, (col("__b") + 1).cast("int"))
-            .cast("decimal(12,6)")).cast("double"), 6).as("__z"))
-      val p = z.join(labels, Seq("__id"))
-        .select(col("__id"), col("__y"),
+      // The HOF's decimal(38,6) accumulator is the same type a groupBy
+      // sum of the decimal(33,6) products promotes to.
+      val zc = aggregate(col("__fs"),
+        lit(0).cast("decimal(38,6)"),
+        (acc, f) => acc + f.getField("tf").cast("decimal(20,0)") *
+          element_at(wLit, (f.getField("__b") + 1).cast("int"))
+            .cast("decimal(12,6)"))
+      val p = docFeats
+        .select(col("__fs"), col("__y"),
+          round(zc.cast("double"), 6).as("__z"))
+        .select(col("__fs"), col("__y"),
           round(lit(1.0d) / (lit(1.0d) + exp(-col("__z"))), 6).as("__p"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // ∇ rounds to 5 dp, one digit COARSER than the 6-dp weight grid:
@@ -621,9 +647,10 @@ object Ranking {
       // half-grid — where Spark's exact-BigDecimal round and DuckDB's
       // multiply-then-round disagree about the same double (observed:
       // one bucket in 64 flipped its last digit).
-      val gradRows = feats.join(p, Seq("__id"))
-        .groupBy(col("__b"))
-        .agg(round(sum(col("tf").cast("decimal(20,0)") *
+      val gradRows = p
+        .select(col("__p"), col("__y"), explode(col("__fs")).as("__f"))
+        .groupBy(col("__f.__b").as("__b"))
+        .agg(round(sum(col("__f.tf").cast("decimal(20,0)") *
           (col("__p").cast("decimal(12,6)") -
             col("__y").cast("decimal(12,6)"))).cast("double") /
           lit(n.toDouble), 5).as("__g"))
@@ -641,7 +668,7 @@ object Ranking {
         w(b) = round6(w(b) - lr * r.getDouble(1))
       }
     }
-    feats.unpersist(false)
+    docFeats.unpersist(false)
     val weights = spark.range(nBuckets.toLong)
       .select(col("id").cast("int").as("bucket"),
         element_at(typedLit(w.toSeq), (col("id") + 1).cast("int")).as("w"))
