@@ -676,6 +676,124 @@ object Ranking {
     (weights, losses)
   }
 
+  /** Held-out evaluation of the in-engine hashed-LR quality classifier
+    * — the closing third of the train/score/gate loop
+    * ([[trainHashedLogReg]] trains, [[hashedLinearScore]] gates):
+    * split the corpus by the [[Split.hashFraction]] hash (train =
+    * fraction < `trainFrac`, the q60 convention — deterministic,
+    * engine-portable, no RNG), train on the train slice, score the
+    * HELD-OUT slice with the trained weights, and report the confusion
+    * matrix with the derived rates as (metric, value) rows.
+    *
+    * The decision threshold is CALIBRATED ON TRAIN: predicted-positive
+    * is `z > z̄_train` (strictly), the mean trained score over the
+    * train docs with token events. The intercept-free model can learn
+    * direction but not offset, so the raw `z > 0` operating point
+    * degenerates to all-negative under class imbalance; centering at
+    * the train mean is the standard threshold-tuning step and keeps
+    * the whole chain engine-exact — z̄ is an exact DECIMAL sum of
+    * 6-dp-grid z values divided once in double, so both engines
+    * compare against the IDENTICAL double (an interpolated median
+    * would land on the 5e-7 half-grid where engine rounding
+    * disagrees). Held-out docs with NO token events (z undefined →
+    * coalesced to 0) are decided by the same comparison, documented.
+    * Counts are integers; accuracy/precision/recall are
+    * `round(count ratio, 4)`; f1 is computed FROM the two rounded
+    * rates (both engines derive it from identical doubles). Rates
+    * with a zero denominator report NULL, loudly, rather than 0.
+    * On THIS repo's synthetic corpus the lang label is unlearnable
+    * from text by construction (all langs share one token
+    * distribution), so accuracy sits at chance — the contract under
+    * test is the split/train/score/report chain, not the model.
+    *
+    * Scale shape: training is [[trainHashedLogReg]]'s cached-loop
+    * shape; the trained weight table is a `nBuckets`-row collect (the
+    * parameter-sized kind) re-entering both scoring plans as a
+    * LITERAL, so scoring is one token-volume aggregate per slice —
+    * no weight shuffle, no iteration; the calibration cutoff is a
+    * 1-row broadcast. The report is a single 1-row aggregate melted
+    * to \|metrics\| rows. */
+  def evalHashedLogReg(
+      df: DataFrame, id: Column, text: Column, label: Column,
+      trainFrac: Double, nBuckets: Int, iters: Int,
+      lr: Double): DataFrame = {
+    require(trainFrac > 0.0 && trainFrac < 1.0,
+      "trainFrac must be in (0, 1)")
+    val frac = Split.hashFraction(id.cast("string"))
+    val train = df.filter(frac < trainFrac)
+    val test = df.filter(!(frac < trainFrac))
+    val (weightsDf, _) =
+      trainHashedLogReg(train, id, text, label, nBuckets, iters, lr)
+    val w = weightsDf.orderBy(asc("bucket")).collect()
+      .map(_.getDouble(1)).toSeq
+    val wLit = typedLit(w)
+    def scoreZ(slice: DataFrame): DataFrame =
+      termFreqs(slice, id, text)
+        .withColumn("__b",
+          pmod(conv(substring(md5(col("term")), 1, 8), 16, 10)
+            .cast("long"), lit(nBuckets.toLong)))
+        .groupBy(col("__id"))
+        .agg(round(sum(col("tf").cast("decimal(20,0)") *
+          element_at(wLit, (col("__b") + 1).cast("int"))
+            .cast("decimal(12,6)")).cast("double"), 6).as("__z"))
+    // Train-mean operating point: exact decimal sum of the grid z's,
+    // ONE double division — both engines land on the identical double.
+    val cutoff = scoreZ(train)
+      .agg((sum(col("__z").cast("decimal(20,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("__c"))
+    val scored = test
+      .select(id.as("__id"),
+        when(coalesce(label, lit(false)), lit(1.0d)).otherwise(lit(0.0d))
+          .as("__y"))
+      .join(scoreZ(test), Seq("__id"), "left")
+      .crossJoin(broadcast(cutoff))
+      .select(col("__y"),
+        (coalesce(col("__z"), lit(0.0d)) > col("__c")).as("__pred"))
+    val conf = scored.agg(
+      coalesce(sum(when(col("__pred") && col("__y") === 1.0d, 1L)
+        .otherwise(0L)), lit(0L)).as("tp"),
+      coalesce(sum(when(col("__pred") && col("__y") === 0.0d, 1L)
+        .otherwise(0L)), lit(0L)).as("fp"),
+      coalesce(sum(when(!col("__pred") && col("__y") === 0.0d, 1L)
+        .otherwise(0L)), lit(0L)).as("tn"),
+      coalesce(sum(when(!col("__pred") && col("__y") === 1.0d, 1L)
+        .otherwise(0L)), lit(0L)).as("fn"),
+      count(lit(1)).as("n_test"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    val rates = conf.crossJoin(broadcast(nTrain))
+      .withColumn("accuracy",
+        when(col("n_test") > 0,
+          round((col("tp") + col("tn")).cast("double") /
+            col("n_test").cast("double"), 4)))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 4)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 4)))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          round(lit(2.0d) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 4)))
+    rates.select(explode(array(
+        struct(lit("accuracy").as("metric"), col("accuracy").as("value")),
+        struct(lit("f1").as("metric"), col("f1").as("value")),
+        struct(lit("fn").as("metric"), col("fn").cast("double").as("value")),
+        struct(lit("fp").as("metric"), col("fp").cast("double").as("value")),
+        struct(lit("n_test").as("metric"),
+          col("n_test").cast("double").as("value")),
+        struct(lit("n_train").as("metric"),
+          col("n_train").cast("double").as("value")),
+        struct(lit("precision").as("metric"), col("precision").as("value")),
+        struct(lit("recall").as("metric"), col("recall").as("value")),
+        struct(lit("tn").as("metric"), col("tn").cast("double").as("value")),
+        struct(lit("tp").as("metric"), col("tp").cast("double").as("value"))
+      )).as("__m"))
+      .select(col("__m.metric").as("metric"), col("__m.value").as("value"))
+  }
+
   /** CCNet-style per-language perplexity buckets: score every document
     * with the corpus bigram LM ([[bigramLogProb]] — Jelinek-Mercer
     * interpolated, mean log-probability per bigram), then split each

@@ -800,6 +800,21 @@ object CorpusQueries {
       col("doc_id"), col("text"), label = col("lang") === "en",
       nBuckets = 64, iters = 3, lr = 0.5)._1
 
+  /** q185 — held-out evaluation of the in-engine quality classifier
+    * ([[Ranking.evalHashedLogReg]]): hash-split the corpus 80/20 (the
+    * q60 convention), train the 64-bucket hashed LR for 3 steps on the
+    * train slice (q182's training loop exactly), score the held-out
+    * slice with the TRAINED weights at the z > 0 decision, and report
+    * the confusion matrix + accuracy/precision/recall/F1 as (metric,
+    * value) rows. The oracle re-derives the whole chain — split,
+    * 3-step unroll, held-out scoring, confusion arithmetic — so the
+    * trained weights themselves sit under the hash gate end-to-end. */
+  def q185EvalQualityLr(spark: SparkSession, dir: String): DataFrame =
+    Ranking.evalHashedLogReg(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), label = col("lang") === "en",
+        trainFrac = 0.8, nBuckets = 64, iters = 3, lr = 0.5)
+      .orderBy(asc("metric"))
+
   /** q184 — fixed-size token chunking with stride
     * ([[Subword.chunkDocs]], 64-token windows every 48): the
     * RAG/pretraining windowing pass; gated on the md5 of every
@@ -815,6 +830,7 @@ object CorpusQueries {
     "q181_domain_governance" -> q181DomainGovernance _,
     "q182_train_quality_lr"  -> q182TrainQualityLr _,
     "q184_chunking"          -> q184Chunking _,
+    "q185_eval_quality_lr"   -> q185EvalQualityLr _,
     "q164_psi_drift"         -> q164PsiDrift _,
     "q167_chi_square"        -> q167ChiSquare _,
     "q168_neyman_alloc"      -> q168NeymanAlloc _,
@@ -1232,6 +1248,105 @@ object CorpusQueries {
         |  FROM w2 LEFT JOIN g3 USING (b))
         |SELECT CAST(b AS INTEGER) AS bucket, w
         | FROM w3 ORDER BY bucket""".stripMargin,
+    "q185_eval_quality_lr" ->
+      s"""WITH base AS (SELECT doc_id, text, lang,
+        |   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0 < 0.8) AS is_train
+        |  FROM documents),
+        | tr AS (SELECT * FROM base WHERE is_train),
+        | te AS (SELECT * FROM base WHERE NOT is_train),
+        | t AS (SELECT doc_id, unnest($toksSql) AS term FROM tr),
+        | tfb AS (SELECT doc_id,
+        |   CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b,
+        |   count(*) AS tf
+        |  FROM t GROUP BY 1, 2),
+        | y AS (SELECT doc_id, CASE WHEN lang = 'en'
+        |     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM tr),
+        | n AS (SELECT count(DISTINCT doc_id) AS n FROM tfb),
+        | bs AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS b),
+        | g1 AS (SELECT b, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * (CAST(0.5 AS DECIMAL(12,6)) - CAST(y.y AS DECIMAL(12,6))))
+        |     AS DOUBLE) / n.n, 5) AS g
+        |  FROM tfb JOIN y USING (doc_id) CROSS JOIN n GROUP BY b, n.n),
+        | w1 AS (SELECT bs.b,
+        |   round(0.0 - 0.5 * coalesce(g, 0.0), 6) AS w
+        |  FROM bs LEFT JOIN g1 USING (b)),
+        | z2 AS (SELECT doc_id, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * CAST(w1.w AS DECIMAL(12,6))) AS DOUBLE), 6) AS z
+        |  FROM tfb JOIN w1 USING (b) GROUP BY doc_id),
+        | p2 AS (SELECT doc_id,
+        |   round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z2),
+        | g2 AS (SELECT b, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * (CAST(p2.p AS DECIMAL(12,6)) - CAST(y.y AS DECIMAL(12,6))))
+        |     AS DOUBLE) / n.n, 5) AS g
+        |  FROM tfb JOIN p2 USING (doc_id) JOIN y USING (doc_id)
+        |  CROSS JOIN n GROUP BY b, n.n),
+        | w2 AS (SELECT w1.b,
+        |   round(w1.w - 0.5 * coalesce(g2.g, 0.0), 6) AS w
+        |  FROM w1 LEFT JOIN g2 USING (b)),
+        | z3 AS (SELECT doc_id, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * CAST(w2.w AS DECIMAL(12,6))) AS DOUBLE), 6) AS z
+        |  FROM tfb JOIN w2 USING (b) GROUP BY doc_id),
+        | p3 AS (SELECT doc_id,
+        |   round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z3),
+        | g3 AS (SELECT b, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * (CAST(p3.p AS DECIMAL(12,6)) - CAST(y.y AS DECIMAL(12,6))))
+        |     AS DOUBLE) / n.n, 5) AS g
+        |  FROM tfb JOIN p3 USING (doc_id) JOIN y USING (doc_id)
+        |  CROSS JOIN n GROUP BY b, n.n),
+        | w3 AS (SELECT w2.b,
+        |   round(w2.w - 0.5 * coalesce(g3.g, 0.0), 6) AS w
+        |  FROM w2 LEFT JOIN g3 USING (b)),
+        | ztr AS (SELECT doc_id, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * CAST(w3.w AS DECIMAL(12,6))) AS DOUBLE), 6) AS z
+        |  FROM tfb JOIN w3 USING (b) GROUP BY doc_id),
+        | cut AS (SELECT CAST(sum(CAST(z AS DECIMAL(20,6))) AS DOUBLE)
+        |     / count(*) AS c FROM ztr),
+        | tt AS (SELECT doc_id, unnest($toksSql) AS term FROM te),
+        | ttfb AS (SELECT doc_id,
+        |   CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b,
+        |   count(*) AS tf
+        |  FROM tt GROUP BY 1, 2),
+        | zt AS (SELECT doc_id, round(CAST(sum(CAST(tf AS DECIMAL(20,0))
+        |     * CAST(w3.w AS DECIMAL(12,6))) AS DOUBLE), 6) AS z
+        |  FROM ttfb JOIN w3 USING (b) GROUP BY doc_id),
+        | sc AS (SELECT CASE WHEN te.lang = 'en' THEN 1 ELSE 0 END AS y,
+        |   (coalesce(zt.z, 0.0) > cut.c) AS pred
+        |  FROM te LEFT JOIN zt USING (doc_id) CROSS JOIN cut),
+        | c AS (SELECT
+        |   CAST(coalesce(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END),
+        |     0) AS BIGINT) AS tp,
+        |   CAST(coalesce(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END),
+        |     0) AS BIGINT) AS fp,
+        |   CAST(coalesce(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0
+        |     END), 0) AS BIGINT) AS tn,
+        |   CAST(coalesce(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0
+        |     END), 0) AS BIGINT) AS fn,
+        |   count(*) AS n_test FROM sc),
+        | m AS (SELECT c.*, (SELECT count(*) FROM tr) AS n_train,
+        |   CASE WHEN n_test > 0 THEN round(CAST(tp + tn AS DOUBLE)
+        |     / CAST(n_test AS DOUBLE), 4) END AS acc,
+        |   CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE)
+        |     / CAST(tp + fp AS DOUBLE), 4) END AS prec,
+        |   CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE)
+        |     / CAST(tp + fn AS DOUBLE), 4) END AS rec
+        |  FROM c),
+        | m2 AS (SELECT m.*, CASE WHEN prec + rec > 0
+        |   THEN round(2.0 * prec * rec / (prec + rec), 4) END AS f1
+        |  FROM m)
+        |SELECT metric, value FROM (
+        |  SELECT 'accuracy' AS metric, acc AS value FROM m2
+        |  UNION ALL SELECT 'f1', f1 FROM m2
+        |  UNION ALL SELECT 'fn', CAST(fn AS DOUBLE) FROM m2
+        |  UNION ALL SELECT 'fp', CAST(fp AS DOUBLE) FROM m2
+        |  UNION ALL SELECT 'n_test', CAST(n_test AS DOUBLE) FROM m2
+        |  UNION ALL SELECT 'n_train', CAST(n_train AS DOUBLE) FROM m2
+        |  UNION ALL SELECT 'precision', prec FROM m2
+        |  UNION ALL SELECT 'recall', rec FROM m2
+        |  UNION ALL SELECT 'tn', CAST(tn AS DOUBLE) FROM m2
+        |  UNION ALL SELECT 'tp', CAST(tp AS DOUBLE) FROM m2)
+        |ORDER BY metric""".stripMargin,
     "q176_entropy_profile" ->
       """WITH m AS (SELECT lang AS grp, source AS unit,
         |   CAST(sum(n_chars) AS BIGINT) AS w

@@ -113,8 +113,9 @@ class PlanDisciplineSpec extends SparkSpec {
     // q174: the 1-row onboarded-user denominator broadcast under the
     // ≤ maxDays+1-row offset frame.
     "q174_ltv_curve",
-    // q175: the 1-row state-count broadcast building the uniform v0
-    // over the |types|-row state frame.
+    // q175: driver-side iteration plans no joins at all; the
+    // above-cap distributed fallback carries the 1-row state-count
+    // broadcast building the uniform v0 over the |types|-row frame.
     "q175_stationary",
     // q177: the 1-row pooled-percentile frame broadcast under each
     // |units|-row quantile slice.
@@ -124,7 +125,11 @@ class PlanDisciplineSpec extends SparkSpec {
     "q178_revenue_concentration",
     // q180: the 1-row type-count broadcast (the hmax denominator)
     // under the |users|-row entropy frame.
-    "q180_diversity_histogram")
+    "q180_diversity_histogram",
+    // q185: two 1-row crosses — the train-mean cutoff broadcast under
+    // the held-out scoring frame, and the 1-row train-count frame
+    // crossed into the 1-row confusion row.
+    "q185_eval_quality_lr")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

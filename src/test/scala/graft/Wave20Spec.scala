@@ -177,6 +177,42 @@ class Wave20Spec extends SparkSpec {
     assert(got.toSeq == Seq((0, 0L, 3L), (1, 3L, 3L)))
   }
 
+  // ---- Ranking.evalHashedLogReg ----
+
+  test("evalHashedLogReg: separable corpus evaluates perfectly; " +
+    "report is complete") {
+    // Positive docs speak only class-A tokens, negatives only class-B:
+    // three gradient steps + the train-mean operating point must
+    // separate the held-out slice exactly.
+    val docs = (1L to 60L).map { i =>
+      if (i % 2 == 0) (i, "alpha alpha beta alpha", true)
+      else (i, "gamma delta gamma gamma", false)
+    }.toDF("id", "text", "y")
+    val got = Ranking.evalHashedLogReg(docs, col("id"), col("text"),
+        col("y"), trainFrac = 0.8, nBuckets = 64, iters = 3, lr = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(got.keySet == Set("accuracy", "f1", "fn", "fp", "n_test",
+      "n_train", "precision", "recall", "tn", "tp"))
+    assert(got("n_train") + got("n_test") == 60.0)
+    assert(got("n_test") > 0 && got("tp") > 0 && got("tn") > 0)
+    assert(got("fp") == 0.0 && got("fn") == 0.0, got.toString)
+    assert(got("accuracy") == 1.0 && got("precision") == 1.0 &&
+      got("recall") == 1.0 && got("f1") == 1.0, got.toString)
+  }
+
+  test("evalHashedLogReg: confusion counts partition the held-out " +
+    "slice on an unlearnable label") {
+    val docs = (1L to 50L).map(i => (i, "same same text", i % 3 == 0))
+      .toDF("id", "text", "y")
+    val got = Ranking.evalHashedLogReg(docs, col("id"), col("text"),
+        col("y"), trainFrac = 0.8, nBuckets = 16, iters = 3, lr = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(got("tp") + got("fp") + got("tn") + got("fn") ==
+      got("n_test"))
+  }
+
   // ---- Funnel.rollingActivesApprox ----
 
   test("rollingActivesApprox: exact column equals rollingActives and " +
