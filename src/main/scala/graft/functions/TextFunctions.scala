@@ -89,15 +89,29 @@ object TextFunctions {
   def bowFingerprint(c: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(c))), " "))
 
+  /** Position-ordered token n-grams as space-joined strings, built by
+    * zipping n shifted slices — n bulk array copies and a positional
+    * merge — instead of a per-position `slice`/`element_at` chain. The
+    * same rework measured 40% off the sf0.1 bigram explode stage
+    * (Q83Explode, BASELINE.md round-13 chain table), and the n-gram
+    * explode is the corpus's hottest expression. Callers must guard
+    * `size(toks) >= n` (shorter docs produce an empty array here). */
+  def ngramStrings(toks: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
+    if (n == 1) toks
+    else transform(
+      arrays_zip((1 to n).map(j =>
+        slice(toks, lit(j), size(toks) - (n - 1))): _*),
+      s => concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))
+  }
+
   /** Token n-gram shingles (distinct), the unit for Jaccard/minhash dedup.
     * Documents shorter than n tokens shingle to their full token string so
     * they can still match exact duplicates. */
   def shingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
     when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - n), i =>
-          array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array_distinct(ngramStrings(toks, n)))
   }
 
   /** Polynomial rolling-hash document fingerprint:

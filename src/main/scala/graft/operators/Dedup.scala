@@ -837,8 +837,8 @@ object Dedup {
     // posexplode over the transform output: pos is the array index, which
     // is exactly the window's 0-based start token position.
     val wins = base.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), size(col("toks")) - k), i =>
-        array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      posexplode(
+        graft.functions.TextFunctions.ngramStrings(col("toks"), k)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         xxhash64(col("col")).as("h"))
     val dupHashes = wins.groupBy(col("h"))

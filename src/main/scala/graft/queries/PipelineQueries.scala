@@ -416,8 +416,7 @@ object PipelineQueries {
   def q62Repetition(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val grams = when(size(toks) < 2, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
-        array_join(slice(toks, i + 1, lit(2)), " ")))
+      .otherwise(graft.functions.TextFunctions.ngramStrings(toks, 2))
     // Hash-partition by doc_id up front (not round-robin spread): a
     // doc_id partitioning satisfies BOTH aggregations' distribution
     // requirements — (doc_id, h) groups and doc_id groups are each
