@@ -43,6 +43,23 @@ class Wave18Spec extends SparkSpec {
     assert(got.keySet == dist.keySet)
   }
 
+  test("stationaryDistribution: distributed fallback equals the " +
+    "driver-side iteration") {
+    // maxCollectStates = 1 forces the above-cap distributed loop on a
+    // 2-state chain; both paths must produce identical rows.
+    val walk = Seq("A", "B", "B", "A", "A", "B", "A")
+    val events = walk.zipWithIndex.map { case (t, i) =>
+      (1L, Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), t, i.toLong)
+    }.toDF("user_id", "ts", "event_type", "event_id")
+    def run(cap: Int) = Funnel.stationaryDistribution(events,
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        iterations = 8, maxCollectStates = cap)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val driver = run(4096)
+    val dist = run(1)
+    assert(driver == dist, s"$driver vs $dist")
+  }
+
   test("entropyProfile: even split, concentrated split, single unit") {
     val docs = Seq(
       ("even", "a", 5L), ("even", "b", 5L),
