@@ -94,14 +94,15 @@ object TextFunctions {
     * merge — instead of a per-position `slice`/`element_at` chain. The
     * same rework measured 40% off the sf0.1 bigram explode stage
     * (Q83Explode, BASELINE.md round-13 chain table), and the n-gram
-    * explode is the corpus's hottest expression. Callers must guard
-    * `size(toks) >= n` (shorter docs produce an empty array here). */
+    * explode is the corpus's hottest expression. Shorter-than-n docs
+    * produce an empty array (the slice length is clamped at 0 — a
+    * negative length would be a runtime error, not an empty slice). */
   def ngramStrings(toks: Column, n: Int): Column = {
     require(n >= 1, "n must be >= 1")
     if (n == 1) toks
     else transform(
       arrays_zip((1 to n).map(j =>
-        slice(toks, lit(j), size(toks) - (n - 1))): _*),
+        slice(toks, lit(j), greatest(size(toks) - (n - 1), lit(0)))): _*),
       s => concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))
   }
 

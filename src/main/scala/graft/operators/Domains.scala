@@ -8,7 +8,7 @@ import graft.functions.TextFunctions.tokens
 /** Document-level URL/domain governance — the per-domain accounting and
   * policy pass of a web-corpus curation pipeline (reference behavior
   * class: the source-level summaries of
-  * /root/reference/TrafficDataAnalysis.py, lifted to the
+  * /root/reference/TrafficAnalysis.py, lifted to the
   * registrable-domain grain a crawl corpus is governed at).
   *
   * Three concerns, one operator:

@@ -1007,12 +1007,14 @@ object Funnel {
     * window + \|types\|² aggregate — the only data-sized work). The
     * matrix itself is \|types\|²-bounded — PARAMETER-sized, the
     * codebook discipline — so the power iteration runs on the DRIVER
-    * over the collected grid (≤ `maxCollectStates`² rows, one job
-    * total instead of one pinned join+aggregate job per step; the
-    * sf0.1 bench had 8 distributed iterations costing ~0.8 s of pure
-    * scheduling on frames of a few dozen rows). Above the cap the
-    * operator falls back to the distributed per-step loop, so type
-    * cardinality can never overrun driver memory. Driver sums
+    * over the collected grid (≤ `maxCollectStates`² rows; the sf0.1
+    * bench had 8 distributed iterations costing ~0.8 s of pure
+    * scheduling on frames of a few dozen rows). The matrix is pinned
+    * once and the state count (from ∪ to — every driver map key) is
+    * checked by an IN-ENGINE distinct-count before anything is
+    * collected; above the cap the operator runs the distributed
+    * per-step loop over the same pinned frame, so type cardinality
+    * can never overrun driver memory. Driver sums
     * accumulate in sorted (from, to) order — deterministic, and
     * association noise sits ~1e-15, far inside the final 4 dp round
     * (the same argument the distributed form relied on vs DuckDB's
@@ -1024,14 +1026,21 @@ object Funnel {
     require(iterations >= 1 && iterations <= 32,
       "iterations must be in [1, 32]")
     val spark = events.sparkSession
-    val trans = transitionMatrix(events, user, ts, tieBreak, eventType)
-      .select(col("from_type"), col("to_type"), col("p").as("__pij"))
-    val rows = trans.collect()
-    val nullKey = " __null__"
-    if (rows.iterator.map(r => if (r.isNullAt(0)) nullKey else r.getString(0))
-          .toSet.size > maxCollectStates) {
+    // Pin the matrix ONCE: the lag window + |types|^2 aggregate is the
+    // only data-sized work, and the cap probe plus whichever iteration
+    // path wins all read the pinned frame - never a second matrix build.
+    val pinned = Materialize.pin(
+      transitionMatrix(events, user, ts, tieBreak, eventType)
+        .select(col("from_type"), col("to_type"), col("p").as("__pij")))
+    // Guard BEFORE any collect: distinct states (from-states AND
+    // to-only states - both become driver map keys) counted by a cheap
+    // in-engine aggregate over the matrix frame, so a high-cardinality
+    // eventType never pulls edge rows onto the driver.
+    val nStates = pinned.select(col("from_type").as("s"))
+      .union(pinned.select(col("to_type").as("s")))
+      .distinct().count()
+    if (nStates > maxCollectStates) {
       // Distributed fallback: per-step pinned join+aggregate.
-      val pinned = Materialize.pin(trans)
       val states = Materialize.pin(
         pinned.select(col("from_type").as("state")).distinct())
       val n1 = states.agg(count(lit(1)).as("__n"))
@@ -1047,16 +1056,20 @@ object Funnel {
       }
       dist.select(col("state"), round(col("p"), 4).as("stationary"))
     } else {
-      def key(r: org.apache.spark.sql.Row, i: Int): String =
-        if (r.isNullAt(i)) nullKey else r.getString(i)
+      // Option keys, not a string sentinel: a genuine event type can
+      // never collide with the null state.
+      def key(r: org.apache.spark.sql.Row, i: Int): Option[String] =
+        if (r.isNullAt(i)) None else Some(r.getString(i))
+      val rows = pinned.collect()
       // Sorted edge list: a fixed accumulation order per to-state.
       val edges = rows.map(r => (key(r, 0), key(r, 1), r.getDouble(2)))
         .sortBy(e => (e._1, e._2))
       val states = edges.map(_._1).distinct
-      var v: Map[String, Double] =
+      var v: Map[Option[String], Double] =
         states.map(_ -> 1.0d / states.length).toMap
       (1 to iterations).foreach { _ =>
-        val next = scala.collection.mutable.LinkedHashMap[String, Double]()
+        val next =
+          scala.collection.mutable.LinkedHashMap[Option[String], Double]()
         edges.foreach { case (from, to, pij) =>
           v.get(from).foreach { pi =>
             next(to) = next.getOrElse(to, 0.0d) + pi * pij
@@ -1067,9 +1080,7 @@ object Funnel {
       // Final 4 dp round stays IN the engine (identical `round`
       // semantics to the distributed form — no driver re-implementation
       // of Catalyst's double rounding at the half-grid).
-      val out = v.toSeq.map { case (s, p) =>
-        (if (s == nullKey) null else s, p)
-      }
+      val out = v.toSeq.map { case (s, p) => (s.orNull, p) }
       import spark.implicits._
       out.toDF("state", "p")
         .select(col("state"), round(col("p"), 4).as("stationary"))

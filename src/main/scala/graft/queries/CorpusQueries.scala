@@ -804,7 +804,9 @@ object CorpusQueries {
     * ([[Ranking.evalHashedLogReg]]): hash-split the corpus 80/20 (the
     * q60 convention), train the 64-bucket hashed LR for 3 steps on the
     * train slice (q182's training loop exactly), score the held-out
-    * slice with the TRAINED weights at the z > 0 decision, and report
+    * slice with the TRAINED weights at the train-calibrated cutoff
+    * z > z̄_train (the decision point [[Ranking.evalHashedLogReg]]
+    * documents — a raw z > 0 degenerates there), and report
     * the confusion matrix + accuracy/precision/recall/F1 as (metric,
     * value) rows. The oracle re-derives the whole chain — split,
     * 3-step unroll, held-out scoring, confusion arithmetic — so the

@@ -123,4 +123,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(0) == ((0, 0)))
     assert(got(1) == ((0, 0)))
   }
+
+  test("ngramStrings: shorter-than-n inputs yield empty arrays, not errors") {
+    // The slice length clamps at 0 for size(toks) < n-1; every sub-n
+    // size (0, 1, ..., n-1) must produce [] rather than a negative-length
+    // slice runtime error.
+    val df = Seq("", "a", "a b", "a b c", "a b c d").toDF("t")
+    val got = df
+      .select(ngramStrings(tokens(col("t")), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(Nil, Nil, Nil, List("a b c"), List("a b c", "b c d")))
+  }
 }
