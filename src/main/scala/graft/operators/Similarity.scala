@@ -105,6 +105,75 @@ object Similarity {
         col("neg_label"), col("sim"))
   }
 
+  /** [[hardNegatives]] through an ANN shortlist — the billion-vector
+    * form that method's scaladoc names: score anchors against the
+    * corpus in [[randomProjection]]'s outDim-double space, keep the
+    * `shortlist` best candidates per anchor (bounded GroupTopK heaps),
+    * then rerank ONLY the shortlist with exact full-dimension cosine
+    * and emit the top `k`. Identical output contract to
+    * [[hardNegatives]]: (anchor_id, rank, neg_id, neg_label, sim).
+    *
+    * Completeness gate (the [[projectedTopK]] / pqTopK discipline):
+    * the self- and label-inequality filters run BEFORE the shortlist
+    * heap, so `shortlist ≥ |corpus|` admits every eligible row and the
+    * rerank degenerates to [[hardNegatives]] EXACTLY — that equality
+    * is spec-gated; a fixed shortlist trades recall for the bandwidth
+    * cut and is recall-floor-gated instead (q186).
+    *
+    * Scale shape: the scan side touches outDim doubles per row (the
+    * inDim/outDim bandwidth cut — 96× on a 1536-dim production
+    * embedding at outDim 16) plus the label byte; the anchor batch
+    * (projected once, parameter-sized) broadcasts; the shortlist
+    * shuffle is ≤ shortlist rows per (anchor × partition) through the
+    * bounded heaps; the full-dimension rerank reads |anchors|·shortlist
+    * corpus rows via a broadcast id semi-join — parameter-sized by
+    * design (k' ≪ corpus; the corpus-sized shortlist exists only as
+    * the test-scale exactness gate). Wrong-dimension corpus rows
+    * project to null and sort after every real candidate in the
+    * shortlist stage. */
+  def hardNegativesShortlist(
+      corpus: DataFrame, id: Column, vec: Column, label: Column,
+      anchors: DataFrame, k: Int, inDim: Int, outDim: Int,
+      shortlist: Int, seed: String = "rp"): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val c = Dedup.spread(corpus).select(id.cast("long").as("id"),
+        vec.as("v"), label.as("neg_label"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+    val q = anchors
+      .select(col("query_id").cast("long").as("anchor_id"), col("qv"),
+        col("qlabel"))
+      .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
+      .withColumn("pq", projectedVec(col("qv"), inDim, outDim, seed))
+    // pv/pq are array<double> — the HOF fold, not the float-only
+    // native FloatVecDot expression (projectedTopK's convention).
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+    val scoredP = c
+      .withColumn("pv", projectedVec(col("v"), inDim, outDim, seed))
+      .crossJoin(broadcast(q.select(col("anchor_id").as("__aid"),
+        col("pq"), col("qlabel").as("__ql"))))
+      .filter(col("id") =!= col("__aid") && col("neg_label") =!= col("__ql"))
+      .withColumn("psim", ddot(col("pv"), col("pq")) /
+        (sqrt(ddot(col("pv"), col("pv"))) * sqrt(ddot(col("pq"), col("pq")))))
+    val short = graft.plans.GroupTopK.topK(scoredP,
+        Seq(col("__aid")), Seq(col("psim").desc, col("id").asc), shortlist)
+      .select(col("__aid").as("anchor_id"), col("id"))
+    val rescored = c.join(broadcast(short), Seq("id"))
+      .join(broadcast(q.select(col("anchor_id"), col("qv"), col("qnrm"))),
+        Seq("anchor_id"))
+      .withColumn("sim", round(
+        VectorFunctions.dot(col("v"), col("qv")) /
+          (col("nrm") * col("qnrm")), 4))
+    val top = graft.plans.GroupTopK.topK(rescored,
+      Seq(col("anchor_id")), Seq(col("sim").desc, col("id").asc), k)
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(desc("sim"), asc("id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("anchor_id"), col("rank"), col("id").as("neg_id"),
+        col("neg_label"), col("sim"))
+  }
+
   /** Corpus bucketing for the LSH path: adds `bucket` (nBits-bit
     * hyperplane signature). Persist/write the result bucketed by `bucket`
     * for repeated querying. */
@@ -572,7 +641,20 @@ object Similarity {
     * on every subsequent pass. Output: (id, pv: array&lt;double&gt;). */
   def randomProjection(
       corpus: DataFrame, id: Column, vec: Column,
-      inDim: Int, outDim: Int, seed: String = "rp"): DataFrame = {
+      inDim: Int, outDim: Int, seed: String = "rp"): DataFrame =
+    Dedup.spread(corpus)
+      .select(id.cast("long").as("id"), vec.as("v"))
+      .select(col("id"), projectedVec(col("v"), inDim, outDim, seed)
+        .as("pv"))
+
+  /** The [[randomProjection]] column expression on its own — the same
+    * seeded ±1 sign literal, fold order, 6-dp round, and wrong-dim →
+    * null guard — so operators that need the projection NEXT TO other
+    * columns ([[hardNegativesShortlist]] carries the label through)
+    * project inline instead of paying a corpus-sized id join against
+    * randomProjection's (id, pv) output. */
+  private[graft] def projectedVec(
+      v: Column, inDim: Int, outDim: Int, seed: String): Column = {
     require(inDim >= 1 && outDim >= 1, "dims must be positive")
     val scale = math.sqrt(outDim.toDouble)
     val rows = (0 until outDim).map { i =>
@@ -581,14 +663,10 @@ object Similarity {
     val pv = array(rows.map { signs =>
       round(
         aggregate(
-          zip_with(col("v"), signs, (a, s) => a.cast("double") * s),
+          zip_with(v, signs, (a, s) => a.cast("double") * s),
           lit(0.0d), (acc, x) => acc + x) / lit(scale), 6)
     }: _*)
-    Dedup.spread(corpus)
-      .select(id.cast("long").as("id"), vec.as("v"))
-      .withColumn("__d", size(col("v")))
-      .withColumn("pv", when(col("__d") === inDim, pv))
-      .select(col("id"), col("pv"))
+    when(size(v) === inDim, pv)
   }
 
   /** Sign-bucket layout audit for the projected space: bucket every

@@ -661,6 +661,48 @@ object PipelineQueries {
       .orderBy(asc("anchor_id"), asc("rank"))
   }
 
+  /** q186 — hard-negative mining through the ANN shortlist
+    * ([[Similarity.hardNegativesShortlist]]) on q128's contract shape:
+    * a corpus-sized shortlist must reproduce [[Similarity
+    * .hardNegatives]] IDENTICALLY on every column (the
+    * rerank-completeness degenerate — the label/self filters run
+    * before the shortlist heap, so nothing eligible is ever cut), and
+    * a 30%-of-corpus shortlist (floored at 50 per anchor) must keep
+    * recall ≥ 0.5 across the 10 anchors' top-5 sets. The fixture
+    * vectors are near-uniform random (the regime where a 4× dim cut
+    * preserves the least ordering — q128's note), so the floor is the
+    * honest contract, and the shortlist fraction scales with the
+    * corpus so the gate's regime does not tighten as SF grows. Oracle
+    * contract as q128: n_exact from q140's exhaustive CTE, booleans
+    * literal. */
+  def q186HardNegativesAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val exact = Similarity.hardNegatives(
+      emb, col("vec_id"), col("embedding"), col("label"), anchors, k = 5)
+    val n = emb.count()
+    val full = Similarity.hardNegativesShortlist(
+      emb, col("vec_id"), col("embedding"), col("label"), anchors,
+      k = 5, inDim = 64, outDim = 16, shortlist = 1 << 20)
+    val partial = Similarity.hardNegativesShortlist(
+      emb, col("vec_id"), col("embedding"), col("label"), anchors,
+      k = 5, inDim = 64, outDim = 16,
+      shortlist = math.max(50L, n * 3 / 10).toInt)
+    val fullStats = Similarity.recallStats(exact, full,
+      Seq("anchor_id", "rank", "neg_id", "neg_label", "sim"))
+    val partStats = Similarity.recallStats(exact, partial,
+        Seq("anchor_id", "neg_id"))
+      .select(col("n_hit").as("n_hit_partial"))
+    fullStats.crossJoin(partStats).select(
+      col("n_exact"),
+      (col("n_approx") === col("n_exact") &&
+        col("n_hit") === col("n_exact")).as("full_shortlist_exact"),
+      (col("n_hit_partial") >= col("n_exact") * 0.5)
+        .as("partial_recall_ok"))
+  }
+
   /** q142 — truncated-dimension recall audit
     * ([[Similarity.truncatedDimRecall]]): exact top-10 for the vec_id-0
     * probe at prefix dims 8/16/32/64 vs the full-dimension truth — the
@@ -1016,6 +1058,7 @@ object PipelineQueries {
     "q64_dedup_corpus"    -> q64DedupCorpus _,
     "q65_batch_knn"       -> q65BatchKnn _,
     "q140_hard_negatives" -> q140HardNegatives _,
+    "q186_hard_negatives_ann" -> q186HardNegativesAnn _,
     "q142_truncated_recall" -> q142TruncatedRecall _,
     "q143_label_noise"    -> q143LabelNoise _,
     "q78_ivf_recall"      -> q78IvfRecall _,
@@ -1596,6 +1639,29 @@ object PipelineQueries {
         |SELECT anchor_id, CAST(rank AS INTEGER) AS rank, neg_id,
         |  neg_label, sim
         | FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // q186: n_exact re-derived from q140's exhaustive CTE; the two
+    // contract booleans are literal TRUE — the Spark side computes them
+    // from the data (q128's oracle convention).
+    "q186_hard_negatives_ann" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv,
+        |     label AS qlabel
+        |   FROM embeddings WHERE vec_id < 10),
+        | s AS (SELECT q.anchor_id, e.vec_id AS neg_id, round(
+        |   list_sum(list_transform(range(len(e.embedding)),
+        |     i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+        |       i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(range(len(q.qv)),
+        |       i -> CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))))), 4)
+        |   AS sim
+        |  FROM embeddings e JOIN q
+        |    ON e.vec_id <> q.anchor_id AND e.label <> q.qlabel),
+        | r AS (SELECT anchor_id, neg_id, sim,
+        |   row_number() OVER (PARTITION BY anchor_id
+        |     ORDER BY sim DESC, neg_id) AS rank FROM s)
+        |SELECT count(*) AS n_exact, true AS full_shortlist_exact,
+        | true AS partial_recall_ok
+        | FROM r WHERE rank <= 5""".stripMargin,
     "q81_token_budget" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
         | m AS (SELECT doc_id,

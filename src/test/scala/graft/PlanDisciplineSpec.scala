@@ -63,6 +63,10 @@ class PlanDisciplineSpec extends SparkSpec {
     // q140: q65's batch shape — the 10-row anchor batch broadcast under
     // the corpus scan; GroupTopK bounds what survives the cross.
     "q140_hard_negatives",
+    // q186: q140's anchor-batch cross in the projected space (GroupTopK
+    // bounds the survivors) plus q128's 1-row recallStats aggregates
+    // crossed for the contract columns.
+    "q186_hard_negatives_ann",
     // q141: the data card's token-share denominator — the 1-row corpus
     // totals broadcast crossed under the ≤|langs|-row share frame.
     "q141_data_card",
