@@ -127,6 +127,125 @@ object Subword {
           .as("ids"))
   }
 
+  /** Greedy longest-match encode against a vocabulary DATAFRAME — the
+    * production-vocabulary form [[encodeWithVocab]]'s scaladoc names:
+    * at 100 k pieces the map literal's O(V) array-backed probe per
+    * position is the wrong shape, so here the vocabulary never touches
+    * the driver. Identical output contract (and spec-gated EQUAL to
+    * the literal path on the same vocabulary): (doc_id, n_words,
+    * n_pieces, fertility, ids).
+    *
+    * Shape, stage by stage:
+    *   1. occurrences: posexplode words (doc_id, word_idx, word) —
+    *      duplicates kept, order carried by word_idx;
+    *   2. DISTINCT words (the Sennrich/[[bpeMerges]] discipline:
+    *      encode work is Heaps'-law-bounded, paid once per distinct
+    *      word — the map-literal path pays it per OCCURRENCE);
+    *   3. candidates: every (position, ≤ maxPieceLen substring) of
+    *      each distinct word, broadcast-joined against the
+    *      (piece, vid) vocabulary — the O(V)-probe → O(1)-hash-join
+    *      swap, vocab stays distributed/parameter-sized;
+    *   4. per (word, position) keep the LONGEST match (greedy
+    *      longest-match only ever consults the longest piece at the
+    *      current position), fold matches into one bounded
+    *      pos → (len, vid) map per word — built inside the aggregate,
+    *      so the walk's `element_at` probes a materialized attribute
+    *      (the round-13 CollapseProject re-inline trap cannot fire
+    *      across an Aggregate boundary);
+    *   5. the same `len`-step walk as [[encodeWithVocab]] over each
+    *      distinct word (missing position → UNK −1, advance 1), then
+    *      occurrences rejoin on word and docs reassemble by sorted
+    *      word_idx.
+    *
+    * `vocab` must be (piece: string, vid: int) with distinct pieces —
+    * [[Subword.vocab]]'s output shape. */
+  def encodeWithVocabJoin(
+      df: DataFrame, id: Column, text: Column,
+      vocab: DataFrame, maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1, "maxPieceLen must be positive")
+    val t = coalesce(text, lit(""))
+    val base = Dedup.spread(df)
+      .select(id.cast("long").as("doc_id"),
+        TextFunctions.tokenCount(t).cast("long").as("n_words"),
+        TextFunctions.tokens(t).as("__toks"))
+    val occ = base
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("__wi", "__w")))
+      .filter(length(col("__w")) > 0)
+    val words = occ.select(col("__w")).distinct()
+    val w = col("__w")
+    // Every in-bounds (position, length ≤ maxPieceLen) substring —
+    // the same candidate volume [[vocab]] trains on.
+    val subs = flatten(transform(sequence(lit(0), length(w) - 1), i =>
+      transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - i)),
+        l => struct((i + 1).as("pos"), w.substr(i + 1, l).as("piece")))))
+    val pmaps = words
+      .select(w, explode(subs).as("__c"))
+      .select(w, col("__c.pos").as("__pos"), col("__c.piece").as("piece"))
+      .join(broadcast(vocab.select(col("piece"),
+        col("vid").cast("int").as("__vid"))), Seq("piece"))
+      .groupBy(w, col("__pos"))
+      // Longest match per position; (word, pos, len) is unique, so the
+      // struct max is the longest piece with its id.
+      .agg(max(struct(length(col("piece")).as("l"), col("__vid").as("vid")))
+        .as("__best"))
+      .groupBy(w)
+      .agg(map_from_entries(collect_list(struct(col("__pos"), col("__best"))))
+        .as("__pmap"))
+
+    // The [[encodeWithVocab]] walk with the map-literal probe swapped
+    // for the per-word materialized map (null map = zero matches →
+    // all-UNK, one per character).
+    def walk(word: Column, pmap: Column): Column =
+      when(length(word) === 0, array().cast("array<int>")).otherwise(
+        aggregate(
+          sequence(lit(1), length(word)),
+          struct(lit(1).as("pos"), array().cast("array<int>").as("ids")),
+          (acc, _) => {
+            val pos = acc.getField("pos")
+            val ids = acc.getField("ids")
+            val best = element_at(pmap, pos)
+            when(pos > length(word), acc).otherwise(
+              when(best.isNull,
+                struct((pos + 1).as("pos"),
+                  concat(ids, array(lit(-1))).as("ids")))
+                .otherwise(
+                  struct((pos + best.getField("l")).as("pos"),
+                    concat(ids, array(best.getField("vid"))).as("ids"))))
+          },
+          acc => acc.getField("ids")))
+
+    val encoded = words.join(pmaps, Seq("__w"), "left")
+      .select(w, walk(w, col("__pmap")).as("__ids"))
+    val perDoc = occ.join(encoded, Seq("__w"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__wi"), col("__ids")))),
+        s => s.getField("__ids"))).as("__agg_pieces"))
+    base.select(col("doc_id"), col("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("__agg_pieces"), array().cast("array<int>"))
+          .as("__pieces"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("__pieces")).cast("long").as("n_pieces"),
+        when(col("n_words") > 0,
+          round(size(col("__pieces")).cast("double") /
+            col("n_words").cast("double"), 4)).as("fertility"),
+        array_join(transform(col("__pieces"), _.cast("string")), ">")
+          .as("ids"))
+  }
+
+  /** [[vocab]] → [[encodeWithVocabJoin]] with ZERO driver collects —
+    * the end-to-end production form ([[trainEncode]]'s literal-probe
+    * twin, spec-gated equal). */
+  def trainEncodeJoin(
+      df: DataFrame, id: Column, text: Column, vocabSize: Int,
+      maxPieceLen: Int): DataFrame =
+    encodeWithVocabJoin(df, id, text,
+      vocab(df, text, vocabSize, maxPieceLen)
+        .select(col("piece"), col("vid")),
+      maxPieceLen)
+
   /** Train-then-encode in one call: [[vocab]] on the corpus (a
     * V-bounded driver collect, the PQ-codebook size class), then
     * [[encodeWithVocab]] over the same corpus. */

@@ -235,6 +235,19 @@ object CorpusQueries {
         col("text"), SubwordV, SubwordM)
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** q187 — q121's subword encode through the VOCABULARY JOIN
+    * ([[Subword.trainEncodeJoin]]): identical parameters, identical
+    * output, zero driver collects — the vocabulary stays a broadcast
+    * DataFrame and the greedy walk probes a per-word materialized
+    * position map instead of the O(V) map literal. Same oracle SQL as
+    * q121 (the outputs are spec-gated equal), so the join path's
+    * correctness sits under the DuckDB gate independently of the
+    * literal path's. */
+  def q187SubwordEncodeJoin(spark: SparkSession, dir: String): DataFrame =
+    Subword.trainEncodeJoin(Tables.documents(spark, dir), col("doc_id"),
+        col("text"), SubwordV, SubwordM)
+      .orderBy(asc_nulls_first("doc_id"))
+
   /** q95 — sequence-packing efficiency per source at L = 128
     * ([[CorpusStats.packingEfficiency]]): pad-per-doc vs
     * concat-and-chunk chunk counts and waste fractions. */
@@ -869,6 +882,7 @@ object CorpusQueries {
     "q111_inverted_index"    -> q111InvertedIndex _,
     "q114_benford"           -> q114Benford _,
     "q121_subword_encode"    -> q121SubwordEncode _,
+    "q187_subword_encode_join" -> q187SubwordEncodeJoin _,
     "q123_balanced_shards"   -> q123BalancedShards _,
     "q125_weighted_sample"   -> q125WeightedSample _,
     "q126_bpe_merges"        -> q126BpeMerges _,
@@ -956,6 +970,25 @@ object CorpusQueries {
     * and the statement to open WITH RECURSIVE. Yields `docids`
     * (doc_id, pieces INTEGER[]) — one row per doc, pieces in word
     * order. */
+  private lazy val subwordEncodeOracleSql: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, text, $toksSql AS toks
+      |   FROM documents),
+      | $subwordCtes
+      |SELECT t.doc_id,
+      |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END
+      |    AS BIGINT) AS n_words,
+      |  CAST(coalesce(len(pieces), 0) AS BIGINT) AS n_pieces,
+      |  CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(toks) END) > 0 THEN
+      |    round(CAST(len(pieces) AS DOUBLE)
+      |      / CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+      |          ELSE len(toks) END AS DOUBLE), 4)
+      |  END AS fertility,
+      |  coalesce(array_to_string(list_transform(pieces,
+      |    x -> CAST(x AS VARCHAR)), '>'), '') AS ids
+      | FROM t LEFT JOIN docids USING (doc_id)
+      | ORDER BY doc_id NULLS FIRST""".stripMargin
+
   private val subwordCtes: String =
     s"""words AS (SELECT doc_id,
       |   unnest(range(len(toks))) AS widx,
@@ -1926,24 +1959,11 @@ object CorpusQueries {
         |SELECT shard, count(*) AS n_docs,
         |  CAST(sum(w) AS BIGINT) AS total_tokens
         | FROM s GROUP BY shard ORDER BY shard""".stripMargin,
-    "q121_subword_encode" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, text, $toksSql AS toks
-        |   FROM documents),
-        | $subwordCtes
-        |SELECT t.doc_id,
-        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END
-        |    AS BIGINT) AS n_words,
-        |  CAST(coalesce(len(pieces), 0) AS BIGINT) AS n_pieces,
-        |  CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
-        |      ELSE len(toks) END) > 0 THEN
-        |    round(CAST(len(pieces) AS DOUBLE)
-        |      / CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |          ELSE len(toks) END AS DOUBLE), 4)
-        |  END AS fertility,
-        |  coalesce(array_to_string(list_transform(pieces,
-        |    x -> CAST(x AS VARCHAR)), '>'), '') AS ids
-        | FROM t LEFT JOIN docids USING (doc_id)
-        | ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q121_subword_encode" -> subwordEncodeOracleSql,
+    // q187: the vocabulary-JOIN encode is output-identical to q121 by
+    // the Wave21Spec literal-equals-join gate; the same oracle gates it
+    // against DuckDB independently.
+    "q187_subword_encode_join" -> subwordEncodeOracleSql,
     "q126_bpe_merges" -> bpeOracleSql(BpeMerges),
     "q135_bpe_fertility" -> bpeFertilityOracleSql(BpeMerges),
     "q136_salted_join" ->

@@ -82,4 +82,45 @@ class Wave21Spec extends SparkSpec {
     // anchor's label, self is among them).
     (0L until 4L).foreach { a => assert(byAnchor(a) == 20, s"anchor $a") }
   }
+
+  // ---- Subword.encodeWithVocabJoin: literal ≡ join ----
+
+  test("encodeWithVocabJoin: equals encodeWithVocab on a hand fixture " +
+    "with UNKs, duplicate words, empty and null docs") {
+    val docs = Seq(
+      (1L, "hello hello world"),   // duplicate word, multi-piece splits
+      (2L, "xyzzy"),               // partial matches + UNK chars
+      (3L, ""),                    // zero words
+      (4L, null.asInstanceOf[String]),
+      (5L, "he hell o qq"))        // prefix-overlapping pieces
+      .toDF("doc_id", "text")
+    val vocabSeq = Seq("he" -> 0, "hell" -> 1, "o" -> 2, "wor" -> 3,
+      "ld" -> 4, "l" -> 5, "xy" -> 6, "z" -> 7)
+    val vocabDf = vocabSeq.toDF("piece", "vid")
+    val lit = graft.operators.Subword.encodeWithVocab(
+        docs, col("doc_id"), col("text"), vocabSeq, maxPieceLen = 4)
+      .collect().map(_.toSeq).toSet
+    val join = graft.operators.Subword.encodeWithVocabJoin(
+        docs, col("doc_id"), col("text"), vocabDf, maxPieceLen = 4)
+      .collect().map(_.toSeq).toSet
+    assert(join == lit)
+    // Sanity-pin one walk: "hello" → hell(1), o(2); "xyzzy" →
+    // xy(6), z(7), z(7), UNK(-1 for y).
+    val byId = join.toSeq.map(r => r.head -> r(4)).toMap
+    assert(byId(1L) == "1>2>1>2>3>4")
+    assert(byId(2L) == "6>7>7>-1")
+    assert(byId(3L) == "")
+  }
+
+  test("trainEncodeJoin: equals trainEncode on the q121 fixture " +
+    "(sf0.001 documents, V=50, M=4)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lit = graft.operators.Subword.trainEncode(
+        docs, col("doc_id"), col("text"), 50, 4)
+      .collect().map(_.toSeq).toSet
+    val join = graft.operators.Subword.trainEncodeJoin(
+        docs, col("doc_id"), col("text"), 50, 4)
+      .collect().map(_.toSeq).toSet
+    assert(join == lit)
+  }
 }

@@ -45,9 +45,11 @@ object ScaleFixture {
   private val Version = 1 // bump to invalidate cached fixtures
   private val DefaultQueries = Seq(
     "q120_curation_pipeline", "q129_curation_funnel", "q89_pq_recall",
-    "q185_eval_quality_lr", "q121_subword_encode", "q78_ivf_recall",
+    "q185_eval_quality_lr", "q121_subword_encode",
+    "q187_subword_encode_join", "q78_ivf_recall",
     "q79_lsh_recall", "q182_train_quality_lr", "q137_ppl_buckets",
-    "q94_fertility", "q110_collocations", "q83_bigram_lm")
+    "q94_fertility", "q110_collocations", "q83_bigram_lm",
+    "q186_hard_negatives_ann")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(16)
