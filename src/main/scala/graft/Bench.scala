@@ -138,6 +138,25 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
 
     val loadStart = loadavg()
+    // Co-load gate (round-13 verdict stretch #9): a run that STARTS on
+    // a busy machine (1-min loadavg over the threshold before any
+    // self-inflicted local[32] load exists) self-documents as co-loaded
+    // in the artifact, so a cold reader discounts it without needing
+    // the same-session pair. Annotation, not refusal — the driver's
+    // contract is one JSON line with rc 0, and a co-loaded number is
+    // still evidence (the committed FINAL pair is the record). NOTE the
+    // known blind spot: HOST-level contention is invisible to the
+    // guest's /proc/loadavg (a run 2× slower than its pair has been
+    // observed at LOWER guest loadavg), so "ok" here never overrides a
+    // regressed-looking pair — it only flags the guest-visible case.
+    val loadGateThreshold = sys.env.get("SPARK_GRAFT_LOAD_GATE")
+      .flatMap(_.toDoubleOption).getOrElse(2.0)
+    val loadGate = loadStart.split("\\s+").head.toDoubleOption match {
+      case Some(l1) if l1 > loadGateThreshold =>
+        f"co_loaded:start_1min_$l1%.2f_over_$loadGateThreshold%.1f"
+      case Some(_) => "ok"
+      case None => "unknown"
+    }
     // 1-minute loadavg only for the per-query field: the 5/15-minute
     // figures lag minutes behind and would smear one query's spike over
     // its neighbours.
@@ -159,7 +178,7 @@ object Bench {
         "\"" + k + "\":" + lit
       }.mkString("{", ",", "}")
       val total = done.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"load":$loadJson,"probes":$probesJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_now":"${loadavg()}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"load":$loadJson,"probes":$probesJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_now":"${loadavg()}","load_gate":"$loadGate"}"""
     }
 
     val partialPath = Paths.get("bench_partial.json")
@@ -309,7 +328,7 @@ object Bench {
       else {
         val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
         val total = done.map(_._2).sum
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${done.size},"failed":$failedJson,"n_flaky":${flaky.size},"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_now":"${loadavg()}","queries_file":"bench_full.json"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${done.size},"failed":$failedJson,"n_flaky":${flaky.size},"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_now":"${loadavg()}","load_gate":"$loadGate","queries_file":"bench_full.json"}"""
       }
     println(out)
     spark.stop()
