@@ -27,6 +27,12 @@ print("| K | docs | " + " | ".join(f"duckdb {q} s" for q in QUERIES) + " |")
 print("|---|---|" + "|".join("---" for _ in QUERIES) + "|")
 for k in ks:
     con = duckdb.connect()
+    # Out-of-core spill + explicit cap: without a temp_directory DuckDB
+    # cannot spill and the K=64 q137 oracle dies with a bare OOM; with
+    # it, whatever still cannot complete is recorded as an honest OOM
+    # cell instead of killing the sweep.
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_spill'")
+    con.execute("PRAGMA memory_limit='100GB'")
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('/tmp/graftsweep/k{k}/documents.parquet/*.parquet')"
@@ -40,11 +46,14 @@ for k in ks:
     times = {}
     for name in QUERIES:
         sql = oracle[name]
-        run_once(sql)  # warmup
-        times[name] = min(run_once(sql), run_once(sql))
+        try:
+            run_once(sql)  # warmup
+            times[name] = f"{min(run_once(sql), run_once(sql)):.2f}"
+        except duckdb.OutOfMemoryException:
+            times[name] = "OOM"
     print(
         f"| {k} | {5000 * k} | "
-        + " | ".join(f"{times[q]:.2f}" for q in QUERIES)
+        + " | ".join(times[q] for q in QUERIES)
         + " |"
     )
     con.close()
