@@ -211,7 +211,11 @@ object CorpusQueries {
     val docs = Tables.documents(spark, dir)
     val base = CorpusStats.tokenizerFertility(docs, col("lang"), col("text"))
       .withColumnRenamed("group", "lang")
-    val sub = Subword.trainEncode(docs, col("doc_id"), col("text"),
+    // The JOIN-path encoder: output-identical to trainEncode (the
+    // Wave21Spec literal ≡ join gate + q187's oracle) and measured
+    // 3–6× faster at sf0.1/K=16 — the per-DISTINCT-word amortization
+    // already wins at V=50, not only at production vocabulary sizes.
+    val sub = Subword.trainEncodeJoin(docs, col("doc_id"), col("text"),
         SubwordV, SubwordM)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy(col("lang"))
