@@ -239,6 +239,44 @@ object CorpusQueries {
         col("text"), SubwordV, SubwordM)
       .orderBy(asc_nulls_first("doc_id"))
 
+  /** q188 — tokenizer vocabulary-coverage audit: for a top-V
+    * frequency vocabulary (V = 64, count desc / word asc — the q107
+    * selection discipline), the per-language token count, covered
+    * count, and OOV rate — the "how much of each language does this
+    * vocabulary actually reach" report that decides V before anyone
+    * trains an encoder (the q107/q121/q187 family's sizing input).
+    * Exactness: counts are exact integers; oov_rate = round(1 − c/n, 4)
+    * on an exact-int ratio — IEEE-identical both engines. Empty
+    * tokens are filtered on BOTH sides (Spark's split("") and
+    * DuckDB's string_split_regex('') each yield ['']).
+    *
+    * Scale shape: one tokenize+explode feeding a word-count aggregate
+    * with a TakeOrderedAndProject top-V (never a global sort), the
+    * V-row vocabulary broadcast back against the token stream, one
+    * \|langs\|-row aggregate. Two passes over the token stream — the
+    * q40 trade: the vocabulary must exist before coverage can be
+    * counted, and V rows broadcast where a shuffled join would move
+    * the corpus. */
+  def q188VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("w").asc)
+      .limit(64)
+      .select(col("w"), lit(true).as("__inv"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("lang"), col("n_tokens"), col("n_covered"),
+        round(lit(1.0d) - col("n_covered").cast("double") /
+          col("n_tokens").cast("double"), 4).as("oov_rate"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   /** q187 — q121's subword encode through the VOCABULARY JOIN
     * ([[Subword.trainEncodeJoin]]): identical parameters, identical
     * output, zero driver collects — the vocabulary stays a broadcast
@@ -887,6 +925,7 @@ object CorpusQueries {
     "q114_benford"           -> q114Benford _,
     "q121_subword_encode"    -> q121SubwordEncode _,
     "q187_subword_encode_join" -> q187SubwordEncodeJoin _,
+    "q188_vocab_coverage"    -> q188VocabCoverage _,
     "q123_balanced_shards"   -> q123BalancedShards _,
     "q125_weighted_sample"   -> q125WeightedSample _,
     "q126_bpe_merges"        -> q126BpeMerges _,
@@ -1964,6 +2003,19 @@ object CorpusQueries {
         |  CAST(sum(w) AS BIGINT) AS total_tokens
         | FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "q121_subword_encode" -> subwordEncodeOracleSql,
+    "q188_vocab_coverage" ->
+      s"""WITH t AS (SELECT lang, unnest($toksSql) AS w FROM documents),
+        | tt AS (SELECT lang, w FROM t WHERE len(w) > 0),
+        | v AS (SELECT w FROM (SELECT w, count(*) AS n FROM tt
+        |   GROUP BY w ORDER BY n DESC, w LIMIT 64)),
+        | j AS (SELECT tt.lang,
+        |   CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END AS c
+        |  FROM tt LEFT JOIN v ON tt.w = v.w)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c) AS BIGINT) AS n_covered,
+        |  round(CAST(1.0 AS DOUBLE) - CAST(sum(c) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+        | FROM j GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     // q187: the vocabulary-JOIN encode is output-identical to q121 by
     // the Wave21Spec literal-equals-join gate; the same oracle gates it
     // against DuckDB independently.
