@@ -17,9 +17,15 @@ import graft.operators.Domains
   *
   * Cross-batch state is the SINK ITSELF, not a state store: the
   * admitted output is cap-bounded (≤ capPerDomain rows per domain,
-  * ever), so re-reading it for the per-domain counts each batch is a
-  * parameter-sized scan no matter how much the stream has carried —
-  * the [[StreamingDedup]] zero-streaming-state design with the
+  * ever), so re-reading it for the per-domain counts each batch scans
+  * O(capPerDomain × |distinct domains|) rows no matter how much the
+  * stream has carried — bounded by the CAP, not the traffic, but still
+  * proportional to domain cardinality, which for an open web crawl is
+  * data-sized (tens of millions of registered domains). The design
+  * assumes a governed domain universe (blocklist + cap implies one);
+  * past that, the state read is a full shuffle-side aggregate and the
+  * state belongs in a keyed store instead — the
+  * [[StreamingDedup]] zero-streaming-state design with the
   * boundedness argument made structural. Within a batch, admission
   * order is [[graft.operators.Split.capPerStratum]]'s deterministic
   * md5 order (a single-drain stream admits EXACTLY the batch
@@ -78,9 +84,13 @@ object StreamingGovernance {
     // Null-SAFE state join: the null domain (unparseable URLs) is a
     // real capped stratum — an equi-join would never match its prior
     // count and the cumulative cap would silently reset every batch.
+    // No broadcast hint: `admitted` is O(cap × |domains|) and domain
+    // cardinality is data-sized for a crawl, so a forced broadcast
+    // could blow the driver; the optimizer broadcasts it when its
+    // stats fit autoBroadcastJoinThreshold and shuffles otherwise.
     cut.withColumn("__rk", row_number().over(w))
-      .join(broadcast(admitted.select(col("domain").as("__adom"),
-        col("n_admitted"))), col("domain") <=> col("__adom"), "left")
+      .join(admitted.select(col("domain").as("__adom"),
+        col("n_admitted")), col("domain") <=> col("__adom"), "left")
       .filter(col("__rk") <= lit(capPerDomain) -
         coalesce(col("n_admitted"), lit(0L)))
       .select(col("id"), col("host"), col("domain"))
@@ -100,10 +110,16 @@ object StreamingGovernance {
     val screen: (Dataset[Row], Long) => Unit = { (batch, _) =>
       val screened = screenBatch(batch, idCol, urlCol,
         blockedHosts, blockedDomains, multiPartTlds)
-      // The sink IS the state: cap-bounded, so this read is
-      // parameter-sized every batch (empty on the first).
+      // The sink IS the state: cap-bounded, so this read is cheap
+      // every batch (empty on the first). The existence check goes
+      // through the Hadoop FileSystem API, not java.io.File — outDir
+      // can be any supported filesystem (HDFS/S3/local URI); a
+      // local-only check would silently skip the prior-admissions
+      // read on remote storage and reset the cumulative cap per batch.
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
       val admitted =
-        if (new java.io.File(outDir).exists())
+        if (fs.exists(outPath))
           spark.read.parquet(outDir)
             .groupBy(col("domain")).agg(count(lit(1)).as("n_admitted"))
         else

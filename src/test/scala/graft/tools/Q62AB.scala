@@ -28,9 +28,13 @@ object Q62AB {
     val grams = when(size(toks) < 2, array(array_join(toks, " ")))
       .otherwise(TextFunctions.ngramStrings(toks, 2))
 
+    // Both shapes filter null text identically: shape A's explode drops
+    // null-gram rows implicitly, but the A/B equality gate must compare
+    // the SAME population explicitly, not rely on that coincidence.
     def shapeA(): DataFrame =
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(grams).as("g"))
         .groupBy(col("doc_id"), xxhash64(col("g")).as("h"))

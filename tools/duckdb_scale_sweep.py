@@ -57,5 +57,11 @@ for k in ks:
             cells.append(f"{min(run_once(sql), run_once(sql)):.2f}")
         except duckdb.OutOfMemoryException:
             cells.append("OOM")
+        except duckdb.Error:
+            # E.g. CatalogException when a view creation above was
+            # silently skipped (fixture without that table) — record an
+            # ERR cell, matching the OOM-cell convention, instead of
+            # killing the whole sweep mid-table.
+            cells.append("ERR")
     print(f"| {k} | " + " | ".join(cells) + " |")
     con.close()
