@@ -999,6 +999,67 @@ object Dedup {
     CorpusIndex(rel, banded, n, k, bands)
   }
 
+  /** Durable form of the corpus index — "build once, probe for weeks".
+    * Writes both index relations as BUCKETED parquet tables
+    * (`<prefix>_banded` bucketed+sorted by `bh` — the probe join key —
+    * and `<prefix>_rel` bucketed+sorted by `id`, the verify join key)
+    * plus a 1-row `<prefix>_meta` table pinning the shingle/signature
+    * scheme, so a FRESH session can [[loadCorpusIndex]] and band new
+    * docs identically. The bucketed layout is the point: the per-shard
+    * probe join reads bucket-aligned files with NO exchange on the
+    * corpus side (gated in `IndexLifecycleSpec`) — at 100 TB the index
+    * is written once and the nightly shard pays only ITS OWN shuffle,
+    * never a re-shuffle of the corpus. */
+  def writeCorpusIndex(
+      index: CorpusIndex, tablePrefix: String, buckets: Int = 32): Unit = {
+    val spark = index.rel.sparkSession
+    // Overwrite must mean overwrite even when the catalog has forgotten
+    // the table but its managed location survived (an in-memory catalog
+    // over persistent storage — exactly the fresh-session case this
+    // index exists for): drop the entry AND clear the stale default
+    // location, via the Hadoop FS API so any warehouse filesystem works.
+    def reset(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    reset(s"${tablePrefix}_banded")
+    index.banded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "bh").sortBy("bh")
+      .format("parquet").saveAsTable(s"${tablePrefix}_banded")
+    reset(s"${tablePrefix}_rel")
+    index.rel.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${tablePrefix}_rel")
+    import spark.implicits._
+    reset(s"${tablePrefix}_meta")
+    Seq((index.n, index.k, index.bands)).toDF("n", "k", "bands")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Reload a [[writeCorpusIndex]]-persisted index in (possibly) a fresh
+    * session. The returned relations are the bucketed table scans
+    * themselves — deliberately NOT `.persist()`ed: the bucketed layout
+    * already makes repeated probes exchange-free on the corpus side,
+    * and an executor-memory copy of a 100 TB index is neither possible
+    * nor needed (steady-state probes touch only the buckets the shard's
+    * band hashes land in). Probe results are bit-equal to a same-session
+    * build (gated in `IndexLifecycleSpec` and oracle-gated end to end as
+    * q189). */
+  def loadCorpusIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): CorpusIndex = {
+    val m = spark.table(s"${tablePrefix}_meta").collect()(0)
+    CorpusIndex(
+      spark.table(s"${tablePrefix}_rel"),
+      spark.table(s"${tablePrefix}_banded"),
+      m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands"))
+  }
+
   /** Near-dup pairs between NEW docs and an indexed reference corpus —
     * the incremental half of corpus dedup: band the new docs with the
     * index's scheme, join banded-new × banded-corpus on (band, bh)
@@ -1029,8 +1090,17 @@ object Dedup {
         rel0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else rel0
     val banded = bandedRows(rel, index.k, index.bands, carry = Seq("n_sh"))
+    // Equi-key on bh ALONE: the band hash already mixes the band number
+    // in (bandedRows hashes (b, slice)), so a cross-band bh collision is
+    // the same ~2⁻⁶⁴ class as an in-band one — and either way candidates
+    // only ADD verification work, never results (exact Jaccard follows).
+    // The single-key join is what lets a [[writeCorpusIndex]]-bucketed
+    // corpus side satisfy the join's distribution outright: bucketed by
+    // bh = ALL the cluster keys, so the reloaded probe reads the index
+    // with zero exchange (a (band, bh) key pair would need subset
+    // co-partitioning, which the planner requires all keys for).
     val cand = banded.as("a").join(index.banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.bh") === col("b.bh") &&
           col("a.id") =!= col("b.id") &&
           col("a.n_sh") >= ceil(col("b.n_sh") * threshold) &&
           col("b.n_sh") >= ceil(col("a.n_sh") * threshold))

@@ -159,7 +159,15 @@ object Similarity {
     val short = graft.plans.GroupTopK.topK(scoredP,
         Seq(col("__aid")), Seq(col("psim").desc, col("id").asc), shortlist)
       .select(col("__aid").as("anchor_id"), col("id"))
-    val rescored = c.join(broadcast(short), Seq("id"))
+    // The shortlist is |anchors| × shortlist id rows. Only FORCE the
+    // broadcast when that product is driver-safe by construction; the
+    // degenerate exactness-gate path (shortlist ≥ |corpus|) and any
+    // oversized anchor batch fall through to the optimizer's stats
+    // decision — a forced hint there would bypass
+    // autoBroadcastJoinThreshold and pressure the driver.
+    val shortSide =
+      if (shortlist.toLong <= (1L << 16)) broadcast(short) else short
+    val rescored = c.join(shortSide, Seq("id"))
       .join(broadcast(q.select(col("anchor_id"), col("qv"), col("qnrm"))),
         Seq("anchor_id"))
       .withColumn("sim", round(
@@ -175,8 +183,10 @@ object Similarity {
   }
 
   /** Corpus bucketing for the LSH path: adds `bucket` (nBits-bit
-    * hyperplane signature). Persist/write the result bucketed by `bucket`
-    * for repeated querying. */
+    * hyperplane signature). For cross-session reuse, land it partitioned
+    * by `bucket` exactly like [[writeIvfIndex]] lands posting lists —
+    * the multi-probe filter ([[lshTopK]]'s Hamming ball) then prunes to
+    * the probed bucket directories. */
   def bucketize(corpus: DataFrame, id: Column, vec: Column, nBits: Int): DataFrame =
     Dedup.spread(corpus).select(
       id.cast("long").as("id"), vec.as("v"),
@@ -184,9 +194,10 @@ object Similarity {
 
   /** IVF index: k-means centroids trained on a bounded SAMPLE of the
     * corpus, every vector assigned to its nearest centroid (the
-    * "inverted list" it lives in). Persist/bucket the result by `list`
-    * for repeated querying; at 100 TB each posting list is a
-    * partition-prunable stripe.
+    * "inverted list" it lives in). [[writeIvfIndex]]/[[loadIvfIndex]]
+    * are the durable form: posting lists land partitioned by `list`,
+    * so at 100 TB each list is a partition-prunable stripe and probes
+    * in later sessions never rescan the corpus.
     *
     * Sample fit is the scale design, not an approximation shortcut: the
     * centroid ESTIMATE converges with the sample (IVF quality needs
@@ -221,6 +232,46 @@ object Similarity {
       .withColumnRenamed("prediction", "list")
       .select(col("id"), col("v"), col("list"))
     (centroids, indexed)
+  }
+
+  /** Durable form of the IVF index — write once, probe across sessions.
+    * The posting lists land as parquet PARTITIONED by `list` (each
+    * inverted list is its own directory stripe), the centroids as a tiny
+    * (list, centroid) table beside them. A reloaded probe's
+    * `list IN (probes)` filter is then PARTITION PRUNING: the scan opens
+    * only the `nProbe` probed directories and never touches the rest of
+    * the corpus — the layout that makes IVF an index rather than a
+    * filter (gated in `IndexLifecycleSpec`: probe ≡ same-session build
+    * bit-equal, plan carries the partition filter). */
+  def writeIvfIndex(
+      centroids: Array[Array[Float]], indexed: DataFrame,
+      path: String): Unit = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    indexed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list").parquet(s"$path/lists")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+  }
+
+  /** Reload a [[writeIvfIndex]]-persisted index in (possibly) a fresh
+    * session: (centroids ordered by list id, posting-list scan). The
+    * centroid table is parameter-sized (`nLists` rows) — the only
+    * driver-side collect. The posting-list frame is the partitioned
+    * scan itself, not a cache: [[ivfTopK]]'s probe filter prunes to the
+    * probed partitions, so steady-state probe cost is the probed lists'
+    * bytes, independent of corpus size. */
+  def loadIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Float]], DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("list").cast("int"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).map(_._2)
+    (cents, spark.read.parquet(s"$path/lists"))
   }
 
   /** IVF ANN top-k: score the query against every centroid on the driver
@@ -747,10 +798,12 @@ object Similarity {
       query, inDim, outDim, shortlist, k, seed)
 
   /** [[projectedTopK]] against an ALREADY-MATERIALIZED projected column
-    * — the steady-state form the operator exists for (build the
-    * (id, pv) frame once, persist or store it next to the corpus,
-    * probe many times). `projected` must be [[randomProjection]]'s
-    * output under the same seed/dims. */
+    * — the steady-state form the operator exists for: build the
+    * (id, pv) frame once, land it as plain parquet beside the corpus
+    * (no special layout needed — the probe IS a full scan of outDim
+    * doubles, so columnar storage is already optimal; reload is
+    * `spark.read.parquet`), probe many times. `projected` must be
+    * [[randomProjection]]'s output under the same seed/dims. */
   def projectedTopKPrebuilt(
       corpus: DataFrame, id: Column, vec: Column, projected: DataFrame,
       query: DataFrame, inDim: Int, outDim: Int, shortlist: Int, k: Int,

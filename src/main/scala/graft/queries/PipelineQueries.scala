@@ -952,6 +952,36 @@ object PipelineQueries {
     pairs.orderBy(asc("new_id"), asc("corpus_id"))
   }
 
+  /** q189 — durable-index lifecycle probe: q66's shard-vs-corpus lookup
+    * run THROUGH the write→reload cycle. The index is built once
+    * ([[Dedup.corpusIndex]]), landed as bucketed tables
+    * ([[Dedup.writeCorpusIndex]] — band relation bucketed by the probe
+    * key `bh`, verification relation by `id`), then a FRESH session
+    * ([[SparkSession.newSession]] — separate session state over the
+    * shared metastore, a next-day probe job's isolation) reloads it
+    * ([[Dedup.loadCorpusIndex]]) and runs the probe against the src0
+    * shard. Output ≡ q66 (same oracle SQL): the lifecycle must be
+    * semantically invisible — and the reloaded probe reads the corpus
+    * side with ZERO exchange (the bucketed layout; `IndexLifecycleSpec`
+    * pins the plan). Like q66, the bench number INCLUDES the one-time
+    * build AND the index write — the cost the layout amortizes across
+    * weeks of probes; the steady-state number is the reload-probe
+    * ScaleFixture row. */
+  def q189IndexReloadProbe(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.sources.Ingest.documentsBySourceLanding(spark, dir)
+    val built = Dedup.corpusIndex(
+      spark.read.parquet(landing).filter(col("source") =!= "src0"),
+      col("doc_id"), col("text"))
+    Dedup.writeCorpusIndex(built, "graft_q189_idx")
+    built.unpersist()
+    val fresh = spark.newSession()
+    val loaded = Dedup.loadCorpusIndex(fresh, "graft_q189_idx")
+    val shard = fresh.read.parquet(landing).filter(col("source") === "src0")
+    Dedup.nearDupAgainstIndex(
+        shard, col("doc_id"), col("text"), loaded, threshold = 0.8)
+      .orderBy(asc("new_id"), asc("corpus_id"))
+  }
+
   /** q46 — rolling-hash document fingerprints: polynomial hash over the
     * text bytes with per-step modular reduction (exact in both engines). */
   def q46RollingHash(spark: SparkSession, dir: String): DataFrame =
@@ -1065,6 +1095,7 @@ object PipelineQueries {
     "q79_lsh_recall"      -> q79LshRecall _,
     "q89_pq_recall"       -> q89PqRecall _,
     "q66_incremental_neardup" -> q66IncrementalNearDup _,
+    "q189_index_reload_probe" -> q189IndexReloadProbe _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
@@ -1085,6 +1116,30 @@ object PipelineQueries {
 
   /** Shared SQL fragments mirroring TextFunctions exactly. */
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** The exhaustive shard-vs-corpus near-dup SQL shared VERBATIM by the
+    * q66 (same-session index) and q189 (write→reload index) oracles:
+    * the durable lifecycle must not change a single row. */
+  private val incrementalNearDupSql: String =
+    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+      | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3
+      |     THEN [array_to_string(toks, ' ')]
+      |     ELSE list_distinct(list_transform(range(len(toks) - 2),
+      |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
+      |   AS s FROM t),
+      | ex AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+      | sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      | inter AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+      |     count(*) AS i
+      |   FROM ex a JOIN ex b ON a.g = b.g
+      |     AND a.source = 'src0' AND b.source <> 'src0'
+      |   GROUP BY 1, 2)
+      |SELECT new_id, corpus_id,
+      |   CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+      | FROM inter JOIN sz x ON x.doc_id = new_id
+      |   JOIN sz y ON y.doc_id = corpus_id
+      | WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8
+      | ORDER BY new_id, corpus_id""".stripMargin
 
   /** The contamination-pair CTE chain shared by the q124 and q132
     * oracles (mirrors `Dedup.contaminationPairs` at n = 3,
@@ -1802,26 +1857,10 @@ object PipelineQueries {
       s"""WITH $exactTop10Sql
         |SELECT count(*) AS n_exact, true AS full_rerank_exact,
         | true AS partial_recall_ok FROM top""".stripMargin,
-    "q66_incremental_neardup" ->
-      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
-        | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3
-        |     THEN [array_to_string(toks, ' ')]
-        |     ELSE list_distinct(list_transform(range(len(toks) - 2),
-        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END
-        |   AS s FROM t),
-        | ex AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
-        | sz AS (SELECT doc_id, len(s) AS n FROM sh),
-        | inter AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
-        |     count(*) AS i
-        |   FROM ex a JOIN ex b ON a.g = b.g
-        |     AND a.source = 'src0' AND b.source <> 'src0'
-        |   GROUP BY 1, 2)
-        |SELECT new_id, corpus_id,
-        |   CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
-        | FROM inter JOIN sz x ON x.doc_id = new_id
-        |   JOIN sz y ON y.doc_id = corpus_id
-        | WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8
-        | ORDER BY new_id, corpus_id""".stripMargin,
+    "q66_incremental_neardup" -> incrementalNearDupSql,
+    // q189 is q66 THROUGH the durable write→reload cycle — the lifecycle
+    // must be semantically invisible, so it shares q66's oracle verbatim.
+    "q189_index_reload_probe" -> incrementalNearDupSql,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Durable index lifecycle — "build once, probe for weeks" as gated
+  * code, not prose (the round-14 verdict's last documented-but-prose
+  * 100 TB swap point):
+  *
+  *   - MinHash corpus index: [[Dedup.writeCorpusIndex]] lands the band
+  *     and verification relations as BUCKETED tables;
+  *     [[Dedup.loadCorpusIndex]] in a FRESH session must probe
+  *     bit-equal to the same-session build, and the probe's candidate
+  *     join must be exchange-free on the bucketed corpus side (the
+  *     whole point of the layout: the nightly shard pays only its own
+  *     shuffle, never a re-shuffle of the 100 TB index).
+  *   - IVF ANN index: [[Similarity.writeIvfIndex]] lands posting lists
+  *     PARTITIONED by list id; a reloaded [[Similarity.ivfTopK]] probe
+  *     must be bit-equal to the same-session probe and its scan must
+  *     carry the `list IN (…)` PARTITION filter (pruning, not
+  *     filtering: unprobed lists are never opened).
+  *
+  * "Fresh session" is `spark.newSession()` — separate session state
+  * (separate temp views, confs, cached plans) over the shared
+  * metastore, the same isolation a next-day probe job has. */
+class IndexLifecycleSpec extends SparkSpec {
+
+  private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case f: FileSourceScanExec => f }
+
+  /** The MAXIMAL subtree whose only data source is `table` — i.e. the
+    * whole join side fed by that table's scan, up to (but not
+    * including) the operator that merges it with anything else. An
+    * exchange in here means the bucketed layout was ignored; an
+    * exchange above it belongs to the other (shard) side and is
+    * expected. */
+  private def subtreeWithTable(p: SparkPlan, table: String): Option[SparkPlan] = {
+    val candidates = p.collect {
+      case n if {
+        val scans = scansOf(n)
+        val named = scans.flatMap(_.tableIdentifier.map(_.table))
+        scans.nonEmpty && scans.size == named.size && named.forall(_ == table)
+      } => n
+    }
+    if (candidates.isEmpty) None
+    else Some(candidates.maxBy(_.collect { case x => x }.size))
+  }
+
+  test("MinHash index: fresh-session reload probe ≡ same-session build probe, bit-equal") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("source") =!= "src0")
+    val shard = docs.filter(col("source") === "src0")
+    val built = Dedup.corpusIndex(corpus, col("doc_id"), col("text"))
+    val same = Dedup.nearDupAgainstIndex(
+        shard, col("doc_id"), col("text"), built, threshold = 0.8)
+      .orderBy("new_id", "corpus_id").collect().toSeq
+    Dedup.writeCorpusIndex(built, "graft_idx_lifecycle", buckets = 4)
+    built.unpersist()
+
+    val fresh = spark.newSession()
+    val loaded = Dedup.loadCorpusIndex(fresh, "graft_idx_lifecycle")
+    assert((loaded.n, loaded.k, loaded.bands) === ((3, 60, 20)),
+      "meta must pin the build's shingle/signature scheme")
+    val reload = Dedup.nearDupAgainstIndex(
+        Tables.documents(fresh, sf).filter(col("source") === "src0"),
+        col("doc_id"), col("text"), loaded, threshold = 0.8)
+      .orderBy("new_id", "corpus_id").collect().toSeq
+    assert(same.nonEmpty, "fixture must produce near-dup pairs")
+    assert(reload === same, "reloaded probe must be bit-equal to the build probe")
+  }
+
+  test("MinHash index: reloaded probe join is exchange-free on the bucketed corpus side") {
+    // Broadcast and AQE off so the no-exchange plan is genuinely the
+    // bucket co-location, not a small-side shortcut (BucketedJoinSpec's
+    // discipline); persistNewRel=false keeps the probe plan lazy so the
+    // join is visible (the default path eagerly pins its result).
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    val loaded = Dedup.loadCorpusIndex(fresh, "graft_idx_lifecycle")
+    val probe = Dedup.nearDupAgainstIndex(
+      Tables.documents(fresh, sf).filter(col("source") === "src0"),
+      col("doc_id"), col("text"), loaded, threshold = 0.8,
+      persistNewRel = false)
+    val plan = probe.queryExecution.executedPlan
+    val bandedSide = subtreeWithTable(plan, "graft_idx_lifecycle_banded")
+    assert(bandedSide.isDefined, s"banded table scan not found in:\n$plan")
+    val exchanges = bandedSide.get.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"bucketed corpus side still shuffles:\n${bandedSide.get}")
+    // The verification side is bucketed by id — that join must also
+    // read the corpus relation exchange-free.
+    val relSide = subtreeWithTable(plan, "graft_idx_lifecycle_rel")
+    assert(relSide.isDefined, s"rel table scan not found in:\n$plan")
+    assert(relSide.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"bucketed rel side still shuffles:\n${relSide.get}")
+  }
+
+  test("IVF index: write → fresh-session reload → probe ≡ build probe; probe scan partition-prunes to the probed lists") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val (centroids, indexed) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    val same = Similarity.ivfTopK(centroids, indexed, qv, k = 10, nProbe = 3)
+      .collect().toSeq
+    val path = "/tmp/graft_ivf_lifecycle"
+    Similarity.writeIvfIndex(centroids, indexed, path)
+
+    val fresh = spark.newSession()
+    // AQE off so the executed plan is walkable for the scan assertion
+    // (AdaptiveSparkPlanExec hides its stages from SparkPlan.collect).
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    val (cents2, indexed2) = Similarity.loadIvfIndex(fresh, path)
+    assert(cents2.length === centroids.length)
+    assert(cents2.zip(centroids).forall { case (a, b) => a.sameElements(b) },
+      "reloaded centroids must be bit-equal, in list order")
+    val probe = Similarity.ivfTopK(cents2, indexed2, qv, k = 10, nProbe = 3)
+    assert(probe.collect().toSeq === same,
+      "reloaded probe must be bit-equal to the build probe")
+    // Partition pruning: the posting-list scan must carry the probe's
+    // `list IN (…)` as a PARTITION filter (unprobed lists never open).
+    val scan = scansOf(probe.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("graft_ivf_lifecycle")))
+    assert(scan.isDefined, "posting-list scan not found")
+    assert(scan.get.partitionFilters.exists(_.references.exists(_.name == "list")),
+      s"probe filter did not reach the partition layer:\n${scan.get}")
+  }
+}
