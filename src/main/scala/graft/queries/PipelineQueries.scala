@@ -408,35 +408,34 @@ object PipelineQueries {
     * quality rule): per document, the fraction of its 2-grams occupied by
     * the single most frequent 2-gram. Unlike the dedup family this keeps
     * MULTIPLICITY (no distinct) — a doc that repeats one phrase scores
-    * toward 1.0. Two hash aggregations, exact small-integer ratio.
-    * Grams are hashed to 64-bit longs BEFORE the first aggregation (the
-    * map-side projection), so the shuffle carries (doc_id, hash) pairs,
-    * never gram strings — the dedup family's standard trade (collision
-    * probability ~2⁻⁶⁴ per in-doc gram pair). */
-  def q62Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val grams = when(size(toks) < 2, array(array_join(toks, " ")))
-      .otherwise(graft.functions.TextFunctions.ngramStrings(toks, 2))
-    // Hash-partition by doc_id up front (not round-robin spread): a
-    // doc_id partitioning satisfies BOTH aggregations' distribution
-    // requirements — (doc_id, h) groups and doc_id groups are each
-    // colocated — so the whole query runs on ONE exchange. The explicit
-    // partition count matters: a bare repartition(col) is AQE-coalescible,
-    // and the PRE-explode bytes are small, so AQE would collapse it to ~1
-    // partition and serialize the expensive shingling that follows.
+    * toward 1.0.
+    *
+    * Round-15 shape: ONE native codegen kernel call per document
+    * ([[graft.expressions.NgramRepPacked]] — row-local open-addressed
+    * 2-gram counting, the [[graft.expressions.TextProfile]] mold), then
+    * plain bit arithmetic. Zero explode, zero aggregation, ZERO
+    * shuffle — per-doc micro-aggregation is row-local arithmetic, and
+    * paying a shuffle-partitioned explode + two hash aggregations for
+    * it was the whole q62 engine constant (measured: 0.86→0.39 s at
+    * sf0.1, 4.71→0.63 s at K=64 — the one "diverging" two-sided-sweep
+    * entry, inverted; `Q62AB` had already killed the HOF-fold
+    * alternative, which never reaches codegen). Gram identity is a
+    * combined 64-bit hash — the same ~2⁻⁶⁴ in-doc collision class as
+    * the previous shape's pre-aggregation `xxhash64(gram)` projection.
+    * The `text.isNotNull` filter reproduces the explode shape's
+    * null-row drop exactly (and the oracle's `unnest(NULL)`). */
+  def q62Repetition(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(grams).as("g"))
-      .groupBy(col("doc_id"), xxhash64(col("g")).as("h"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_grams"),
-        max(col("c")).as("top_count"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.expressions.NgramRepPacked.packed(col("text")).as("__p"))
+      .select(col("doc_id"),
+        shiftright(col("__p"), 32).as("n_grams"),
+        col("__p").bitwiseAND(lit(0xffffffffL)).as("top_count"))
       .withColumn("rep_ratio",
         col("top_count").cast("double") / col("n_grams"))
       .orderBy(asc_nulls_first("doc_id"))
-  }
 
   /** q63 — deterministic stratified sampling (corpus mixing): per-source
     * keep fractions via [[graft.operators.Split.stratifiedSample]]

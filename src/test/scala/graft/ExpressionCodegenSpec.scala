@@ -202,6 +202,41 @@ class ExpressionCodegenSpec extends SparkSpec {
     }
   }
 
+  test("ngram_rep_packed equals the explode + two-hash-aggregation composition " +
+      "on edge and repetition fixtures") {
+    val texts = Seq(
+      "", "   ", "\t", "x", "one",                    // <2 tokens → (1,1)
+      "a b", "a a", "a a a a a",                      // tiny/degenerate grams
+      "the cat sat on the mat the cat sat again",     // repeated 2-gram
+      ("buy now " * 30).trim,                         // heavy repetition
+      "every gram here is completely unique text ok", // all-distinct grams
+      "único café único café naïve ÄÖÜ test",         // unicode pairs
+      "A B a b A B")                                  // case-folding collisions
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").repartition(2)
+    val toks = TextFunctions.tokens(col("text"))
+    val grams = when(size(toks) < 2, array(array_join(toks, " ")))
+      .otherwise(TextFunctions.ngramStrings(toks, 2))
+    val legacy = df.select(col("id"), explode(grams).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_count"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val native = df.select(col("id"),
+        graft.expressions.NgramRepPacked.packed(col("text")).as("p"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) >>> 32, r.getLong(1) & 0xffffffffL))
+      .toMap
+    assert(native == legacy)
+    // null text → null packed (callers reproduce the explode-drop with
+    // an isNotNull filter; the expression itself must not invent (1,1))
+    val withNull = Seq((0L, "a b"), (1L, null))
+      .toDF("id", "text").repartition(2)
+      .select(col("id"), graft.expressions.NgramRepPacked.packed(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(withNull == Map(0L -> false, 1L -> true))
+  }
+
   test("projection with the custom expressions stays in whole-stage codegen") {
     val df = docs.select(
       SimHash64.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
@@ -209,6 +244,11 @@ class ExpressionCodegenSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     // '*(n)' prefixes mark whole-stage-codegen'd operators in this format
     assert(plan.contains("*(1) Project [simhash64"), s"plan:\n$plan")
+    val df2 = docs.select(
+      graft.expressions.NgramRepPacked.packed(col("text")).as("p"))
+    df2.collect()
+    val plan2 = df2.queryExecution.executedPlan.toString
+    assert(plan2.contains("*(1) Project [ngram_rep_packed"), s"plan:\n$plan2")
   }
 
   test("bloom_might_contain: codegen equals interpreted, no false negatives") {
