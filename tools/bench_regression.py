@@ -3,16 +3,35 @@
 regressions" machine-checked instead of judge-recomputed).
 
 Usage: bench_regression.py <prev_bench_local.json> <curr_bench_local.json>
+           [--no-narrow]
 
 Diffs two committed same-session Spark bench artifacts and prints a
 MUST-DISPOSITION list: every query present in BOTH whose Spark time
 grew by MORE than 1.5x AND more than +0.3 s (both thresholds — the
 ratio alone flags noise on sub-100ms queries, the delta alone flags
-noise on multi-second ones; a real regression moves both). Exit 1 if
-any query trips, 0 otherwise, so the end-of-round rhythm can gate on
-it. New/removed queries are listed informationally, never flagged.
+noise on multi-second ones; a real regression moves both).
+
+Automated triage (round-15 item: q79 flagged two rounds running and
+both dispositions needed the same MANUAL measurement): every flagged
+query is automatically re-measured in ONE narrowed fresh-JVM
+`graft.Bench <flagged...>` pass — the measurement class that settled
+q79 — and the result lands next to the flag as `narrowed_s`. A flag
+whose narrowed time is back within band (does not itself trip the
+thresholds vs prev) self-dispositions as full-surface-context /
+variance; only flags that stay out of band in a fresh JVM remain
+CONFIRMED. The full disposition record is written to
+`<curr>.regression.json`. `--no-narrow` skips the re-measurement
+(pure diff mode, exit 1 on any flag).
+
+Exit 1 if any CONFIRMED flag remains, 0 otherwise, so the end-of-round
+rhythm can gate on it. New/removed queries are listed informationally,
+never flagged. NOTE: a narrowed run is for DISPOSITIONING variance
+flags only (is the query still slow in a fresh JVM?) — never judge an
+optimization by one (3-query batches swing ±40%; use an in-JVM A/B).
 """
 import json
+import os
+import subprocess
 import sys
 
 
@@ -20,39 +39,102 @@ def load(path):
     with open(path) as f:
         d = json.load(f)
     q = d.get("queries", d)
-    return {k: float(v) for k, v in q.items()
-            if isinstance(v, (int, float))}
+    return d, {k: float(v) for k, v in q.items()
+               if isinstance(v, (int, float))}
+
+
+def narrowed_pass(names, sf_dir):
+    """One fresh-JVM graft.Bench run over exactly the flagged queries;
+    returns its per-query seconds map ({} on any failure — the caller
+    records narrow_failed rather than dying)."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    cmd = ["sbt", "-batch", "runMain graft.Bench " + " ".join(sorted(names))]
+    print(f"\nnarrowed fresh-JVM triage: {' '.join(cmd)} (sf={sf_dir})")
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                             timeout=3600)
+    except (subprocess.TimeoutExpired, OSError) as e:
+        print(f"  narrowed pass failed: {e}")
+        return {}
+    for line in out.stdout.splitlines():
+        s = line.strip()
+        if s.startswith("[info] "):
+            s = s[len("[info] "):]
+        if s.startswith("{") and '"metric"' in s:
+            try:
+                return json.loads(s).get("queries", {})
+            except json.JSONDecodeError:
+                pass
+    print("  narrowed pass produced no parseable bench line "
+          f"(rc={out.returncode})")
+    return {}
 
 
 def main():
-    if len(sys.argv) != 3:
+    args = [a for a in sys.argv[1:] if a != "--no-narrow"]
+    do_narrow = "--no-narrow" not in sys.argv[1:]
+    if len(args) != 2:
         print(__doc__)
         return 2
-    prev, curr = load(sys.argv[1]), load(sys.argv[2])
+    _, prev = load(args[0])
+    curr_doc, curr = load(args[1])
     shared = sorted(set(prev) & set(curr))
     added = sorted(set(curr) - set(prev))
     removed = sorted(set(prev) - set(curr))
-    flagged = []
-    improved = 0
-    for q in shared:
-        p, c = prev[q], curr[q]
-        if c > p * 1.5 and c > p + 0.3:
-            flagged.append((q, p, c))
-        elif c < p:
-            improved += 1
+
+    def out_of_band(p, c):
+        return c > p * 1.5 and c > p + 0.3
+
+    flagged = [(q, prev[q], curr[q]) for q in shared
+               if out_of_band(prev[q], curr[q])]
+    improved = sum(1 for q in shared
+                   if curr[q] < prev[q] and (q, prev[q], curr[q]) not in flagged)
     print(f"shared={len(shared)} added={len(added)} removed={len(removed)} "
           f"improved={improved} flagged={len(flagged)}")
     if added:
         print(f"  new queries (not gated): {', '.join(added)}")
     if removed:
         print(f"  removed queries: {', '.join(removed)}")
-    if flagged:
-        print("\nMUST-DISPOSITION (grew >1.5x AND >+0.3s):")
-        for q, p, c in flagged:
-            print(f"  {q}: {p:.3f}s -> {c:.3f}s "
-                  f"({c / p:.2f}x, +{c - p:.3f}s)")
+    if not flagged:
+        print("no regressions on the shared surface")
+        return 0
+
+    print("\nMUST-DISPOSITION (grew >1.5x AND >+0.3s):")
+    for q, p, c in flagged:
+        print(f"  {q}: {p:.3f}s -> {c:.3f}s "
+              f"({c / p:.2f}x, +{c - p:.3f}s)")
+
+    narrowed = {}
+    if do_narrow:
+        sf_dir = curr_doc.get("sf", "/root/testdata/sf0.1")
+        narrowed = narrowed_pass([q for q, _, _ in flagged], sf_dir)
+
+    records, confirmed = [], []
+    for q, p, c in flagged:
+        n = narrowed.get(q)
+        if n is None:
+            disp = "narrow_failed" if do_narrow else "not_narrowed"
+        elif out_of_band(p, n):
+            disp = "confirmed_regression"
+        else:
+            disp = "self_dispositioned_variance"
+        if disp != "self_dispositioned_variance":
+            confirmed.append(q)
+        records.append({"query": q, "prev_s": p, "curr_s": c,
+                        "narrowed_s": n, "disposition": disp})
+
+    report = args[1] + ".regression.json"
+    with open(report, "w") as f:
+        json.dump({"flags": records}, f, indent=1)
+    print(f"\ndispositions -> {report}")
+    for r in records:
+        ns = "-" if r["narrowed_s"] is None else f"{r['narrowed_s']:.3f}s"
+        print(f"  {r['query']}: narrowed={ns} -> {r['disposition']}")
+    if confirmed:
+        print(f"\nCONFIRMED regressions (out of band in a fresh JVM too): "
+              f"{', '.join(confirmed)}")
         return 1
-    print("no regressions on the shared surface")
+    print("\nall flags self-dispositioned as variance (in band fresh-JVM)")
     return 0
 
 
