@@ -981,4 +981,37 @@ object CorpusStats {
       .select(col("unit"), col("pct"), col("unit_value"), col("pooled_value"),
         round(col("unit_value") - col("pooled_value"), 4).as("shift"))
   }
+
+  /** (lang, w) token stream for vocabulary-coverage accounting — the
+    * shared tokenization under q188 and
+    * [[graft.streaming.StreamingVocabCoverage]] (empty tokens dropped,
+    * mirroring the oracle's split-of-blank behavior). */
+  def langTokens(df: DataFrame, lang: Column, text: Column): DataFrame =
+    df.select(lang.as("lang"),
+        explode(TextFunctions.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0)
+
+  /** Per-language coverage COUNTS of a token stream against a FIXED
+    * vocabulary (one column `w`): (lang, n_tokens, n_covered). One
+    * broadcast left join + one aggregation — the identical plan on a
+    * static frame and on a stream (stream-static join feeding a
+    * complete-mode aggregate whose state is the ≤|langs|-row counts
+    * frame), which is what makes the batch audit (q188) and the
+    * streaming drift screen share ONE arithmetic. */
+  def vocabCoverageCounts(tok: DataFrame, vocab: DataFrame): DataFrame =
+    tok.join(broadcast(vocab.select(col("w"), lit(true).as("__inv"))),
+        Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv"), 1L).otherwise(0L)).as("n_covered"))
+
+  /** The OOV-rate projection over coverage counts (4 dp grid),
+    * deterministically ordered — applied to the batch counts in q188
+    * and to the live streaming snapshot in
+    * [[graft.streaming.StreamingVocabCoverage.screen]]. */
+  def oovRates(counts: DataFrame): DataFrame =
+    counts.select(col("lang"), col("n_tokens"), col("n_covered"),
+        round(lit(1.0d) - col("n_covered").cast("double") /
+          col("n_tokens").cast("double"), 4).as("oov_rate"))
+      .orderBy(asc_nulls_first("lang"))
 }

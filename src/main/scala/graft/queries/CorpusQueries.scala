@@ -258,23 +258,18 @@ object CorpusQueries {
     * counted, and V rows broadcast where a shuffled join would move
     * the corpus. */
   def q188VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("lang"),
-        explode(graft.functions.TextFunctions.tokens(col("text")))
-          .as("w"))
-      .filter(length(col("w")) > 0)
+    // Tokenization, coverage counts and the OOV projection are the
+    // CorpusStats shared definitions — the identical arithmetic runs as
+    // the streaming drift screen (StreamingVocabCoverage, stream ≡
+    // batch gated), so this oracle row gates that path's math too.
+    val tok = graft.operators.CorpusStats.langTokens(
+      Tables.documents(spark, dir), col("lang"), col("text"))
     val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("w").asc)
       .limit(64)
-      .select(col("w"), lit(true).as("__inv"))
-    tok.join(broadcast(vocab), Seq("w"), "left")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__inv"), 1L).otherwise(0L)).as("n_covered"))
-      .select(col("lang"), col("n_tokens"), col("n_covered"),
-        round(lit(1.0d) - col("n_covered").cast("double") /
-          col("n_tokens").cast("double"), 4).as("oov_rate"))
-      .orderBy(asc_nulls_first("lang"))
+      .select(col("w"))
+    graft.operators.CorpusStats.oovRates(
+      graft.operators.CorpusStats.vocabCoverageCounts(tok, vocab))
   }
 
   /** q187 — q121's subword encode through the VOCABULARY JOIN
