@@ -316,8 +316,34 @@ object Bench {
           shortlist = math.max(50L, nCorpus * 3 / 10).toInt, k = 10)))
         indexed.unpersist(); bucketed.unpersist(); encoded.unpersist()
         projected.unpersist()
+        // Durable-lifecycle steady-state rows (round-15): q189's benched
+        // entry times build + bucketed WRITE + reload + probe composed;
+        // these two time what a later session actually pays — the probe
+        // against the already-landed index (MinHash bucketed tables, IVF
+        // partitioned posting lists). Build/write cost is the composed
+        // q189 entry; probe cost is here, separated.
+        import graft.operators.Dedup
+        val docs = graft.sources.Tables.documents(spark, sfDir)
+        val builtIdx = Dedup.corpusIndex(
+          docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"))
+        Dedup.writeCorpusIndex(builtIdx, "graft_bench_reload_idx")
+        builtIdx.unpersist()
+        val loadedIdx = Dedup.loadCorpusIndex(spark, "graft_bench_reload_idx")
+        val shard = docs.filter(col("source") === "src0").persist()
+        shard.count()
+        val p189 = minOf3(noop(Dedup.nearDupAgainstIndex(
+          shard, col("doc_id"), col("text"), loadedIdx, threshold = 0.8,
+          persistNewRel = false)))
+        shard.unpersist()
+        val ivfDir = java.nio.file.Files
+          .createTempDirectory("graft-bench-ivf-").toString
+        Similarity.writeIvfIndex(centroids, idx0, ivfDir)
+        val (rcents, rlists) = Similarity.loadIvfIndex(spark, ivfDir)
+        val p78r = minOf3(noop(Similarity.ivfTopK(
+          rcents, rlists, qv, k = 10, nProbe = 3)))
         Vector("q78_probe" -> p78, "q79_probe" -> p79, "q89_probe" -> p89,
-          "q128_probe" -> p128)
+          "q128_probe" -> p128,
+          "q189_reload_probe" -> p189, "q78_reload_probe" -> p78r)
       } catch {
         case e: Throwable =>
           // Probe failure must not cost the run its full-query artifact,

@@ -49,7 +49,12 @@ object ScaleFixture {
     "q187_subword_encode_join", "q78_ivf_recall",
     "q79_lsh_recall", "q182_train_quality_lr", "q137_ppl_buckets",
     "q94_fertility", "q110_collocations", "q83_bigram_lm",
-    "q186_hard_negatives_ann")
+    "q186_hard_negatives_ann",
+    // round-15 additions: the native q62 kernel's standing row, and the
+    // durable-lifecycle composition (build + bucketed write + fresh
+    // reload + probe; the probe-only steady state is Bench's
+    // q189_reload_probe row).
+    "q62_repetition", "q189_index_reload_probe")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(16)
