@@ -274,6 +274,41 @@ object Similarity {
     (cents, spark.read.parquet(s"$path/lists"))
   }
 
+  /** Durable form of the PQ index: the packed codes land as plain
+    * parquet — which IS the optimal layout for the ADC scan (one long
+    * per row, LUT scoring + TakeOrderedAndProject; there is no probe
+    * key to prune by, the 32× compression is the whole bandwidth
+    * story) — and the codebooks as a parameter-sized (j, cl, c) table
+    * beside them. Doubles round-trip parquet bit-exact, so a reloaded
+    * probe is bit-equal to the build-session probe (gated in
+    * `IndexLifecycleSpec`). */
+  def writePqIndex(
+      codebooks: Seq[(Int, Int, Array[Double])], encoded: DataFrame,
+      path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codes")
+    codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }
+      .toDF("j", "cl", "c")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebooks")
+  }
+
+  /** Reload a [[writePqIndex]]-persisted index in (possibly) a fresh
+    * session: (codebooks in (j, cl) order, codes scan). The codebook
+    * collect is m·ksub rows — the same bounded class as the build. */
+  def loadPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[(Int, Int, Array[Double])], DataFrame) = {
+    val cbs = spark.read.parquet(s"$path/codebooks")
+      .select(col("j").cast("int"), col("cl").cast("int"), col("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(p => (p._1, p._2)).toSeq
+    (cbs, spark.read.parquet(s"$path/codes"))
+  }
+
   /** IVF ANN top-k: score the query against every centroid on the driver
     * (nLists is small), then scan only the `nProbe` nearest posting
     * lists. Approximate; recall grows with nProbe. Output: (id, sim). */

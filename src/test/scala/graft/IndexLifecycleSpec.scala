@@ -131,4 +131,30 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(scan.get.partitionFilters.exists(_.references.exists(_.name == "list")),
       s"probe filter did not reach the partition layer:\n${scan.get}")
   }
+
+  test("PQ index: write → fresh-session reload → probe ≡ build probe, codebooks bit-equal") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val (cbs, encoded) = Similarity.pqIndex(
+      corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 2)
+    val same = Similarity.pqTopK(cbs, encoded, corpus,
+      col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
+      .collect().toSeq
+    val path = "/tmp/graft_pq_lifecycle"
+    Similarity.writePqIndex(cbs, encoded, path)
+
+    val fresh = spark.newSession()
+    val (cbs2, encoded2) = Similarity.loadPqIndex(fresh, path)
+    assert(cbs2.map(p => (p._1, p._2)) == cbs.sortBy(p => (p._1, p._2)).map(p => (p._1, p._2)))
+    val byKey = cbs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(cbs2.forall { case (j, cl, c) => c.sameElements(byKey((j, cl))) },
+      "codebook doubles must round-trip parquet bit-exact")
+    val probe = Similarity.pqTopK(cbs2, encoded2,
+      Tables.embeddings(fresh, sf).filter(col("vec_id") =!= 0),
+      col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
+    assert(probe.collect().toSeq === same,
+      "reloaded PQ probe must be bit-equal to the build probe")
+  }
 }
