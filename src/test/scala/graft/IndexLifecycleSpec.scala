@@ -132,6 +132,37 @@ class IndexLifecycleSpec extends SparkSpec {
       s"probe filter did not reach the partition layer:\n${scan.get}")
   }
 
+  test("projected column: land as parquet → fresh-session reload → prebuilt probe ≡ build probe") {
+    // The fourth named in-session structure. Plain parquet IS the
+    // layout (the probe is a full scan of outDim doubles — nothing to
+    // prune by); the gate is that the reloaded (id, pv) frame feeds
+    // projectedTopKPrebuilt bit-equal to the build session's.
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val projected = Similarity.randomProjection(
+      corpus, col("vec_id"), col("embedding"), inDim = 64, outDim = 16)
+    val same = Similarity.projectedTopKPrebuilt(
+        corpus, col("vec_id"), col("embedding"), projected, query,
+        inDim = 64, outDim = 16, shortlist = 50, k = 10)
+      .collect().toSeq
+    val path = "/tmp/graft_rp_lifecycle"
+    projected.write.mode("overwrite").parquet(path)
+
+    val fresh = spark.newSession()
+    val reloaded = fresh.read.parquet(path)
+    val emb2 = Tables.embeddings(fresh, sf)
+    val probe = Similarity.projectedTopKPrebuilt(
+        emb2.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        reloaded, emb2.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")),
+        inDim = 64, outDim = 16, shortlist = 50, k = 10)
+      .collect().toSeq
+    assert(probe === same,
+      "reloaded projected-column probe must be bit-equal to the build probe")
+  }
+
   test("PQ index: write → fresh-session reload → probe ≡ build probe, codebooks bit-equal") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.filter(col("vec_id") =!= 0)
