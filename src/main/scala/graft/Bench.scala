@@ -159,24 +159,29 @@ object Bench {
     val waitT0 = System.nanoTime()
     var waitedSec = 0.0
     var waitTimedOut = false
-    while (load1Now().exists(_ > loadGateThreshold) && !waitTimedOut) {
+    var gateSample = load1Now()
+    while (gateSample.exists(_ > loadGateThreshold) && !waitTimedOut) {
       waitedSec = (System.nanoTime() - waitT0) / 1e9
       if (waitedSec >= loadWaitMax) waitTimedOut = true
       else {
-        System.err.println(f"[bench] co-loaded (1-min ${load1Now().getOrElse(-1.0)}%.2f > " +
+        // One sample per iteration: the logged loadavg IS the value
+        // that gated (re-sampling for the log could print a number
+        // that would have passed).
+        System.err.println(f"[bench] co-loaded (1-min ${gateSample.getOrElse(-1.0)}%.2f > " +
           f"$loadGateThreshold%.1f), waiting (${waitedSec.toInt}s/${loadWaitMax.toInt}s)")
         Thread.sleep(15000)
+        gateSample = load1Now()
       }
     }
     val loadStart = loadavg()
-    val waitTag =
-      if (waitTimedOut) f"_wait_timeout_${waitedSec.toInt}s"
-      else if (waitedSec > 0) f"_after_wait_${waitedSec.toInt}s"
-      else ""
+    // The wait is its own JSON fields (`load_wait_s`/`load_wait_timeout`)
+    // so `load_gate` keeps its stable ok/co_loaded/unknown vocabulary —
+    // round 15's `ok_after_wait_30s` suffix broke exact-match consumers.
+    val loadWaitSec = waitedSec.toInt
     val loadGate = loadStart.split("\\s+").head.toDoubleOption match {
       case Some(l1) if l1 > loadGateThreshold =>
-        f"co_loaded:start_1min_$l1%.2f_over_$loadGateThreshold%.1f$waitTag"
-      case Some(_) => s"ok$waitTag"
+        f"co_loaded:start_1min_$l1%.2f_over_$loadGateThreshold%.1f"
+      case Some(_) => "ok"
       case None => "unknown"
     }
     // 1-minute loadavg only for the per-query field: the 5/15-minute
@@ -200,7 +205,7 @@ object Bench {
         "\"" + k + "\":" + lit
       }.mkString("{", ",", "}")
       val total = done.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"load":$loadJson,"probes":$probesJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_now":"${loadavg()}","load_gate":"$loadGate"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"load":$loadJson,"probes":$probesJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_now":"${loadavg()}","load_gate":"$loadGate","load_wait_s":$loadWaitSec,"load_wait_timeout":$waitTimedOut}"""
     }
 
     val partialPath = Paths.get("bench_partial.json")
@@ -376,7 +381,7 @@ object Bench {
       else {
         val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
         val total = done.map(_._2).sum
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${done.size},"failed":$failedJson,"n_flaky":${flaky.size},"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_now":"${loadavg()}","load_gate":"$loadGate","queries_file":"bench_full.json"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${done.size},"failed":$failedJson,"n_flaky":${flaky.size},"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_now":"${loadavg()}","load_gate":"$loadGate","load_wait_s":$loadWaitSec,"load_wait_timeout":$waitTimedOut,"queries_file":"bench_full.json"}"""
       }
     println(out)
     spark.stop()

@@ -980,6 +980,21 @@ object Dedup {
     def unpersist(): Unit = { rel.unpersist(); banded.unpersist() }
   }
 
+  /** The index's verification relation (id, hs, sig, n_sh) for one doc
+    * set under one shingle/signature scheme — THE shared build step for
+    * [[corpusIndex]], [[nearDupAgainstIndex]]'s probe side and
+    * [[appendToCorpusIndex]], so an appended shard is banded
+    * byte-identically to the original build (the append-≡-rebuild gate
+    * in `IndexLifecycleSpec` rests on this sharing). */
+  private def shingleRel(
+      docs: DataFrame, id: Column, text: Column, n: Int, k: Int): DataFrame =
+    spread(docs).select(
+      id.cast("long").as("id"),
+      graft.expressions.HashedShingles.shingles(text, n).as("hs"))
+      .select(col("id"), col("hs"),
+        graft.expressions.MinHashSig.minhashSigFromHashes(col("hs"), k).as("sig"))
+      .withColumn("n_sh", size(col("hs")))
+
   /** Build a [[CorpusIndex]]: one shingle pass per corpus doc feeds both
     * the exact-verification sets and the MinHash signatures (same
     * single-hash-pass discipline as [[minhashLshVerifiedPairs]]). */
@@ -987,12 +1002,7 @@ object Dedup {
       corpus: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 60, bands: Int = 20): CorpusIndex = {
     require(k % bands == 0, "k must divide into bands")
-    val rel = spread(corpus).select(
-      id.cast("long").as("id"),
-      graft.expressions.HashedShingles.shingles(text, n).as("hs"))
-      .select(col("id"), col("hs"),
-        graft.expressions.MinHashSig.minhashSigFromHashes(col("hs"), k).as("sig"))
-      .withColumn("n_sh", size(col("hs")))
+    val rel = shingleRel(corpus, id, text, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandedRows(rel, k, bands, carry = Seq("n_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1008,10 +1018,19 @@ object Dedup {
     * docs identically. The bucketed layout is the point: the per-shard
     * probe join reads bucket-aligned files with NO exchange on the
     * corpus side (gated in `IndexLifecycleSpec`) — at 100 TB the index
-    * is written once and the nightly shard pays only ITS OWN shuffle,
-    * never a re-shuffle of the corpus. */
+    * is written once, GROWN nightly ([[appendToCorpusIndex]]) and the
+    * nightly shard pays only ITS OWN shuffle, never a re-shuffle of the
+    * corpus.
+    *
+    * DESTRUCTIVE on collision: writing to `tablePrefix` drops and
+    * re-creates `<prefix>_banded`/`<prefix>_rel`/`<prefix>_meta`,
+    * including any unrelated pre-existing tables of those names and
+    * their storage. The prefix is validated as a plain SQL identifier
+    * (it is interpolated into DDL) — pick a dedicated namespace-style
+    * prefix (e.g. `graft_idx_<corpus>`). */
   def writeCorpusIndex(
       index: CorpusIndex, tablePrefix: String, buckets: Int = 32): Unit = {
+    requireIndexPrefix(tablePrefix)
     val spark = index.rel.sparkSession
     // Overwrite must mean overwrite even when the catalog has forgotten
     // the table but its managed location survived (an in-memory catalog
@@ -1053,11 +1072,88 @@ object Dedup {
   def loadCorpusIndex(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): CorpusIndex = {
-    val m = spark.table(s"${tablePrefix}_meta").collect()(0)
+    val m = indexMeta(spark, tablePrefix)
     CorpusIndex(
       spark.table(s"${tablePrefix}_rel"),
       spark.table(s"${tablePrefix}_banded"),
       m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands"))
+  }
+
+  /** Tables are `<prefix>_banded|_rel|_meta` and the prefix is
+    * interpolated into DDL ([[writeCorpusIndex]]'s reset), so it must be
+    * a plain identifier — reject anything that could smuggle SQL or
+    * collide by accident via quoting tricks. */
+  private def requireIndexPrefix(tablePrefix: String): Unit =
+    require(tablePrefix.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"corpus-index table prefix must be a plain SQL identifier " +
+        s"([A-Za-z_][A-Za-z0-9_]*), got: '$tablePrefix'")
+
+  /** The pinned scheme row, with a readable failure when the prefix
+    * points at nothing (a wrong prefix in a fresh session otherwise
+    * surfaces as a bare catalog/analysis error). */
+  private def indexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): org.apache.spark.sql.Row = {
+    requireIndexPrefix(tablePrefix)
+    val missing = Seq("meta", "banded", "rel")
+      .map(s => s"${tablePrefix}_$s")
+      .filterNot(spark.catalog.tableExists)
+    require(missing.isEmpty,
+      s"no corpus index at prefix '$tablePrefix': missing table(s) " +
+        s"${missing.mkString(", ")} — was writeCorpusIndex run against " +
+        s"this metastore?")
+    val rows = spark.table(s"${tablePrefix}_meta").collect()
+    require(rows.nonEmpty,
+      s"corpus index at prefix '$tablePrefix' has an EMPTY meta table — " +
+        s"the index write was interrupted; rebuild with writeCorpusIndex")
+    rows(0)
+  }
+
+  /** Fold a new shard INTO a durable corpus index — the growth half of
+    * "build once, probe for weeks": nightly ingest appends yesterday's
+    * docs so today's probes see them, paying only the SHARD's shingle +
+    * band + write cost, never a corpus-sized rebuild (the rebuild is
+    * exactly the 100 TB scale-killer [[writeCorpusIndex]]'s layout
+    * exists to avoid).
+    *
+    * The shard is shingled/banded with the META-PINNED scheme (same
+    * [[shingleRel]]/[[bandedRows]] code path as the original build, so
+    * its rows are byte-identical to what a from-scratch rebuild on the
+    * unioned corpus would produce) and inserted via
+    * `DataFrameWriter.insertInto`, which writes THROUGH the catalog
+    * table's bucket spec: new files land with bucket ids assigned by
+    * the same hash on the same columns, so the bucketed-scan
+    * distribution guarantee — and with it the exchange-free probe plan
+    * — survives the append (buckets simply gain a file per append;
+    * only the per-bucket SORT guarantee is file-local, which the probe
+    * join never relied on). Gated in `IndexLifecycleSpec`:
+    * append→reload→probe ≡ from-scratch-rebuild probe bit-equal,
+    * exchange-free plan still green on the appended tables, and
+    * straddling pairs (probe × old corpus AND probe × new shard) found.
+    *
+    * Caller contract: shard ids must be new (an id already in the index
+    * would duplicate its rows — run the probe first, that's the point
+    * of the index). Appends are not atomic across the two tables; on a
+    * mid-append failure re-run the append after deduplicating, or
+    * rebuild. */
+  def appendToCorpusIndex(
+      shard: DataFrame, id: Column, text: Column,
+      tablePrefix: String): Unit = {
+    val spark = shard.sparkSession
+    val m = indexMeta(spark, tablePrefix)
+    val (k, bands) = (m.getAs[Int]("k"), m.getAs[Int]("bands"))
+    val rel = shingleRel(shard, id, text, m.getAs[Int]("n"), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // insertInto matches columns BY POSITION — select in table order.
+      def insert(df: DataFrame, table: String): Unit =
+        df.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .insertInto(table)
+      insert(bandedRows(rel, k, bands, carry = Seq("n_sh")),
+        s"${tablePrefix}_banded")
+      insert(rel, s"${tablePrefix}_rel")
+    } finally rel.unpersist(false)
   }
 
   /** Near-dup pairs between NEW docs and an indexed reference corpus —
@@ -1079,12 +1175,7 @@ object Dedup {
       newDocs: DataFrame, id: Column, text: Column,
       index: CorpusIndex, threshold: Double,
       persistNewRel: Boolean = true): DataFrame = {
-    val rel0 = spread(newDocs).select(
-      id.cast("long").as("id"),
-      graft.expressions.HashedShingles.shingles(text, index.n).as("hs"))
-      .select(col("id"), col("hs"),
-        graft.expressions.MinHashSig.minhashSigFromHashes(col("hs"), index.k).as("sig"))
-      .withColumn("n_sh", size(col("hs")))
+    val rel0 = shingleRel(newDocs, id, text, index.n, index.k)
     val rel =
       if (persistNewRel)
         rel0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -160,13 +160,18 @@ object Similarity {
         Seq(col("__aid")), Seq(col("psim").desc, col("id").asc), shortlist)
       .select(col("__aid").as("anchor_id"), col("id"))
     // The shortlist is |anchors| × shortlist id rows. Only FORCE the
-    // broadcast when that product is driver-safe by construction; the
-    // degenerate exactness-gate path (shortlist ≥ |corpus|) and any
-    // oversized anchor batch fall through to the optimizer's stats
-    // decision — a forced hint there would bypass
+    // broadcast when that PRODUCT is driver-safe by construction — the
+    // anchor count is one cheap job on the parameter-sized anchor frame
+    // (already force-broadcast above, so it is small by the operator's
+    // contract; the count makes the product gate honest rather than
+    // assumed). The degenerate exactness-gate path (shortlist ≥
+    // |corpus|) and any oversized batch fall through to the optimizer's
+    // stats decision — a forced hint there would bypass
     // autoBroadcastJoinThreshold and pressure the driver.
+    val nAnchors = q.count()
     val shortSide =
-      if (shortlist.toLong <= (1L << 16)) broadcast(short) else short
+      if (nAnchors * shortlist.toLong <= (1L << 20)) broadcast(short)
+      else short
     val rescored = c.join(shortSide, Seq("id"))
       .join(broadcast(q.select(col("anchor_id"), col("qv"), col("qnrm"))),
         Seq("anchor_id"))
@@ -263,9 +268,24 @@ object Similarity {
     * scan itself, not a cache: [[ivfTopK]]'s probe filter prunes to the
     * probed partitions, so steady-state probe cost is the probed lists'
     * bytes, independent of corpus size. */
+  /** Readable failure for a wrong index path — a fresh-session user
+    * otherwise gets a bare PATH_NOT_FOUND on an internal subdirectory. */
+  private def requireIndexDir(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, parts: Seq[String], kind: String): Unit = {
+    val missing = parts.map(s => s"$path/$s").filterNot { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    require(missing.isEmpty,
+      s"no $kind index at '$path': missing ${missing.mkString(", ")} — " +
+        s"was write${kind}Index run against this filesystem?")
+  }
+
   def loadIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Array[Array[Float]], DataFrame) = {
+    requireIndexDir(spark, path, Seq("centroids", "lists"), "Ivf")
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("list").cast("int"), col("centroid"))
       .collect()
@@ -301,6 +321,7 @@ object Similarity {
   def loadPqIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Seq[(Int, Int, Array[Double])], DataFrame) = {
+    requireIndexDir(spark, path, Seq("codebooks", "codes"), "Pq")
     val cbs = spark.read.parquet(s"$path/codebooks")
       .select(col("j").cast("int"), col("cl").cast("int"), col("c"))
       .collect()

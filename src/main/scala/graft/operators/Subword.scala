@@ -71,6 +71,48 @@ object Subword {
           - 1).as("vid"))
   }
 
+  /** Durable form of a trained vocabulary — production tokenizers are
+    * VERSIONED FILES built once and shipped to every consumer for
+    * months, the same build-once-use-for-weeks class as the corpus
+    * index ([[Dedup.writeCorpusIndex]]). The (piece, n, vid) table
+    * lands as plain parquet (V rows — there is nothing to bucket or
+    * prune) plus a 1-row meta pinning `maxPieceLen`: encoding with a
+    * smaller cap than the vocab was trained with would silently skip
+    * long pieces, so the cap travels WITH the artifact. Reload with
+    * [[loadVocab]]; encode-with-reloaded ≡ encode-with-built is gated
+    * in `SubwordSpec`. */
+  def writeVocab(vocab: DataFrame, maxPieceLen: Int, path: String): Unit = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    vocab.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/pieces")
+    Seq(maxPieceLen).toDF("max_piece_len")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  /** Reload a [[writeVocab]]-persisted vocabulary in (possibly) a fresh
+    * session: (pieces frame, pinned maxPieceLen). The pieces frame is
+    * the parquet scan itself, broadcast-sized by construction — feed it
+    * straight to [[encodeWithVocabJoin]] with the returned cap. */
+  def loadVocab(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Int) = {
+    val missing = Seq("pieces", "meta").map(s => s"$path/$s")
+      .filterNot { p0 =>
+        val p = new org.apache.hadoop.fs.Path(p0)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      }
+    require(missing.isEmpty,
+      s"no vocabulary at '$path': missing ${missing.mkString(", ")} — " +
+        s"was writeVocab run against this filesystem?")
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.nonEmpty,
+      s"vocabulary at '$path' has an EMPTY meta table — the write was " +
+        s"interrupted; rebuild with writeVocab")
+    (spark.read.parquet(s"$path/pieces"), metaRows(0).getAs[Int](0))
+  }
+
   /** Greedy longest-match encode of every word in `text` against a
     * (piece → id) vocabulary. Output: (doc_id, n_words, n_pieces,
     * fertility, ids) — `fertility` = pieces per word rounded to 4 dp

@@ -422,8 +422,12 @@ object PipelineQueries {
     * alternative, which never reaches codegen). Gram identity is a
     * combined 64-bit hash — the same ~2⁻⁶⁴ in-doc collision class as
     * the previous shape's pre-aggregation `xxhash64(gram)` projection.
-    * The `text.isNotNull` filter reproduces the explode shape's
-    * null-row drop exactly (and the oracle's `unnest(NULL)`). */
+    * The `text.isNotNull` filter aligns with the ORACLE's null drop
+    * (`unnest(NULL)` yields no rows) — and CORRECTS the legacy explode
+    * shape's latent null behavior: there, `size(null) = -1` took the
+    * `size(toks) < 2` branch and emitted a `[null]` gram, i.e. a
+    * (n_grams=1, top_count=1) row for null text, which the oracle
+    * never produced. */
   def q62Repetition(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
@@ -981,6 +985,39 @@ object PipelineQueries {
       .orderBy(asc("new_id"), asc("corpus_id"))
   }
 
+  /** q190 — durable-index APPEND: the growth half of the lifecycle. The
+    * index is built and written on a PARTIAL corpus (everything except
+    * src0/src8/src12), then src8∪src12 arrives as the nightly shard and
+    * is folded in with [[Dedup.appendToCorpusIndex]] — paying only the
+    * shard's shingle+band+insert, never a corpus-sized rebuild. A fresh
+    * session reloads and probes src0. Output ≡ q66/q189 (same oracle
+    * SQL over the FULL corpus): the append must be indistinguishable
+    * from having built the whole index at once — and the probe still
+    * reads the (now multi-file-per-bucket) tables exchange-free
+    * (`IndexLifecycleSpec` pins that plan). Like q66/q189 the bench
+    * number includes the one-time build+write+append; the steady state
+    * is the same reload-probe ScaleFixture row. */
+  def q190IndexAppendProbe(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.sources.Ingest.documentsBySourceLanding(spark, dir)
+    val shardSrc = Seq("src8", "src12")
+    val docs = spark.read.parquet(landing)
+    val built = Dedup.corpusIndex(
+      docs.filter(col("source") =!= "src0" &&
+        !col("source").isInCollection(shardSrc)),
+      col("doc_id"), col("text"))
+    Dedup.writeCorpusIndex(built, "graft_q190_idx")
+    built.unpersist()
+    Dedup.appendToCorpusIndex(
+      docs.filter(col("source").isInCollection(shardSrc)),
+      col("doc_id"), col("text"), "graft_q190_idx")
+    val fresh = spark.newSession()
+    val loaded = Dedup.loadCorpusIndex(fresh, "graft_q190_idx")
+    val shard = fresh.read.parquet(landing).filter(col("source") === "src0")
+    Dedup.nearDupAgainstIndex(
+        shard, col("doc_id"), col("text"), loaded, threshold = 0.8)
+      .orderBy(asc("new_id"), asc("corpus_id"))
+  }
+
   /** q46 — rolling-hash document fingerprints: polynomial hash over the
     * text bytes with per-step modular reduction (exact in both engines). */
   def q46RollingHash(spark: SparkSession, dir: String): DataFrame =
@@ -1095,6 +1132,7 @@ object PipelineQueries {
     "q89_pq_recall"       -> q89PqRecall _,
     "q66_incremental_neardup" -> q66IncrementalNearDup _,
     "q189_index_reload_probe" -> q189IndexReloadProbe _,
+    "q190_index_append_probe" -> q190IndexAppendProbe _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
@@ -1860,6 +1898,9 @@ object PipelineQueries {
     // q189 is q66 THROUGH the durable write→reload cycle — the lifecycle
     // must be semantically invisible, so it shares q66's oracle verbatim.
     "q189_index_reload_probe" -> incrementalNearDupSql,
+    // q190 is q66 through write(partial)→APPEND(shard)→reload: growing
+    // the index must equal having built it whole, so same oracle again.
+    "q190_index_append_probe" -> incrementalNearDupSql,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

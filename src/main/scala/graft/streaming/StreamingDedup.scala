@@ -30,7 +30,12 @@ object StreamingDedup {
     * `inputDir` → per-batch [[Dedup.nearDupAgainstIndex]] → parquet
     * append under `outDir`. `Trigger.AvailableNow` drains what exists
     * and stops (the nightly-shard shape); pass a processing-time trigger
-    * for a resident ingest daemon. */
+    * for a resident ingest daemon. `index` composes with the DURABLE
+    * lifecycle: a [[graft.operators.Dedup.loadCorpusIndex]] handle over
+    * the bucketed tables plugs in directly (the weeks-old-index daemon
+    * shape, gated stream ≡ batch in StreamingDedupSpec), and nightly
+    * [[graft.operators.Dedup.appendToCorpusIndex]] growth is picked up
+    * on the daemon's next restart/reload. */
   def start(
       spark: SparkSession, inputDir: String, schema: StructType,
       idCol: Column, textCol: Column,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -18,6 +19,13 @@ import graft.sources.Tables
   *     join must be exchange-free on the bucketed corpus side (the
   *     whole point of the layout: the nightly shard pays only its own
   *     shuffle, never a re-shuffle of the 100 TB index).
+  *   - Index APPEND (round-16): [[Dedup.appendToCorpusIndex]] folds a
+  *     new shard into the durable tables via `insertInto` (writes
+  *     through the catalog bucket spec). Gates: append→reload→probe
+  *     bit-equal to a FROM-SCRATCH rebuild on the unioned corpus, the
+  *     exchange-free plan still green on the appended table, and
+  *     straddling pairs (probe × old corpus AND probe × appended
+  *     shard) both present — growth without the corpus-sized rebuild.
   *   - IVF ANN index: [[Similarity.writeIvfIndex]] lands posting lists
   *     PARTITIONED by list id; a reloaded [[Similarity.ivfTopK]] probe
   *     must be bit-equal to the same-session probe and its scan must
@@ -26,8 +34,18 @@ import graft.sources.Tables
   *
   * "Fresh session" is `spark.newSession()` — separate session state
   * (separate temp views, confs, cached plans) over the shared
-  * metastore, the same isolation a next-day probe job has. */
+  * metastore, the same isolation a next-day probe job has.
+  *
+  * Every fixture below is order-independent (shared `lazy val`s, built
+  * by whichever test runs first — a `-z` single-test run still works)
+  * and lands under per-run names/paths, so concurrent suite runs never
+  * collide on a shared warehouse or /tmp. */
 class IndexLifecycleSpec extends SparkSpec {
+
+  private val runId =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+  private def tmpDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$runId"
 
   private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] =
     p.collect { case f: FileSourceScanExec => f }
@@ -50,54 +68,141 @@ class IndexLifecycleSpec extends SparkSpec {
     else Some(candidates.maxBy(_.collect { case x => x }.size))
   }
 
-  test("MinHash index: fresh-session reload probe ≡ same-session build probe, bit-equal") {
-    val docs = Tables.documents(spark, sf)
-    val corpus = docs.filter(col("source") =!= "src0")
-    val shard = docs.filter(col("source") === "src0")
-    val built = Dedup.corpusIndex(corpus, col("doc_id"), col("text"))
-    val same = Dedup.nearDupAgainstIndex(
-        shard, col("doc_id"), col("text"), built, threshold = 0.8)
-      .orderBy("new_id", "corpus_id").collect().toSeq
-    Dedup.writeCorpusIndex(built, "graft_idx_lifecycle", buckets = 4)
-    built.unpersist()
-
-    val fresh = spark.newSession()
-    val loaded = Dedup.loadCorpusIndex(fresh, "graft_idx_lifecycle")
-    assert((loaded.n, loaded.k, loaded.bands) === ((3, 60, 20)),
-      "meta must pin the build's shingle/signature scheme")
-    val reload = Dedup.nearDupAgainstIndex(
-        Tables.documents(fresh, sf).filter(col("source") === "src0"),
-        col("doc_id"), col("text"), loaded, threshold = 0.8)
-      .orderBy("new_id", "corpus_id").collect().toSeq
-    assert(same.nonEmpty, "fixture must produce near-dup pairs")
-    assert(reload === same, "reloaded probe must be bit-equal to the build probe")
-  }
-
-  test("MinHash index: reloaded probe join is exchange-free on the bucketed corpus side") {
-    // Broadcast and AQE off so the no-exchange plan is genuinely the
-    // bucket co-location, not a small-side shortcut (BucketedJoinSpec's
-    // discipline); persistNewRel=false keeps the probe plan lazy so the
-    // join is visible (the default path eagerly pins its result).
+  /** Asserts the probe plan reads BOTH bucketed index relations with
+    * zero exchange — the layout guarantee the lifecycle exists for.
+    * Broadcast and AQE off so the no-exchange plan is genuinely the
+    * bucket co-location, not a small-side shortcut (BucketedJoinSpec's
+    * discipline); persistNewRel=false keeps the probe plan lazy so the
+    * join is visible (the default path eagerly pins its result). */
+  private def assertExchangeFreeProbe(prefix: String): Unit = {
     val fresh = spark.newSession()
     fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     fresh.conf.set("spark.sql.adaptive.enabled", "false")
-    val loaded = Dedup.loadCorpusIndex(fresh, "graft_idx_lifecycle")
+    val loaded = Dedup.loadCorpusIndex(fresh, prefix)
     val probe = Dedup.nearDupAgainstIndex(
       Tables.documents(fresh, sf).filter(col("source") === "src0"),
       col("doc_id"), col("text"), loaded, threshold = 0.8,
       persistNewRel = false)
     val plan = probe.queryExecution.executedPlan
-    val bandedSide = subtreeWithTable(plan, "graft_idx_lifecycle_banded")
+    val bandedSide = subtreeWithTable(plan, s"${prefix}_banded")
     assert(bandedSide.isDefined, s"banded table scan not found in:\n$plan")
     val exchanges = bandedSide.get.collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.isEmpty,
       s"bucketed corpus side still shuffles:\n${bandedSide.get}")
     // The verification side is bucketed by id — that join must also
     // read the corpus relation exchange-free.
-    val relSide = subtreeWithTable(plan, "graft_idx_lifecycle_rel")
+    val relSide = subtreeWithTable(plan, s"${prefix}_rel")
     assert(relSide.isDefined, s"rel table scan not found in:\n$plan")
     assert(relSide.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
       s"bucketed rel side still shuffles:\n${relSide.get}")
+  }
+
+  private def probePairs(
+      s: org.apache.spark.sql.SparkSession,
+      index: Dedup.CorpusIndex): Seq[Row] =
+    Dedup.nearDupAgainstIndex(
+        Tables.documents(s, sf).filter(col("source") === "src0"),
+        col("doc_id"), col("text"), index, threshold = 0.8)
+      .orderBy("new_id", "corpus_id").collect().toSeq
+
+  /** Write-once fixture: index on everything-but-src0, landed as
+    * bucketed tables; `same` is the same-session build's probe. */
+  private lazy val writtenIndex: (String, Seq[Row]) = {
+    val prefix = s"graft_idx_lc_$runId"
+    val corpus = Tables.documents(spark, sf).filter(col("source") =!= "src0")
+    val built = Dedup.corpusIndex(corpus, col("doc_id"), col("text"))
+    val same = probePairs(spark, built)
+    Dedup.writeCorpusIndex(built, prefix, buckets = 4)
+    built.unpersist()
+    (prefix, same)
+  }
+
+  test("MinHash index: fresh-session reload probe ≡ same-session build probe, bit-equal") {
+    val (prefix, same) = writtenIndex
+    val fresh = spark.newSession()
+    val loaded = Dedup.loadCorpusIndex(fresh, prefix)
+    assert((loaded.n, loaded.k, loaded.bands) === ((3, 60, 20)),
+      "meta must pin the build's shingle/signature scheme")
+    val reload = probePairs(fresh, loaded)
+    assert(same.nonEmpty, "fixture must produce near-dup pairs")
+    assert(reload === same, "reloaded probe must be bit-equal to the build probe")
+  }
+
+  test("MinHash index: reloaded probe join is exchange-free on the bucketed corpus side") {
+    assertExchangeFreeProbe(writtenIndex._1)
+  }
+
+  test("loadCorpusIndex: a wrong prefix fails with a message naming it") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadCorpusIndex(spark.newSession(), s"graft_no_such_$runId")
+    }
+    assert(e.getMessage.contains(s"graft_no_such_$runId"))
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.loadCorpusIndex(spark, "bad-prefix; DROP TABLE x")
+    }
+    assert(bad.getMessage.contains("identifier"))
+  }
+
+  /** Append fixture. Old corpus = everything except src0/src8/src12;
+    * appended shard = src8 ∪ src12. The src0 probe has true pairs in
+    * BOTH halves (src2/src10/src11 old, src8/src12 appended — verified
+    * against the exhaustive oracle at this sf), so the gates exercise
+    * genuine straddling, not just old-corpus recall. `rebuilt` is the
+    * from-scratch index on the unioned corpus — the expensive path the
+    * append replaces, and its probe is the equivalence target. */
+  private lazy val appendedIndex: (String, Seq[Row]) = {
+    val prefix = s"graft_idx_ap_$runId"
+    val docs = Tables.documents(spark, sf)
+    val shardSrc = Seq("src8", "src12")
+    val corpus0 = docs.filter(col("source") =!= "src0" &&
+      !col("source").isInCollection(shardSrc))
+    val shard = docs.filter(col("source").isInCollection(shardSrc))
+    val built = Dedup.corpusIndex(corpus0, col("doc_id"), col("text"))
+    Dedup.writeCorpusIndex(built, prefix, buckets = 4)
+    built.unpersist()
+    Dedup.appendToCorpusIndex(shard, col("doc_id"), col("text"), prefix)
+    val rebuilt = Dedup.corpusIndex(
+      docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"))
+    val rebuildProbe = probePairs(spark, rebuilt)
+    rebuilt.unpersist()
+    (prefix, rebuildProbe)
+  }
+
+  test("append: reload→probe ≡ from-scratch rebuild probe on the unioned corpus, straddling pairs found") {
+    val (prefix, rebuildProbe) = appendedIndex
+    val fresh = spark.newSession()
+    val loaded = Dedup.loadCorpusIndex(fresh, prefix)
+    val appended = probePairs(fresh, loaded)
+    assert(appended === rebuildProbe,
+      "appended-index probe must be bit-equal to a from-scratch rebuild's")
+    // Straddle: the probe must surface pairs against the OLD corpus and
+    // against the APPENDED shard — i.e. the append really extended the
+    // index rather than replacing or missing it.
+    val srcOf = Tables.documents(fresh, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hitSrcs = appended.map(r => srcOf(r.getLong(1))).toSet
+    assert(hitSrcs.exists(Set("src8", "src12")),
+      s"no pair against the appended shard (hit sources: $hitSrcs)")
+    assert(hitSrcs.exists(s => s != "src8" && s != "src12"),
+      s"no pair against the original corpus (hit sources: $hitSrcs)")
+  }
+
+  test("append: probe join still exchange-free on the appended bucketed tables") {
+    // insertInto writes THROUGH the catalog bucket spec, so the scan's
+    // hash-distribution guarantee must survive the extra file per
+    // bucket (only the per-file sort guarantee is lost, which the
+    // probe join never relied on).
+    assertExchangeFreeProbe(appendedIndex._1)
+  }
+
+  test("append: a prefix with no index fails with a message naming it") {
+    val shard = Tables.documents(spark, sf).filter(col("source") === "src8")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToCorpusIndex(
+        shard, col("doc_id"), col("text"), s"graft_no_idx_$runId")
+    }
+    assert(e.getMessage.contains(s"graft_no_idx_$runId"))
   }
 
   test("IVF index: write → fresh-session reload → probe ≡ build probe; probe scan partition-prunes to the probed lists") {
@@ -109,7 +214,7 @@ class IndexLifecycleSpec extends SparkSpec {
       corpus, col("vec_id"), col("embedding"), nLists = 8)
     val same = Similarity.ivfTopK(centroids, indexed, qv, k = 10, nProbe = 3)
       .collect().toSeq
-    val path = "/tmp/graft_ivf_lifecycle"
+    val path = tmpDir("ivf_lc")
     Similarity.writeIvfIndex(centroids, indexed, path)
 
     val fresh = spark.newSession()
@@ -126,10 +231,22 @@ class IndexLifecycleSpec extends SparkSpec {
     // Partition pruning: the posting-list scan must carry the probe's
     // `list IN (…)` as a PARTITION filter (unprobed lists never open).
     val scan = scansOf(probe.queryExecution.executedPlan)
-      .find(_.relation.location.rootPaths.exists(_.toString.contains("graft_ivf_lifecycle")))
+      .find(_.relation.location.rootPaths.exists(_.toString.contains(s"graft_ivf_lc_$runId")))
     assert(scan.isDefined, "posting-list scan not found")
     assert(scan.get.partitionFilters.exists(_.references.exists(_.name == "list")),
       s"probe filter did not reach the partition layer:\n${scan.get}")
+  }
+
+  test("IVF/PQ load: a wrong path fails with a message naming it") {
+    val missing = tmpDir("no_such_index")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.loadIvfIndex(spark, missing)
+    }
+    assert(e1.getMessage.contains(missing))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.loadPqIndex(spark, missing)
+    }
+    assert(e2.getMessage.contains(missing))
   }
 
   test("projected column: land as parquet → fresh-session reload → prebuilt probe ≡ build probe") {
@@ -147,7 +264,7 @@ class IndexLifecycleSpec extends SparkSpec {
         corpus, col("vec_id"), col("embedding"), projected, query,
         inDim = 64, outDim = 16, shortlist = 50, k = 10)
       .collect().toSeq
-    val path = "/tmp/graft_rp_lifecycle"
+    val path = tmpDir("rp_lc")
     projected.write.mode("overwrite").parquet(path)
 
     val fresh = spark.newSession()
@@ -173,7 +290,7 @@ class IndexLifecycleSpec extends SparkSpec {
     val same = Similarity.pqTopK(cbs, encoded, corpus,
       col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
       .collect().toSeq
-    val path = "/tmp/graft_pq_lifecycle"
+    val path = tmpDir("pq_lc")
     Similarity.writePqIndex(cbs, encoded, path)
 
     val fresh = spark.newSession()

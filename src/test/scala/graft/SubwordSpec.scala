@@ -118,4 +118,39 @@ class SubwordSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     assert(got == Seq("lower", "i", "n", "g"))
   }
+
+  test("durable vocabulary: write → fresh-session reload → encode ≡ encode-with-built") {
+    // The versioned-tokenizer lifecycle: train+write in the build
+    // session, encode from a reloaded handle in a fresh one (the
+    // months-of-consumers shape). The reloaded encode must be bit-equal
+    // AND the pinned maxPieceLen must travel with the artifact.
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val v = Subword.vocab(docs, col("text"), vocabSize = 200,
+      maxPieceLen = 4)
+    val built = Subword.encodeWithVocabJoin(
+        docs, col("doc_id"), col("text"),
+        v.select(col("piece"), col("vid")), maxPieceLen = 4)
+      .orderBy("doc_id").collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_vocab_lc")
+      .toString
+    Subword.writeVocab(v, maxPieceLen = 4, path)
+
+    val fresh = spark.newSession()
+    val (v2, cap) = Subword.loadVocab(fresh, path)
+    assert(cap === 4, "maxPieceLen must round-trip with the artifact")
+    val reloaded = Subword.encodeWithVocabJoin(
+        graft.sources.Tables.documents(fresh, sf)
+          .select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"),
+        v2.select(col("piece"), col("vid")), cap)
+      .orderBy("doc_id").collect().toSeq
+    assert(built.nonEmpty)
+    assert(reloaded === built,
+      "reloaded-vocabulary encode must be bit-equal to the build encode")
+    val bad = intercept[IllegalArgumentException] {
+      Subword.loadVocab(fresh, s"$path/definitely_missing")
+    }
+    assert(bad.getMessage.contains("definitely_missing"))
+  }
 }

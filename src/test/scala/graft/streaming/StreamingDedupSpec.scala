@@ -72,4 +72,38 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got.find(_._1 == 1L).get._3 == 0.9)
     index.unpersist()
   }
+
+  test("streaming over a RELOADED durable index: fresh-session handle, stream ≡ batch") {
+    // The production shape: the index was written by LAST week's build
+    // job; the resident ingest daemon holds only a loadCorpusIndex
+    // handle over the bucketed tables. The stream's per-batch probe must
+    // equal the batch operator run with the same reloaded handle (and,
+    // via IndexLifecycleSpec's bit-equal gate, the original build).
+    val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    val prefix = s"graft_idx_sd_$runId"
+    val built = Dedup.corpusIndex(
+      corpusRows.toDF("doc_id", "text"), col("doc_id"), col("text"))
+    Dedup.writeCorpusIndex(built, prefix, buckets = 2)
+    built.unpersist()
+
+    val fresh = spark.newSession()
+    val loaded = Dedup.loadCorpusIndex(fresh, prefix)
+    val root = Files.createTempDirectory("streamdedup_reload").toString
+    val inDir = s"$root/in"
+    shardRows.flatten.toDF("doc_id", "text").write.parquet(inDir)
+    val schema = fresh.read.parquet(inDir).schema
+    val q = StreamingDedup.start(fresh, inDir, schema,
+      col("doc_id"), col("text"), loaded, threshold = 0.8,
+      outDir = s"$root/out", checkpointDir = s"$root/ck")
+    try q.awaitTermination() finally q.stop()
+    val got = fresh.read.parquet(s"$root/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.nearDupAgainstIndex(
+        shardRows.flatten.toDF("doc_id", "text"), col("doc_id"),
+        col("text"), loaded, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got.map(p => (p._1, p._2)) ==
+      Set((0L, 100L), (1L, 100L), (3L, 103L)))
+  }
 }

@@ -28,9 +28,12 @@ object Q62AB {
     val grams = when(size(toks) < 2, array(array_join(toks, " ")))
       .otherwise(TextFunctions.ngramStrings(toks, 2))
 
-    // Both shapes filter null text identically: shape A's explode drops
-    // null-gram rows implicitly, but the A/B equality gate must compare
-    // the SAME population explicitly, not rely on that coincidence.
+    // Both shapes get an EXPLICIT null-text filter so the A/B gate
+    // compares the same population. Note the legacy shape A did NOT
+    // drop null text on its own: size(null) = -1 takes the
+    // `size(toks) < 2` branch and emits a [null] gram, i.e. a latent
+    // (1,1) row per null doc — the filter aligns both shapes with the
+    // oracle's unnest(NULL)-drops-rows semantics.
     def shapeA(): DataFrame =
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))

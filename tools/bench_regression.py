@@ -3,7 +3,8 @@
 regressions" machine-checked instead of judge-recomputed).
 
 Usage: bench_regression.py <prev_bench_local.json> <curr_bench_local.json>
-           [--no-narrow]
+           [--no-narrow] [--oracle-prev X.json] [--oracle-curr Y.json]
+           [--sentinels q1,q2,...]
 
 Diffs two committed same-session Spark bench artifacts and prints a
 MUST-DISPOSITION list: every query present in BOTH whose Spark time
@@ -11,17 +12,43 @@ grew by MORE than 1.5x AND more than +0.3 s (both thresholds — the
 ratio alone flags noise on sub-100ms queries, the delta alone flags
 noise on multi-second ones; a real regression moves both).
 
-Automated triage (round-15 item: q79 flagged two rounds running and
-both dispositions needed the same MANUAL measurement): every flagged
-query is automatically re-measured in ONE narrowed fresh-JVM
-`graft.Bench <flagged...>` pass — the measurement class that settled
-q79 — and the result lands next to the flag as `narrowed_s`. A flag
-whose narrowed time is back within band (does not itself trip the
-thresholds vs prev) self-dispositions as full-surface-context /
-variance; only flags that stay out of band in a fresh JVM remain
-CONFIRMED. The full disposition record is written to
-`<curr>.regression.json`. `--no-narrow` skips the re-measurement
-(pure diff mode, exit 1 on any flag).
+Disposition pipeline (round-16: the round-15 tool stamped its first
+real flag `confirmed_regression` where the evidence said HOST DRIFT —
+a fresh-JVM re-measure detects "not a composed-run fluke" but cannot
+distinguish a slower host from a slower plan; this version normalizes
+for host speed BEFORE confirming):
+
+1. `host_drift` — the flagged query's ORACLE (DuckDB) time drifted the
+   same way in the same sessions. DuckDB's code is byte-identical
+   between rounds, so its drift on the SAME query measures the host,
+   not the plan. With h = max(1, oracle_curr/oracle_prev for the
+   query; fallback: median oracle drift over the shared surface), a
+   flag whose host-normalized time curr/h is back within band is the
+   host, not a regression. Oracle artifacts are auto-discovered from
+   the bench filenames (bench_rNN_local.json -> bench_oracle_rNN.json)
+   or passed with --oracle-prev/--oracle-curr. Checked FIRST: it is
+   deterministic from committed artifacts and needs no re-run.
+2. `self_dispositioned_variance` — the narrowed fresh-JVM re-measure
+   (one `graft.Bench <flagged...>` pass, the measurement class that
+   settled q79) lands back within band vs prev: the flag was
+   composed-run context, not a regression.
+3. `host_drift_narrowed` — still out of band in the fresh JVM, but the
+   SENTINEL queries re-timed in the SAME narrowed pass (pinned,
+   code-unchanged queries; default a diverse slow-stable trio,
+   override with --sentinels) drifted by the same factor: the
+   narrow-time host is slow. h_narrow = median(narrowed/prev over
+   sentinels, excluding the flagged query itself); in-band at
+   narrowed/h_narrow => host.
+4. `confirmed_regression` — out of band after every normalizer.
+
+The narrowed pass runs with SPARK_GRAFT_LOAD_WAIT_MAX=0 (no co-load
+wait — the wait would silently eat this script's own 3600 s subprocess
+timeout; a co-loaded narrow run self-documents via the artifact's
+load fields instead).
+
+The full disposition record (flags + the normalization inputs used)
+is written to `<curr>.regression.json`. `--no-narrow` skips the
+re-measurement (pure diff + host-drift mode).
 
 Exit 1 if any CONFIRMED flag remains, 0 otherwise, so the end-of-round
 rhythm can gate on it. New/removed queries are listed informationally,
@@ -31,8 +58,18 @@ optimization by one (3-query batches swing ±40%; use an in-JVM A/B).
 """
 import json
 import os
+import re
+import statistics
 import subprocess
 import sys
+
+# Pinned host-speed sentinels for the narrowed pass: stable, mid-weight,
+# rarely-touched queries spanning three unrelated code paths (exact
+# dedup hash-agg, banded LSH join, projection ANN). If a round DOES
+# touch one, pass --sentinels with replacements — a touched sentinel
+# measures the change, not the host.
+DEFAULT_SENTINELS = ["q20_dedup_exact", "q24_minhash_lsh",
+                     "q127_random_projection"]
 
 
 def load(path):
@@ -43,11 +80,22 @@ def load(path):
                if isinstance(v, (int, float))}
 
 
+def oracle_path_for(bench_path):
+    """bench_rNN_local.json -> bench_oracle_rNN.json beside it."""
+    m = re.search(r"bench_(r\d+)_local\.json$", os.path.basename(bench_path))
+    if not m:
+        return None
+    p = os.path.join(os.path.dirname(bench_path) or ".",
+                     f"bench_oracle_{m.group(1)}.json")
+    return p if os.path.exists(p) else None
+
+
 def narrowed_pass(names, sf_dir):
-    """One fresh-JVM graft.Bench run over exactly the flagged queries;
-    returns its per-query seconds map ({} on any failure — the caller
-    records narrow_failed rather than dying)."""
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    """One fresh-JVM graft.Bench run over exactly the flagged queries
+    (plus sentinels); returns its per-query seconds map ({} on any
+    failure — the caller records narrow_failed rather than dying)."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_LOAD_WAIT_MAX="0")
     cmd = ["sbt", "-batch", "runMain graft.Bench " + " ".join(sorted(names))]
     print(f"\nnarrowed fresh-JVM triage: {' '.join(cmd)} (sf={sf_dir})")
     try:
@@ -70,9 +118,23 @@ def narrowed_pass(names, sf_dir):
     return {}
 
 
+def arg_value(argv, flag):
+    if flag in argv:
+        i = argv.index(flag)
+        v = argv[i + 1]
+        del argv[i:i + 2]
+        return v
+    return None
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--no-narrow"]
-    do_narrow = "--no-narrow" not in sys.argv[1:]
+    argv = sys.argv[1:]
+    do_narrow = "--no-narrow" not in argv
+    oprev_path = arg_value(argv, "--oracle-prev")
+    ocurr_path = arg_value(argv, "--oracle-curr")
+    sentinels = (arg_value(argv, "--sentinels") or
+                 ",".join(DEFAULT_SENTINELS)).split(",")
+    args = [a for a in argv if a != "--no-narrow"]
     if len(args) != 2:
         print(__doc__)
         return 2
@@ -104,37 +166,100 @@ def main():
         print(f"  {q}: {p:.3f}s -> {c:.3f}s "
               f"({c / p:.2f}x, +{c - p:.3f}s)")
 
-    narrowed = {}
-    if do_narrow:
-        sf_dir = curr_doc.get("sf", "/root/testdata/sf0.1")
-        narrowed = narrowed_pass([q for q, _, _ in flagged], sf_dir)
+    # Stage 1: same-session oracle-drift host normalization. DuckDB ran
+    # the same code in both sessions, so per-query oracle drift is a
+    # host-speed measurement taken AT the flagged measurements.
+    oprev = ocurr = {}
+    op = oprev_path or oracle_path_for(args[0])
+    oc = ocurr_path or oracle_path_for(args[1])
+    if op and oc:
+        _, oprev = load(op)
+        _, ocurr = load(oc)
+        print(f"\noracle artifacts for host normalization: {op}, {oc}")
+    else:
+        print("\nno oracle artifacts found (pass --oracle-prev/--oracle-curr)"
+              " — skipping host-drift stage")
+    oshared = set(oprev) & set(ocurr)
+    omedian = (statistics.median(ocurr[k] / oprev[k] for k in oshared)
+               if oshared else None)
 
-    records, confirmed = [], []
+    def host_factor(q):
+        """Never below 1: a FASTER oracle never excuses a slower plan."""
+        if q in oprev and q in ocurr and oprev[q] > 0:
+            return max(1.0, ocurr[q] / oprev[q]), "own_oracle_drift"
+        if omedian is not None:
+            return max(1.0, omedian), "median_oracle_drift"
+        return 1.0, "none"
+
+    records, confirmed, survivors = [], [], []
     for q, p, c in flagged:
+        h, hsrc = host_factor(q)
+        if h > 1.0 and not out_of_band(p, c / h):
+            records.append({"query": q, "prev_s": p, "curr_s": c,
+                            "narrowed_s": None, "host_factor": round(h, 4),
+                            "host_factor_source": hsrc,
+                            "disposition": "host_drift"})
+        else:
+            survivors.append((q, p, c, h, hsrc))
+
+    # Stage 2+3: narrowed fresh-JVM re-measure, with sentinels riding
+    # along to measure the NARROW-TIME host.
+    narrowed = {}
+    if do_narrow and survivors:
+        sf_dir = curr_doc.get("sf", "/root/testdata/sf0.1")
+        sent = [s for s in sentinels if s in prev]
+        narrowed = narrowed_pass(
+            sorted({q for q, *_ in survivors} | set(sent)), sf_dir)
+    for q, p, c, h, hsrc in survivors:
         n = narrowed.get(q)
+        sent_ratios = [narrowed[s] / prev[s] for s in sentinels
+                       if s != q and s in narrowed and s in prev
+                       and prev[s] > 0]
+        h_narrow = (max(1.0, statistics.median(sent_ratios))
+                    if sent_ratios else 1.0)
         if n is None:
             disp = "narrow_failed" if do_narrow else "not_narrowed"
-        elif out_of_band(p, n):
-            disp = "confirmed_regression"
-        else:
+        elif not out_of_band(p, n):
             disp = "self_dispositioned_variance"
-        if disp != "self_dispositioned_variance":
+        elif h_narrow > 1.0 and not out_of_band(p, n / h_narrow):
+            disp = "host_drift_narrowed"
+        else:
+            disp = "confirmed_regression"
+        if disp not in ("self_dispositioned_variance", "host_drift_narrowed"):
             confirmed.append(q)
         records.append({"query": q, "prev_s": p, "curr_s": c,
-                        "narrowed_s": n, "disposition": disp})
+                        "narrowed_s": n, "host_factor": round(h, 4),
+                        "host_factor_source": hsrc,
+                        "narrow_host_factor": round(h_narrow, 4),
+                        "disposition": disp})
 
     report = args[1] + ".regression.json"
     with open(report, "w") as f:
-        json.dump({"flags": records}, f, indent=1)
+        json.dump({
+            "rule": ("host_drift: own-oracle (fallback median-oracle) "
+                     "drift h>=1 puts curr/h back in band (<=1.5x or "
+                     "<=+0.3s vs prev); else narrowed fresh-JVM re-measure "
+                     "in band => variance; else in band after dividing by "
+                     "median sentinel drift measured in the same narrowed "
+                     "pass => host_drift_narrowed; else confirmed. DuckDB "
+                     "code is identical across rounds, so its drift on the "
+                     "same query/session measures the host, not the plan."),
+            "sentinels": sentinels,
+            "oracle_prev": op, "oracle_curr": oc,
+            "median_oracle_drift": omedian,
+            "flags": records}, f, indent=1)
     print(f"\ndispositions -> {report}")
     for r in records:
         ns = "-" if r["narrowed_s"] is None else f"{r['narrowed_s']:.3f}s"
-        print(f"  {r['query']}: narrowed={ns} -> {r['disposition']}")
+        print(f"  {r['query']}: host_factor={r['host_factor']} "
+              f"({r['host_factor_source']}) narrowed={ns} "
+              f"-> {r['disposition']}")
     if confirmed:
-        print(f"\nCONFIRMED regressions (out of band in a fresh JVM too): "
+        print(f"\nCONFIRMED regressions (out of band after host "
+              f"normalization and fresh-JVM re-measure): "
               f"{', '.join(confirmed)}")
         return 1
-    print("\nall flags self-dispositioned as variance (in band fresh-JVM)")
+    print("\nall flags dispositioned (host drift / variance)")
     return 0
 
 
