@@ -294,6 +294,65 @@ object Similarity {
     (cents, spark.read.parquet(s"$path/lists"))
   }
 
+  /** Assign vectors to their nearest inverted list under FROZEN
+    * centroids (squared-L2 argmin, lowest list id on ties — the shared
+    * [[l2Assign]] definition): the growth half of the IVF lifecycle.
+    * Production IVF grows exactly this way — nightly vectors are
+    * assigned against the PERSISTED centroids (the FAISS `add` path);
+    * re-training is a rebuild, not an append, because new centroids
+    * re-shard every existing posting list. Assignment against the
+    * persisted float centroids can differ from the build's
+    * `KMeansModel.transform` (double centers) only on exact-tie
+    * knife-edges; either list is a correct IVF home — full-probe
+    * results are assignment-invariant, and the partial-probe gate in
+    * `IndexLifecycleSpec` compares BOTH sides under this one
+    * definition. Output: (id, v, list) in [[writeIvfIndex]]'s layout. */
+  def ivfAssign(
+      vecs: DataFrame, id: Column, vec: Column,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val cands = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("cl"), typedLit(cv.map(_.toDouble).toSeq).as("c"))
+    }: _*)
+    Dedup.spread(vecs).select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("list",
+        l2Assign(cands, transform(col("v"), _.cast("double"))))
+      .select(col("id"), col("v"), col("list"))
+  }
+
+  /** Fold new vectors INTO a durable IVF index — the nightly-growth
+    * path: assign against the index's FROZEN centroids ([[ivfAssign]])
+    * and land the rows as new files in the probed partition
+    * directories (`SaveMode.Append` under `partitionBy(list)` only ADDS
+    * files to the touched `list=` stripes — existing posting lists are
+    * never rewritten, and the reloaded probe's partition pruning is
+    * untouched). Pays the SHARD's assignment + write, never a re-shard
+    * of the corpus. Caller contract mirrors
+    * [[graft.operators.Dedup.appendToCorpusIndex]]: ids must be new,
+    * and a mid-append failure is re-run after deduplicating. */
+  def appendToIvfIndex(
+      newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val (centroids, _) = loadIvfIndex(spark, path)
+    ivfAssign(newVecs, id, vec, centroids)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("list").parquet(s"$path/lists")
+  }
+
+  /** Fold new vectors INTO a durable PQ index: encode against the
+    * FROZEN codebooks ([[pqEncode]] — the same definition the build
+    * used, so appended codes are byte-identical to a
+    * build-time encode) and append to the code table. The codebooks are
+    * the trained artifact; growing the corpus never retrains them
+    * (retraining re-codes every existing row — a rebuild). */
+  def appendToPqIndex(
+      newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val (codebooks, _) = loadPqIndex(spark, path)
+    pqEncode(newVecs, id, vec, codebooks)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/codes")
+  }
+
   /** Durable form of the PQ index: the packed codes land as plain
     * parquet — which IS the optimal layout for the ADC scan (one long
     * per row, LUT scoring + TakeOrderedAndProject; there is no probe
@@ -443,15 +502,6 @@ object Similarity {
           slice(col("u"), j * dsubCol + 1, dsubCol))).as(Seq("j", "sub")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // L2 argmin against a candidate array<struct(cl, c)>: min over
-    // (round(||sub-c||², 6), cl) structs — deterministic tie-break.
-    def l2Assign(cands: Column, sub: Column): Column =
-      array_min(transform(cands, ct => struct(
-        round(aggregate(zip_with(sub, ct.getField("c"),
-          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x),
-          6).as("d2"),
-        ct.getField("cl").as("cl")))).getField("cl")
-
     val init = un.orderBy(col("id")).limit(ksub)
       .select(col("id"), size(col("u")).as("d")).as[(Long, Int)]
       .collect().toSeq
@@ -491,11 +541,51 @@ object Similarity {
         }
     }
     subs.unpersist()
+    (cbs, pqEncodeWith(corpus, id, vec, cbs, ksub))
+  }
 
-    // Encode: one map pass; per-subspace argmin against the codebook
-    // literal, shifted into the packed long.
+  /** L2 argmin against a candidate array<struct(cl, c)>: min over
+    * (round(||sub-c||², 6), cl) structs — deterministic tie-break. The
+    * ONE assignment definition shared by PQ training, PQ encode (build
+    * and append) and IVF frozen-centroid assignment, so an appended
+    * row is coded exactly as the original build would have coded it. */
+  private def l2Assign(cands: Column, sub: Column): Column =
+    array_min(transform(cands, ct => struct(
+      round(aggregate(zip_with(sub, ct.getField("c"),
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x),
+        6).as("d2"),
+      ct.getField("cl").as("cl")))).getField("cl")
+
+  /** Encode vectors against FROZEN codebooks — the shared definition
+    * behind [[pqIndex]]'s build-time encode and [[appendToPqIndex]]'s
+    * growth path (the [[graft.operators.Dedup]] `shingleRel` sharing
+    * discipline: append rows are byte-identical to what the original
+    * build would have produced). Unit-normalize, per-subspace L2 argmin
+    * against the codebook literal, bit-pack into one long; one
+    * codegen'd map pass, no shuffle. `ksub` is derived as
+    * max codeword + 1 exactly like [[pqTopK]] does, so encode and ADC
+    * decode agree by construction; an index whose TOP codeword died in
+    * training fails the same power-of-2 require in both places. */
+  def pqEncode(
+      vecs: DataFrame, id: Column, vec: Column,
+      codebooks: Seq[(Int, Int, Array[Double])]): DataFrame =
+    pqEncodeWith(vecs, id, vec, codebooks, codebooks.map(_._2).max + 1)
+
+  private def pqEncodeWith(
+      vecs: DataFrame, id: Column, vec: Column,
+      codebooks: Seq[(Int, Int, Array[Double])], ksub: Int): DataFrame = {
+    require(ksub >= 2 && (ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
+    val m = codebooks.map(_._1).max + 1
+    val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
+    val un = Dedup.spread(vecs)
+      .select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+      .filter(col("nrm") > 0)
+      .select(col("id"),
+        transform(col("v"), x => x.cast("double") / col("nrm")).as("u"))
+    val dsubCol = (size(col("u")) / m).cast("int")
     val cbLit = array((0 until m).map { j =>
-      array(cbs.filter(_._1 == j).map { case (_, cl, c) =>
+      array(codebooks.filter(_._1 == j).map { case (_, cl, c) =>
         struct(lit(cl).as("cl"), typedLit(c.toSeq).as("c"))
       }: _*)
     }: _*)
@@ -505,7 +595,7 @@ object Similarity {
           slice(col("u"), lit(j) * dsubCol + 1, dsubCol)).cast("long"),
         j * bits)
     }.reduce(_ bitwiseOR _)
-    (cbs, un.select(col("id"), packed.as("codes")))
+    un.select(col("id"), packed.as("codes"))
   }
 
   /** PQ asymmetric-distance top-k (ADC): score every packed code row

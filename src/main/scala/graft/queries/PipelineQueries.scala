@@ -1018,6 +1018,55 @@ object PipelineQueries {
       .orderBy(asc("new_id"), asc("corpus_id"))
   }
 
+  /** q191 — durable IVF APPEND: the growth half of the ANN lifecycle
+    * (q190's shape for the vector index). The IVF index is built and
+    * written on 4/5 of the corpus, the remaining fifth arrives as the
+    * nightly vector shard and is folded in with
+    * [[Similarity.appendToIvfIndex]] — assigned against the FROZEN
+    * persisted centroids (the FAISS `add` path) and landed as new
+    * files in the probed partition stripes, never a re-shard of the
+    * existing lists. A fresh session reloads and runs q78's recall
+    * contract against the FULL corpus: full probe (all lists) must
+    * reproduce exact brute-force top-10 — assignment-invariant, so it
+    * gates that every appended vector is IN the index and scored
+    * bit-identically — and a 3-of-8 partial probe must keep recall
+    * ≥ 0.5 even though the centroids never saw the shard. Same oracle
+    * SQL as q78 (the exact side is unchanged; the booleans are the
+    * contract as literals). */
+  def q191IvfAppendProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val old = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) =!= 3)
+    val shard = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) === 3)
+    val (centroids, indexed) = Similarity.ivfIndex(
+      old, col("vec_id"), col("embedding"), nLists = 8)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q191_ivf"
+    Similarity.writeIvfIndex(centroids, indexed, path)
+    Similarity.appendToIvfIndex(
+      shard, col("vec_id"), col("embedding"), path)
+
+    val fresh = spark.newSession()
+    val emb2 = Tables.embeddings(fresh, dir)
+    val corpus = emb2.filter(col("vec_id") =!= 0)
+    val q = emb2.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+      corpus, col("vec_id"), col("embedding"), q, k = 10)
+    val (cents, lists) = Similarity.loadIvfIndex(fresh, path)
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    val full = Similarity.ivfTopK(cents, lists, qv, k = 10, nProbe = 8)
+    val partial = Similarity.ivfTopK(cents, lists, qv, k = 10, nProbe = 3)
+    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+      .select(col("n_hit").as("n_hit_partial"))
+    fullStats.crossJoin(partStats).select(
+      col("n_exact"),
+      (col("n_approx") === col("n_exact") &&
+        col("n_hit") === col("n_exact")).as("full_probe_exact"),
+      (col("n_hit_partial") >= col("n_exact") * 0.5).as("partial_recall_ok"))
+  }
+
   /** q46 — rolling-hash document fingerprints: polynomial hash over the
     * text bytes with per-step modular reduction (exact in both engines). */
   def q46RollingHash(spark: SparkSession, dir: String): DataFrame =
@@ -1133,6 +1182,7 @@ object PipelineQueries {
     "q66_incremental_neardup" -> q66IncrementalNearDup _,
     "q189_index_reload_probe" -> q189IndexReloadProbe _,
     "q190_index_append_probe" -> q190IndexAppendProbe _,
+    "q191_ivf_append_probe"   -> q191IvfAppendProbe _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
@@ -1901,6 +1951,14 @@ object PipelineQueries {
     // q190 is q66 through write(partial)→APPEND(shard)→reload: growing
     // the index must equal having built it whole, so same oracle again.
     "q190_index_append_probe" -> incrementalNearDupSql,
+    // q191 is q78's recall contract through write(4/5)→APPEND(1/5)→
+    // reload: the exact side is the unchanged full corpus, so the
+    // oracle is q78's verbatim (booleans literal — a recall regression
+    // on the appended index flips Spark's output and the hash).
+    "q191_ivf_append_probe" ->
+      s"""WITH $exactTop10Sql
+        |SELECT count(*) AS n_exact, true AS full_probe_exact,
+        | true AS partial_recall_ok FROM top""".stripMargin,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -305,4 +305,102 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(probe.collect().toSeq === same,
       "reloaded PQ probe must be bit-equal to the build probe")
   }
+
+  test("IVF append: full probe over the appended index ≡ exact brute force on the union; partial probe ≡ frozen-centroid assignment of the union; scan still partition-prunes") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) =!= 3)
+    val shard = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) === 3)
+    val union = emb.filter(col("vec_id") =!= 0)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val (centroids, indexed) = Similarity.ivfIndex(
+      old, col("vec_id"), col("embedding"), nLists = 8)
+    val path = tmpDir("ivf_append")
+    Similarity.writeIvfIndex(centroids, indexed, path)
+    Similarity.appendToIvfIndex(shard, col("vec_id"), col("embedding"), path)
+
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    val (cents, lists) = Similarity.loadIvfIndex(fresh, path)
+    // Growth really happened: the reloaded lists hold old AND shard ids.
+    val ids = lists.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids.exists(_ % 5 == 3) && ids.exists(_ % 5 != 3),
+      "appended lists must contain both the old corpus and the shard")
+    // Full probe (every list) is assignment-invariant: it must
+    // reproduce exact brute force over the UNION — gating that every
+    // appended vector is in the index and scored bit-identically.
+    val union2 = Tables.embeddings(fresh, sf).filter(col("vec_id") =!= 0)
+    val q2 = Tables.embeddings(fresh, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+      union2, col("vec_id"), col("embedding"), q2, k = 10).collect().toSeq
+    val full = Similarity.ivfTopK(cents, lists, qv, k = 10, nProbe = 8)
+      .collect().toSeq
+    assert(full === exact,
+      "full probe over the appended index must equal exact brute force on the union")
+    // Partial probe: bit-equal to the same probe over the union
+    // assigned with the SAME frozen centroids — one assignment
+    // definition (ivfAssign) on both sides, so the gate pins that
+    // append places each shard vector exactly where a bulk
+    // frozen-centroid assignment would.
+    val bulk = Similarity.ivfAssign(
+      union2, col("vec_id"), col("embedding"), cents)
+    val partialAppended = Similarity
+      .ivfTopK(cents, lists, qv, k = 10, nProbe = 3).collect().toSeq
+    val partialBulk = Similarity
+      .ivfTopK(cents, bulk, qv, k = 10, nProbe = 3).collect().toSeq
+    assert(partialAppended === partialBulk,
+      "partial probe over appended lists must equal the frozen-centroid bulk assignment's")
+    // The layout guarantee survives the append: the probe scan still
+    // carries the `list IN (…)` partition filter over the (now
+    // multi-file-per-stripe) posting directories.
+    val probe = Similarity.ivfTopK(cents, lists, qv, k = 10, nProbe = 3)
+    val scan = scansOf(probe.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(
+        _.toString.contains(s"graft_ivf_append_$runId")))
+    assert(scan.isDefined, "posting-list scan not found")
+    assert(scan.get.partitionFilters.exists(
+      _.references.exists(_.name == "list")),
+      s"probe filter did not reach the partition layer:\n${scan.get}")
+  }
+
+  test("PQ append: reload probe ≡ frozen-codebook encode of the union, bit-equal") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) =!= 3)
+    val shard = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) === 3)
+    val union = emb.filter(col("vec_id") =!= 0)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val (cbs, encoded) = Similarity.pqIndex(
+      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 2)
+    val path = tmpDir("pq_append")
+    Similarity.writePqIndex(cbs, encoded, path)
+    Similarity.appendToPqIndex(shard, col("vec_id"), col("embedding"), path)
+
+    // Equivalence target: encode the WHOLE union against the same
+    // frozen codebooks in one pass (what a bulk build-time encode
+    // would have produced) and probe it — pqEncode is the ONE shared
+    // encode definition, so appended codes must be byte-identical.
+    val bulkProbe = Similarity.pqTopK(cbs,
+        Similarity.pqEncode(union, col("vec_id"), col("embedding"), cbs),
+        union, col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
+      .collect().toSeq
+
+    val fresh = spark.newSession()
+    val (cbs2, codes2) = Similarity.loadPqIndex(fresh, path)
+    val union2 = Tables.embeddings(fresh, sf).filter(col("vec_id") =!= 0)
+    val probe = Similarity.pqTopK(cbs2, codes2, union2,
+      col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
+      .collect().toSeq
+    assert(probe === bulkProbe,
+      "appended PQ probe must equal the frozen-codebook bulk encode's probe")
+    // Growth really happened: the code table holds old AND shard ids.
+    val ids = codes2.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids.exists(_ % 5 == 3) && ids.exists(_ % 5 != 3),
+      "appended code table must contain both the old corpus and the shard")
+  }
 }

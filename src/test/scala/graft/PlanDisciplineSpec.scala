@@ -56,6 +56,10 @@ class PlanDisciplineSpec extends SparkSpec {
     // query-vector broadcast under the scans, 1-row recallStats
     // aggregates crossed for the contract columns).
     "q128_rp_recall",
+    // q191: q78's recall contract verbatim, run against the appended
+    // durable IVF index — same 1-row query-vector and recallStats
+    // crosses, nothing corpus-sized on a nested-loop side.
+    "q191_ivf_append_probe",
     // q129: aggregates q120's stage frames, so its plan carries the
     // same mix-rate build (≤|strata|-row count frame crossed with its
     // 1-row total).

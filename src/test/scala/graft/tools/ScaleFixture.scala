@@ -54,7 +54,11 @@ object ScaleFixture {
     // durable-lifecycle composition (build + bucketed write + fresh
     // reload + probe; the probe-only steady state is Bench's
     // q189_reload_probe row).
-    "q62_repetition", "q189_index_reload_probe")
+    "q62_repetition", "q189_index_reload_probe",
+    // round-16 additions: the lifecycle GROWTH rows (MinHash append via
+    // bucket-spec insertInto; IVF append via frozen-centroid partition
+    // append) — both composed build+write+append+reload+probe classes.
+    "q190_index_append_probe", "q191_ivf_append_probe")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(16)
