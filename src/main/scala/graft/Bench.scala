@@ -346,9 +346,18 @@ object Bench {
         val (rcents, rlists) = Similarity.loadIvfIndex(spark, ivfDir)
         val p78r = minOf3(noop(Similarity.ivfTopK(
           rcents, rlists, qv, k = 10, nProbe = 3)))
+        // q192's steady state (round-16): the MANY-queries batch probe
+        // against the already-landed IVF index — one equi-join plan for
+        // the whole batch; the composed q192 entry carries the one-time
+        // build + write + reload.
+        val p192 = minOf3(noop(Similarity.ivfTopKBatch(rcents, rlists,
+          graft.sources.Tables.embeddings(spark, sfDir)
+            .filter(col("vec_id") < 5),
+          col("vec_id"), col("embedding"), k = 5, nProbe = 3)))
         Vector("q78_probe" -> p78, "q79_probe" -> p79, "q89_probe" -> p89,
           "q128_probe" -> p128,
-          "q189_reload_probe" -> p189, "q78_reload_probe" -> p78r)
+          "q189_reload_probe" -> p189, "q78_reload_probe" -> p78r,
+          "q192_batch_probe" -> p192)
       } catch {
         case e: Throwable =>
           // Probe failure must not cost the run its full-query artifact,

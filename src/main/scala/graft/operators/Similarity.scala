@@ -319,6 +319,69 @@ object Similarity {
       .select(col("id"), col("v"), col("list"))
   }
 
+  /** Batch IVF ANN top-k — the MANY-queries probe path. [[ivfTopK]]
+    * scores centroids on the driver and runs one job per query vector;
+    * fine for interactive lookups, wrong for a training-data batch
+    * (mining negatives for a million anchors = a million jobs). Here
+    * the whole batch probes in ONE plan: each query row picks its
+    * `nProbe` nearest lists declaratively (cosine argmin against the
+    * centroid literal — the same double arithmetic, descending-cosine /
+    * ascending-list order as [[ivfTopK]]'s driver loop, so a 1-query
+    * batch is bit-equal to the per-query form), the union of probed
+    * list ids is collected (≤ nLists rows — the bounded driver-side
+    * class) and applied as a STATIC `list IN (…)` filter so a durable
+    * [[loadIvfIndex]] scan partition-prunes to the probed stripes, and
+    * candidates come from one broadcast equi-join on `list` (the
+    * parameter-sized query batch broadcasts; a corpus row joins once
+    * per query probing its list, never more — each row lives in
+    * exactly one list). Per-query top-k runs through the custom
+    * [[graft.plans.GroupTopK]] bounded heaps, so the shuffle carries
+    * ≤k rows per (query, partition). Self-pairs are excluded
+    * ([[bruteForceTopKBatch]]'s contract): `nProbe = nLists` makes
+    * every (query, corpus) pair score once, so the batch probe
+    * degenerates to exact [[bruteForceTopKBatch]] BY CONSTRUCTION —
+    * the q192 completeness gate. Output: (query_id, id, sim, rank). */
+  def ivfTopKBatch(
+      centroids: Array[Array[Float]], indexed: DataFrame,
+      queries: DataFrame, qid: Column, qvec: Column,
+      k: Int, nProbe: Int): DataFrame = {
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+    val cands = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("list"), typedLit(cv.map(_.toDouble).toSeq).as("c"))
+    }: _*)
+    val qd = transform(col("qv"), _.cast("double"))
+    // (−cos, list) structs sorted ascending = cosine descending with
+    // lowest-list tie-break — ivfTopK's stable sortBy(−cos) order.
+    val scoredCands = transform(cands, ct => struct(
+      (ddot(qd, ct.getField("c")) * lit(-1.0d) /
+        (sqrt(ddot(qd, qd)) *
+          sqrt(ddot(ct.getField("c"), ct.getField("c"))))).as("negcos"),
+      ct.getField("list").as("list")))
+    val probes = transform(
+      slice(array_sort(scoredCands), 1, nProbe), s => s.getField("list"))
+    val q = queries
+      .select(qid.cast("long").as("query_id"), qvec.as("qv"))
+      .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
+      .withColumn("probe_list", explode(probes))
+    val probedLists = q.select(col("probe_list")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand = indexed.filter(col("list").isin(probedLists: _*))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+      .join(broadcast(q), col("list") === col("probe_list"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("sim", round(
+        VectorFunctions.dot(col("v"), col("qv")) /
+          (col("nrm") * col("qnrm")), 4))
+    val top = graft.plans.GroupTopK.topK(cand,
+      Seq(col("query_id")), Seq(col("sim").desc, col("id").asc), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("id"), col("sim"), col("rank"))
+  }
+
   /** Fold new vectors INTO a durable IVF index — the nightly-growth
     * path: assign against the index's FROZEN centroids ([[ivfAssign]])
     * and land the rows as new files in the probed partition

@@ -1067,6 +1067,35 @@ object PipelineQueries {
       (col("n_hit_partial") >= col("n_exact") * 0.5).as("partial_recall_ok"))
   }
 
+  /** q192 — batch IVF probe over the durable index: the MANY-queries
+    * half of the ANN lifecycle. q189/q191 probe one vector per job (the
+    * interactive shape); a training-data batch (mining negatives for a
+    * million anchors) needs the whole batch in ONE plan —
+    * [[Similarity.ivfTopKBatch]]: per-query probe lists picked
+    * declaratively, a static `list IN (…)` filter so the reloaded scan
+    * partition-prunes to the probed stripes, one broadcast equi-join,
+    * per-query top-k through the custom GroupTopK heaps. Probing every
+    * list scores every (query, corpus) pair exactly once, so the
+    * full-probe batch must equal exhaustive [[q65BatchKnn]] row for
+    * row — q65's oracle SQL verbatim, through build → durable write →
+    * `newSession()` reload (the lifecycle-invisibility convention).
+    * The partial-probe recall floor and the partition-pruned plan are
+    * gated in `IndexLifecycleSpec`. */
+  def q192IvfBatchProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (centroids, indexed) = Similarity.ivfIndex(
+      emb, col("vec_id"), col("embedding"), nLists = 8)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q192_ivf"
+    Similarity.writeIvfIndex(centroids, indexed, path)
+
+    val fresh = spark.newSession()
+    val (cents, lists) = Similarity.loadIvfIndex(fresh, path)
+    val queries = Tables.embeddings(fresh, dir).filter(col("vec_id") < 5)
+    Similarity.ivfTopKBatch(cents, lists,
+        queries, col("vec_id"), col("embedding"), k = 5, nProbe = 8)
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+
   /** q46 — rolling-hash document fingerprints: polynomial hash over the
     * text bytes with per-step modular reduction (exact in both engines). */
   def q46RollingHash(spark: SparkSession, dir: String): DataFrame =
@@ -1183,6 +1212,7 @@ object PipelineQueries {
     "q189_index_reload_probe" -> q189IndexReloadProbe _,
     "q190_index_append_probe" -> q190IndexAppendProbe _,
     "q191_ivf_append_probe"   -> q191IvfAppendProbe _,
+    "q192_ivf_batch_probe"    -> q192IvfBatchProbe _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
@@ -1207,6 +1237,28 @@ object PipelineQueries {
   /** The exhaustive shard-vs-corpus near-dup SQL shared VERBATIM by the
     * q66 (same-session index) and q189 (write→reload index) oracles:
     * the durable lifecycle must not change a single row. */
+  /** Exhaustive batch-KNN oracle (window formulation over the scored
+    * cross join) — shared by q65 (the exact batch path) and q192 (the
+    * batch IVF full-probe over a reloaded durable index, which must
+    * degenerate to it by construction). */
+  private val batchKnnSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |   FROM embeddings WHERE vec_id < 5),
+      | s AS (SELECT q.query_id, e.vec_id AS id, round(
+      |   list_sum(list_transform(range(len(e.embedding)),
+      |     i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+      |       i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(range(len(q.qv)),
+      |       i -> CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))))), 4)
+      |   AS sim
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+      | r AS (SELECT query_id, id, sim,
+      |   row_number() OVER (PARTITION BY query_id
+      |     ORDER BY sim DESC, id) AS rank FROM s)
+      |SELECT query_id, id, sim, CAST(rank AS INTEGER) AS rank
+      | FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val incrementalNearDupSql: String =
     s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
       | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3
@@ -1690,23 +1742,13 @@ object PipelineQueries {
         |       ELSE 'retained' END AS status
         | FROM g WHERE n_deleted > 0
         | ORDER BY cluster NULLS FIRST""".stripMargin,
-    "q65_batch_knn" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-        |   FROM embeddings WHERE vec_id < 5),
-        | s AS (SELECT q.query_id, e.vec_id AS id, round(
-        |   list_sum(list_transform(range(len(e.embedding)),
-        |     i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(range(len(e.embedding)),
-        |       i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
-        |    * sqrt(list_sum(list_transform(range(len(q.qv)),
-        |       i -> CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))))), 4)
-        |   AS sim
-        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
-        | r AS (SELECT query_id, id, sim,
-        |   row_number() OVER (PARTITION BY query_id
-        |     ORDER BY sim DESC, id) AS rank FROM s)
-        |SELECT query_id, id, sim, CAST(rank AS INTEGER) AS rank
-        | FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q65_batch_knn" -> batchKnnSql,
+    // q192 is q65 through build→durable write→fresh reload→BATCH
+    // full-probe: probing every list scores every (query, corpus) pair
+    // exactly once, so the batch IVF probe must equal the exhaustive
+    // batch KNN row for row — same oracle verbatim (the q189/q190/q191
+    // lifecycle-invisibility convention).
+    "q192_ivf_batch_probe" -> batchKnnSql,
     "q142_truncated_recall" -> {
       def cosD(d: Int): String =
         s"""round(list_sum(list_transform(range($d),

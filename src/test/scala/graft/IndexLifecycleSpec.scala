@@ -403,4 +403,62 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(ids.exists(_ % 5 == 3) && ids.exists(_ % 5 != 3),
       "appended code table must contain both the old corpus and the shard")
   }
+
+  test("IVF batch probe: 1-query batch ≡ per-query ivfTopK; multi-query partial probe keeps the recall floor; reloaded scan partition-prunes") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val (centroids, indexed) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    val path = tmpDir("ivf_batch")
+    Similarity.writeIvfIndex(centroids, indexed, path)
+
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    val (cents, lists) = Similarity.loadIvfIndex(fresh, path)
+    val emb2 = Tables.embeddings(fresh, sf)
+    val q0 = emb2.filter(col("vec_id") === 0)
+    val qv = q0.select(col("embedding")).collect().head
+      .getSeq[Float](0).toArray
+    // A batch of one must reproduce the per-query driver form exactly —
+    // same probe-list selection (cosine order, list tie-break), same
+    // candidate scoring. (Query 0 is not in the corpus, so the batch
+    // form's self-exclusion is a no-op here.)
+    val single = Similarity.ivfTopK(cents, lists, qv, k = 10, nProbe = 3)
+      .collect().toSeq
+    val batch1 = Similarity.ivfTopKBatch(cents, lists,
+        q0, col("vec_id"), col("embedding"), k = 10, nProbe = 3)
+      .orderBy(asc("rank")).select(col("id"), col("sim"))
+      .collect().toSeq
+    assert(batch1 === single,
+      "a 1-query batch must be bit-equal to the per-query ivfTopK probe")
+    // Multi-query composition gate: a batch of 5 must equal the 5
+    // one-query batches run separately — batching changes the PLAN
+    // (one join, shared probed-stripe filter), never any query's
+    // answer. (Partial-probe recall QUALITY is fixture-dependent —
+    // the absolute contract lives in q78/q192's oracle gates; what
+    // the batch form must guarantee is non-contamination.)
+    val queries = emb2.filter(col("vec_id") < 5)
+    val batch5 = Similarity.ivfTopKBatch(cents, lists,
+        queries, col("vec_id"), col("embedding"), k = 10, nProbe = 3)
+      .orderBy(asc("query_id"), asc("rank")).collect().toSeq
+    val singly = (0L until 5L).flatMap { qid =>
+      Similarity.ivfTopKBatch(cents, lists,
+          queries.filter(col("vec_id") === qid),
+          col("vec_id"), col("embedding"), k = 10, nProbe = 3)
+        .orderBy(asc("rank")).collect().toSeq
+    }
+    assert(batch5 === singly,
+      "a 5-query batch must equal the 5 one-query batches run separately")
+    // The static probed-lists filter must reach the partition layer of
+    // the reloaded scan — the batch probe opens only probed stripes.
+    val probe = Similarity.ivfTopKBatch(cents, lists,
+      q0, col("vec_id"), col("embedding"), k = 10, nProbe = 3)
+    val scan = scansOf(probe.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(
+        _.toString.contains(s"graft_ivf_batch_$runId")))
+    assert(scan.isDefined, "posting-list scan not found")
+    assert(scan.get.partitionFilters.exists(
+      _.references.exists(_.name == "list")),
+      s"probed-lists filter did not reach the partition layer:\n${scan.get}")
+  }
 }

@@ -57,8 +57,10 @@ object ScaleFixture {
     "q62_repetition", "q189_index_reload_probe",
     // round-16 additions: the lifecycle GROWTH rows (MinHash append via
     // bucket-spec insertInto; IVF append via frozen-centroid partition
-    // append) — both composed build+write+append+reload+probe classes.
-    "q190_index_append_probe", "q191_ivf_append_probe")
+    // append) and the many-queries BATCH probe — all composed
+    // build+write(+append)+reload+probe classes.
+    "q190_index_append_probe", "q191_ivf_append_probe",
+    "q192_ivf_batch_probe")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(16)
