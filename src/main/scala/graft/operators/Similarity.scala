@@ -319,6 +319,104 @@ object Similarity {
       .select(col("id"), col("v"), col("list"))
   }
 
+  /** Durable form of the hyperplane-LSH index — the fourth ANN
+    * structure's lifecycle ([[writeIvfIndex]]/[[writePqIndex]]'s
+    * discipline): the bucketed corpus lands PARTITIONED by `bucket`
+    * (each signature bucket its own prunable stripe) with a 1-row meta
+    * table pinning `nBits` so later sessions and appends band new
+    * vectors identically (the hyperplanes are hash-seeded from the bit
+    * index — deterministic by construction, nothing else to pin).
+    * Partition count is a LAYOUT parameter: at 10¹¹ vectors every one
+    * of the ≤2^nBits stripes is file-sized, so size nBits with the
+    * corpus; locally small nBits keeps the directory fan-out sane. */
+  def writeLshIndex(bucketed: DataFrame, nBits: Int, path: String): Unit = {
+    val spark = bucketed.sparkSession
+    import spark.implicits._
+    // Cluster by the partition column before the partitioned write:
+    // without it every writer task opens a file in every stripe it
+    // touches (tasks × stripes small files); with it each stripe is
+    // written by one task — the layout discipline that matters at both
+    // local scale (file count) and 100 TB (writer memory, one open
+    // file per task).
+    bucketed.repartition(col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(s"$path/buckets")
+    Seq(Tuple1(nBits)).toDF("n_bits")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  /** Reload a [[writeLshIndex]]-persisted index: (nBits, bucketed
+    * scan). The scan is the partitioned layout itself — a
+    * [[lshTopKPruned]] probe opens only the Hamming-ball stripes. */
+  def loadLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, DataFrame) = {
+    requireIndexDir(spark, path, Seq("meta", "buckets"), "Lsh")
+    val rows = spark.read.parquet(s"$path/meta").collect()
+    require(rows.nonEmpty,
+      s"LSH index at '$path' has an EMPTY meta table — the index write " +
+        "was interrupted; rebuild with writeLshIndex")
+    (rows(0).getInt(0), spark.read.parquet(s"$path/buckets"))
+  }
+
+  /** Fold new vectors INTO a durable LSH index: band with the
+    * meta-pinned nBits through the SAME [[bucketize]] definition the
+    * build used (hash-seeded hyperplanes — appended rows are
+    * byte-identical to a build-time banding) and append files into the
+    * bucket stripes. Pays the SHARD's banding + write; existing
+    * stripes are never rewritten. Caller contract mirrors
+    * [[appendToIvfIndex]]: ids must be new. */
+  def appendToLshIndex(
+      newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val (nBits, _) = loadLshIndex(spark, path)
+    bucketize(newVecs, id, vec, nBits)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("bucket").parquet(s"$path/buckets")
+  }
+
+  /** All bucket signatures within Hamming distance `radius` of
+    * `center` — the multi-probe ball, enumerated driver-side
+    * (Σ C(nBits, h) ids, parameter-bounded by [[lshTopKPruned]]'s
+    * guard). */
+  private def hammingBall(center: Long, nBits: Int, radius: Int): Seq[Long] =
+    (0 to radius).flatMap { h =>
+      (0 until nBits).combinations(h).map(
+        _.foldLeft(center)((b, p) => b ^ (1L << p)))
+    }
+
+  /** Multi-probe LSH top-k as PARTITION PRUNING: [[lshTopK]]'s
+    * `bit_count(bucket ⊕ qbucket) ≤ h` filter cannot prune a
+    * partitioned layout (no scan layer evaluates bit_count over
+    * directory names), so the Hamming ball is enumerated driver-side
+    * (the query's own bucket is one bounded collect — the scalar-
+    * subquery class) and applied as a static `bucket IN (…)` filter:
+    * over a [[loadLshIndex]] scan the probe opens ONLY the ball's
+    * stripes. Identical result set by construction — `bucket ∈
+    * ball(qbucket, h)` ⇔ `hamming(bucket, qbucket) ≤ h` — gated
+    * bit-equal against the filter form in `IndexLifecycleSpec`.
+    * `maxProbeBuckets` bounds the enumeration (ball size grows
+    * combinatorially with h); past it, use [[lshTopK]]'s scan+filter
+    * form — at that radius most stripes are probed anyway. */
+  def lshTopKPruned(
+      bucketed: DataFrame, query: DataFrame, k: Int, nBits: Int,
+      probeHamming: Int, maxProbeBuckets: Int = 4096): DataFrame = {
+    val qb = query.withColumn("qbucket",
+      VectorFunctions.hyperplaneBucket(col("qv"), nBits))
+    val center = qb.select(col("qbucket")).collect().head.getLong(0)
+    val ball = hammingBall(center, nBits, probeHamming)
+    require(ball.size <= maxProbeBuckets,
+      s"Hamming ball has ${ball.size} buckets > maxProbeBuckets " +
+        s"$maxProbeBuckets — use lshTopK's scan+filter form at this radius")
+    bucketed.filter(col("bucket").isin(ball: _*))
+      .crossJoin(broadcast(qb))
+      .withColumn("sim", round(VectorFunctions.cosine(col("v"), col("qv")), 4))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("sim"))
+  }
+
   /** Batch IVF ANN top-k — the MANY-queries probe path. [[ivfTopK]]
     * scores centroids on the driver and runs one job per query vector;
     * fine for interactive lookups, wrong for a training-data batch

@@ -1096,6 +1096,59 @@ object PipelineQueries {
       .orderBy(asc("query_id"), asc("rank"))
   }
 
+  /** q193 — durable LSH index lifecycle: the FOURTH ANN structure
+    * through the same write→APPEND→fresh-reload discipline as
+    * q190/q191. The bucketed corpus is built on 4/5 of the vectors and
+    * landed partitioned by `bucket` (nBits = 8 — partition count is a
+    * layout parameter, sized small locally, with the corpus at scale),
+    * the remaining fifth appends via [[Similarity.appendToLshIndex]]
+    * (banded by the meta-pinned nBits through the same hash-seeded
+    * [[Similarity.bucketize]], so appended rows are byte-identical to
+    * a build-time banding). A fresh session reloads and runs the q78
+    * contract: probing the FULL Hamming ball must reproduce exact
+    * brute-force top-10 over the union (every vector is in some
+    * bucket — the append is provably complete), and a Hamming-2
+    * multi-probe through [[Similarity.lshTopKPruned]] — the partition-
+    * pruned form, 37 of ≤256 stripes opened — must keep recall ≥ 0.3
+    * (q79's floor at the mid-recall regime: testdata neighbors sit at
+    * ~2.7 expected bit flips of 8, so Hamming-2 is the honest
+    * mid-recall ball, not the recall≈1 regime). */
+  def q193LshReloadProbe(spark: SparkSession, dir: String): DataFrame = {
+    val nBits = 8
+    val emb = Tables.embeddings(spark, dir)
+    val old = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) =!= 3)
+    val shard = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) === 3)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q193_lsh"
+    Similarity.writeLshIndex(
+      Similarity.bucketize(old, col("vec_id"), col("embedding"), nBits),
+      nBits, path)
+    Similarity.appendToLshIndex(
+      shard, col("vec_id"), col("embedding"), path)
+
+    val fresh = spark.newSession()
+    val emb2 = Tables.embeddings(fresh, dir)
+    val corpus = emb2.filter(col("vec_id") =!= 0)
+    val q = emb2.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+      corpus, col("vec_id"), col("embedding"), q, k = 10)
+    val (nb, loaded) = Similarity.loadLshIndex(fresh, path)
+    val full = Similarity.lshTopK(loaded, q, k = 10, nBits = nb,
+      probeHamming = nb)
+    val partial = Similarity.lshTopKPruned(loaded, q, k = 10, nBits = nb,
+      probeHamming = 2)
+    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+      .select(col("n_hit").as("n_hit_partial"))
+    fullStats.crossJoin(partStats).select(
+      col("n_exact"),
+      (col("n_approx") === col("n_exact") &&
+        col("n_hit") === col("n_exact")).as("full_probe_exact"),
+      (col("n_hit_partial") >= col("n_exact") * 0.3).as("partial_recall_ok"))
+  }
+
   /** q46 — rolling-hash document fingerprints: polynomial hash over the
     * text bytes with per-step modular reduction (exact in both engines). */
   def q46RollingHash(spark: SparkSession, dir: String): DataFrame =
@@ -1213,6 +1266,7 @@ object PipelineQueries {
     "q190_index_append_probe" -> q190IndexAppendProbe _,
     "q191_ivf_append_probe"   -> q191IvfAppendProbe _,
     "q192_ivf_batch_probe"    -> q192IvfBatchProbe _,
+    "q193_lsh_reload_probe"   -> q193LshReloadProbe _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
@@ -1998,6 +2052,13 @@ object PipelineQueries {
     // oracle is q78's verbatim (booleans literal — a recall regression
     // on the appended index flips Spark's output and the hash).
     "q191_ivf_append_probe" ->
+      s"""WITH $exactTop10Sql
+        |SELECT count(*) AS n_exact, true AS full_probe_exact,
+        | true AS partial_recall_ok FROM top""".stripMargin,
+    // q193 is the same contract through the LSH lifecycle (write →
+    // append → reload → full-ball probe ≡ exact; Hamming-2 pruned
+    // probe holds q79's floor).
+    "q193_lsh_reload_probe" ->
       s"""WITH $exactTop10Sql
         |SELECT count(*) AS n_exact, true AS full_probe_exact,
         | true AS partial_recall_ok FROM top""".stripMargin,

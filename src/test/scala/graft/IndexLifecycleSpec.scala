@@ -461,4 +461,53 @@ class IndexLifecycleSpec extends SparkSpec {
       _.references.exists(_.name == "list")),
       s"probed-lists filter did not reach the partition layer:\n${scan.get}")
   }
+
+  test("LSH index: write → append → reload; pruned Hamming-ball probe ≡ filter form, scan partition-prunes to the ball") {
+    val nBits = 8
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) =!= 3)
+    val shard = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) === 3)
+    val path = tmpDir("lsh_lc")
+    Similarity.writeLshIndex(
+      Similarity.bucketize(old, col("vec_id"), col("embedding"), nBits),
+      nBits, path)
+    Similarity.appendToLshIndex(shard, col("vec_id"), col("embedding"), path)
+
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    val (nb, loaded) = Similarity.loadLshIndex(fresh, path)
+    assert(nb === nBits, "meta must pin the build's nBits")
+    // Growth really happened: buckets hold old AND shard ids.
+    val ids = loaded.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids.exists(_ % 5 == 3) && ids.exists(_ % 5 != 3),
+      "appended buckets must contain both the old corpus and the shard")
+    // The pruned (bucket IN ball) form is the SAME set as the
+    // bit_count filter form, so the probes must be bit-equal.
+    val q = Tables.embeddings(fresh, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val pruned = Similarity.lshTopKPruned(
+      loaded, q, k = 10, nBits = nb, probeHamming = 2)
+    val filterForm = Similarity.lshTopK(
+      loaded, q, k = 10, nBits = nb, probeHamming = 2)
+    assert(pruned.collect().toSeq === filterForm.collect().toSeq,
+      "pruned Hamming-ball probe must equal the bit_count filter form")
+    // And the ball must reach the partition layer — the probe opens
+    // only the ball's stripes, never the whole bucketed corpus.
+    val scan = scansOf(pruned.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(
+        _.toString.contains(s"graft_lsh_lc_$runId")))
+    assert(scan.isDefined, "bucketed scan not found")
+    assert(scan.get.partitionFilters.exists(
+      _.references.exists(_.name == "bucket")),
+      s"Hamming ball did not reach the partition layer:\n${scan.get}")
+    // A ball past the enumeration guard fails loudly toward the
+    // scan+filter form instead of silently exploding the plan.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopKPruned(loaded, q, k = 10, nBits = nb,
+        probeHamming = 8, maxProbeBuckets = 10)
+    }
+    assert(e.getMessage.contains("maxProbeBuckets"))
+  }
 }

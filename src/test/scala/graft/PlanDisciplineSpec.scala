@@ -60,6 +60,10 @@ class PlanDisciplineSpec extends SparkSpec {
     // durable IVF index — same 1-row query-vector and recallStats
     // crosses, nothing corpus-sized on a nested-loop side.
     "q191_ivf_append_probe",
+    // q193: the same contract through the LSH lifecycle — q79's 1-row
+    // query-vector cross under the bucketed scan plus the 1-row
+    // recallStats crosses.
+    "q193_lsh_reload_probe",
     // q129: aggregates q120's stage frames, so its plan carries the
     // same mix-rate build (≤|strata|-row count frame crossed with its
     // 1-row total).
