@@ -171,6 +171,11 @@ object Bench {
           f"$loadGateThreshold%.1f), waiting (${waitedSec.toInt}s/${loadWaitMax.toInt}s)")
         Thread.sleep(15000)
         gateSample = load1Now()
+        // Re-stamp AFTER the sleep: waitedSec is the artifact's
+        // load_wait_s, and stamping only at loop top under-reported
+        // every wait by one 15 s interval (a single-sleep wait printed
+        // load_wait_s: 0).
+        waitedSec = (System.nanoTime() - waitT0) / 1e9
       }
     }
     val loadStart = loadavg()

@@ -371,7 +371,12 @@ object Similarity {
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
     val (nBits, _) = loadLshIndex(spark, path)
+    // Same cluster-before-write as the build path: without it a shard
+    // written by T tasks opens up to T files per touched stripe, and
+    // nightly appends compound exactly the small-file mode the build's
+    // layout avoids.
     bucketize(newVecs, id, vec, nBits)
+      .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("bucket").parquet(s"$path/buckets")
   }
@@ -404,7 +409,16 @@ object Similarity {
       probeHamming: Int, maxProbeBuckets: Int = 4096): DataFrame = {
     val qb = query.withColumn("qbucket",
       VectorFunctions.hyperplaneBucket(col("qv"), nBits))
-    val center = qb.select(col("qbucket")).collect().head.getLong(0)
+    // Single-query contract, like [[lshTopK]] (whose un-keyed top-k is
+    // only meaningful for one query) — enforced here because the ball
+    // is enumerated from ONE collected bucket; a silent .head on a
+    // multi-row frame would prune to the first row's ball and drop the
+    // others' candidates.
+    val qbuckets = qb.select(col("qbucket")).collect()
+    require(qbuckets.length == 1,
+      s"lshTopKPruned probes ONE query vector (got ${qbuckets.length} " +
+        "rows) — loop per query or use ivfTopKBatch-style batching")
+    val center = qbuckets.head.getLong(0)
     val ball = hammingBall(center, nBits, probeHamming)
     require(ball.size <= maxProbeBuckets,
       s"Hamming ball has ${ball.size} buckets > maxProbeBuckets " +
@@ -702,7 +716,14 @@ object Similarity {
         }
     }
     subs.unpersist()
-    (cbs, pqEncodeWith(corpus, id, vec, cbs, ksub))
+    // Encode through the SAME derived-ksub definition as pqTopK's
+    // decode and appendToPqIndex's growth encode — all three derive
+    // the packing width from the codebooks (max codeword + 1), so
+    // they can never disagree on bit layout. If k-means loss killed
+    // the TOP codewords down past a power-of-2 boundary, this throws
+    // loudly at BUILD time (pqTopK would throw on such an index
+    // anyway) instead of packing at a width the decoder won't use.
+    (cbs, pqEncode(corpus, id, vec, cbs))
   }
 
   /** L2 argmin against a candidate array<struct(cl, c)>: min over
@@ -724,17 +745,16 @@ object Similarity {
     * build would have produced). Unit-normalize, per-subspace L2 argmin
     * against the codebook literal, bit-pack into one long; one
     * codegen'd map pass, no shuffle. `ksub` is derived as
-    * max codeword + 1 exactly like [[pqTopK]] does, so encode and ADC
-    * decode agree by construction; an index whose TOP codeword died in
-    * training fails the same power-of-2 require in both places. */
+    * max codeword + 1 exactly like [[pqTopK]] does — build encode,
+    * append encode and ADC decode all share this one derivation, so
+    * the packed bit width can never diverge between the durable
+    * table's existing rows and an appended shard; an index whose TOP
+    * codeword died in training fails the same power-of-2 require in
+    * all three places. */
   def pqEncode(
       vecs: DataFrame, id: Column, vec: Column,
-      codebooks: Seq[(Int, Int, Array[Double])]): DataFrame =
-    pqEncodeWith(vecs, id, vec, codebooks, codebooks.map(_._2).max + 1)
-
-  private def pqEncodeWith(
-      vecs: DataFrame, id: Column, vec: Column,
-      codebooks: Seq[(Int, Int, Array[Double])], ksub: Int): DataFrame = {
+      codebooks: Seq[(Int, Int, Array[Double])]): DataFrame = {
+    val ksub = codebooks.map(_._2).max + 1
     require(ksub >= 2 && (ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
     val m = codebooks.map(_._1).max + 1
     val bits = java.lang.Integer.numberOfTrailingZeros(ksub)

@@ -312,7 +312,6 @@ class IndexLifecycleSpec extends SparkSpec {
       pmod(col("vec_id"), lit(5)) =!= 3)
     val shard = emb.filter(col("vec_id") =!= 0 &&
       pmod(col("vec_id"), lit(5)) === 3)
-    val union = emb.filter(col("vec_id") =!= 0)
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).collect().head.getSeq[Float](0).toArray
     val (centroids, indexed) = Similarity.ivfIndex(

@@ -60,7 +60,7 @@ object ScaleFixture {
     // append) and the many-queries BATCH probe — all composed
     // build+write(+append)+reload+probe classes.
     "q190_index_append_probe", "q191_ivf_append_probe",
-    "q192_ivf_batch_probe")
+    "q192_ivf_batch_probe", "q193_lsh_reload_probe")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(16)

@@ -38,7 +38,13 @@ for host speed BEFORE confirming):
    override with --sentinels) drifted by the same factor: the
    narrow-time host is slow. h_narrow = median(narrowed/prev over
    sentinels, excluding the flagged query itself); in-band at
-   narrowed/h_narrow => host.
+   narrowed/h_narrow => host. Note the flagged query's narrowed time
+   comes from the SAME pass as the sentinels', so dividing by h_narrow
+   cancels shared narrowed-pass context (cold JVM, un-amortized
+   warm-up) along with host speed — that sharing is why the sentinel
+   ratio is a valid normalizer rather than a conflation; a real
+   regression still surfaces because its plan-level slowdown is NOT
+   shared with the sentinels.
 4. `confirmed_regression` — out of band after every normalizer.
 
 The narrowed pass runs with SPARK_GRAFT_LOAD_WAIT_MAX=0 (no co-load
@@ -183,9 +189,18 @@ def main():
     omedian = (statistics.median(ocurr[k] / oprev[k] for k in oshared)
                if oshared else None)
 
+    # Own-oracle drift is only meaningful when the oracle runs long
+    # enough that its ratio isn't timer noise: a 4ms -> 11ms wobble
+    # would yield h=2.75 and silently excuse a multi-second Spark
+    # regression. Below the floor, the MEDIAN drift over the whole
+    # shared surface (~190 queries) is the robust host signal.
+    ORACLE_NOISE_FLOOR_S = 0.1
+
     def host_factor(q):
         """Never below 1: a FASTER oracle never excuses a slower plan."""
-        if q in oprev and q in ocurr and oprev[q] > 0:
+        if (q in oprev and q in ocurr
+                and oprev[q] >= ORACLE_NOISE_FLOOR_S
+                and ocurr[q] >= ORACLE_NOISE_FLOOR_S):
             return max(1.0, ocurr[q] / oprev[q]), "own_oracle_drift"
         if omedian is not None:
             return max(1.0, omedian), "median_oracle_drift"
@@ -236,14 +251,20 @@ def main():
     report = args[1] + ".regression.json"
     with open(report, "w") as f:
         json.dump({
-            "rule": ("host_drift: own-oracle (fallback median-oracle) "
-                     "drift h>=1 puts curr/h back in band (<=1.5x or "
-                     "<=+0.3s vs prev); else narrowed fresh-JVM re-measure "
-                     "in band => variance; else in band after dividing by "
-                     "median sentinel drift measured in the same narrowed "
-                     "pass => host_drift_narrowed; else confirmed. DuckDB "
-                     "code is identical across rounds, so its drift on the "
-                     "same query/session measures the host, not the plan."),
+            "rule": ("host_drift: own-oracle drift h>=1 puts curr/h back "
+                     "in band (<=1.5x or <=+0.3s vs prev) — own-oracle "
+                     "only when BOTH oracle times >= 0.1s (below that the "
+                     "ratio is timer noise; fall back to the median drift "
+                     "over the whole shared surface); else narrowed "
+                     "fresh-JVM re-measure in band => variance; else in "
+                     "band after dividing by median sentinel drift "
+                     "measured in the SAME narrowed pass (the flagged "
+                     "query shares that pass's JVM/warm-up context, so "
+                     "the division cancels context as well as host "
+                     "speed) => host_drift_narrowed; else confirmed. "
+                     "DuckDB code is identical across rounds, so its "
+                     "drift on the same query/session measures the host, "
+                     "not the plan."),
             "sentinels": sentinels,
             "oracle_prev": op, "oracle_curr": oc,
             "median_oracle_drift": omedian,
