@@ -76,10 +76,12 @@ object Similarity {
     * the custom [[graft.plans.GroupTopK]] bounded heaps keep the
     * shuffle at ≤k rows per (anchor × partition). At billion-vector
     * scale, swap the exhaustive scan for an ANN shortlist
-    * ([[projectedTopK]] / [[pqTopK]] with k' ≫ k) and apply the same
-    * label-filter + exact rerank to the shortlist — the contract
-    * (exact top-k among differently-labeled) then degrades to the
-    * index's recall, which is why the exhaustive form stays the gate. */
+    * ([[projectedTopK]] / [[pqTopK]] with k' ≫ k, or [[ivfTopKBatch]]
+    * over the durable posting lists for a whole anchor batch in one
+    * partition-pruned plan) and apply the same label-filter + exact
+    * rerank to the shortlist — the contract (exact top-k among
+    * differently-labeled) then degrades to the index's recall, which
+    * is why the exhaustive form stays the gate. */
   def hardNegatives(
       corpus: DataFrame, id: Column, vec: Column, label: Column,
       anchors: DataFrame, k: Int): DataFrame = {
