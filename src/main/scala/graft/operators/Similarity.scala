@@ -288,13 +288,21 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Array[Array[Float]], DataFrame) = {
     requireIndexDir(spark, path, Seq("centroids", "lists"), "Ivf")
-    val cents = spark.read.parquet(s"$path/centroids")
+    (loadIvfCentroids(spark, path), spark.read.parquet(s"$path/lists"))
+  }
+
+  /** The parameter-sized artifact alone — what the APPEND path needs.
+    * Constructing the posting-list frame just to discard it would pay
+    * a recursive listing of every `list=` stripe (a cost that grows
+    * with exactly the nightly file count appends create). */
+  private def loadIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Float]] =
+    spark.read.parquet(s"$path/centroids")
       .select(col("list").cast("int"), col("centroid"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1).map(_._2)
-    (cents, spark.read.parquet(s"$path/lists"))
-  }
 
   /** Assign vectors to their nearest inverted list under FROZEN
     * centroids (squared-L2 argmin, lowest list id on ties — the shared
@@ -334,6 +342,18 @@ object Similarity {
   def writeLshIndex(bucketed: DataFrame, nBits: Int, path: String): Unit = {
     val spark = bucketed.sparkSession
     import spark.implicits._
+    require(nBits >= 1 && nBits <= 62, s"nBits must be in [1, 62], got $nBits")
+    // The meta nBits IS the probe scheme: a value that disagrees with
+    // the frame being written (built with a different bucketize width)
+    // would silently band every later append into a different bucket
+    // space and make even the full-ball probe miss — the divergence
+    // class pqEncode's derived width eliminates for PQ. One cheap
+    // aggregate over the frame we are about to shuffle anyway pins it.
+    val maxRow = bucketed.agg(max(col("bucket"))).collect()(0)
+    val maxBucket = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    require(maxBucket < (1L << nBits),
+      s"bucketed frame has bucket $maxBucket >= 2^$nBits — it was built " +
+        s"with a wider bucketize(nBits) than the meta value being pinned")
     // Cluster by the partition column before the partitioned write:
     // without it every writer task opens a file in every stripe it
     // touches (tasks × stripes small files); with it each stripe is
@@ -355,11 +375,18 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, DataFrame) = {
     requireIndexDir(spark, path, Seq("meta", "buckets"), "Lsh")
+    (loadLshNBits(spark, path), spark.read.parquet(s"$path/buckets"))
+  }
+
+  /** Meta alone — the append path's need ([[loadIvfCentroids]]'s
+    * rationale: never list every bucket stripe just to read one int). */
+  private def loadLshNBits(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     val rows = spark.read.parquet(s"$path/meta").collect()
     require(rows.nonEmpty,
       s"LSH index at '$path' has an EMPTY meta table — the index write " +
         "was interrupted; rebuild with writeLshIndex")
-    (rows(0).getInt(0), spark.read.parquet(s"$path/buckets"))
+    rows(0).getInt(0)
   }
 
   /** Fold new vectors INTO a durable LSH index: band with the
@@ -372,7 +399,8 @@ object Similarity {
   def appendToLshIndex(
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
-    val (nBits, _) = loadLshIndex(spark, path)
+    requireIndexDir(spark, path, Seq("meta", "buckets"), "Lsh")
+    val nBits = loadLshNBits(spark, path)
     // Same cluster-before-write as the build path: without it a shard
     // written by T tasks opens up to T files per touched stripe, and
     // nightly appends compound exactly the small-file mode the build's
@@ -383,10 +411,26 @@ object Similarity {
       .partitionBy("bucket").parquet(s"$path/buckets")
   }
 
+  /** |ball(·, radius)| over nBits bits = Σ_{h≤radius} C(nBits, h),
+    * computed arithmetically (capped at `cap`) so [[lshTopKPruned]]'s
+    * guard fires BEFORE any enumeration — C(64, 8) is ~4.4 billion
+    * ids; materializing first would be the driver OOM the guard
+    * exists to prevent. */
+  private def hammingBallSize(nBits: Int, radius: Int, cap: Long): Long = {
+    var total = 0L
+    var c = 1L // C(nBits, 0)
+    var h = 0
+    while (h <= radius && total <= cap) {
+      total += c
+      c = c * (nBits - h) / (h + 1) // C(nBits, h+1)
+      h += 1
+    }
+    total
+  }
+
   /** All bucket signatures within Hamming distance `radius` of
-    * `center` — the multi-probe ball, enumerated driver-side
-    * (Σ C(nBits, h) ids, parameter-bounded by [[lshTopKPruned]]'s
-    * guard). */
+    * `center` — the multi-probe ball, enumerated driver-side. Callers
+    * must size-check via [[hammingBallSize]] BEFORE calling. */
   private def hammingBall(center: Long, nBits: Int, radius: Int): Seq[Long] =
     (0 to radius).flatMap { h =>
       (0 until nBits).combinations(h).map(
@@ -421,10 +465,13 @@ object Similarity {
       s"lshTopKPruned probes ONE query vector (got ${qbuckets.length} " +
         "rows) — loop per query or use ivfTopKBatch-style batching")
     val center = qbuckets.head.getLong(0)
-    val ball = hammingBall(center, nBits, probeHamming)
-    require(ball.size <= maxProbeBuckets,
-      s"Hamming ball has ${ball.size} buckets > maxProbeBuckets " +
+    // Size-check ARITHMETICALLY before enumerating: the guard must be
+    // able to reject a ball it could never afford to materialize.
+    val ballSize = hammingBallSize(nBits, probeHamming, maxProbeBuckets.toLong)
+    require(ballSize <= maxProbeBuckets,
+      s"Hamming ball has >= $ballSize buckets > maxProbeBuckets " +
         s"$maxProbeBuckets — use lshTopK's scan+filter form at this radius")
+    val ball = hammingBall(center, nBits, probeHamming)
     bucketed.filter(col("bucket").isin(ball: _*))
       .crossJoin(broadcast(qb))
       .withColumn("sim", round(VectorFunctions.cosine(col("v"), col("qv")), 4))
@@ -509,8 +556,8 @@ object Similarity {
   def appendToIvfIndex(
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
-    val (centroids, _) = loadIvfIndex(spark, path)
-    ivfAssign(newVecs, id, vec, centroids)
+    requireIndexDir(spark, path, Seq("centroids", "lists"), "Ivf")
+    ivfAssign(newVecs, id, vec, loadIvfCentroids(spark, path))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("list").parquet(s"$path/lists")
   }
@@ -524,8 +571,8 @@ object Similarity {
   def appendToPqIndex(
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
-    val (codebooks, _) = loadPqIndex(spark, path)
-    pqEncode(newVecs, id, vec, codebooks)
+    requireIndexDir(spark, path, Seq("codebooks", "codes"), "Pq")
+    pqEncode(newVecs, id, vec, loadPqCodebooks(spark, path))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/codes")
   }
@@ -558,13 +605,19 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Seq[(Int, Int, Array[Double])], DataFrame) = {
     requireIndexDir(spark, path, Seq("codebooks", "codes"), "Pq")
-    val cbs = spark.read.parquet(s"$path/codebooks")
+    (loadPqCodebooks(spark, path), spark.read.parquet(s"$path/codes"))
+  }
+
+  /** Codebooks alone — the append path's need ([[loadIvfCentroids]]'s
+    * rationale: never list the code table just to discard it). */
+  private def loadPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Int, Array[Double])] =
+    spark.read.parquet(s"$path/codebooks")
       .select(col("j").cast("int"), col("cl").cast("int"), col("c"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .sortBy(p => (p._1, p._2)).toSeq
-    (cbs, spark.read.parquet(s"$path/codes"))
-  }
 
   /** IVF ANN top-k: score the query against every centroid on the driver
     * (nLists is small), then scan only the `nProbe` nearest posting

@@ -508,5 +508,13 @@ class IndexLifecycleSpec extends SparkSpec {
         probeHamming = 8, maxProbeBuckets = 10)
     }
     assert(e.getMessage.contains("maxProbeBuckets"))
+    // A meta nBits that disagrees with the frame's actual bucket width
+    // is rejected at WRITE time (the probe-scheme divergence class).
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.writeLshIndex(
+        Similarity.bucketize(old, col("vec_id"), col("embedding"), 16),
+        nBits = 8, tmpDir("lsh_bad"))
+    }
+    assert(bad.getMessage.contains("2^8"))
   }
 }
