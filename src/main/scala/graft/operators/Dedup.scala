@@ -1045,6 +1045,11 @@ object Dedup {
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)
     }
+    // A fresh index has no deletions: stale tombstones from a previous
+    // index under the same prefix (same-JVM or orphaned-location) would
+    // silently hide rows of the NEW index — and their location blocks
+    // deleteFromCorpusIndex's first saveAsTable in a later JVM.
+    reset(tombstonesTable(tablePrefix))
     reset(s"${tablePrefix}_banded")
     index.banded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "bh").sortBy("bh")
@@ -1073,10 +1078,73 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): CorpusIndex = {
     val m = indexMeta(spark, tablePrefix)
+    // Tombstone-aware: a [[deleteFromCorpusIndex]]-ed id is invisible to
+    // every probe through this ONE load definition. The anti-join
+    // BROADCASTS (tombstones are request-sized between compactions) and
+    // sits above the bucketed scans, so the exchange-free probe plan
+    // survives — BroadcastHashJoin preserves the streamed side's
+    // distribution (gated in IndexLifecycleSpec).
+    val live = liveOnly(spark, tablePrefix) _
     CorpusIndex(
-      spark.table(s"${tablePrefix}_rel"),
-      spark.table(s"${tablePrefix}_banded"),
+      live(spark.table(s"${tablePrefix}_rel")),
+      live(spark.table(s"${tablePrefix}_banded")),
       m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands"))
+  }
+
+  private def tombstonesTable(tablePrefix: String): String =
+    s"${tablePrefix}_tombstones"
+
+  private def liveOnly(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String)(df: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(tombstonesTable(tablePrefix))) df
+    else df.join(
+      broadcast(spark.table(tombstonesTable(tablePrefix)).select(col("id"))),
+      Seq("id"), "left_anti")
+
+  /** Logical delete from a durable corpus index — RTBF reaching the
+    * ARTIFACT, not just the corpus ([[deletionCascade]] handles the
+    * corpus side; without this, a probe against a months-old index
+    * keeps returning the deleted doc, and its content-derived rows —
+    * shingle sets, signatures — stay on disk). Ids append to
+    * `<prefix>_tombstones`; every [[loadCorpusIndex]] anti-joins it, so
+    * the delete is immediate for all probe forms at one request-sized
+    * write. Physical erasure (and the broadcast-bound reset) is
+    * [[compactCorpusIndex]] — the two-phase discipline shared with
+    * [[graft.operators.Similarity]]'s ANN index deletes. A tombstoned
+    * id stays deleted until compaction clears the tombstones; compact
+    * before re-ingesting a deleted id. */
+  def deleteFromCorpusIndex(
+      ids: DataFrame, id: Column, tablePrefix: String): Unit = {
+    val spark = ids.sparkSession
+    indexMeta(spark, tablePrefix) // readable failure on a wrong prefix
+    ids.select(id.cast("long").as("id")).distinct()
+      .coalesce(1) // request-sized: one file per delete batch
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(tombstonesTable(tablePrefix))
+  }
+
+  /** Physical erasure + layout reset for a durable corpus index:
+    * rewrite both bucketed tables WITHOUT the tombstoned rows (and
+    * without the append-accreted file-per-night accretion — the bucket
+    * spec is re-laid by [[writeCorpusIndex]]'s writer), then drop the
+    * tombstones. The surviving relations are pinned
+    * ([[Materialize.pin]] — lineage truncated) BEFORE the rewrite
+    * drops the tables they derive from; under
+    * `graft.checkpoint.reliable=true` the pin is a reliable checkpoint,
+    * the right setting when compacting a big index on a real cluster.
+    * Probe ≡ rebuilt-on-survivors, bit-equal (gated). */
+  def compactCorpusIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, buckets: Int = 32): Unit = {
+    val idx = loadCorpusIndex(spark, tablePrefix) // survivors view
+    val rel = Materialize.pin(idx.rel)
+    val banded = Materialize.pin(idx.banded)
+    // writeCorpusIndex resets the tombstones along with the data tables
+    // — the compacted index IS the survivor set, nothing left to hide.
+    writeCorpusIndex(
+      CorpusIndex(rel, banded, idx.n, idx.k, idx.bands),
+      tablePrefix, buckets)
   }
 
   /** Tables are `<prefix>_banded|_rel|_meta` and the prefix is

@@ -214,31 +214,94 @@ object Similarity {
     * ASSIGNMENT pass still covers every vector — one broadcast-centroid
     * map pass, embarrassingly parallel. Corpora at or under
     * `fitSampleRows` fit on everything (sampling would only discard
-    * signal). Returns (centroids, corpus+list). */
+    * signal). Returns (centroids, corpus+list).
+    *
+    * DETERMINISM: both the fit SAMPLE (the `fitSampleRows` smallest
+    * ids, one TakeOrderedAndProject) and the fit itself ([[lloydFit]] —
+    * the [[graft.operators.Cluster]] Lloyd discipline under IVF's
+    * squared-L2 metric, sequential on the collected sample) are
+    * independent of core count and partitioning. Spark-ML KMeans is
+    * NOT: its k-means||
+    * init and `.sample()`'s per-partition Bernoulli draws both change
+    * with the partition layout even at a fixed seed, so the same build
+    * on 8 vs 32 cores produced different centroids and flipped
+    * partial-probe recall contracts across cluster shapes (the r16
+    * q191 regression). The final corpus-wide assignment runs through
+    * [[ivfAssign]] against the float-rounded centroids — the append
+    * path's own definition, so a built row and an appended row can
+    * never disagree on their list. `seed` is retained for source
+    * compatibility; the deterministic schedule has no randomness to
+    * seed (pinned in `IndexLifecycleSpec`: two sessions with different
+    * shuffle-partition counts build bit-identical centroids and
+    * assignments). */
   def ivfIndex(
       corpus: DataFrame, id: Column, vec: Column,
       nLists: Int, seed: Long = 42L,
       fitSampleRows: Long = 100000L): (Array[Array[Float]], DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    val _ = seed // no randomness left to seed; see scaladoc
     val c = Dedup.spread(corpus).select(id.cast("long").as("id"), vec.as("v"))
-    val assembled = c.withColumn("features", array_to_vector(col("v")))
-    // countApprox-free sizing: one cheap count on the narrow projection.
-    // (The fit below iterates ~10× over its input; paying one count to
-    // bound that input is the right trade at every scale.)
-    val total = assembled.count()
-    val fitInput =
-      if (total <= fitSampleRows) assembled
-      else assembled.sample(withReplacement = false,
-        fitSampleRows.toDouble / total, seed)
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(fitInput)
-    val centroids = model.clusterCenters
-      .map(_.toArray.map(_.toFloat))
-    val indexed = model.transform(assembled)
-      .withColumnRenamed("prediction", "list")
-      .select(col("id"), col("v"), col("list"))
-    (centroids, indexed)
+    // The fit sample is the `fitSampleRows` SMALLEST ids — one
+    // TakeOrderedAndProject (bounded per-partition heaps), collected
+    // once: fitSampleRows × d floats is the FAISS training-buffer
+    // convention (training runs in memory on a bounded sample; only
+    // assignment is distributed), and the collect is parameter-sized
+    // by construction — it bounds driver memory the same way the
+    // centroid/codebook collects do. Driver-side re-sort by id makes
+    // the init order explicit rather than plan-dependent.
+    val bound = math.min(fitSampleRows, Int.MaxValue.toLong).toInt
+    val sample = c.orderBy(col("id")).limit(bound)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1).map(_._2)
+    val centroids = lloydFit(sample, nLists, iters = 10)
+    (centroids, ivfAssign(c, col("id"), col("v"), centroids))
+  }
+
+  /** Deterministic in-memory Lloyd fit for [[ivfIndex]] — the
+    * [[graft.operators.Cluster.lloydKMeans]] schedule under IVF's
+    * squared-L2 metric, run sequentially on the driver's bounded
+    * sample (deterministic by construction: no partial aggregation, no
+    * partitioning, no seed): init = the `k` smallest-id vectors,
+    * assignment = plain-double L2 argmin with lowest-index tie-break,
+    * recompute = component means rounded to 6 dp (the
+    * [[graft.operators.Cluster]] rounding discipline — and what keeps
+    * the persisted centroid table tidy). Clusters that lose every
+    * member drop out (compacted); final list ids are positions in the
+    * returned array. Centroids are float-rounded at the end — the
+    * durable representation [[writeIvfIndex]] stores — so the corpus
+    * assignment in [[ivfIndex]] scores against exactly the bytes a
+    * fresh-session reload will. The fit's internal argmin needs no
+    * cross-engine rounding (it never leaves the driver); the ONE
+    * distributed assignment definition remains [[l2Assign]] via
+    * [[ivfAssign]]. */
+  private def lloydFit(
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "ivfIndex: no vectors to fit centroids on")
+    var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val d = cents.head.length
+      val sums = Array.fill(cents.length)(new Array[Double](d))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { x =>
+        var best = 0; var bestD2 = Double.PositiveInfinity; var j = 0
+        while (j < cents.length) {
+          val cj = cents(j); var d2 = 0.0; var i = 0
+          val n = math.min(x.length, cj.length)
+          while (i < n) { val t = x(i) - cj(i); d2 += t * t; i += 1 }
+          if (d2 < bestD2) { bestD2 = d2; best = j }
+          j += 1
+        }
+        val s = sums(best); var i = 0
+        val n = math.min(x.length, d)
+        while (i < n) { s(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.toArray.filter(counts(_) > 0L).map { j =>
+        sums(j).map(s => BigDecimal(s / counts(j))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    cents.map(_.map(_.toFloat))
   }
 
   /** Durable form of the IVF index — write once, probe across sessions.
@@ -255,6 +318,9 @@ object Similarity {
       path: String): Unit = {
     val spark = indexed.sparkSession
     import spark.implicits._
+    // A fresh index has no deletions: stale tombstones from a previous
+    // index at this path would silently hide rows of the NEW one.
+    clearTombstones(spark, path)
     indexed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list").parquet(s"$path/lists")
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -288,7 +354,166 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Array[Array[Float]], DataFrame) = {
     requireIndexDir(spark, path, Seq("centroids", "lists"), "Ivf")
-    (loadIvfCentroids(spark, path), spark.read.parquet(s"$path/lists"))
+    (loadIvfCentroids(spark, path),
+      withoutTombstones(spark, path, spark.read.parquet(s"$path/lists")))
+  }
+
+  /** ===== Deletion + compaction for the durable ANN indexes =====
+    *
+    * RTBF must reach the durable artifact, not just the corpus: a
+    * vector deleted upstream ([[Dedup.deletionCascade]]'s class) would
+    * otherwise keep being RETURNED by probes against a months-old
+    * index, and its content-derived rows (the vector itself, its
+    * codes, its bucket signature) would stay on disk indefinitely.
+    * Two-phase, like every production vector store:
+    *
+    *   - [[deleteFromIvfIndex]]/[[deleteFromLshIndex]]/
+    *     [[deleteFromPqIndex]] are the LOGICAL delete — ids append to a
+    *     `tombstones` table beside the index, and every load path
+    *     anti-joins it (broadcast: the tombstone set is bounded by
+    *     delete-request volume between compactions — parameter-sized
+    *     by the RTBF workload's nature, and reset by compaction).
+    *     Immediate, cheap (one request-sized write), probe plans keep
+    *     their partition pruning (the anti-join sits ABOVE the pruned
+    *     scan and broadcasts, so the scan's distribution survives).
+    *   - [[compactIvfIndex]]/[[compactLshIndex]]/[[compactPqIndex]] are
+    *     the PHYSICAL erasure + layout reset: rewrite the data
+    *     directory without the tombstoned rows (and without the
+    *     append-accreted small files — each bucket/stripe comes back as
+    *     one task's output), swap it in place, clear the tombstones.
+    *     Run it when the tombstone set has grown past broadcast-cheap
+    *     or the per-stripe file count degrades probe open times (the
+    *     nightly-append accretion measured in `IndexAppendSweep`).
+    *
+    * Gates (`IndexLifecycleSpec`): post-delete probe ≡ probe against an
+    * index REBUILT on the surviving corpus (same frozen centroids /
+    * codebooks / nBits), compaction probe-bit-equal before/after with
+    * the tombstone dir gone and per-stripe file counts reset.
+    *
+    * Caller contract: a tombstoned id stays deleted until compaction
+    * clears the tombstones — re-ingesting a deleted id via the append
+    * path is invisible to probes until then (compact first, then
+    * re-append). */
+  def deleteFromIvfIndex(
+      ids: DataFrame, id: Column, path: String): Unit = {
+    requireIndexDir(ids.sparkSession, path, Seq("centroids", "lists"), "Ivf")
+    writeTombstones(ids, id, path)
+  }
+
+  /** [[deleteFromIvfIndex]]'s contract for the LSH lifecycle. */
+  def deleteFromLshIndex(
+      ids: DataFrame, id: Column, path: String): Unit = {
+    requireIndexDir(ids.sparkSession, path, Seq("meta", "buckets"), "Lsh")
+    writeTombstones(ids, id, path)
+  }
+
+  /** [[deleteFromIvfIndex]]'s contract for the PQ lifecycle. */
+  def deleteFromPqIndex(
+      ids: DataFrame, id: Column, path: String): Unit = {
+    requireIndexDir(ids.sparkSession, path, Seq("codebooks", "codes"), "Pq")
+    writeTombstones(ids, id, path)
+  }
+
+  /** Physical erasure + stripe compaction for a durable IVF index:
+    * rewrite `lists` without tombstoned rows, one file per posting-list
+    * stripe (the repartition-by-partition-column write discipline),
+    * swap in place, clear tombstones. Probe-bit-equal before/after
+    * (gated). */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    requireIndexDir(spark, path, Seq("centroids", "lists"), "Ivf")
+    val survivors = withoutTombstones(
+        spark, path, spark.read.parquet(s"$path/lists"))
+      .repartition(col("list"))
+    swapInPlace(spark, s"$path/lists") { tmp =>
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("list").parquet(tmp)
+    }
+    clearTombstones(spark, path)
+  }
+
+  /** [[compactIvfIndex]] for the LSH bucket stripes. */
+  def compactLshIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    requireIndexDir(spark, path, Seq("meta", "buckets"), "Lsh")
+    val survivors = withoutTombstones(
+        spark, path, spark.read.parquet(s"$path/buckets"))
+      .repartition(col("bucket"))
+    swapInPlace(spark, s"$path/buckets") { tmp =>
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(tmp)
+    }
+    clearTombstones(spark, path)
+  }
+
+  /** [[compactIvfIndex]] for the PQ code table (unpartitioned — the ADC
+    * scan's layout; compaction here is erasure + small-file merge). */
+  def compactPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    requireIndexDir(spark, path, Seq("codebooks", "codes"), "Pq")
+    val survivors = Dedup.spread(withoutTombstones(
+      spark, path, spark.read.parquet(s"$path/codes")))
+    swapInPlace(spark, s"$path/codes") { tmp =>
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    }
+    clearTombstones(spark, path)
+  }
+
+  /** Logical-delete write: request-sized, one file per delete batch. */
+  private def writeTombstones(
+      ids: DataFrame, id: Column, path: String): Unit =
+    ids.select(id.cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/tombstones")
+
+  /** Anti-join a data frame against the index's tombstones, if any —
+    * THE one definition every load path routes through, so a deleted
+    * id is invisible to every probe form (single, batch, pruned) at
+    * once. Broadcast by contract (see the deletion scaladoc). */
+  private def withoutTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) df
+    else df.join(
+      broadcast(spark.read.parquet(s"$path/tombstones").select(col("id"))),
+      Seq("id"), "left_anti")
+  }
+
+  private def clearTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Rewrite a data directory in place via tmp-dir + two renames. The
+    * new copy is FULLY written before the original moves, so no crash
+    * window loses the index: interrupted before the first rename —
+    * original intact, stray `<dir>__compact` cleaned on retry; between
+    * the renames — original preserved at `<dir>__pre_compact` (the
+    * require below names it on the next attempt; rename it back or
+    * delete the partial state); after — only the stale pre-compact
+    * copy remained and is deleted. */
+  private def swapInPlace(
+      spark: org.apache.spark.sql.SparkSession, dir: String)(
+      writeTmp: String => Unit): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    val fs = cur.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact")
+    val old = new org.apache.hadoop.fs.Path(dir + "__pre_compact")
+    require(!fs.exists(old),
+      s"$old exists — a previous compaction was interrupted between " +
+        s"renames; rename it back to $dir (if $dir is missing) or delete it")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writeTmp(tmp.toString)
+    require(fs.rename(cur, old), s"rename $cur -> $old failed")
+    require(fs.rename(tmp, cur), s"rename $tmp -> $cur failed")
+    fs.delete(old, true)
+    ()
   }
 
   /** The parameter-sized artifact alone — what the APPEND path needs.
@@ -305,18 +530,17 @@ object Similarity {
       .sortBy(_._1).map(_._2)
 
   /** Assign vectors to their nearest inverted list under FROZEN
-    * centroids (squared-L2 argmin, lowest list id on ties — the shared
-    * [[l2Assign]] definition): the growth half of the IVF lifecycle.
-    * Production IVF grows exactly this way — nightly vectors are
-    * assigned against the PERSISTED centroids (the FAISS `add` path);
-    * re-training is a rebuild, not an append, because new centroids
-    * re-shard every existing posting list. Assignment against the
-    * persisted float centroids can differ from the build's
-    * `KMeansModel.transform` (double centers) only on exact-tie
-    * knife-edges; either list is a correct IVF home — full-probe
-    * results are assignment-invariant, and the partial-probe gate in
-    * `IndexLifecycleSpec` compares BOTH sides under this one
-    * definition. Output: (id, v, list) in [[writeIvfIndex]]'s layout. */
+    * centroids (squared-L2 argmin, 6-dp-rounded distance, lowest list
+    * id on ties — the shared [[l2Assign]] definition): the growth half
+    * of the IVF lifecycle. Production IVF grows exactly this way —
+    * nightly vectors are assigned against the PERSISTED centroids (the
+    * FAISS `add` path); re-training is a rebuild, not an append,
+    * because new centroids re-shard every existing posting list. This
+    * is THE assignment definition — [[ivfIndex]]'s build pass runs
+    * through it against the same float-rounded centroids, so a built
+    * row and an appended row are assigned bit-identically by
+    * construction (no second code path to diverge from). Output:
+    * (id, v, list) in [[writeIvfIndex]]'s layout. */
   def ivfAssign(
       vecs: DataFrame, id: Column, vec: Column,
       centroids: Array[Array[Float]]): DataFrame = {
@@ -339,28 +563,33 @@ object Similarity {
     * Partition count is a LAYOUT parameter: at 10¹¹ vectors every one
     * of the ≤2^nBits stripes is file-sized, so size nBits with the
     * corpus; locally small nBits keeps the directory fan-out sane. */
-  def writeLshIndex(bucketed: DataFrame, nBits: Int, path: String): Unit = {
-    val spark = bucketed.sparkSession
+  def writeLshIndex(
+      vecs: DataFrame, id: Column, vec: Column,
+      nBits: Int, path: String): Unit = {
+    val spark = vecs.sparkSession
     import spark.implicits._
-    require(nBits >= 1 && nBits <= 62, s"nBits must be in [1, 62], got $nBits")
-    // The meta nBits IS the probe scheme: a value that disagrees with
-    // the frame being written (built with a different bucketize width)
-    // would silently band every later append into a different bucket
-    // space and make even the full-ball probe miss — the divergence
-    // class pqEncode's derived width eliminates for PQ. One cheap
-    // aggregate over the frame we are about to shuffle anyway pins it.
-    val maxRow = bucketed.agg(max(col("bucket"))).collect()(0)
-    val maxBucket = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
-    require(maxBucket < (1L << nBits),
-      s"bucketed frame has bucket $maxBucket >= 2^$nBits — it was built " +
-        s"with a wider bucketize(nBits) than the meta value being pinned")
+    // [1, 32] is HyperplaneBucket64's own domain — accepting more here
+    // would pin a meta nBits every probe/append then throws on.
+    require(nBits >= 1 && nBits <= 32,
+      s"nBits must be in [1, 32] (HyperplaneBucket64's domain), got $nBits")
+    // The meta nBits IS the probe scheme, so consistency is STRUCTURAL:
+    // this writer bands the raw vectors itself through [[bucketize]]
+    // with the same nBits it pins (the pqEncode derived-width
+    // discipline — one definition, nothing to cross-check). The
+    // previous take-a-prebucketed-frame form could only check the
+    // mismatch one way (a frame banded WIDER than meta had
+    // max(bucket) ≥ 2^nBits; one banded NARROWER passed silently and
+    // split the bucket space for every later append/probe).
     // Cluster by the partition column before the partitioned write:
     // without it every writer task opens a file in every stripe it
     // touches (tasks × stripes small files); with it each stripe is
     // written by one task — the layout discipline that matters at both
     // local scale (file count) and 100 TB (writer memory, one open
     // file per task).
-    bucketed.repartition(col("bucket"))
+    // Same stale-tombstone reset as writeIvfIndex: a fresh index at
+    // this path starts with no deletions.
+    clearTombstones(spark, path)
+    bucketize(vecs, id, vec, nBits).repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$path/buckets")
     Seq(Tuple1(nBits)).toDF("n_bits")
@@ -375,7 +604,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, DataFrame) = {
     requireIndexDir(spark, path, Seq("meta", "buckets"), "Lsh")
-    (loadLshNBits(spark, path), spark.read.parquet(s"$path/buckets"))
+    (loadLshNBits(spark, path),
+      withoutTombstones(spark, path, spark.read.parquet(s"$path/buckets")))
   }
 
   /** Meta alone — the append path's need ([[loadIvfCentroids]]'s
@@ -590,6 +820,9 @@ object Similarity {
       path: String): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
+    // Same stale-tombstone reset as writeIvfIndex: a fresh index at
+    // this path starts with no deletions.
+    clearTombstones(spark, path)
     encoded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codes")
     codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }
@@ -605,7 +838,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Seq[(Int, Int, Array[Double])], DataFrame) = {
     requireIndexDir(spark, path, Seq("codebooks", "codes"), "Pq")
-    (loadPqCodebooks(spark, path), spark.read.parquet(s"$path/codes"))
+    (loadPqCodebooks(spark, path),
+      withoutTombstones(spark, path, spark.read.parquet(s"$path/codes")))
   }
 
   /** Codebooks alone — the append path's need ([[loadIvfCentroids]]'s

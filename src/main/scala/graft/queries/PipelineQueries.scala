@@ -1122,8 +1122,7 @@ object PipelineQueries {
       pmod(col("vec_id"), lit(5)) === 3)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_q193_lsh"
     Similarity.writeLshIndex(
-      Similarity.bucketize(old, col("vec_id"), col("embedding"), nBits),
-      nBits, path)
+      old, col("vec_id"), col("embedding"), nBits, path)
     Similarity.appendToLshIndex(
       shard, col("vec_id"), col("embedding"), path)
 
@@ -1147,6 +1146,38 @@ object PipelineQueries {
       (col("n_approx") === col("n_exact") &&
         col("n_hit") === col("n_exact")).as("full_probe_exact"),
       (col("n_hit_partial") >= col("n_exact") * 0.3).as("partial_recall_ok"))
+  }
+
+  /** q194 — RTBF through the durable-index lifecycle: deletion reaches
+    * the ARTIFACT, not just the corpus (q145's cascade composed with
+    * q189's lifecycle). The index is built and written on
+    * everything-but-src0, then src8∪src12's doc ids are DELETED from
+    * the durable index ([[Dedup.deleteFromCorpusIndex]] — a
+    * request-sized tombstone write; the probe-side anti-join is the
+    * cheap interim form, physical erasure is
+    * [[Dedup.compactCorpusIndex]], both gated in `IndexLifecycleSpec`).
+    * A fresh session reloads and probes src0: the output must equal
+    * the exhaustive near-dup join over the SURVIVING corpus — every
+    * pair against a deleted doc is gone, every other pair untouched
+    * (the q66/q189/q190 oracle with the deleted sources excluded). */
+  def q194IndexDeleteProbe(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.sources.Ingest.documentsBySourceLanding(spark, dir)
+    val delSrc = Seq("src8", "src12")
+    val docs = spark.read.parquet(landing)
+    val built = Dedup.corpusIndex(
+      docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"))
+    Dedup.writeCorpusIndex(built, "graft_q194_idx")
+    built.unpersist()
+    Dedup.deleteFromCorpusIndex(
+      docs.filter(col("source").isInCollection(delSrc))
+        .select(col("doc_id")),
+      col("doc_id"), "graft_q194_idx")
+    val fresh = spark.newSession()
+    val loaded = Dedup.loadCorpusIndex(fresh, "graft_q194_idx")
+    val shard = fresh.read.parquet(landing).filter(col("source") === "src0")
+    Dedup.nearDupAgainstIndex(
+        shard, col("doc_id"), col("text"), loaded, threshold = 0.8)
+      .orderBy(asc("new_id"), asc("corpus_id"))
   }
 
   /** q46 — rolling-hash document fingerprints: polynomial hash over the
@@ -1267,6 +1298,7 @@ object PipelineQueries {
     "q191_ivf_append_probe"   -> q191IvfAppendProbe _,
     "q192_ivf_batch_probe"    -> q192IvfBatchProbe _,
     "q193_lsh_reload_probe"   -> q193LshReloadProbe _,
+    "q194_index_delete_probe" -> q194IndexDeleteProbe _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
@@ -1288,9 +1320,6 @@ object PipelineQueries {
   /** Shared SQL fragments mirroring TextFunctions exactly. */
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
-  /** The exhaustive shard-vs-corpus near-dup SQL shared VERBATIM by the
-    * q66 (same-session index) and q189 (write→reload index) oracles:
-    * the durable lifecycle must not change a single row. */
   /** Exhaustive batch-KNN oracle (window formulation over the scored
     * cross join) — shared by q65 (the exact batch path) and q192 (the
     * batch IVF full-probe over a reloaded durable index, which must
@@ -1313,7 +1342,14 @@ object PipelineQueries {
       |SELECT query_id, id, sim, CAST(rank AS INTEGER) AS rank
       | FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  private val incrementalNearDupSql: String =
+  /** The exhaustive shard-vs-corpus near-dup SQL, parameterized ONLY by
+    * the corpus-side source predicate: shared VERBATIM (at the default
+    * predicate) by the q66 (same-session index) and q189 (write→reload
+    * index) and q190 (write→append→reload) oracles — the durable
+    * lifecycle must not change a single row — and, with the deleted
+    * sources excluded, by q194 (the post-delete probe must equal the
+    * exhaustive join over the SURVIVING corpus). */
+  private def incrementalNearDupSqlVs(corpusPred: String): String =
     s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
       | sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 3
       |     THEN [array_to_string(toks, ' ')]
@@ -1325,7 +1361,7 @@ object PipelineQueries {
       | inter AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
       |     count(*) AS i
       |   FROM ex a JOIN ex b ON a.g = b.g
-      |     AND a.source = 'src0' AND b.source <> 'src0'
+      |     AND a.source = 'src0' AND $corpusPred
       |   GROUP BY 1, 2)
       |SELECT new_id, corpus_id,
       |   CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
@@ -1333,6 +1369,9 @@ object PipelineQueries {
       |   JOIN sz y ON y.doc_id = corpus_id
       | WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8
       | ORDER BY new_id, corpus_id""".stripMargin
+
+  private val incrementalNearDupSql: String =
+    incrementalNearDupSqlVs("b.source <> 'src0'")
 
   /** The contamination-pair CTE chain shared by the q124 and q132
     * oracles (mirrors `Dedup.contaminationPairs` at n = 3,
@@ -2047,6 +2086,10 @@ object PipelineQueries {
     // q190 is q66 through write(partial)→APPEND(shard)→reload: growing
     // the index must equal having built it whole, so same oracle again.
     "q190_index_append_probe" -> incrementalNearDupSql,
+    // q194 is q66 through write→DELETE(src8∪src12)→reload: RTBF must
+    // make the probe equal the exhaustive join over the SURVIVORS.
+    "q194_index_delete_probe" ->
+      incrementalNearDupSqlVs("b.source NOT IN ('src0', 'src8', 'src12')"),
     // q191 is q78's recall contract through write(4/5)→APPEND(1/5)→
     // reload: the exact side is the unchanged full corpus, so the
     // oracle is q78's verbatim (booleans literal — a recall regression

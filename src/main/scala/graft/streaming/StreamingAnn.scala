@@ -23,11 +23,22 @@ import graft.operators.Similarity
   * within a run, the per-batch work IS the batch operator (so
   * stream ≡ batch by construction, pinned in StreamingAnnSpec), and
   * the query keeps ZERO streaming state — restart recovery is
-  * checkpointed source offsets + append. The handle composes with the
-  * durable lifecycle: pass `loadIvfIndex`'s (centroids, lists) — the
-  * weeks-old-index daemon shape — and nightly
+  * checkpointed source offsets + append. As in every foreachBatch
+  * screen here ([[StreamingRedact]]'s caveat verbatim), that append is
+  * exactly-once only WITHIN a batch id: a crash after a partial sink
+  * write replays the whole batch on restart and can duplicate neighbor
+  * rows — downstream consumers dedupe on (query_id, id), or point each
+  * batch at a batchId-keyed path for idempotent replay.
+  *
+  * The handle composes with the durable lifecycle two ways:
+  * [[start]] takes `loadIvfIndex`'s (centroids, lists) resolved ONCE —
+  * the weeks-old-index daemon shape, where nightly
   * [[graft.operators.Similarity.appendToIvfIndex]] growth is picked up
-  * on the daemon's next restart/reload.
+  * on the daemon's next restart/reload — and [[startRefreshing]]
+  * re-resolves the handle at EVERY batch boundary, so a resident
+  * daemon sees appends without a restart (the centroid re-read is a
+  * parameter-sized collect; appended list files surface because the
+  * probe scan lists its probed stripes at read time).
   */
 object StreamingAnn {
 
@@ -42,18 +53,53 @@ object StreamingAnn {
       centroids: Array[Array[Float]], indexed: DataFrame,
       k: Int, nProbe: Int,
       outDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startWith(spark, inputDir, schema, checkpointDir, trigger) {
+      (batch) =>
+        Similarity.ivfTopKBatch(
+            centroids, indexed, batch.toDF(), idCol, vecCol, k, nProbe)
+          .write.mode(SaveMode.Append).parquet(outDir)
+    }
+
+  /** [[start]], but the durable-index handle is RE-RESOLVED from
+    * `indexPath` at every batch boundary — the resident-daemon shape
+    * that picks up nightly [[Similarity.appendToIvfIndex]] growth
+    * without a restart. Centroids are frozen by the append contract
+    * (growth never retrains), so consecutive batches stay mutually
+    * consistent; what the re-resolve refreshes is the posting-list file
+    * set. Gated in StreamingAnnSpec: a batch arriving AFTER an append
+    * probes the grown index ≡ the batch operator over the reloaded
+    * handle. */
+  def startRefreshing(
+      spark: SparkSession, inputDir: String, schema: StructType,
+      idCol: Column, vecCol: Column, indexPath: String,
+      k: Int, nProbe: Int,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startWith(spark, inputDir, schema, checkpointDir, trigger) {
+      (batch) =>
+        val (cents, lists) =
+          Similarity.loadIvfIndex(batch.sparkSession, indexPath)
+        Similarity.ivfTopKBatch(
+            cents, lists, batch.toDF(), idCol, vecCol, k, nProbe)
+          .write.mode(SaveMode.Append).parquet(outDir)
+    }
+
+  private def startWith(
+      spark: SparkSession, inputDir: String, schema: StructType,
+      checkpointDir: String, trigger: Trigger)(
+      probe: Dataset[Row] => Unit): StreamingQuery = {
     val probeBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
       // Cache the batch rows once: the operator reads them twice (the
       // probe-list projection collected driver-side and the broadcast
       // join side), and caching inside the operator would leak one
       // cache entry per micro-batch.
       batch.persist()
-      try {
-        Similarity.ivfTopKBatch(
-            centroids, indexed, batch, idCol, vecCol, k, nProbe)
-          .write.mode(SaveMode.Append).parquet(outDir)
-      } finally batch.unpersist()
+      try probe(batch)
+      finally {
+        batch.unpersist()
+        ()
+      }
     }
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream

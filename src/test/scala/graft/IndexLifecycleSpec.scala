@@ -237,6 +237,38 @@ class IndexLifecycleSpec extends SparkSpec {
       s"probe filter did not reach the partition layer:\n${scan.get}")
   }
 
+  test("IVF build is partition-invariant: different shuffle-partition counts and input layouts produce bit-identical centroids and assignments") {
+    // The r16 regression class: Spark-ML KMeans centroids (k-means||
+    // init + partial aggregation) change with the partition layout even
+    // at a fixed seed, so the same build at SPARK_GRAFT_CPUS=8 vs 32
+    // returned different centroids and flipped q191's partial-probe
+    // recall. The deterministic Lloyd fit must not: two sessions with
+    // different shuffle-partition counts, fed differently-partitioned
+    // input, must build the SAME index — including through the
+    // bounded-sample path (fitSampleRows < corpus), whose sample is the
+    // smallest ids, not a partitioning-sensitive Bernoulli draw.
+    def build(parts: Int, shuffle: Int,
+        fitRows: Long): (Array[Array[Float]], Seq[Row]) = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", shuffle.toString)
+      val e = Tables.embeddings(s, sf).filter(col("vec_id") =!= 0)
+        .repartition(parts)
+      val (c, idx) = Similarity.ivfIndex(e, col("vec_id"),
+        col("embedding"), nLists = 8, fitSampleRows = fitRows)
+      (c, idx.select(col("id"), col("list")).orderBy(col("id"))
+        .collect().toSeq)
+    }
+    for (fitRows <- Seq(100000L, 50L)) {
+      val (c1, a1) = build(parts = 3, shuffle = 5, fitRows)
+      val (c2, a2) = build(parts = 17, shuffle = 32, fitRows)
+      assert(c1.length === c2.length)
+      assert(c1.zip(c2).forall { case (x, y) => x.sameElements(y) },
+        s"centroids must be bit-identical across partition layouts (fitSampleRows=$fitRows)")
+      assert(a1 === a2,
+        s"assignments must be identical across partition layouts (fitSampleRows=$fitRows)")
+    }
+  }
+
   test("IVF/PQ load: a wrong path fails with a message naming it") {
     val missing = tmpDir("no_such_index")
     val e1 = intercept[IllegalArgumentException] {
@@ -461,6 +493,216 @@ class IndexLifecycleSpec extends SparkSpec {
       s"probed-lists filter did not reach the partition layer:\n${scan.get}")
   }
 
+  test("corpus-index delete: probe ≡ rebuilt-on-survivors; bucketed side still exchange-free through the tombstone anti-join; compaction erases physically, probe unchanged") {
+    val prefix = s"graft_idx_del_$runId"
+    val docs = Tables.documents(spark, sf)
+    val delSrc = Seq("src8", "src12")
+    val built = Dedup.corpusIndex(
+      docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"))
+    Dedup.writeCorpusIndex(built, prefix, buckets = 4)
+    built.unpersist()
+    val delIds = docs.filter(col("source").isInCollection(delSrc))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // Non-vacuous: before the delete, the probe surfaces pairs against
+    // the soon-to-be-deleted docs (the fixture straddles — q190's).
+    val before = probePairs(spark, Dedup.loadCorpusIndex(spark, prefix))
+    assert(before.exists(r => delIds(r.getLong(1))),
+      "fixture must have probe pairs against the to-be-deleted docs")
+    Dedup.deleteFromCorpusIndex(
+      docs.filter(col("source").isInCollection(delSrc))
+        .select(col("doc_id")),
+      col("doc_id"), prefix)
+    // Equivalence target: an index REBUILT on the surviving corpus.
+    val rebuilt = Dedup.corpusIndex(
+      docs.filter(col("source") =!= "src0" &&
+        !col("source").isInCollection(delSrc)),
+      col("doc_id"), col("text"))
+    val want = probePairs(spark, rebuilt)
+    rebuilt.unpersist()
+    val fresh = spark.newSession()
+    val got = probePairs(fresh, Dedup.loadCorpusIndex(fresh, prefix))
+    assert(got === want,
+      "post-delete probe must equal the rebuilt-on-survivors probe")
+    assert(got !== before, "the delete must have changed the probe")
+    // The logical delete must not cost the layout: the bucketed corpus
+    // relations still reach the probe join with ZERO exchange — the
+    // tombstone anti-join broadcasts above the pruned scan.
+    val fresh2 = spark.newSession()
+    fresh2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    fresh2.conf.set("spark.sql.adaptive.enabled", "false")
+    val probe = Dedup.nearDupAgainstIndex(
+      Tables.documents(fresh2, sf).filter(col("source") === "src0"),
+      col("doc_id"), col("text"), Dedup.loadCorpusIndex(fresh2, prefix),
+      threshold = 0.8, persistNewRel = false)
+    val plan = probe.queryExecution.executedPlan
+    for (t <- Seq(s"${prefix}_banded", s"${prefix}_rel")) {
+      // Offending = an exchange whose ONLY sources are the bucketed
+      // table and its tombstones — i.e. the bucketed side shuffled
+      // BEFORE merging with the shard (exchanges above that merge
+      // belong to the shard side and are expected, the
+      // subtreeWithTable discipline).
+      val ok = Set(t, s"${prefix}_tombstones")
+      val offending = plan.collect {
+        case e: ShuffleExchangeExec if {
+          val scans = scansOf(e)
+          scans.exists(_.tableIdentifier.exists(_.table == t)) &&
+            scans.forall(_.tableIdentifier.exists(i => ok(i.table)))
+        } => e
+      }
+      assert(offending.isEmpty,
+        s"bucketed side of $t shuffles through the tombstone anti-join:\n$plan")
+    }
+    // Physical erasure: compaction rewrites both tables without the
+    // tombstoned rows, drops the tombstones, and the probe is bit-equal.
+    Dedup.compactCorpusIndex(spark, prefix, buckets = 4)
+    assert(!spark.catalog.tableExists(s"${prefix}_tombstones"),
+      "compaction must clear the tombstones")
+    val fresh3 = spark.newSession()
+    val got2 = probePairs(fresh3, Dedup.loadCorpusIndex(fresh3, prefix))
+    assert(got2 === want, "compacted probe must equal the tombstoned probe")
+    val relIds = spark.table(s"${prefix}_rel").select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(relIds.intersect(delIds).isEmpty,
+      "compaction must physically remove the deleted docs' index rows")
+  }
+
+  test("IVF delete + compact: tombstoned vectors vanish from every probe form; compaction is probe-bit-equal, physically erases, and resets stripe file counts") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val survivors = corpus.filter(pmod(col("vec_id"), lit(5)) =!= 3)
+    val deleted = corpus.filter(pmod(col("vec_id"), lit(5)) === 3)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val (centroids, indexed) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    val path = tmpDir("ivf_del")
+    Similarity.writeIvfIndex(centroids, indexed, path)
+    Similarity.deleteFromIvfIndex(
+      deleted.select(col("vec_id")), col("vec_id"), path)
+
+    val fresh = spark.newSession()
+    val (cents, lists) = Similarity.loadIvfIndex(fresh, path)
+    // Full probe ≡ exact brute force on the SURVIVORS (assignment-
+    // invariant — gates that deleted ids are invisible and nothing
+    // else moved).
+    val s2 = Tables.embeddings(fresh, sf).filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) =!= 3)
+    val q2 = Tables.embeddings(fresh, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+      s2, col("vec_id"), col("embedding"), q2, k = 10).collect().toSeq
+    val full = Similarity.ivfTopK(cents, lists, qv, k = 10, nProbe = 8)
+      .collect().toSeq
+    assert(full === exact,
+      "post-delete full probe must equal brute force on the survivors")
+    // Partial probe ≡ the same probe over a frozen-centroid assignment
+    // of the survivors (delete is an index op; centroids never move).
+    val bulk = Similarity.ivfAssign(s2, col("vec_id"), col("embedding"), cents)
+    val partial = Similarity.ivfTopK(cents, lists, qv, k = 10, nProbe = 3)
+      .collect().toSeq
+    val partialBulk = Similarity.ivfTopK(cents, bulk, qv, k = 10, nProbe = 3)
+      .collect().toSeq
+    assert(partial === partialBulk,
+      "post-delete partial probe must equal the survivors' frozen-centroid probe")
+    // The batch form routes through the same load — spot the contract.
+    val batch = Similarity.ivfTopKBatch(cents, lists,
+        q2.withColumn("vec_id", lit(0L)), col("vec_id"), col("qv"),
+        k = 10, nProbe = 8)
+      .orderBy(asc("rank")).select(col("id"), col("sim")).collect().toSeq
+    assert(batch === exact, "batch probe must see the same post-delete index")
+
+    // Compaction: probe bit-equal, tombstones gone, deleted ids
+    // physically out of the files, one file per surviving stripe.
+    def stripeFiles(): Map[String, Int] = {
+      val base = new java.io.File(s"$path/lists")
+      base.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    val filesBefore = stripeFiles()
+    Similarity.compactIvfIndex(fresh, path)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction must clear the tombstones")
+    val filesAfter = stripeFiles()
+    assert(filesAfter.values.forall(_ == 1),
+      s"each surviving stripe must come back as ONE file, got $filesAfter")
+    assert(filesBefore.values.sum > filesAfter.values.sum,
+      "compaction must reduce the total file count")
+    val fresh4 = spark.newSession()
+    val (cents4, lists4) = Similarity.loadIvfIndex(fresh4, path)
+    assert(cents4.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    assert(Similarity.ivfTopK(cents4, lists4, qv, k = 10, nProbe = 3)
+      .collect().toSeq === partial,
+      "compacted probe must be bit-equal to the tombstoned probe")
+    val delIds = deleted.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    val fileIds = fresh4.read.parquet(s"$path/lists").select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fileIds.intersect(delIds).isEmpty,
+      "compaction must physically remove the deleted vectors")
+  }
+
+  test("LSH + PQ delete/compact: the same two-phase contract on the other structures") {
+    val nBits = 8
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val deleted = corpus.filter(pmod(col("vec_id"), lit(5)) === 3)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    val s2 = corpus.filter(pmod(col("vec_id"), lit(5)) =!= 3)
+
+    // LSH: full-ball probe over the tombstoned index ≡ the filter form
+    // over the survivors; compact → bit-equal, physically erased.
+    val lshPath = tmpDir("lsh_del")
+    Similarity.writeLshIndex(
+      corpus, col("vec_id"), col("embedding"), nBits, lshPath)
+    Similarity.deleteFromLshIndex(
+      deleted.select(col("vec_id")), col("vec_id"), lshPath)
+    val (nb, buckets) = Similarity.loadLshIndex(spark, lshPath)
+    val wantLsh = Similarity.lshTopK(
+      Similarity.bucketize(s2, col("vec_id"), col("embedding"), nBits),
+      q, k = 10, nBits = nBits, probeHamming = nBits).collect().toSeq
+    assert(Similarity.lshTopK(buckets, q, k = 10, nBits = nb,
+      probeHamming = nb).collect().toSeq === wantLsh,
+      "post-delete LSH full-ball probe must equal the survivors'")
+    Similarity.compactLshIndex(spark, lshPath)
+    assert(!new java.io.File(s"$lshPath/tombstones").exists())
+    val (nb2, buckets2) = Similarity.loadLshIndex(spark, lshPath)
+    assert(nb2 === nBits)
+    assert(Similarity.lshTopK(buckets2, q, k = 10, nBits = nb2,
+      probeHamming = nb2).collect().toSeq === wantLsh)
+    val lshIds = buckets2.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(lshIds.forall(_ % 5 != 3),
+      "LSH compaction must physically remove the deleted vectors")
+
+    // PQ: post-delete ADC probe ≡ the survivors' encode under the same
+    // frozen codebooks; compact → bit-equal, physically erased.
+    val (cbs, encoded) = Similarity.pqIndex(
+      corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 2)
+    val pqPath = tmpDir("pq_del")
+    Similarity.writePqIndex(cbs, encoded, pqPath)
+    Similarity.deleteFromPqIndex(
+      deleted.select(col("vec_id")), col("vec_id"), pqPath)
+    val (cbs2, codes2) = Similarity.loadPqIndex(spark, pqPath)
+    val wantPq = Similarity.pqTopK(cbs,
+        Similarity.pqEncode(s2, col("vec_id"), col("embedding"), cbs),
+        s2, col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
+      .collect().toSeq
+    assert(Similarity.pqTopK(cbs2, codes2, s2,
+      col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
+      .collect().toSeq === wantPq,
+      "post-delete PQ probe must equal the survivors' frozen-codebook probe")
+    Similarity.compactPqIndex(spark, pqPath)
+    assert(!new java.io.File(s"$pqPath/tombstones").exists())
+    val (cbs3, codes3) = Similarity.loadPqIndex(spark, pqPath)
+    assert(Similarity.pqTopK(cbs3, codes3, s2,
+      col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
+      .collect().toSeq === wantPq)
+    val pqIds = codes3.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(pqIds.forall(_ % 5 != 3),
+      "PQ compaction must physically remove the deleted vectors")
+  }
+
   test("LSH index: write → append → reload; pruned Hamming-ball probe ≡ filter form, scan partition-prunes to the ball") {
     val nBits = 8
     val emb = Tables.embeddings(spark, sf)
@@ -470,8 +712,7 @@ class IndexLifecycleSpec extends SparkSpec {
       pmod(col("vec_id"), lit(5)) === 3)
     val path = tmpDir("lsh_lc")
     Similarity.writeLshIndex(
-      Similarity.bucketize(old, col("vec_id"), col("embedding"), nBits),
-      nBits, path)
+      old, col("vec_id"), col("embedding"), nBits, path)
     Similarity.appendToLshIndex(shard, col("vec_id"), col("embedding"), path)
 
     val fresh = spark.newSession()
@@ -508,13 +749,14 @@ class IndexLifecycleSpec extends SparkSpec {
         probeHamming = 8, maxProbeBuckets = 10)
     }
     assert(e.getMessage.contains("maxProbeBuckets"))
-    // A meta nBits that disagrees with the frame's actual bucket width
-    // is rejected at WRITE time (the probe-scheme divergence class).
+    // A meta/banding divergence is now impossible by construction (the
+    // writer bands the raw vectors itself with the nBits it pins); what
+    // remains rejectable is an nBits outside HyperplaneBucket64's
+    // domain — pinning it would make every later probe/append throw.
     val bad = intercept[IllegalArgumentException] {
       Similarity.writeLshIndex(
-        Similarity.bucketize(old, col("vec_id"), col("embedding"), 16),
-        nBits = 8, tmpDir("lsh_bad"))
+        old, col("vec_id"), col("embedding"), nBits = 33, tmpDir("lsh_bad"))
     }
-    assert(bad.getMessage.contains("2^8"))
+    assert(bad.getMessage.contains("[1, 32]"))
   }
 }

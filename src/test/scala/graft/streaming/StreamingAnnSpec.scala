@@ -63,4 +63,66 @@ class StreamingAnnSpec extends SparkSpec {
     assert(got.forall(r => r._2 >= 10L),
       "neighbors come from the indexed corpus only")
   }
+
+  test("refreshing daemon: ONE running query picks up appendToIvfIndex growth at the next batch boundary, no restart") {
+    // The in-place-refresh half of the resident story: batch 1 probes
+    // the index as built; the nightly shard is appended WHILE THE QUERY
+    // RUNS; batch 2 must probe the grown index — the handle is
+    // re-resolved at the batch boundary, never a daemon restart.
+    import org.apache.spark.sql.streaming.Trigger
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") >= 10 &&
+      pmod(col("vec_id"), lit(5)) =!= 3)
+    val shard = emb.filter(col("vec_id") >= 10 &&
+      pmod(col("vec_id"), lit(5)) === 3)
+    val root = Files.createTempDirectory("streamann_refresh").toString
+    val (centroids, indexed) = Similarity.ivfIndex(
+      old, col("vec_id"), col("embedding"), nLists = 8)
+    Similarity.writeIvfIndex(centroids, indexed, s"$root/idx")
+
+    val fresh = spark.newSession()
+    val emb2 = Tables.embeddings(fresh, sf)
+    // Pre-append handle, resolved BEFORE the append: its file index is
+    // frozen at creation (exactly the staleness startRefreshing exists
+    // to escape), so it is the honest "index as batch 1 saw it".
+    val (cents, preLists) = Similarity.loadIvfIndex(fresh, s"$root/idx")
+    val inDir = s"$root/in"
+    emb2.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).write.parquet(inDir)
+    val schema = fresh.read.parquet(inDir).schema
+    val q = StreamingAnn.startRefreshing(fresh, inDir, schema,
+      col("vec_id"), col("embedding"), s"$root/idx", k = 5, nProbe = 8,
+      outDir = s"$root/out", checkpointDir = s"$root/ck",
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable() // batch 1: pre-append index
+      Similarity.appendToIvfIndex(
+        shard, col("vec_id"), col("embedding"), s"$root/idx")
+      emb2.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable() // batch 2: post-append, same running query
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val got = rows(fresh.read.parquet(s"$root/out"))
+    val (_, grownLists) = Similarity.loadIvfIndex(fresh, s"$root/idx")
+    val expectBatch1 = rows(Similarity.ivfTopKBatch(cents, preLists,
+      emb2.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 5, nProbe = 8))
+    val expectBatch2 = rows(Similarity.ivfTopKBatch(cents, grownLists,
+      emb2.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 5, nProbe = 8))
+    assert(got === (expectBatch1 ++ expectBatch2),
+      "batch 1 must probe the pre-append index, batch 2 the grown one")
+    // Non-vacuous: the appended shard actually changed batch 2's answer
+    // (the full probe sees every appended vector).
+    val preAppendBatch2 = rows(Similarity.ivfTopKBatch(cents, preLists,
+      emb2.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 5, nProbe = 8))
+    assert(expectBatch2 !== preAppendBatch2,
+      "fixture must make the append visible in batch 2's neighbors")
+  }
 }
