@@ -1050,12 +1050,24 @@ object Dedup {
     // silently hide rows of the NEW index — and their location blocks
     // deleteFromCorpusIndex's first saveAsTable in a later JVM.
     reset(tombstonesTable(tablePrefix))
+    // Cluster to the bucket layout BEFORE the bucketed write:
+    // repartition(buckets, key) maps rows by pmod(murmur3(key), buckets)
+    // — the identical expression bucketBy uses to assign bucket ids —
+    // so each task holds exactly one bucket and writes ONE file.
+    // Without it every task opens a file per bucket it touches
+    // (partitions × buckets small files: measured ~2000/table at
+    // sf0.1, IndexCompactionSweep). One extra exchange at write time
+    // is the write-once/probe-for-weeks trade; the probe plan never
+    // sees it (the scan's distribution comes from the catalog bucket
+    // spec, not the file layout).
     reset(s"${tablePrefix}_banded")
-    index.banded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    index.banded.repartition(buckets, col("bh"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "bh").sortBy("bh")
       .format("parquet").saveAsTable(s"${tablePrefix}_banded")
     reset(s"${tablePrefix}_rel")
-    index.rel.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    index.rel.repartition(buckets, col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "id").sortBy("id")
       .format("parquet").saveAsTable(s"${tablePrefix}_rel")
     import spark.implicits._
@@ -1214,10 +1226,21 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // insertInto matches columns BY POSITION — select in table order.
-      def insert(df: DataFrame, table: String): Unit =
-        df.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
+      // Cluster to the table's own bucket spec first (the
+      // writeCorpusIndex discipline): without it a shard written by T
+      // tasks opens up to T files per touched bucket, and nightly
+      // appends compound exactly the accretion compactCorpusIndex
+      // exists to undo — with it each night adds ≤ numBuckets files.
+      def insert(df: DataFrame, table: String): Unit = {
+        val spec = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+        val ordered = df.select(
+          spark.table(table).columns.map(col).toIndexedSeq: _*)
+        val clustered = spec.fold(ordered)(s => ordered.repartition(
+          s.numBuckets, s.bucketColumnNames.map(col): _*))
+        clustered.write.mode(org.apache.spark.sql.SaveMode.Append)
           .insertInto(table)
+      }
       insert(bandedRows(rel, k, bands, carry = Seq("n_sh")),
         s"${tablePrefix}_banded")
       insert(rel, s"${tablePrefix}_rel")

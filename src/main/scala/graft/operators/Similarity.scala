@@ -189,6 +189,72 @@ object Similarity {
         col("neg_label"), col("sim"))
   }
 
+  /** [[hardNegatives]] mined through a DURABLE IVF index — the actual
+    * 100 TB shape the scaladocs above name: the shortlist comes from
+    * ONE [[ivfTopKBatch]] plan over [[loadIvfIndex]]'s handle (whole
+    * anchor batch, partition-pruned to the probed stripes, bounded
+    * heaps), then the [[hardNegativesShortlist]] tail — exact
+    * full-dimension rerank with the label filter — runs on the
+    * parameter-sized shortlist. Identical output contract:
+    * (anchor_id, rank, neg_id, neg_label, sim).
+    *
+    * Label semantics differ from [[hardNegativesShortlist]] BY
+    * CONSTRUCTION and deliberately: the durable index stores (id, v,
+    * list) only — no label column to filter on before the heap (the
+    * FAISS convention: payload lookup joins the shortlist by id) — so
+    * the label filter runs on the SHORTLIST, and an anchor crowded by
+    * same-label neighbors can surface fewer than k negatives at small
+    * `shortlist`. Oversample (`shortlist` ≫ k) to compensate; with
+    * `nProbe` = nLists and `shortlist` ≥ |corpus| every eligible pair
+    * survives to the rerank and the output degenerates to
+    * [[hardNegatives]] EXACTLY (the q195 completeness gate); a finite
+    * shortlist is recall-floor-gated like q186.
+    *
+    * Scale shape: one partition-pruned index scan + broadcast
+    * equi-join for the whole batch (never a job per anchor), a
+    * ≤ shortlist-per-(anchor × partition) heap shuffle, and a rerank
+    * that reads |anchors|·shortlist corpus rows via the same
+    * product-gated broadcast semi-join as [[hardNegativesShortlist]].
+    * The corpus frame supplies vectors AND labels only for shortlist
+    * survivors. */
+  def hardNegativesAnn(
+      centroids: Array[Array[Float]], indexed: DataFrame,
+      corpus: DataFrame, id: Column, vec: Column, label: Column,
+      anchors: DataFrame, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val short = ivfTopKBatch(centroids, indexed,
+        anchors.select(col("query_id"), col("qv")),
+        col("query_id"), col("qv"), k = shortlist, nProbe = nProbe)
+      .select(col("query_id").as("anchor_id"), col("id"))
+    val c = Dedup.spread(corpus).select(id.cast("long").as("id"),
+        vec.as("v"), label.as("neg_label"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+    val q = anchors
+      .select(col("query_id").cast("long").as("anchor_id"), col("qv"),
+        col("qlabel"))
+      .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
+    // Same anchors×shortlist product gate as hardNegativesShortlist —
+    // force the broadcast only when driver-safe by construction.
+    val nAnchors = q.count()
+    val shortSide =
+      if (nAnchors * shortlist.toLong <= (1L << 20)) broadcast(short)
+      else short
+    val rescored = c.join(shortSide, Seq("id"))
+      .join(broadcast(q), Seq("anchor_id"))
+      .filter(col("id") =!= col("anchor_id") &&
+        col("neg_label") =!= col("qlabel"))
+      .withColumn("sim", round(
+        VectorFunctions.dot(col("v"), col("qv")) /
+          (col("nrm") * col("qnrm")), 4))
+    val top = graft.plans.GroupTopK.topK(rescored,
+      Seq(col("anchor_id")), Seq(col("sim").desc, col("id").asc), k)
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(desc("sim"), asc("id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("anchor_id"), col("rank"), col("id").as("neg_id"),
+        col("neg_label"), col("sim"))
+  }
+
   /** Corpus bucketing for the LSH path: adds `bucket` (nBits-bit
     * hyperplane signature). For cross-session reuse, land it partitioned
     * by `bucket` exactly like [[writeIvfIndex]] lands posting lists —
@@ -321,7 +387,11 @@ object Similarity {
     // A fresh index has no deletions: stale tombstones from a previous
     // index at this path would silently hide rows of the NEW one.
     clearTombstones(spark, path)
-    indexed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // Cluster by the partition column before the partitioned write
+    // (writeLshIndex's discipline): one task per stripe → one file per
+    // stripe, instead of a file per (task × touched stripe).
+    indexed.repartition(col("list"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list").parquet(s"$path/lists")
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list", "centroid")
@@ -787,7 +857,11 @@ object Similarity {
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
     requireIndexDir(spark, path, Seq("centroids", "lists"), "Ivf")
+    // Same cluster-before-write as the build path and appendToLshIndex:
+    // one file per touched stripe per append, not one per (task ×
+    // stripe) — nightly accretion is linear in nights, not tasks.
     ivfAssign(newVecs, id, vec, loadIvfCentroids(spark, path))
+      .repartition(col("list"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("list").parquet(s"$path/lists")
   }

@@ -706,6 +706,55 @@ object PipelineQueries {
         .as("partial_recall_ok"))
   }
 
+  /** q195 — hard-negative mining THROUGH the durable IVF index
+    * ([[Similarity.hardNegativesAnn]]): the composition
+    * [[Similarity.hardNegatives]]' scaladoc promises, executed end to
+    * end — the shortlist comes from ONE [[Similarity.ivfTopKBatch]]
+    * plan over a [[Similarity.loadIvfIndex]] handle (build → durable
+    * write → `newSession()` reload, the lifecycle-invisibility
+    * convention), the exact label-filtered rerank runs on the
+    * parameter-sized shortlist. Full probe + corpus-sized shortlist
+    * must reproduce exhaustive [[Similarity.hardNegatives]]
+    * IDENTICALLY (completeness of the index path); a 3-of-8 probe with
+    * a 30%-of-corpus shortlist must keep recall ≥ 0.5 (q186's floor —
+    * measured 0.88 / 0.80 at sf0.01 / sf0.1, HardNegAnnProbe; the
+    * floor is the contract, the measurements its margin). Oracle
+    * as q186: n_exact verified from the exact side, booleans literal. */
+  def q195HardNegativesAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (centroids, indexed) = Similarity.ivfIndex(
+      emb, col("vec_id"), col("embedding"), nLists = 8)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q195_ivf"
+    Similarity.writeIvfIndex(centroids, indexed, path)
+
+    val fresh = spark.newSession()
+    val emb2 = Tables.embeddings(fresh, dir)
+    val anchors = emb2.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val exact = Similarity.hardNegatives(
+      emb2, col("vec_id"), col("embedding"), col("label"), anchors, k = 5)
+    val (cents, lists) = Similarity.loadIvfIndex(fresh, path)
+    val n = emb2.count()
+    val full = Similarity.hardNegativesAnn(cents, lists,
+      emb2, col("vec_id"), col("embedding"), col("label"), anchors,
+      k = 5, nProbe = 8, shortlist = 1 << 20)
+    val partial = Similarity.hardNegativesAnn(cents, lists,
+      emb2, col("vec_id"), col("embedding"), col("label"), anchors,
+      k = 5, nProbe = 3, shortlist = math.max(50L, n * 3 / 10).toInt)
+    val fullStats = Similarity.recallStats(exact, full,
+      Seq("anchor_id", "rank", "neg_id", "neg_label", "sim"))
+    val partStats = Similarity.recallStats(exact, partial,
+        Seq("anchor_id", "neg_id"))
+      .select(col("n_hit").as("n_hit_partial"))
+    fullStats.crossJoin(partStats).select(
+      col("n_exact"),
+      (col("n_approx") === col("n_exact") &&
+        col("n_hit") === col("n_exact")).as("full_shortlist_exact"),
+      (col("n_hit_partial") >= col("n_exact") * 0.5)
+        .as("partial_recall_ok"))
+  }
+
   /** q142 — truncated-dimension recall audit
     * ([[Similarity.truncatedDimRecall]]): exact top-10 for the vec_id-0
     * probe at prefix dims 8/16/32/64 vs the full-dimension truth — the
@@ -1299,6 +1348,7 @@ object PipelineQueries {
     "q192_ivf_batch_probe"    -> q192IvfBatchProbe _,
     "q193_lsh_reload_probe"   -> q193LshReloadProbe _,
     "q194_index_delete_probe" -> q194IndexDeleteProbe _,
+    "q195_hard_negatives_ann_ivf" -> q195HardNegativesAnnIvf _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
@@ -1319,6 +1369,32 @@ object PipelineQueries {
 
   /** Shared SQL fragments mirroring TextFunctions exactly. */
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** The exhaustive hard-negative mine's recall-contract oracle
+    * (n_exact verified from the data, booleans literal — the q78
+    * convention), shared by q186 (projected-space shortlist) and q195
+    * (durable-IVF-index shortlist): both approximate paths gate
+    * against the same exhaustive exact side. */
+  private val hardNegRecallSql: String =
+    """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv,
+      |     label AS qlabel
+      |   FROM embeddings WHERE vec_id < 10),
+      | s AS (SELECT q.anchor_id, e.vec_id AS neg_id, round(
+      |   list_sum(list_transform(range(len(e.embedding)),
+      |     i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+      |       i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(range(len(q.qv)),
+      |       i -> CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))))), 4)
+      |   AS sim
+      |  FROM embeddings e JOIN q
+      |    ON e.vec_id <> q.anchor_id AND e.label <> q.qlabel),
+      | r AS (SELECT anchor_id, neg_id, sim,
+      |   row_number() OVER (PARTITION BY anchor_id
+      |     ORDER BY sim DESC, neg_id) AS rank FROM s)
+      |SELECT count(*) AS n_exact, true AS full_shortlist_exact,
+      | true AS partial_recall_ok
+      | FROM r WHERE rank <= 5""".stripMargin
 
   /** Exhaustive batch-KNN oracle (window formulation over the scored
     * cross join) — shared by q65 (the exact batch path) and q192 (the
@@ -1919,26 +1995,13 @@ object PipelineQueries {
     // q186: n_exact re-derived from q140's exhaustive CTE; the two
     // contract booleans are literal TRUE — the Spark side computes them
     // from the data (q128's oracle convention).
-    "q186_hard_negatives_ann" ->
-      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv,
-        |     label AS qlabel
-        |   FROM embeddings WHERE vec_id < 10),
-        | s AS (SELECT q.anchor_id, e.vec_id AS neg_id, round(
-        |   list_sum(list_transform(range(len(e.embedding)),
-        |     i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(range(len(e.embedding)),
-        |       i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
-        |    * sqrt(list_sum(list_transform(range(len(q.qv)),
-        |       i -> CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))))), 4)
-        |   AS sim
-        |  FROM embeddings e JOIN q
-        |    ON e.vec_id <> q.anchor_id AND e.label <> q.qlabel),
-        | r AS (SELECT anchor_id, neg_id, sim,
-        |   row_number() OVER (PARTITION BY anchor_id
-        |     ORDER BY sim DESC, neg_id) AS rank FROM s)
-        |SELECT count(*) AS n_exact, true AS full_shortlist_exact,
-        | true AS partial_recall_ok
-        | FROM r WHERE rank <= 5""".stripMargin,
+    "q186_hard_negatives_ann" -> hardNegRecallSql,
+    // q195 is q186's recall contract with the shortlist served by the
+    // DURABLE IVF index (write → fresh-session reload → ivfTopKBatch):
+    // the exact side is the unchanged exhaustive mine, so the oracle is
+    // q186's verbatim — a regression in the index path flips the
+    // booleans and the hash.
+    "q195_hard_negatives_ann_ivf" -> hardNegRecallSql,
     "q81_token_budget" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
         | m AS (SELECT doc_id,

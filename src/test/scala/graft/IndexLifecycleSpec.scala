@@ -573,10 +573,19 @@ class IndexLifecycleSpec extends SparkSpec {
     val deleted = corpus.filter(pmod(col("vec_id"), lit(5)) === 3)
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    // Build on 8/10 of the corpus and fold the rest in as two nightly
+    // appends, so the compaction below has REAL accretion to undo (the
+    // clustered build/append writers already keep one file per stripe
+    // per write — accretion is per-append now, which is the point).
     val (centroids, indexed) = Similarity.ivfIndex(
-      corpus, col("vec_id"), col("embedding"), nLists = 8)
+      corpus.filter(pmod(col("vec_id"), lit(10)) < 8),
+      col("vec_id"), col("embedding"), nLists = 8)
     val path = tmpDir("ivf_del")
     Similarity.writeIvfIndex(centroids, indexed, path)
+    for (night <- Seq(8, 9))
+      Similarity.appendToIvfIndex(
+        corpus.filter(pmod(col("vec_id"), lit(10)) === night),
+        col("vec_id"), col("embedding"), path)
     Similarity.deleteFromIvfIndex(
       deleted.select(col("vec_id")), col("vec_id"), path)
 

@@ -75,6 +75,11 @@ class PlanDisciplineSpec extends SparkSpec {
     // bounds the survivors) plus q128's 1-row recallStats aggregates
     // crossed for the contract columns.
     "q186_hard_negatives_ann",
+    // q195: q186's contract with the shortlist served by the durable
+    // IVF index — the exhaustive EXACT side keeps q140's anchor-batch
+    // cross, and the contract columns keep the 1-row recallStats
+    // crosses; the index path itself is hash/broadcast equi-joins.
+    "q195_hard_negatives_ann_ivf",
     // q141: the data card's token-share denominator — the 1-row corpus
     // totals broadcast crossed under the ≤|langs|-row share frame.
     "q141_data_card",

@@ -60,7 +60,12 @@ object ScaleFixture {
     // append) and the many-queries BATCH probe — all composed
     // build+write(+append)+reload+probe classes.
     "q190_index_append_probe", "q191_ivf_append_probe",
-    "q192_ivf_batch_probe", "q193_lsh_reload_probe")
+    "q192_ivf_batch_probe", "q193_lsh_reload_probe",
+    // round-17 additions: RTBF through the durable index (build +
+    // write + tombstone delete + reload + probe) and hard-negative
+    // mining through the durable IVF index (build + write + reload +
+    // exhaustive exact side + two shortlist-reranks).
+    "q194_index_delete_probe", "q195_hard_negatives_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(16)
