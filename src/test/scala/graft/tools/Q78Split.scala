@@ -11,8 +11,9 @@ import graft.sources.Tables
   * baseline + IVF index build + a full probe + a partial probe — the
   * whole recall CONTRACT — so its time is by design a multiple of any
   * single piece. This times the pieces separately at a given SF:
-  * exact brute-force top-10, one-time `ivfIndex` build (KMeans fit +
-  * assignment, index persisted and forced), then N warm `ivfTopK`
+  * exact brute-force top-10, one-time `ivfIndex` build (deterministic
+  * Lloyd fit on the smallest-id sample + frozen-centroid assignment,
+  * index persisted and forced), then N warm `ivfTopK`
   * probes — build once / probe many is the operator's premise, and the
   * steady-state per-query cost is the probe number.
   * Run: sbt "Test/runMain graft.tools.Q78Split [sfDir] [probeReps]"
