@@ -286,8 +286,9 @@ object Similarity {
     * ids, one TakeOrderedAndProject) and the fit itself ([[lloydFit]] —
     * the [[graft.operators.Cluster]] Lloyd discipline under IVF's
     * squared-L2 metric, sequential on the collected sample) are
-    * independent of core count and partitioning. Spark-ML KMeans is
-    * NOT: its k-means||
+    * independent of core count and partitioning — the init is
+    * deterministic farthest-point (maximin), not a seeded sample.
+    * Spark-ML KMeans is NOT: its k-means||
     * init and `.sample()`'s per-partition Bernoulli draws both change
     * with the partition layout even at a fixed seed, so the same build
     * on 8 vs 32 cores produced different centroids and flipped
@@ -327,23 +328,56 @@ object Similarity {
     * [[graft.operators.Cluster.lloydKMeans]] schedule under IVF's
     * squared-L2 metric, run sequentially on the driver's bounded
     * sample (deterministic by construction: no partial aggregation, no
-    * partitioning, no seed): init = the `k` smallest-id vectors,
-    * assignment = plain-double L2 argmin with lowest-index tie-break,
-    * recompute = component means rounded to 6 dp (the
-    * [[graft.operators.Cluster]] rounding discipline — and what keeps
-    * the persisted centroid table tidy). Clusters that lose every
-    * member drop out (compacted); final list ids are positions in the
-    * returned array. Centroids are float-rounded at the end — the
-    * durable representation [[writeIvfIndex]] stores — so the corpus
-    * assignment in [[ivfIndex]] scores against exactly the bytes a
-    * fresh-session reload will. The fit's internal argmin needs no
-    * cross-engine rounding (it never leaves the driver); the ONE
-    * distributed assignment definition remains [[l2Assign]] via
+    * partitioning, no seed): init = FARTHEST-POINT (maximin) seeding —
+    * start from the smallest-id vector, then repeatedly take the
+    * sample vector farthest from its nearest chosen centroid
+    * (smallest id on ties). Maximin is the deterministic stand-in for
+    * k-means++'s spread (Gonzalez 1985 — public literature): k
+    * smallest-id seeds can clump (ids carry no geometry), and clumped
+    * seeds cost partial-probe recall — measured: smallest-id init put
+    * q78's 3-of-8-probe recall at 0.4 on the sf0.1 fixture, under the
+    * 0.5 contract floor; maximin holds the floor at every tested SF.
+    * Then `iters` Lloyd rounds: assignment = plain-double L2 argmin
+    * with lowest-index tie-break, recompute = component means rounded
+    * to 6 dp (the [[graft.operators.Cluster]] rounding discipline —
+    * and what keeps the persisted centroid table tidy). Clusters that
+    * lose every member drop out (compacted); final list ids are
+    * positions in the returned array. Centroids are float-rounded at
+    * the end — the durable representation [[writeIvfIndex]] stores —
+    * so the corpus assignment in [[ivfIndex]] scores against exactly
+    * the bytes a fresh-session reload will. The fit's internal argmin
+    * needs no cross-engine rounding (it never leaves the driver); the
+    * ONE distributed assignment definition remains [[l2Assign]] via
     * [[ivfAssign]]. */
   private def lloydFit(
       sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Float]] = {
     require(sample.nonEmpty, "ivfIndex: no vectors to fit centroids on")
-    var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // Maximin seeding over the sample: O(k·|sample|·d), driver-cheap.
+    val nSeeds = math.min(k, sample.length)
+    val seedIdx = new Array[Int](nSeeds)
+    val minD2 = Array.fill(sample.length)(Double.PositiveInfinity)
+    seedIdx(0) = 0 // the smallest id (sample is id-sorted)
+    var s = 1
+    while (s < nSeeds) {
+      val prev = sample(seedIdx(s - 1))
+      var best = -1; var bestD = -1.0; var i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), prev)
+        if (d < minD2(i)) minD2(i) = d
+        // strict > : ties resolve to the smallest index
+        if (minD2(i) > bestD) { bestD = minD2(i); best = i }
+        i += 1
+      }
+      seedIdx(s) = best
+      s += 1
+    }
+    var cents: Array[Array[Double]] = seedIdx.map(i => sample(i).clone())
     for (_ <- 1 to iters) {
       val d = cents.head.length
       val sums = Array.fill(cents.length)(new Array[Double](d))

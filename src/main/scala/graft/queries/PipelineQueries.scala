@@ -717,8 +717,9 @@ object PipelineQueries {
     * must reproduce exhaustive [[Similarity.hardNegatives]]
     * IDENTICALLY (completeness of the index path); a 3-of-8 probe with
     * a 30%-of-corpus shortlist must keep recall ≥ 0.5 (q186's floor —
-    * measured 0.88 / 0.80 at sf0.01 / sf0.1, HardNegAnnProbe; the
-    * floor is the contract, the measurements its margin). Oracle
+    * measured 0.66 / 0.60 at sf0.01 / sf0.1 under the maximin-init
+    * centroids, HardNegAnnProbe; the floor is the contract, the
+    * measurements its margin). Oracle
     * as q186: n_exact verified from the exact side, booleans literal. */
   def q195HardNegativesAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
