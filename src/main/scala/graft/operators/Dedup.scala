@@ -1048,8 +1048,13 @@ object Dedup {
     // A fresh index has no deletions: stale tombstones from a previous
     // index under the same prefix (same-JVM or orphaned-location) would
     // silently hide rows of the NEW index — and their location blocks
-    // deleteFromCorpusIndex's first saveAsTable in a later JVM.
+    // deleteFromCorpusIndex's first saveAsTable in a later JVM. The
+    // write then SEEDS an empty tombstones table so every load
+    // anti-joins unconditionally: delete visibility can never depend on
+    // whether a first delete happened to precede the load.
     reset(tombstonesTable(tablePrefix))
+    spark.range(0).select(col("id"))
+      .write.format("parquet").saveAsTable(tombstonesTable(tablePrefix))
     // Cluster to the bucket layout BEFORE the bucketed write:
     // repartition(buckets, key) maps rows by pmod(murmur3(key), buckets)
     // — the identical expression bucketBy uses to assign bucket ids —
@@ -1095,7 +1100,10 @@ object Dedup {
     // BROADCASTS (tombstones are request-sized between compactions) and
     // sits above the bucketed scans, so the exchange-free probe plan
     // survives — BroadcastHashJoin preserves the streamed side's
-    // distribution (gated in IndexLifecycleSpec).
+    // distribution (gated in IndexLifecycleSpec). Delete VISIBILITY
+    // matches append visibility: a load performed after the delete sees
+    // it; a handle held from before is a snapshot of the relations it
+    // resolved at load time.
     val live = liveOnly(spark, tablePrefix) _
     CorpusIndex(
       live(spark.table(s"${tablePrefix}_rel")),
@@ -1106,6 +1114,9 @@ object Dedup {
   private def tombstonesTable(tablePrefix: String): String =
     s"${tablePrefix}_tombstones"
 
+  /** The exists check only grandfathers indexes written before
+    * tombstone seeding; current [[writeCorpusIndex]] always seeds, so
+    * loads always anti-join. */
   private def liveOnly(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String)(df: DataFrame): DataFrame =
@@ -1120,8 +1131,10 @@ object Dedup {
     * keeps returning the deleted doc, and its content-derived rows —
     * shingle sets, signatures — stay on disk). Ids append to
     * `<prefix>_tombstones`; every [[loadCorpusIndex]] anti-joins it, so
-    * the delete is immediate for all probe forms at one request-sized
-    * write. Physical erasure (and the broadcast-bound reset) is
+    * one request-sized write makes the delete visible to every probe
+    * form on the next load (handles held from before the delete are
+    * snapshots — they see it on their next re-resolve, exactly like
+    * appends). Physical erasure (and the broadcast-bound reset) is
     * [[compactCorpusIndex]] — the two-phase discipline shared with
     * [[graft.operators.Similarity]]'s ANN index deletes. A tombstoned
     * id stays deleted until compaction clears the tombstones; compact
@@ -1148,8 +1161,15 @@ object Dedup {
     * Probe ≡ rebuilt-on-survivors, bit-equal (gated). */
   def compactCorpusIndex(
       spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String, buckets: Int = 32): Unit = {
+      tablePrefix: String): Unit = {
     val idx = loadCorpusIndex(spark, tablePrefix) // survivors view
+    // The bucket count is a property of the EXISTING index, read from
+    // the catalog (appendToCorpusIndex's discipline) — a parameter here
+    // would silently re-lay a non-default index on the default.
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          s"${tablePrefix}_banded"))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
     val rel = Materialize.pin(idx.rel)
     val banded = Materialize.pin(idx.banded)
     // writeCorpusIndex resets the tombstones along with the data tables

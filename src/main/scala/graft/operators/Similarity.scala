@@ -161,32 +161,11 @@ object Similarity {
     val short = graft.plans.GroupTopK.topK(scoredP,
         Seq(col("__aid")), Seq(col("psim").desc, col("id").asc), shortlist)
       .select(col("__aid").as("anchor_id"), col("id"))
-    // The shortlist is |anchors| × shortlist id rows. Only FORCE the
-    // broadcast when that PRODUCT is driver-safe by construction — the
-    // anchor count is one cheap job on the parameter-sized anchor frame
-    // (already force-broadcast above, so it is small by the operator's
-    // contract; the count makes the product gate honest rather than
-    // assumed). The degenerate exactness-gate path (shortlist ≥
-    // |corpus|) and any oversized batch fall through to the optimizer's
-    // stats decision — a forced hint there would bypass
-    // autoBroadcastJoinThreshold and pressure the driver.
-    val nAnchors = q.count()
-    val shortSide =
-      if (nAnchors * shortlist.toLong <= (1L << 20)) broadcast(short)
-      else short
-    val rescored = c.join(shortSide, Seq("id"))
-      .join(broadcast(q.select(col("anchor_id"), col("qv"), col("qnrm"))),
-        Seq("anchor_id"))
-      .withColumn("sim", round(
-        VectorFunctions.dot(col("v"), col("qv")) /
-          (col("nrm") * col("qnrm")), 4))
-    val top = graft.plans.GroupTopK.topK(rescored,
-      Seq(col("anchor_id")), Seq(col("sim").desc, col("id").asc), k)
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(desc("sim"), asc("id"))
-    top.withColumn("rank", row_number().over(w))
-      .select(col("anchor_id"), col("rank"), col("id").as("neg_id"),
-        col("neg_label"), col("sim"))
+    // Self/label exclusions already ran BEFORE the shortlist heap (the
+    // completeness-gate property), so the shared tail skips them.
+    rerankShortlist(c,
+      q.select(col("anchor_id"), col("qv"), col("qlabel"), col("qnrm")),
+      short, k, shortlist, filterLabels = false)
   }
 
   /** [[hardNegatives]] mined through a DURABLE IVF index — the actual
@@ -233,19 +212,45 @@ object Similarity {
       .select(col("query_id").cast("long").as("anchor_id"), col("qv"),
         col("qlabel"))
       .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
-    // Same anchors×shortlist product gate as hardNegativesShortlist —
-    // force the broadcast only when driver-safe by construction.
+    // The index-served shortlist is label-blind, so the shared tail
+    // applies the self/label exclusions at the rerank.
+    rerankShortlist(c, q, short, k, shortlist, filterLabels = true)
+  }
+
+  /** The shared exact-rerank tail of [[hardNegativesShortlist]] and
+    * [[hardNegativesAnn]] — ONE definition, so the "identical output
+    * contract" the mining forms promise cannot drift apart: gate the
+    * |anchors|×shortlist id frame's broadcast on the PRODUCT
+    * (driver-safe by construction; the anchor count is one cheap job
+    * on the parameter-sized anchor frame, making the gate honest
+    * rather than assumed; oversized batches fall through to the
+    * optimizer's stats decision — a forced hint there would bypass
+    * autoBroadcastJoinThreshold and pressure the driver), join the
+    * shortlist survivors back to the full-dimension corpus and the
+    * broadcast anchor frame, optionally re-apply the self/label
+    * exclusions (the ANN path must — its shortlist came from a
+    * label-blind index; the projected path already filtered BEFORE its
+    * heap), score with the exact 4-dp cosine, and emit the top-k per
+    * anchor through the bounded GroupTopK heaps. Inputs: `c` =
+    * (id, v, neg_label, nrm), `q` = (anchor_id, qv, qlabel, qnrm),
+    * `short` = (anchor_id, id). */
+  private def rerankShortlist(
+      c: DataFrame, q: DataFrame, short: DataFrame,
+      k: Int, shortlist: Int, filterLabels: Boolean): DataFrame = {
     val nAnchors = q.count()
     val shortSide =
       if (nAnchors * shortlist.toLong <= (1L << 20)) broadcast(short)
       else short
-    val rescored = c.join(shortSide, Seq("id"))
+    val joined = c.join(shortSide, Seq("id"))
       .join(broadcast(q), Seq("anchor_id"))
-      .filter(col("id") =!= col("anchor_id") &&
-        col("neg_label") =!= col("qlabel"))
-      .withColumn("sim", round(
-        VectorFunctions.dot(col("v"), col("qv")) /
-          (col("nrm") * col("qnrm")), 4))
+    val eligible =
+      if (filterLabels)
+        joined.filter(col("id") =!= col("anchor_id") &&
+          col("neg_label") =!= col("qlabel"))
+      else joined
+    val rescored = eligible.withColumn("sim", round(
+      VectorFunctions.dot(col("v"), col("qv")) /
+        (col("nrm") * col("qnrm")), 4))
     val top = graft.plans.GroupTopK.topK(rescored,
       Seq(col("anchor_id")), Seq(col("sim").desc, col("id").asc), k)
     val w = Window.partitionBy(col("anchor_id"))
@@ -307,16 +312,24 @@ object Similarity {
       fitSampleRows: Long = 100000L): (Array[Array[Float]], DataFrame) = {
     val _ = seed // no randomness left to seed; see scaladoc
     val c = Dedup.spread(corpus).select(id.cast("long").as("id"), vec.as("v"))
-    // The fit sample is the `fitSampleRows` SMALLEST ids — one
-    // TakeOrderedAndProject (bounded per-partition heaps), collected
-    // once: fitSampleRows × d floats is the FAISS training-buffer
+    // The fit sample is the `fitSampleRows` smallest values of
+    // (xxhash64(id), id) — one TakeOrderedAndProject (bounded
+    // per-partition heaps), collected once. Ordering by the id's HASH
+    // makes the bounded sample UNBIASED when ids correlate with ingest
+    // time/source (the common production case — the fitSampleRows
+    // oldest rows would train centroids that have never seen newer
+    // data) while staying fully deterministic: the hash is a pure
+    // function of the id, so the same corpus yields the same sample
+    // under any partitioning (unlike `.sample()`'s per-partition
+    // draws). fitSampleRows × d floats is the FAISS training-buffer
     // convention (training runs in memory on a bounded sample; only
     // assignment is distributed), and the collect is parameter-sized
-    // by construction — it bounds driver memory the same way the
-    // centroid/codebook collects do. Driver-side re-sort by id makes
-    // the init order explicit rather than plan-dependent.
+    // by construction — size fitSampleRows to the driver (it bounds
+    // BOTH the collect bytes and the sequential fit cost; see
+    // [[lloydFit]]'s envelope). Driver-side re-sort by id makes the
+    // init order explicit rather than plan-dependent.
     val bound = math.min(fitSampleRows, Int.MaxValue.toLong).toInt
-    val sample = c.orderBy(col("id")).limit(bound)
+    val sample = c.orderBy(xxhash64(col("id")), col("id")).limit(bound)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1).map(_._2)
@@ -348,7 +361,20 @@ object Similarity {
     * the bytes a fresh-session reload will. The fit's internal argmin
     * needs no cross-engine rounding (it never leaves the driver); the
     * ONE distributed assignment definition remains [[l2Assign]] via
-    * [[ivfAssign]]. */
+    * [[ivfAssign]].
+    *
+    * ENVELOPE — the fit is sequential on the driver by design (that is
+    * what makes it deterministic), so `fitSampleRows` bounds BOTH
+    * driver memory (sample·d doubles; ~50 MB at the 100k default ×
+    * d=64, ~1.2 GB at d=1536 — lower the bound for wide embeddings)
+    * and fit cost (O(iters·sample·k·d) flops single-threaded). Size it
+    * by the FAISS training convention — roughly 64–256 sample points
+    * per centroid — not by the corpus: 256·nLists points train the
+    * same-quality centroids at any corpus size, and the distributed
+    * [[ivfAssign]] pass is where the corpus actually gets touched. At
+    * thousands of lists × wide dims, drop `iters` or the per-centroid
+    * sample factor before reaching for a distributed fit — a
+    * nondeterministic fit re-opens the r16 q191 class. */
   private def lloydFit(
       sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Float]] = {
     require(sample.nonEmpty, "ivfIndex: no vectors to fit centroids on")
@@ -419,8 +445,13 @@ object Similarity {
     val spark = indexed.sparkSession
     import spark.implicits._
     // A fresh index has no deletions: stale tombstones from a previous
-    // index at this path would silently hide rows of the NEW one.
-    clearTombstones(spark, path)
+    // index at this path would silently hide rows of the NEW one. The
+    // write then SEEDS an empty tombstone table, so every load
+    // anti-joins unconditionally — delete visibility can never depend
+    // on whether a first delete happened to precede the load. (The
+    // overwrite also clears stale tombstones from a previous index at
+    // this path, which would silently hide rows of the NEW one.)
+    seedEmptyTombstones(spark, path)
     // Cluster by the partition column before the partitioned write
     // (writeLshIndex's discipline): one task per stripe → one file per
     // stripe, instead of a file per (task × touched stripe).
@@ -527,13 +558,14 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     requireIndexDir(spark, path, Seq("centroids", "lists"), "Ivf")
     val survivors = withoutTombstones(
-        spark, path, spark.read.parquet(s"$path/lists"))
-      .repartition(col("list"))
+      spark, path, spark.read.parquet(s"$path/lists"))
+    requireNonEmptySurvivors(survivors, path)
     swapInPlace(spark, s"$path/lists") { tmp =>
-      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      survivors.repartition(col("list"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("list").parquet(tmp)
     }
-    clearTombstones(spark, path)
+    seedEmptyTombstones(spark, path)
   }
 
   /** [[compactIvfIndex]] for the LSH bucket stripes. */
@@ -541,13 +573,14 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     requireIndexDir(spark, path, Seq("meta", "buckets"), "Lsh")
     val survivors = withoutTombstones(
-        spark, path, spark.read.parquet(s"$path/buckets"))
-      .repartition(col("bucket"))
+      spark, path, spark.read.parquet(s"$path/buckets"))
+    requireNonEmptySurvivors(survivors, path)
     swapInPlace(spark, s"$path/buckets") { tmp =>
-      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      survivors.repartition(col("bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("bucket").parquet(tmp)
     }
-    clearTombstones(spark, path)
+    seedEmptyTombstones(spark, path)
   }
 
   /** [[compactIvfIndex]] for the PQ code table (unpartitioned — the ADC
@@ -555,13 +588,28 @@ object Similarity {
   def compactPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     requireIndexDir(spark, path, Seq("codebooks", "codes"), "Pq")
-    val survivors = Dedup.spread(withoutTombstones(
-      spark, path, spark.read.parquet(s"$path/codes")))
+    val survivors = withoutTombstones(
+      spark, path, spark.read.parquet(s"$path/codes"))
+    requireNonEmptySurvivors(survivors, path)
     swapInPlace(spark, s"$path/codes") { tmp =>
-      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+      Dedup.spread(survivors)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
     }
-    clearTombstones(spark, path)
+    seedEmptyTombstones(spark, path)
   }
+
+  /** A compaction whose survivor set is EMPTY would commit a data dir
+    * with no parquet files (empty dynamic-partition writes emit
+    * nothing) — the next load would fail schema inference with the
+    * backup already deleted, bricking the index. Checked BEFORE any
+    * mutation; `limit 1`-cheap. */
+  private def requireNonEmptySurvivors(
+      survivors: DataFrame, path: String): Unit =
+    require(!survivors.isEmpty,
+      s"compaction would EMPTY the index at '$path' — every row is " +
+        "tombstoned, and an empty partitioned layout is unreadable. An " +
+        "all-deleted index has nothing left to probe: delete the index " +
+        "directory (or rebuild on a non-empty corpus) instead")
 
   /** Logical-delete write: request-sized, one file per delete batch. */
   private def writeTombstones(
@@ -571,10 +619,16 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/tombstones")
 
-  /** Anti-join a data frame against the index's tombstones, if any —
-    * THE one definition every load path routes through, so a deleted
-    * id is invisible to every probe form (single, batch, pruned) at
-    * once. Broadcast by contract (see the deletion scaladoc). */
+  /** Anti-join a data frame against the index's tombstones — THE one
+    * definition every load path routes through, so a deleted id is
+    * invisible to every probe form (single, batch, pruned) at once.
+    * Broadcast by contract (see the deletion scaladoc). The exists
+    * check only grandfathers indexes written before tombstone seeding;
+    * current writers always seed, so loads always anti-join. Delete
+    * VISIBILITY matches append visibility: a load (or a
+    * [[graft.streaming.StreamingAnn.startRefreshing]] batch boundary)
+    * after the delete sees it; a handle held from before is a
+    * snapshot — its parquet file listings were frozen at load. */
   private def withoutTombstones(
       spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame): DataFrame = {
@@ -586,12 +640,20 @@ object Similarity {
       Seq("id"), "left_anti")
   }
 
-  private def clearTombstones(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) { fs.delete(p, true); () }
-  }
+  /** Written by every index write AND at the end of every compaction,
+    * so the tombstone relation always EXISTS and is empty exactly when
+    * there is nothing deleted: loads anti-join unconditionally, and
+    * the first delete has the same visibility semantics as the
+    * hundredth (without this, a handle loaded before the first delete
+    * skipped the anti-join entirely). The Overwrite doubles as the
+    * stale-tombstone reset. An empty parquet write emits one
+    * schema-only file. */
+  private def seedEmptyTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    spark.range(0).select(col("id"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/tombstones")
 
   /** Rewrite a data directory in place via tmp-dir + two renames. The
     * new copy is FULLY written before the original moves, so no crash
@@ -690,9 +752,9 @@ object Similarity {
     // written by one task — the layout discipline that matters at both
     // local scale (file count) and 100 TB (writer memory, one open
     // file per task).
-    // Same stale-tombstone reset as writeIvfIndex: a fresh index at
-    // this path starts with no deletions.
-    clearTombstones(spark, path)
+    // Same stale-tombstone reset + empty-seed as writeIvfIndex: a
+    // fresh index at this path starts with no deletions.
+    seedEmptyTombstones(spark, path)
     bucketize(vecs, id, vec, nBits).repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$path/buckets")
@@ -928,9 +990,9 @@ object Similarity {
       path: String): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
-    // Same stale-tombstone reset as writeIvfIndex: a fresh index at
-    // this path starts with no deletions.
-    clearTombstones(spark, path)
+    // Same stale-tombstone reset + empty-seed as writeIvfIndex: a
+    // fresh index at this path starts with no deletions.
+    seedEmptyTombstones(spark, path)
     encoded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codes")
     codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }

@@ -554,9 +554,18 @@ class IndexLifecycleSpec extends SparkSpec {
     }
     // Physical erasure: compaction rewrites both tables without the
     // tombstoned rows, drops the tombstones, and the probe is bit-equal.
-    Dedup.compactCorpusIndex(spark, prefix, buckets = 4)
-    assert(!spark.catalog.tableExists(s"${prefix}_tombstones"),
-      "compaction must clear the tombstones")
+    Dedup.compactCorpusIndex(spark, prefix)
+    // The bucket layout is derived from the catalog, never re-laid on a
+    // default: this index was written with 4 buckets and must stay 4.
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_banded"))
+      .bucketSpec
+    assert(spec.map(_.numBuckets) === Some(4),
+      s"compaction must preserve the existing bucket count, got $spec")
+    // Compaction re-seeds an EMPTY tombstones table (loads always
+    // anti-join; nothing left to hide).
+    assert(spark.table(s"${prefix}_tombstones").isEmpty,
+      "compaction must leave an empty tombstones table")
     val fresh3 = spark.newSession()
     val got2 = probePairs(fresh3, Dedup.loadCorpusIndex(fresh3, prefix))
     assert(got2 === want, "compacted probe must equal the tombstoned probe")
@@ -630,8 +639,10 @@ class IndexLifecycleSpec extends SparkSpec {
     }
     val filesBefore = stripeFiles()
     Similarity.compactIvfIndex(fresh, path)
-    assert(!new java.io.File(s"$path/tombstones").exists(),
-      "compaction must clear the tombstones")
+    // Compaction re-seeds an EMPTY tombstone relation (always present,
+    // so loads anti-join unconditionally; nothing left to hide).
+    assert(fresh.read.parquet(s"$path/tombstones").isEmpty,
+      "compaction must leave an empty tombstone relation")
     val filesAfter = stripeFiles()
     assert(filesAfter.values.forall(_ == 1),
       s"each surviving stripe must come back as ONE file, got $filesAfter")
@@ -675,7 +686,7 @@ class IndexLifecycleSpec extends SparkSpec {
       probeHamming = nb).collect().toSeq === wantLsh,
       "post-delete LSH full-ball probe must equal the survivors'")
     Similarity.compactLshIndex(spark, lshPath)
-    assert(!new java.io.File(s"$lshPath/tombstones").exists())
+    assert(spark.read.parquet(s"$lshPath/tombstones").isEmpty)
     val (nb2, buckets2) = Similarity.loadLshIndex(spark, lshPath)
     assert(nb2 === nBits)
     assert(Similarity.lshTopK(buckets2, q, k = 10, nBits = nb2,
@@ -702,7 +713,7 @@ class IndexLifecycleSpec extends SparkSpec {
       .collect().toSeq === wantPq,
       "post-delete PQ probe must equal the survivors' frozen-codebook probe")
     Similarity.compactPqIndex(spark, pqPath)
-    assert(!new java.io.File(s"$pqPath/tombstones").exists())
+    assert(spark.read.parquet(s"$pqPath/tombstones").isEmpty)
     val (cbs3, codes3) = Similarity.loadPqIndex(spark, pqPath)
     assert(Similarity.pqTopK(cbs3, codes3, s2,
       col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
@@ -710,6 +721,29 @@ class IndexLifecycleSpec extends SparkSpec {
     val pqIds = codes3.select(col("id")).collect().map(_.getLong(0)).toSet
     assert(pqIds.forall(_ % 5 != 3),
       "PQ compaction must physically remove the deleted vectors")
+  }
+
+  test("compacting an all-tombstoned index refuses loudly and mutates nothing") {
+    // An empty survivor set would commit a data dir with no parquet
+    // files (empty dynamic-partition writes emit nothing) and brick
+    // the index with the backup gone — the guard must fire BEFORE any
+    // mutation, and the refused index must stay loadable.
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val (centroids, indexed) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    val path = tmpDir("ivf_all_del")
+    Similarity.writeIvfIndex(centroids, indexed, path)
+    Similarity.deleteFromIvfIndex(
+      corpus.select(col("vec_id")), col("vec_id"), path)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, path)
+    }
+    assert(e.getMessage.contains("EMPTY the index"))
+    val (cents, lists) = Similarity.loadIvfIndex(spark, path)
+    assert(cents.nonEmpty, "refused compaction must leave centroids intact")
+    assert(lists.isEmpty,
+      "all rows are tombstoned — logically empty, physically intact")
   }
 
   test("LSH index: write → append → reload; pruned Hamming-ball probe ≡ filter form, scan partition-prunes to the ball") {
