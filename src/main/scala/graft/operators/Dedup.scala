@@ -1030,31 +1030,49 @@ object Dedup {
     * prefix (e.g. `graft_idx_<corpus>`). */
   def writeCorpusIndex(
       index: CorpusIndex, tablePrefix: String, buckets: Int = 32): Unit = {
-    requireIndexPrefix(tablePrefix)
-    val spark = index.rel.sparkSession
-    // Overwrite must mean overwrite even when the catalog has forgotten
-    // the table but its managed location survived (an in-memory catalog
-    // over persistent storage — exactly the fresh-session case this
-    // index exists for): drop the entry AND clear the stale default
-    // location, via the Hadoop FS API so any warehouse filesystem works.
-    def reset(name: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      val loc = spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(name))
-      val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    writeCorpusTables(index, tablePrefix, buckets)
     // A fresh index has no deletions: stale tombstones from a previous
     // index under the same prefix (same-JVM or orphaned-location) would
     // silently hide rows of the NEW index — and their location blocks
     // deleteFromCorpusIndex's first saveAsTable in a later JVM. The
-    // write then SEEDS an empty tombstones table so every load
-    // anti-joins unconditionally: delete visibility can never depend on
-    // whether a first delete happened to precede the load.
-    reset(tombstonesTable(tablePrefix))
+    // write SEEDS an empty tombstones table so every load anti-joins
+    // unconditionally: delete visibility can never depend on whether a
+    // first delete happened to precede the load. Seeded AFTER the data
+    // writes succeed: a crash mid-rebuild leaves the OLD tombstones
+    // over broken data tables (which indexMeta surfaces loudly) rather
+    // than cleared tombstones silently resurrecting deleted rows.
+    val spark = index.rel.sparkSession
+    resetCorpusTable(spark, tombstonesTable(tablePrefix))
     spark.range(0).select(col("id"))
       .write.format("parquet").saveAsTable(tombstonesTable(tablePrefix))
+  }
+
+  /** Drop a managed table AND its surviving default location — Overwrite
+    * must mean overwrite even when the catalog has forgotten the table
+    * but its managed location survived (an in-memory catalog over
+    * persistent storage — exactly the fresh-session case this index
+    * exists for); the Hadoop FS API so any warehouse filesystem works. */
+  private def resetCorpusTable(
+      spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** The DATA half of [[writeCorpusIndex]] — banded/rel/meta only,
+    * tombstones untouched. [[compactCorpusIndex]] routes here so its
+    * tombstone handling can be the snapshot-scoped erase (a blanket
+    * reset would discard a delete raced in while the survivor rewrite
+    * ran — the lost-delete hazard the ANN compactions guard too). */
+  private def writeCorpusTables(
+      index: CorpusIndex, tablePrefix: String, buckets: Int): Unit = {
+    requireIndexPrefix(tablePrefix)
+    val spark = index.rel.sparkSession
+    def reset(name: String): Unit = resetCorpusTable(spark, name)
     // Cluster to the bucket layout BEFORE the bucketed write:
     // repartition(buckets, key) maps rows by pmod(murmur3(key), buckets)
     // — the identical expression bucketBy uses to assign bucket ids —
@@ -1121,9 +1139,131 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String)(df: DataFrame): DataFrame =
     if (!spark.catalog.tableExists(tombstonesTable(tablePrefix))) df
-    else df.join(
-      broadcast(spark.table(tombstonesTable(tablePrefix)).select(col("id"))),
-      Seq("id"), "left_anti")
+    else df.join(tombstoneSide(spark, tablePrefix), Seq("id"), "left_anti")
+
+  /** The tombstone id frame as a join side, broadcast-gated on the
+    * table's file bytes (driver-side listing, no job) — the
+    * [[graft.operators.Similarity]] tombstoneSide discipline: the hint
+    * stays FORCED inside [[Similarity.TombstoneBroadcastCapBytes]]
+    * (the anti-join must broadcast to keep the bucketed side's
+    * exchange-free probe plan, which is plan-gated with the session
+    * threshold at −1; tombstones are request-sized between compactions
+    * by contract), and past the cap a months-un-compacted delete
+    * stream degrades to the optimizer's shuffled anti-join instead of
+    * failing every load with broadcast pressure;
+    * [[compactCorpusIndex]] restores the broadcast-cheap regime. */
+  private def tombstoneSide(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): DataFrame = {
+    val tomb = spark.table(tombstonesTable(tablePrefix)).select(col("id"))
+    val bytes = tombstoneTableFiles(spark, tablePrefix).map(_.getLen).sum
+    if (bytes <= Similarity.TombstoneBroadcastCapBytes) broadcast(tomb)
+    else tomb
+  }
+
+  private case class CorpusHealthInfo(
+      numBuckets: Int, nBandedFiles: Int, nRelFiles: Int,
+      maxFilesPerBucket: Int, nTombstoneFiles: Int, tombstoneBytes: Long)
+
+  private def corpusHealthInfo(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): CorpusHealthInfo = {
+    indexMeta(spark, tablePrefix) // readable failure on a wrong prefix
+    val conf = spark.sessionState.newHadoopConf()
+    def files(table: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")).toSeq
+    }
+    val banded = files(s"${tablePrefix}_banded")
+    val rel = files(s"${tablePrefix}_rel")
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          s"${tablePrefix}_banded"))
+      .bucketSpec.map(_.numBuckets).getOrElse(1)
+    // Bucketed file names carry their bucket id (part-NNNNN-<uuid>_BBBBB
+    // .c000...): the per-bucket max is the probe's worst open fan-out.
+    val bucketRe = "_(\\d{5})\\.".r
+    def maxPerBucket(fs: Seq[org.apache.hadoop.fs.FileStatus]): Int = {
+      val ids = fs.flatMap(s =>
+        bucketRe.findFirstMatchIn(s.getPath.getName).map(_.group(1)))
+      if (ids.isEmpty) fs.size
+      else ids.groupBy(identity).values.map(_.size).max
+    }
+    val tombs = tombstoneTableFiles(spark, tablePrefix)
+      .filter(s => !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    CorpusHealthInfo(buckets, banded.size, rel.size,
+      math.max(maxPerBucket(banded), maxPerBucket(rel)),
+      tombs.size, tombs.map(_.getLen).sum)
+  }
+
+  /** One-row health report for a durable corpus index — the
+    * [[graft.operators.Similarity.indexHealth]] contract over the
+    * bucketed-table layout: (n_buckets, n_banded_files, n_rel_files,
+    * max_files_per_bucket, n_tombstone_files, tombstone_bytes,
+    * tombstone_broadcast_ok, needs_compaction). Driver-side filesystem
+    * metadata only — no Spark job. */
+  def corpusIndexHealth(
+      spark: org.apache.spark.sql.SparkSession, tablePrefix: String,
+      maxFilesPerBucket: Int = Similarity.DefaultMaxFilesPerStripe,
+      maxTombstoneBytes: Long = Similarity.DefaultMaxTombstoneBytes)
+      : DataFrame = {
+    val h = corpusHealthInfo(spark, tablePrefix)
+    import spark.implicits._
+    Seq((h.numBuckets, h.nBandedFiles, h.nRelFiles, h.maxFilesPerBucket,
+        h.nTombstoneFiles, h.tombstoneBytes,
+        h.tombstoneBytes <= Similarity.TombstoneBroadcastCapBytes,
+        corpusNeedsCompaction(h, maxFilesPerBucket, maxTombstoneBytes)))
+      .toDF("n_buckets", "n_banded_files", "n_rel_files",
+        "max_files_per_bucket", "n_tombstone_files", "tombstone_bytes",
+        "tombstone_broadcast_ok", "needs_compaction")
+  }
+
+  private def corpusNeedsCompaction(
+      h: CorpusHealthInfo, maxFilesPerBucket: Int,
+      maxTombstoneBytes: Long): Boolean =
+    h.maxFilesPerBucket > maxFilesPerBucket ||
+      h.nTombstoneFiles > maxFilesPerBucket ||
+      h.tombstoneBytes > maxTombstoneBytes
+
+  /** [[compactCorpusIndex]] iff the health is past the knee — the
+    * measured-defaults policy wrapper ([[graft.operators.Similarity
+    * .compactIfNeeded]]'s contract for the corpus family). Returns
+    * true iff a compaction ran. */
+  def compactCorpusIndexIfNeeded(
+      spark: org.apache.spark.sql.SparkSession, tablePrefix: String,
+      maxFilesPerBucket: Int = Similarity.DefaultMaxFilesPerStripe,
+      maxTombstoneBytes: Long = Similarity.DefaultMaxTombstoneBytes)
+      : Boolean = {
+    val due = corpusNeedsCompaction(
+      corpusHealthInfo(spark, tablePrefix), maxFilesPerBucket,
+      maxTombstoneBytes)
+    if (due) compactCorpusIndex(spark, tablePrefix)
+    due
+  }
+
+  /** File statuses currently under the tombstone table's location — the
+    * compaction snapshot (and the broadcast gate's byte count). */
+  private def tombstoneTableFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val name = tombstonesTable(tablePrefix)
+    if (!spark.catalog.tableExists(name)) Seq.empty
+    else {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)).location
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isFile).toSeq
+    }
+  }
 
   /** Logical delete from a durable corpus index — RTBF reaching the
     * ARTIFACT, not just the corpus ([[deletionCascade]] handles the
@@ -1137,8 +1277,11 @@ object Dedup {
     * appends). Physical erasure (and the broadcast-bound reset) is
     * [[compactCorpusIndex]] — the two-phase discipline shared with
     * [[graft.operators.Similarity]]'s ANN index deletes. A tombstoned
-    * id stays deleted until compaction clears the tombstones; compact
-    * before re-ingesting a deleted id. */
+    * id stays deleted until compaction clears the tombstones;
+    * re-appending one fails readably ([[appendToCorpusIndex]]'s guard)
+    * until [[compactCorpusIndex]] runs. Deletes racing a compaction are
+    * preserved (the compaction erases only its start-time snapshot of
+    * tombstone files). */
   def deleteFromCorpusIndex(
       ids: DataFrame, id: Column, tablePrefix: String): Unit = {
     val spark = ids.sparkSession
@@ -1162,6 +1305,13 @@ object Dedup {
   def compactCorpusIndex(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): Unit = {
+    // Snapshot the tombstone FILES before anything reads them: the
+    // rewrite below erases exactly this set, so a deleteFromCorpusIndex
+    // raced in while the survivor rewrite runs lands as a file outside
+    // the snapshot and SURVIVES the compaction (the Similarity
+    // compaction discipline — a blanket reset would silently discard
+    // the late delete and resurrect its rows in every later probe).
+    val snapshot = tombstoneTableFiles(spark, tablePrefix)
     val idx = loadCorpusIndex(spark, tablePrefix) // survivors view
     // The bucket count is a property of the EXISTING index, read from
     // the catalog (appendToCorpusIndex's discipline) — a parameter here
@@ -1172,11 +1322,21 @@ object Dedup {
       .bucketSpec.map(_.numBuckets).getOrElse(32)
     val rel = Materialize.pin(idx.rel)
     val banded = Materialize.pin(idx.banded)
-    // writeCorpusIndex resets the tombstones along with the data tables
-    // — the compacted index IS the survivor set, nothing left to hide.
-    writeCorpusIndex(
+    writeCorpusTables(
       CorpusIndex(rel, banded, idx.n, idx.k, idx.bands),
       tablePrefix, buckets)
+    // Erase only the snapshotted files; the table itself stays (its
+    // schema lives in the catalog, so an all-files-erased table reads
+    // as empty and later deletes still Append into it).
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        tombstonesTable(tablePrefix))).location
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    snapshot.foreach(s => fs.delete(s.getPath, false))
+    // The files changed behind the catalog's back — drop the cached
+    // listing so the next read doesn't chase deleted part files.
+    spark.catalog.refreshTable(tombstonesTable(tablePrefix))
   }
 
   /** Tables are `<prefix>_banded|_rel|_meta` and the prefix is
@@ -1241,6 +1401,22 @@ object Dedup {
       tablePrefix: String): Unit = {
     val spark = shard.sparkSession
     val m = indexMeta(spark, tablePrefix)
+    // Guard the re-ingest-of-a-tombstoned-id edge (the Similarity
+    // append discipline): the appended rows would land in the tables
+    // but every load anti-joins the tombstones, so the id would stay
+    // invisible to every probe until a compaction — silent data loss
+    // under a delete-by-mistake-then-re-add churn. One broadcast-sized
+    // semi-join per append; the error names the fix.
+    if (spark.catalog.tableExists(tombstonesTable(tablePrefix))) {
+      val clash = shard.select(id.cast("long").as("id"))
+        .join(tombstoneSide(spark, tablePrefix), Seq("id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"append would re-ingest tombstoned id(s) ${clash.mkString(", ")} " +
+          s"into corpus index '$tablePrefix' — a tombstoned id stays " +
+          "invisible to every probe until compaction clears the " +
+          "tombstones; run compactCorpusIndex first, then re-append")
+    }
     val (k, bands) = (m.getAs[Int]("k"), m.getAs[Int]("bands"))
     val rel = shingleRel(shard, id, text, m.getAs[Int]("n"), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -288,7 +288,8 @@ object Similarity {
     * signal). Returns (centroids, corpus+list).
     *
     * DETERMINISM: both the fit SAMPLE (the `fitSampleRows` smallest
-    * ids, one TakeOrderedAndProject) and the fit itself ([[lloydFit]] —
+    * (xxhash64(id), id) values — hash-ordered, unbiased, deterministic;
+    * one TakeOrderedAndProject) and the fit itself ([[lloydFit]] —
     * the [[graft.operators.Cluster]] Lloyd discipline under IVF's
     * squared-L2 metric, sequential on the collected sample) are
     * independent of core count and partitioning — the init is
@@ -333,6 +334,20 @@ object Similarity {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1).map(_._2)
+    // Fail fast on a ragged corpus (one truncated embedding): the fit's
+    // L2 kernels would otherwise silently score the common PREFIX — the
+    // pqEncode width discipline, enforced at the one driver-side point
+    // where every sampled width is in hand. (A ragged row OUTSIDE the
+    // sample still assigns by prefix in ivfAssign — the upstream gate
+    // is CorpusStats.embeddingAudit, as for zero norms in the PQ path.)
+    sample.headOption.foreach { h =>
+      val widths = sample.iterator.map(_.length).toSet
+      require(widths.size == 1,
+        s"ivfIndex: ragged embedding widths in the fit sample " +
+          s"(${widths.toSeq.sorted.mkString(", ")}) — centroids would " +
+          "silently train on the common prefix; fix the corpus " +
+          s"(expected uniform width ${h.length})")
+    }
     val centroids = lloydFit(sample, nLists, iters = 10)
     (centroids, ivfAssign(c, col("id"), col("v"), centroids))
   }
@@ -363,40 +378,67 @@ object Similarity {
     * ONE distributed assignment definition remains [[l2Assign]] via
     * [[ivfAssign]].
     *
-    * ENVELOPE — the fit is sequential on the driver by design (that is
-    * what makes it deterministic), so `fitSampleRows` bounds BOTH
-    * driver memory (sample·d doubles; ~50 MB at the 100k default ×
-    * d=64, ~1.2 GB at d=1536 — lower the bound for wide embeddings)
-    * and fit cost (O(iters·sample·k·d) flops single-threaded). Size it
-    * by the FAISS training convention — roughly 64–256 sample points
-    * per centroid — not by the corpus: 256·nLists points train the
-    * same-quality centroids at any corpus size, and the distributed
-    * [[ivfAssign]] pass is where the corpus actually gets touched. At
-    * thousands of lists × wide dims, drop `iters` or the per-centroid
-    * sample factor before reaching for a distributed fit — a
-    * nondeterministic fit re-opens the r16 q191 class. */
+    * ENVELOPE — the fit runs on the driver (that is what removes
+    * partitioning from the answer), so `fitSampleRows` bounds driver
+    * memory (sample·d doubles; ~50 MB at the 100k default × d=64,
+    * ~1.2 GB at d=1536 — lower the bound for wide embeddings) and fit
+    * cost (O(iters·sample·k·d) flops). The flops are DETERMINISTICALLY
+    * PARALLEL (round 18): per-point work (distance updates, argmin
+    * assignment) writes to disjoint per-point slots — schedule cannot
+    * change a value — and every floating-point REDUCTION keeps the
+    * sequential schedule's exact association (per-cluster sums
+    * accumulate in sample order, parallelized ACROSS clusters; the
+    * seeding argmax is a d-free sequential scan), so the parallel fit
+    * is bit-identical to the single-threaded one (spec-gated) while
+    * lifting the thousands-of-lists × wide-dim ceiling by the core
+    * count. Size the sample by the FAISS training convention — roughly
+    * 64–256 points per centroid — not by the corpus: 256·nLists points
+    * train the same-quality centroids at any corpus size, and the
+    * distributed [[ivfAssign]] pass is where the corpus actually gets
+    * touched. A distributed fit stays off the table — partial
+    * aggregation re-opens the r16 q191 class. */
   private def lloydFit(
-      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Float]] = {
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Float]] =
+    lloydFitImpl(sample, k, iters, parallel = true)
+
+  /** `parallel = false` is the reference single-threaded schedule the
+    * spec gates bit-equality against; both paths share every kernel —
+    * the flag only chooses the driver loop. */
+  private[graft] def lloydFitImpl(
+      sample: Array[Array[Double]], k: Int, iters: Int,
+      parallel: Boolean): Array[Array[Float]] = {
     require(sample.nonEmpty, "ivfIndex: no vectors to fit centroids on")
+    val n = sample.length
+    // Disjoint-slot parallel loop: each index writes only its own
+    // state, so the ForkJoin schedule cannot affect any value.
+    def foreachIdx(bound: Int)(f: Int => Unit): Unit =
+      if (parallel)
+        java.util.stream.IntStream.range(0, bound).parallel()
+          .forEach(i => f(i))
+      else { var i = 0; while (i < bound) { f(i); i += 1 } }
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      val m = math.min(a.length, b.length)
+      while (i < m) { val t = a(i) - b(i); s += t * t; i += 1 }
       s
     }
-    // Maximin seeding over the sample: O(k·|sample|·d), driver-cheap.
-    val nSeeds = math.min(k, sample.length)
+    // Maximin seeding over the sample: O(k·|sample|·d) distance work in
+    // the parallel per-point phase; the argmax (strict > : ties resolve
+    // to the smallest index) is a d-free SEQUENTIAL scan of minD2, so
+    // its tie-break order never depends on the schedule.
+    val nSeeds = math.min(k, n)
     val seedIdx = new Array[Int](nSeeds)
-    val minD2 = Array.fill(sample.length)(Double.PositiveInfinity)
+    val minD2 = Array.fill(n)(Double.PositiveInfinity)
     seedIdx(0) = 0 // the smallest id (sample is id-sorted)
     var s = 1
     while (s < nSeeds) {
       val prev = sample(seedIdx(s - 1))
-      var best = -1; var bestD = -1.0; var i = 0
-      while (i < sample.length) {
+      foreachIdx(n) { i =>
         val d = d2(sample(i), prev)
         if (d < minD2(i)) minD2(i) = d
-        // strict > : ties resolve to the smallest index
+      }
+      var best = -1; var bestD = -1.0; var i = 0
+      while (i < n) {
         if (minD2(i) > bestD) { bestD = minD2(i); best = i }
         i += 1
       }
@@ -404,23 +446,40 @@ object Similarity {
       s += 1
     }
     var cents: Array[Array[Double]] = seedIdx.map(i => sample(i).clone())
+    val assign = new Array[Int](n)
     for (_ <- 1 to iters) {
       val d = cents.head.length
-      val sums = Array.fill(cents.length)(new Array[Double](d))
-      val counts = new Array[Long](cents.length)
-      sample.foreach { x =>
+      val nC = cents.length
+      // Phase 1 — assignment: pure per-point argmin (lowest index on
+      // ties), the O(n·k·d) hot loop, embarrassingly parallel.
+      foreachIdx(n) { p =>
+        val x = sample(p)
         var best = 0; var bestD2 = Double.PositiveInfinity; var j = 0
-        while (j < cents.length) {
-          val cj = cents(j); var d2 = 0.0; var i = 0
-          val n = math.min(x.length, cj.length)
-          while (i < n) { val t = x(i) - cj(i); d2 += t * t; i += 1 }
-          if (d2 < bestD2) { bestD2 = d2; best = j }
+        while (j < nC) {
+          val cj = cents(j); var dd = 0.0; var i = 0
+          val m = math.min(x.length, cj.length)
+          while (i < m) { val t = x(i) - cj(i); dd += t * t; i += 1 }
+          if (dd < bestD2) { bestD2 = dd; best = j }
           j += 1
         }
-        val s = sums(best); var i = 0
-        val n = math.min(x.length, d)
-        while (i < n) { s(i) += x(i); i += 1 }
-        counts(best) += 1
+        assign(p) = best
+      }
+      // Phase 2 — recompute: each cluster sums ITS members in sample
+      // order (the sequential schedule's exact float association),
+      // parallelized across clusters — disjoint sums, fixed order.
+      val sums = Array.fill(nC)(new Array[Double](d))
+      val counts = new Array[Long](nC)
+      foreachIdx(nC) { j =>
+        val sj = sums(j); var p = 0
+        while (p < n) {
+          if (assign(p) == j) {
+            val x = sample(p); var i = 0
+            val m = math.min(x.length, d)
+            while (i < m) { sj(i) += x(i); i += 1 }
+            counts(j) += 1
+          }
+          p += 1
+        }
       }
       cents = cents.indices.toArray.filter(counts(_) > 0L).map { j =>
         sums(j).map(s => BigDecimal(s / counts(j))
@@ -444,14 +503,6 @@ object Similarity {
       path: String): Unit = {
     val spark = indexed.sparkSession
     import spark.implicits._
-    // A fresh index has no deletions: stale tombstones from a previous
-    // index at this path would silently hide rows of the NEW one. The
-    // write then SEEDS an empty tombstone table, so every load
-    // anti-joins unconditionally — delete visibility can never depend
-    // on whether a first delete happened to precede the load. (The
-    // overwrite also clears stale tombstones from a previous index at
-    // this path, which would silently hide rows of the NEW one.)
-    seedEmptyTombstones(spark, path)
     // Cluster by the partition column before the partitioned write
     // (writeLshIndex's discipline): one task per stripe → one file per
     // stripe, instead of a file per (task × touched stripe).
@@ -462,6 +513,16 @@ object Similarity {
       .toDF("list", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/centroids")
+    // A fresh index has no deletions: stale tombstones from a previous
+    // index at this path would silently hide rows of the NEW one. The
+    // write SEEDS an empty tombstone table, so every load anti-joins
+    // unconditionally — delete visibility can never depend on whether a
+    // first delete happened to precede the load. Seeded AFTER the data
+    // writes succeed: a crash mid-rebuild then leaves the OLD
+    // tombstones over a broken data dir (which requireIndexDir/schema
+    // inference surface loudly) instead of freshly cleared tombstones
+    // over the old data — which would silently resurrect deleted rows.
+    seedEmptyTombstones(spark, path)
   }
 
   /** Reload a [[writeIvfIndex]]-persisted index in (possibly) a fresh
@@ -525,10 +586,18 @@ object Similarity {
     * codebooks / nBits), compaction probe-bit-equal before/after with
     * the tombstone dir gone and per-stripe file counts reset.
     *
-    * Caller contract: a tombstoned id stays deleted until compaction
-    * clears the tombstones — re-ingesting a deleted id via the append
-    * path is invisible to probes until then (compact first, then
-    * re-append). */
+    * A tombstoned id stays deleted until compaction clears the
+    * tombstones — re-ingesting it via an append path would land rows
+    * every load anti-joins away, so the append verbs GUARD the edge
+    * ([[requireNotTombstoned]]): appending a tombstoned id fails
+    * readably, naming the compaction that makes it legal.
+    *
+    * Concurrency: delete-during-compaction is safe — compaction erases
+    * only the tombstone FILES it snapshotted at start
+    * ([[tombstoneFileSnapshot]]), so a tombstone appended mid-compaction
+    * survives and keeps hiding its id. Two compactions of the SAME
+    * index must not run concurrently (the swap-in-place rename window;
+    * [[swapInPlace]] detects and names the interrupted state). */
   def deleteFromIvfIndex(
       ids: DataFrame, id: Column, path: String): Unit = {
     requireIndexDir(ids.sparkSession, path, Seq("centroids", "lists"), "Ivf")
@@ -557,6 +626,7 @@ object Similarity {
   def compactIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     requireIndexDir(spark, path, Seq("centroids", "lists"), "Ivf")
+    val snapshot = tombstoneFileSnapshot(spark, path)
     val survivors = withoutTombstones(
       spark, path, spark.read.parquet(s"$path/lists"))
     requireNonEmptySurvivors(survivors, path)
@@ -565,13 +635,14 @@ object Similarity {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("list").parquet(tmp)
     }
-    seedEmptyTombstones(spark, path)
+    clearSnapshottedTombstones(spark, path, snapshot)
   }
 
   /** [[compactIvfIndex]] for the LSH bucket stripes. */
   def compactLshIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     requireIndexDir(spark, path, Seq("meta", "buckets"), "Lsh")
+    val snapshot = tombstoneFileSnapshot(spark, path)
     val survivors = withoutTombstones(
       spark, path, spark.read.parquet(s"$path/buckets"))
     requireNonEmptySurvivors(survivors, path)
@@ -580,7 +651,7 @@ object Similarity {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("bucket").parquet(tmp)
     }
-    seedEmptyTombstones(spark, path)
+    clearSnapshottedTombstones(spark, path, snapshot)
   }
 
   /** [[compactIvfIndex]] for the PQ code table (unpartitioned — the ADC
@@ -588,6 +659,7 @@ object Similarity {
   def compactPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     requireIndexDir(spark, path, Seq("codebooks", "codes"), "Pq")
+    val snapshot = tombstoneFileSnapshot(spark, path)
     val survivors = withoutTombstones(
       spark, path, spark.read.parquet(s"$path/codes"))
     requireNonEmptySurvivors(survivors, path)
@@ -595,7 +667,7 @@ object Similarity {
       Dedup.spread(survivors)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
     }
-    seedEmptyTombstones(spark, path)
+    clearSnapshottedTombstones(spark, path, snapshot)
   }
 
   /** A compaction whose survivor set is EMPTY would commit a data dir
@@ -635,9 +707,61 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) df
-    else df.join(
-      broadcast(spark.read.parquet(s"$path/tombstones").select(col("id"))),
-      Seq("id"), "left_anti")
+    else df.join(tombstoneSide(spark, path), Seq("id"), "left_anti")
+  }
+
+  /** Hard cap (file bytes) on the FORCED tombstone broadcast. The hint
+    * is deliberately forced, not left to autoBroadcastJoinThreshold:
+    * the anti-join must broadcast to preserve the streamed side's
+    * distribution (the exchange-free probe plans the durable layouts
+    * exist for — plan-gated with the session threshold at −1), and
+    * tombstones are request-sized between compactions BY CONTRACT. The
+    * cap is the safety net past that contract: a months-un-compacted
+    * delete stream degrades to the optimizer's stats decision (a
+    * shuffled anti-join — slower, still correct) instead of failing
+    * every load with driver/broadcast pressure. 32 MB of parquet longs
+    * ≈ 4M deleted ids — far past the compaction knee and still an
+    * order of magnitude inside driver headroom. */
+  private[operators] val TombstoneBroadcastCapBytes: Long = 32L << 20
+
+  /** The tombstone id frame as a JOIN SIDE, broadcast-gated on the
+    * files' bytes (a driver-side listing — no job) against
+    * [[TombstoneBroadcastCapBytes]]. Parquet bytes under-count the
+    * in-memory relation, but by well under the order of magnitude the
+    * gate is guarding against. Callers must have checked the directory
+    * exists. */
+  private def tombstoneSide(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tomb = spark.read.parquet(s"$path/tombstones").select(col("id"))
+    val bytes = fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    if (bytes <= TombstoneBroadcastCapBytes) broadcast(tomb)
+    else tomb
+  }
+
+  /** Fail an append that would re-ingest a TOMBSTONED id: the appended
+    * rows would land in the data dir but every load anti-joins the
+    * tombstones, so the id stays invisible to every probe until a
+    * compaction clears it — a churn workflow (delete by mistake,
+    * re-add) would lose the rows with no signal. One broadcast-sized
+    * semi-join over the shard, paid per append; the error names the
+    * compaction verb that makes the re-ingest legal. */
+  private def requireNotTombstoned(
+      shardIds: DataFrame, path: String, compactVerb: String): Unit = {
+    val spark = shardIds.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val clash = shardIds.select(col("id"))
+        .join(tombstoneSide(spark, path), Seq("id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"append would re-ingest tombstoned id(s) ${clash.mkString(", ")} " +
+          s"at '$path' — a tombstoned id stays invisible to every probe " +
+          s"until compaction clears the tombstones; run $compactVerb " +
+          "first, then re-append")
+    }
   }
 
   /** Written by every index write AND at the end of every compaction,
@@ -654,6 +778,48 @@ object Similarity {
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/tombstones")
+
+  /** The tombstone FILES present when a compaction starts — its
+    * erasure scope. Compaction clears exactly this snapshot, never
+    * "whatever is there at the end": a deleteFrom*Index tombstone
+    * appended while the survivor rewrite runs lands as a NEW file the
+    * snapshot doesn't cover, so it survives the compaction and keeps
+    * hiding its id — instead of being silently discarded by a blanket
+    * reset (the lost-delete race: the late delete's row would
+    * resurrect in every later probe, an RTBF violation). A tombstone
+    * appended between the snapshot and the survivor SCAN is both
+    * applied and preserved — its id anti-joins rows already erased,
+    * which is merely redundant. */
+  private def tombstoneFileSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath).toSeq
+  }
+
+  /** Erase the snapshotted tombstone files (their ids are physically
+    * gone from the rewritten data dir), preserving any file appended
+    * since the snapshot. If no data file remains afterwards, an empty
+    * seed is APPENDED (not overwritten — an overwrite would clobber a
+    * delete racing this very step) so the relation stays readable and
+    * loads keep anti-joining unconditionally. */
+  private def clearSnapshottedTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snapshot: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    snapshot.foreach(f => fs.delete(f, false))
+    val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    if (!hasData)
+      spark.range(0).select(col("id"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/tombstones")
+  }
 
   /** Rewrite a data directory in place via tmp-dir + two renames. The
     * new copy is FULLY written before the original moves, so no crash
@@ -709,14 +875,21 @@ object Similarity {
     * (id, v, list) in [[writeIvfIndex]]'s layout. */
   def ivfAssign(
       vecs: DataFrame, id: Column, vec: Column,
-      centroids: Array[Array[Float]]): DataFrame = {
+      centroids: Array[Array[Float]]): DataFrame =
+    Dedup.spread(vecs).select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("list", listAssignCol(col("v"), centroids))
+      .select(col("id"), col("v"), col("list"))
+
+  /** The inverted-list assignment EXPRESSION — [[ivfAssign]]'s body and
+    * [[ivfPqEncode]]'s list half share it, so a composed-index row and
+    * a plain-IVF row can never disagree on their list. Raw (non-unit)
+    * vector, double L2 argmin against the float-rounded centroids. */
+  private def listAssignCol(
+      v: Column, centroids: Array[Array[Float]]): Column = {
     val cands = array(centroids.zipWithIndex.map { case (cv, i) =>
       struct(lit(i).as("cl"), typedLit(cv.map(_.toDouble).toSeq).as("c"))
     }: _*)
-    Dedup.spread(vecs).select(id.cast("long").as("id"), vec.as("v"))
-      .withColumn("list",
-        l2Assign(cands, transform(col("v"), _.cast("double"))))
-      .select(col("id"), col("v"), col("list"))
+    l2Assign(cands, transform(v, _.cast("double")))
   }
 
   /** Durable form of the hyperplane-LSH index — the fourth ANN
@@ -752,15 +925,16 @@ object Similarity {
     // written by one task — the layout discipline that matters at both
     // local scale (file count) and 100 TB (writer memory, one open
     // file per task).
-    // Same stale-tombstone reset + empty-seed as writeIvfIndex: a
-    // fresh index at this path starts with no deletions.
-    seedEmptyTombstones(spark, path)
     bucketize(vecs, id, vec, nBits).repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$path/buckets")
     Seq(Tuple1(nBits)).toDF("n_bits")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/meta")
+    // Same stale-tombstone reset + empty-seed as writeIvfIndex, AFTER
+    // the data writes: a failed rebuild keeps the old tombstones (RTBF-
+    // safe) rather than un-deleting rows over surviving old data.
+    seedEmptyTombstones(spark, path)
   }
 
   /** Reload a [[writeLshIndex]]-persisted index: (nBits, bucketed
@@ -796,6 +970,8 @@ object Similarity {
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
     requireIndexDir(spark, path, Seq("meta", "buckets"), "Lsh")
+    requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
+      path, "compactLshIndex")
     val nBits = loadLshNBits(spark, path)
     // Same cluster-before-write as the build path: without it a shard
     // written by T tasks opens up to T files per touched stripe, and
@@ -953,6 +1129,8 @@ object Similarity {
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
     requireIndexDir(spark, path, Seq("centroids", "lists"), "Ivf")
+    requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
+      path, "compactIvfIndex")
     // Same cluster-before-write as the build path and appendToLshIndex:
     // one file per touched stripe per append, not one per (task ×
     // stripe) — nightly accretion is linear in nights, not tasks.
@@ -972,6 +1150,8 @@ object Similarity {
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
     requireIndexDir(spark, path, Seq("codebooks", "codes"), "Pq")
+    requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
+      path, "compactPqIndex")
     pqEncode(newVecs, id, vec, loadPqCodebooks(spark, path))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/codes")
@@ -990,15 +1170,15 @@ object Similarity {
       path: String): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
-    // Same stale-tombstone reset + empty-seed as writeIvfIndex: a
-    // fresh index at this path starts with no deletions.
-    seedEmptyTombstones(spark, path)
     encoded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codes")
     codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }
       .toDF("j", "cl", "c")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codebooks")
+    // Same stale-tombstone reset + empty-seed as writeIvfIndex, AFTER
+    // the data writes (failed rebuild keeps the old tombstones).
+    seedEmptyTombstones(spark, path)
   }
 
   /** Reload a [[writePqIndex]]-persisted index in (possibly) a fresh
@@ -1023,12 +1203,283 @@ object Similarity {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .sortBy(p => (p._1, p._2)).toSeq
 
-  /** IVF ANN top-k: score the query against every centroid on the driver
-    * (nLists is small), then scan only the `nProbe` nearest posting
-    * lists. Approximate; recall grows with nProbe. Output: (id, sim). */
-  def ivfTopK(
-      centroids: Array[Array[Float]], indexed: DataFrame,
-      queryVec: Array[Float], k: Int, nProbe: Int): DataFrame = {
+  /** ===== Composed IVF+PQ durable index (the FAISS IVFADC layout —
+    * Jégou et al. 2011, public literature) =====
+    *
+    * The fifth durable family closes the last bytes-per-probe gap: a
+    * plain-IVF probe reads FULL-DIMENSION float vectors of every row in
+    * the probed stripes, so at 100 TB × d ≥ 768 the probed-stripe BYTES
+    * are the cost even though the pruning is right. Here the
+    * list-partitioned stripes store (id, codes) — ONE long per row, the
+    * 32× PQ compression — so a probe is: partition-pruned stripe scan
+    * of codes → ADC-score the probed rows against the driver-built LUT
+    * ([[adcApproxCol]], the one decode definition) → exact rerank of
+    * the rerankN survivors against full vectors fetched BY ID from the
+    * corpus ([[exactRerank]], the only touch of the floats). Both
+    * approximations have the composed completeness gate: `nProbe =
+    * nLists` scans every code and `rerankN ≥ |corpus|` reranks every
+    * row, so the probe degenerates to exact brute force BY CONSTRUCTION
+    * (q196's oracle contract); finite settings trade recall for the
+    * pruned + compressed scan.
+    *
+    * Artifacts under `path`: `lists/` — (id, codes) PARTITIONED by
+    * `list`, clustered one file per stripe; `centroids/` — the frozen
+    * IVF centroids ([[writeIvfIndex]]'s table); `codebooks/` — the
+    * frozen PQ codebooks ([[writePqIndex]]'s table); `tombstones/` —
+    * the logical-delete relation every load anti-joins. Growth encodes
+    * against the FROZEN artifacts ([[ivfPqEncode]] — the same
+    * expressions as the build, so appended rows are byte-identical);
+    * retraining either half is a rebuild by definition (new centroids
+    * re-shard every stripe, new codebooks re-code every row). */
+
+  /** One map pass assigning each vector's inverted list (frozen
+    * centroids — [[listAssignCol]], [[ivfAssign]]'s exact expression,
+    * on the RAW vector) and packing its PQ codes (frozen codebooks —
+    * [[packedCodesCol]], [[pqEncode]]'s exact expression, on the UNIT
+    * vector): no join between the two assignments, no shuffle. Output:
+    * (id, codes, list) in [[writeIvfPqIndex]]'s layout. Zero-norm
+    * vectors are excluded (the PQ-family contract). */
+  def ivfPqEncode(
+      vecs: DataFrame, id: Column, vec: Column,
+      centroids: Array[Array[Float]],
+      codebooks: Seq[(Int, Int, Array[Double])]): DataFrame =
+    unitNormalized(vecs, id, vec).select(
+      col("id"),
+      packedCodesCol(col("u"), codebooks).as("codes"),
+      listAssignCol(col("v"), centroids).as("list"))
+
+  /** Durable form of the composed index — [[writeIvfIndex]]'s write
+    * discipline (cluster-by-stripe, tombstones seeded AFTER the data
+    * writes succeed). `encoded` must be [[ivfPqEncode]]'s output under
+    * the same frozen artifacts. */
+  def writeIvfPqIndex(
+      centroids: Array[Array[Float]],
+      codebooks: Seq[(Int, Int, Array[Double])],
+      encoded: DataFrame, path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.repartition(col("list"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list").parquet(s"$path/lists")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+    codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }
+      .toDF("j", "cl", "c")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebooks")
+    seedEmptyTombstones(spark, path)
+  }
+
+  /** Reload a [[writeIvfPqIndex]]-persisted index in (possibly) a
+    * fresh session: (centroids by list id, codebooks in (j, cl) order,
+    * tombstone-filtered code scan). Both parameter tables are bounded
+    * driver collects; the code frame is the partitioned scan itself —
+    * [[ivfPqTopK]]'s probe filter prunes it to the probed stripes. */
+  def loadIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String):
+      (Array[Array[Float]], Seq[(Int, Int, Array[Double])], DataFrame) = {
+    requireIndexDir(spark, path,
+      Seq("centroids", "codebooks", "lists"), "IvfPq")
+    (loadIvfCentroids(spark, path), loadPqCodebooks(spark, path),
+      withoutTombstones(spark, path, spark.read.parquet(s"$path/lists")))
+  }
+
+  /** Fold new vectors INTO a durable composed index: encode against
+    * the FROZEN persisted centroids AND codebooks in one pass
+    * ([[ivfPqEncode]]) and append files into the touched stripes —
+    * [[appendToIvfIndex]]'s growth contract, including the tombstone
+    * re-ingest guard. */
+  def appendToIvfPqIndex(
+      newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    requireIndexDir(spark, path,
+      Seq("centroids", "codebooks", "lists"), "IvfPq")
+    requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
+      path, "compactIvfPqIndex")
+    ivfPqEncode(newVecs, id, vec,
+        loadIvfCentroids(spark, path), loadPqCodebooks(spark, path))
+      .repartition(col("list"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("list").parquet(s"$path/lists")
+  }
+
+  /** [[deleteFromIvfIndex]]'s logical-delete contract for the composed
+    * lifecycle. */
+  def deleteFromIvfPqIndex(
+      ids: DataFrame, id: Column, path: String): Unit = {
+    requireIndexDir(ids.sparkSession, path,
+      Seq("centroids", "codebooks", "lists"), "IvfPq")
+    writeTombstones(ids, id, path)
+  }
+
+  /** [[compactIvfIndex]]'s physical erasure + stripe compaction for
+    * the composed code stripes (snapshot-scoped tombstone clear). */
+  def compactIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    requireIndexDir(spark, path,
+      Seq("centroids", "codebooks", "lists"), "IvfPq")
+    val snapshot = tombstoneFileSnapshot(spark, path)
+    val survivors = withoutTombstones(
+      spark, path, spark.read.parquet(s"$path/lists"))
+    requireNonEmptySurvivors(survivors, path)
+    swapInPlace(spark, s"$path/lists") { tmp =>
+      survivors.repartition(col("list"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("list").parquet(tmp)
+    }
+    clearSnapshottedTombstones(spark, path, snapshot)
+  }
+
+  /** Probe the composed index: driver-side centroid scoring picks the
+    * `nProbe` lists ([[probeLists]] — [[ivfTopK]]'s order), the pruned
+    * stripe scan ADC-scores ONLY codes (one long + an m-term LUT sum
+    * per probed row — never the float vectors; plan-gated), and the
+    * rerankN survivors rerank exactly against `corpus` by id. Output:
+    * (id, sim) — [[bruteForceTopK]]'s contract. */
+  def ivfPqTopK(
+      centroids: Array[Array[Float]],
+      codebooks: Seq[(Int, Int, Array[Double])], indexed: DataFrame,
+      corpus: DataFrame, id: Column, vec: Column,
+      queryVec: Array[Float], k: Int, nProbe: Int, rerankN: Int): DataFrame = {
+    val probe = probeLists(centroids, queryVec, nProbe)
+    val shortlist = indexed.filter(col("list").isin(probe.toSeq: _*))
+      .select(col("id"), adcApproxCol(codebooks, queryVec).as("approx"))
+      .orderBy(desc("approx"), asc("id"))
+      .limit(rerankN)
+    exactRerank(shortlist, corpus, id, vec, queryVec, k)
+  }
+
+  /** ===== Index health + compaction policy =====
+    *
+    * The compaction knee is MEASURED (IndexCompactionSweep: the
+    * clustered writers accrete ~1 file per stripe per nightly append;
+    * the probe's file-open penalty is noticeable by ~16 files/stripe
+    * and 3.7× by ~780; tombstone loads degrade past the broadcast
+    * cap) — these wrappers turn the measurement into policy: a report
+    * frame an operator can chart, and a guard a nightly job calls
+    * after its append instead of scheduling compactions by folklore.
+    * Both are driver-side FILESYSTEM METADATA only — no Spark job, so
+    * they are safe to call at any frequency. */
+
+  private case class IndexHealthInfo(
+      kind: String, nStripes: Int, nDataFiles: Int, maxFilesPerStripe: Int,
+      nTombstoneFiles: Int, tombstoneBytes: Long)
+
+  /** Detect the family at `path` and collect its layout counts. */
+  private def pathIndexHealth(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): IndexHealthInfo = {
+    val conf = spark.sessionState.newHadoopConf()
+    def exists(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    val (kind, dataDir, striped) =
+      if (exists("centroids") && exists("codebooks") && exists("lists"))
+        ("ivfpq", "lists", true)
+      else if (exists("centroids") && exists("lists")) ("ivf", "lists", true)
+      else if (exists("meta") && exists("buckets")) ("lsh", "buckets", true)
+      else if (exists("codebooks") && exists("codes")) ("pq", "codes", false)
+      else throw new IllegalArgumentException(
+        s"no durable index at '$path': expected an IvfPq/Ivf/Lsh/Pq " +
+          "layout (was a write*Index run against this filesystem?)")
+    val dp = new org.apache.hadoop.fs.Path(s"$path/$dataDir")
+    val fs = dp.getFileSystem(conf)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    val (nStripes, nFiles, maxPerStripe) =
+      if (striped) {
+        val stripes = fs.listStatus(dp).filter(_.isDirectory)
+        val counts = stripes.map(s => dataFiles(s.getPath))
+        (stripes.length, counts.sum, if (counts.isEmpty) 0 else counts.max)
+      } else {
+        val n = dataFiles(dp)
+        (1, n, n)
+      }
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tfs =
+      if (!tp.getFileSystem(conf).exists(tp)) Seq.empty
+      else tp.getFileSystem(conf).listStatus(tp).filter(_.isFile).toSeq
+    IndexHealthInfo(kind, nStripes, nFiles, maxPerStripe,
+      tfs.count(s => !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")),
+      tfs.map(_.getLen).sum)
+  }
+
+  /** One-row health report for any durable path-based index family:
+    * (kind, n_stripes, n_data_files, max_files_per_stripe,
+    * n_tombstone_files, tombstone_bytes, tombstone_broadcast_ok,
+    * needs_compaction). `needs_compaction` applies the measured-knee
+    * thresholds [[compactIfNeeded]] enforces; `tombstone_broadcast_ok`
+    * is the [[TombstoneBroadcastCapBytes]] headroom — false means
+    * loads have already degraded off the broadcast anti-join. */
+  def indexHealth(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerStripe: Int = DefaultMaxFilesPerStripe,
+      maxTombstoneBytes: Long = DefaultMaxTombstoneBytes): DataFrame = {
+    val h = pathIndexHealth(spark, path)
+    import spark.implicits._
+    Seq((h.kind, h.nStripes, h.nDataFiles, h.maxFilesPerStripe,
+        h.nTombstoneFiles, h.tombstoneBytes,
+        h.tombstoneBytes <= TombstoneBroadcastCapBytes,
+        needsCompaction(h, maxFilesPerStripe, maxTombstoneBytes)))
+      .toDF("kind", "n_stripes", "n_data_files", "max_files_per_stripe",
+        "n_tombstone_files", "tombstone_bytes", "tombstone_broadcast_ok",
+        "needs_compaction")
+  }
+
+  /** Default knee: 64 files/stripe ≈ two months of nightly clustered
+    * appends — past the ~16-files measurable-penalty point, an order
+    * of magnitude before the measured 3.7× open-overhead regime
+    * (IndexCompactionSweep), and cheap to rewrite monthly. The same
+    * bound applies to tombstone FILE accretion (one file per delete
+    * batch by construction). */
+  val DefaultMaxFilesPerStripe: Int = 64
+
+  /** Default tombstone-volume knee: a quarter of the broadcast cap —
+    * compaction fires while every load is still broadcast-cheap, well
+    * before [[TombstoneBroadcastCapBytes]] degrades the probe plans. */
+  val DefaultMaxTombstoneBytes: Long = TombstoneBroadcastCapBytes / 4
+
+  private def needsCompaction(
+      h: IndexHealthInfo, maxFilesPerStripe: Int,
+      maxTombstoneBytes: Long): Boolean =
+    h.maxFilesPerStripe > maxFilesPerStripe ||
+      h.nTombstoneFiles > maxFilesPerStripe ||
+      h.tombstoneBytes > maxTombstoneBytes
+
+  /** Compact `path` iff its health is past the knee, dispatching to
+    * the family's compact verb. Returns true iff a compaction ran —
+    * the nightly-append job's post-step (`appendTo*Index(...);
+    * compactIfNeeded(...)`) that keeps the layout inside the measured
+    * regime without scheduling corpus-sized rewrites that buy
+    * nothing. */
+  def compactIfNeeded(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerStripe: Int = DefaultMaxFilesPerStripe,
+      maxTombstoneBytes: Long = DefaultMaxTombstoneBytes): Boolean = {
+    val h = pathIndexHealth(spark, path)
+    val due = needsCompaction(h, maxFilesPerStripe, maxTombstoneBytes)
+    if (due) h.kind match {
+      case "ivfpq" => compactIvfPqIndex(spark, path)
+      case "ivf"   => compactIvfIndex(spark, path)
+      case "lsh"   => compactLshIndex(spark, path)
+      case "pq"    => compactPqIndex(spark, path)
+    }
+    due
+  }
+
+  /** The `nProbe` nearest inverted lists for a query — the driver-side
+    * centroid scoring shared by [[ivfTopK]] and [[ivfPqTopK]] (nLists
+    * is parameter-sized; descending cosine, ascending list on ties —
+    * stable sortBy keeps the original index order for equal keys). */
+  private def probeLists(
+      centroids: Array[Array[Float]], queryVec: Array[Float],
+      nProbe: Int): Array[Int] = {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < math.min(a.length, b.length)) {
@@ -1037,9 +1488,18 @@ object Similarity {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val probe = centroids.zipWithIndex
+    centroids.zipWithIndex
       .sortBy { case (cv, _) => -cos(cv, queryVec) }
       .take(nProbe).map(_._2)
+  }
+
+  /** IVF ANN top-k: score the query against every centroid on the driver
+    * (nLists is small), then scan only the `nProbe` nearest posting
+    * lists. Approximate; recall grows with nProbe. Output: (id, sim). */
+  def ivfTopK(
+      centroids: Array[Array[Float]], indexed: DataFrame,
+      queryVec: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val probe = probeLists(centroids, queryVec, nProbe)
     val spark = indexed.sparkSession
     import spark.implicits._
     val q = Seq(Tuple1(queryVec)).toDF("qv")
@@ -1212,30 +1672,46 @@ object Similarity {
     * all three places. */
   def pqEncode(
       vecs: DataFrame, id: Column, vec: Column,
-      codebooks: Seq[(Int, Int, Array[Double])]): DataFrame = {
+      codebooks: Seq[(Int, Int, Array[Double])]): DataFrame =
+    unitNormalized(vecs, id, vec)
+      .select(col("id"), packedCodesCol(col("u"), codebooks).as("codes"))
+
+  /** Unit-normalize to (id, u), excluding zero-norm vectors (no cosine
+    * to any query — the PQ-family contract; [[graft.operators
+    * .CorpusStats.embeddingAudit]] is the upstream gate). The shared
+    * head of [[pqEncode]] and [[ivfPqEncode]]. */
+  private def unitNormalized(
+      vecs: DataFrame, id: Column, vec: Column): DataFrame =
+    Dedup.spread(vecs)
+      .select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+      .filter(col("nrm") > 0)
+      .select(col("id"), col("v"),
+        transform(col("v"), x => x.cast("double") / col("nrm")).as("u"))
+
+  /** The bit-packed PQ code EXPRESSION over a unit-normalized vector —
+    * [[pqEncode]]'s body and [[ivfPqEncode]]'s code half share it
+    * (with [[pqTopK]]'s decode, via the same max-codeword-derived ksub,
+    * that is every producer and consumer of the bit layout on one
+    * definition). */
+  private def packedCodesCol(
+      u: Column, codebooks: Seq[(Int, Int, Array[Double])]): Column = {
     val ksub = codebooks.map(_._2).max + 1
     require(ksub >= 2 && (ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
     val m = codebooks.map(_._1).max + 1
     val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
-    val un = Dedup.spread(vecs)
-      .select(id.cast("long").as("id"), vec.as("v"))
-      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
-      .filter(col("nrm") > 0)
-      .select(col("id"),
-        transform(col("v"), x => x.cast("double") / col("nrm")).as("u"))
-    val dsubCol = (size(col("u")) / m).cast("int")
+    val dsubCol = (size(u) / m).cast("int")
     val cbLit = array((0 until m).map { j =>
       array(codebooks.filter(_._1 == j).map { case (_, cl, c) =>
         struct(lit(cl).as("cl"), typedLit(c.toSeq).as("c"))
       }: _*)
     }: _*)
-    val packed = (0 until m).map { j =>
+    (0 until m).map { j =>
       shiftleft(
         l2Assign(element_at(cbLit, j + 1),
-          slice(col("u"), lit(j) * dsubCol + 1, dsubCol)).cast("long"),
+          slice(u, lit(j) * dsubCol + 1, dsubCol)).cast("long"),
         j * bits)
     }.reduce(_ bitwiseOR _)
-    un.select(col("id"), packed.as("codes"))
   }
 
   /** PQ asymmetric-distance top-k (ADC): score every packed code row
@@ -1255,6 +1731,23 @@ object Similarity {
       codebooks: Seq[(Int, Int, Array[Double])], encoded: DataFrame,
       corpus: DataFrame, id: Column, vec: Column,
       queryVec: Array[Float], k: Int, rerankN: Int): DataFrame = {
+    val shortlist = encoded
+      .select(col("id"), adcApproxCol(codebooks, queryVec).as("approx"))
+      .orderBy(desc("approx"), asc("id"))
+      .limit(rerankN)
+    exactRerank(shortlist, corpus, id, vec, queryVec, k)
+  }
+
+  /** The ADC scoring EXPRESSION over a packed `codes` column: the
+    * query is pre-multiplied against every codeword on the driver
+    * (lut[j][c] = ⟨query subvector, codeword⟩ — m·ksub doubles, a
+    * literal), so scoring a row is m codegen'd bit-extracts + LUT adds.
+    * THE one decode definition — [[pqTopK]] and [[ivfPqTopK]] route
+    * through it, deriving ksub from the codebooks exactly like
+    * [[packedCodesCol]]'s encode, so bit layouts cannot diverge. */
+  private def adcApproxCol(
+      codebooks: Seq[(Int, Int, Array[Double])],
+      queryVec: Array[Float]): Column = {
     val m = codebooks.map(_._1).max + 1
     val ksub = codebooks.map(_._2).max + 1
     require((ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
@@ -1274,14 +1767,22 @@ object Similarity {
       }
     }
     val lutLit = typedLit(lut)
-    val approx = round((0 until m).map { j =>
+    round((0 until m).map { j =>
       element_at(element_at(lutLit, j + 1),
         shiftright(col("codes"), j * bits)
           .bitwiseAND(lit((ksub - 1).toLong)).cast("int") + 1)
     }.reduce(_ + _), 6)
-    val shortlist = encoded.select(col("id"), approx.as("approx"))
-      .orderBy(desc("approx"), asc("id"))
-      .limit(rerankN)
+  }
+
+  /** The exact-rerank TAIL shared by [[pqTopK]] and [[ivfPqTopK]]: the
+    * shortlist's full-dimension vectors are fetched BY ID from the
+    * corpus (the rerankN-row side joins against the cold store — at
+    * 100 TB this is the only touch of the float vectors), scored with
+    * the exact 4-dp cosine against the query, top-k out in
+    * [[bruteForceTopK]]'s (id, sim) contract. */
+  private def exactRerank(
+      shortlist: DataFrame, corpus: DataFrame, id: Column, vec: Column,
+      queryVec: Array[Float], k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = Seq(Tuple1(queryVec)).toDF("qv")

@@ -756,6 +756,73 @@ object PipelineQueries {
         .as("partial_recall_ok"))
   }
 
+  /** q196 — composed IVF+PQ durable index (FAISS IVFADC's layout), the
+    * FIFTH durable family through the full write(4/5) → APPEND(1/5) →
+    * fresh-reload discipline of q191: the list-partitioned stripes
+    * store ONE packed long per vector ([[Similarity.ivfPqEncode]]
+    * against centroids AND codebooks both fit on the BUILD corpus and
+    * frozen), so a probe partition-prunes to the probed stripes, reads
+    * codes — never the float vectors (plan-gated in
+    * `IndexLifecycleSpec`) — ADC-scores them, and exactly reranks the
+    * shortlist against full vectors fetched by id. Contract (q78's
+    * shape, both approximations composed): probing ALL lists with a
+    * corpus-sized rerank must reproduce exact brute-force top-10
+    * IDENTICALLY over the appended union (the composed completeness
+    * gate — every row scanned, every row reranked), and a 3-of-8 probe
+    * with a 100-row ADC rerank must keep recall ≥ 0.4 (the composed
+    * floor: q78's 3-of-8 IVF floor is 0.5 and the fixture sits AT it
+    * by construction — 3/8 of the corpus scanned ⤳ ~0.5 expected
+    * recall — so the ADC leg's loss, q89-small but nonzero, needs its
+    * own honest margin; measured 0.6/0.6/0.7 at sf0.001/0.01/0.1,
+    * IvfPqProbe). Oracle as q78: n_exact verified from the data,
+    * booleans literal — any regression flips Spark's output and the
+    * driver's hash. */
+  def q196IvfPqReloadProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val old = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) =!= 3)
+    val shard = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) === 3)
+    // Both frozen artifacts fit on the BUILD corpus: the deterministic
+    // ivfIndex fit (its distributed assignment half is lazy and unused
+    // here — ivfPqEncode re-derives the list inline) and q89's PQ
+    // codebook fit.
+    val (centroids, _) = Similarity.ivfIndex(
+      old, col("vec_id"), col("embedding"), nLists = 8)
+    val (cbs, _) = Similarity.pqIndex(
+      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 2)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q196_ivfpq"
+    Similarity.writeIvfPqIndex(centroids, cbs,
+      Similarity.ivfPqEncode(
+        old, col("vec_id"), col("embedding"), centroids, cbs), path)
+    Similarity.appendToIvfPqIndex(
+      shard, col("vec_id"), col("embedding"), path)
+
+    val fresh = spark.newSession()
+    val emb2 = Tables.embeddings(fresh, dir)
+    val corpus = emb2.filter(col("vec_id") =!= 0)
+    val q = emb2.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+      corpus, col("vec_id"), col("embedding"), q, k = 10)
+    val (cents, cbs2, codes) = Similarity.loadIvfPqIndex(fresh, path)
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    val full = Similarity.ivfPqTopK(cents, cbs2, codes, corpus,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 8,
+      rerankN = 1 << 20)
+    val partial = Similarity.ivfPqTopK(cents, cbs2, codes, corpus,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 3,
+      rerankN = 100)
+    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+      .select(col("n_hit").as("n_hit_partial"))
+    fullStats.crossJoin(partStats).select(
+      col("n_exact"),
+      (col("n_approx") === col("n_exact") &&
+        col("n_hit") === col("n_exact")).as("full_probe_exact"),
+      (col("n_hit_partial") >= col("n_exact") * 0.4).as("partial_recall_ok"))
+  }
+
   /** q142 — truncated-dimension recall audit
     * ([[Similarity.truncatedDimRecall]]): exact top-10 for the vec_id-0
     * probe at prefix dims 8/16/32/64 vs the full-dimension truth — the
@@ -1350,6 +1417,7 @@ object PipelineQueries {
     "q193_lsh_reload_probe"   -> q193LshReloadProbe _,
     "q194_index_delete_probe" -> q194IndexDeleteProbe _,
     "q195_hard_negatives_ann_ivf" -> q195HardNegativesAnnIvf _,
+    "q196_ivfpq_reload_probe" -> q196IvfPqReloadProbe _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
@@ -2166,6 +2234,15 @@ object PipelineQueries {
     // append → reload → full-ball probe ≡ exact; Hamming-2 pruned
     // probe holds q79's floor).
     "q193_lsh_reload_probe" ->
+      s"""WITH $exactTop10Sql
+        |SELECT count(*) AS n_exact, true AS full_probe_exact,
+        | true AS partial_recall_ok FROM top""".stripMargin,
+    // q196 is the same contract through the composed IVF+PQ lifecycle
+    // (write → append → reload → all-lists + corpus-sized-rerank probe
+    // ≡ exact; 3-of-8 probe with a 100-row ADC rerank holds the
+    // composed 0.4 floor). The exact side is the unchanged full
+    // corpus, so q78's oracle verbatim.
+    "q196_ivfpq_reload_probe" ->
       s"""WITH $exactTop10Sql
         |SELECT count(*) AS n_exact, true AS full_probe_exact,
         | true AS partial_recall_ok FROM top""".stripMargin,

@@ -246,7 +246,8 @@ class IndexLifecycleSpec extends SparkSpec {
     // different shuffle-partition counts, fed differently-partitioned
     // input, must build the SAME index — including through the
     // bounded-sample path (fitSampleRows < corpus), whose sample is the
-    // smallest ids, not a partitioning-sensitive Bernoulli draw.
+    // smallest (xxhash64(id), id) values — hash-ordered, deterministic —
+    // not a partitioning-sensitive Bernoulli draw.
     def build(parts: Int, shuffle: Int,
         fitRows: Long): (Array[Array[Float]], Seq[Row]) = {
       val s = spark.newSession()
@@ -801,5 +802,301 @@ class IndexLifecycleSpec extends SparkSpec {
         old, col("vec_id"), col("embedding"), nBits = 33, tmpDir("lsh_bad"))
     }
     assert(bad.getMessage.contains("[1, 32]"))
+  }
+
+  test("IVF+PQ composed index: write → append → reload probe ≡ exact; pruned scan reads CODES not vectors; delete/compact lifecycle; re-ingest guarded") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val old = corpus.filter(pmod(col("vec_id"), lit(5)) =!= 3)
+    val shard = corpus.filter(pmod(col("vec_id"), lit(5)) === 3)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    // Frozen artifacts fit on the BUILD corpus (q196's composition).
+    val (centroids, _) = Similarity.ivfIndex(
+      old, col("vec_id"), col("embedding"), nLists = 8)
+    val (cbs, _) = Similarity.pqIndex(
+      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val path = tmpDir("ivfpq_lc")
+    Similarity.writeIvfPqIndex(centroids, cbs,
+      Similarity.ivfPqEncode(
+        old, col("vec_id"), col("embedding"), centroids, cbs), path)
+    Similarity.appendToIvfPqIndex(
+      shard, col("vec_id"), col("embedding"), path)
+
+    val fresh = spark.newSession()
+    // AQE off so the executed plan is walkable for the scan assertion
+    // (AdaptiveSparkPlanExec hides its stages from SparkPlan.collect).
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    val emb2 = Tables.embeddings(fresh, sf)
+    val corpus2 = emb2.filter(col("vec_id") =!= 0)
+    val (cents, cbs2, codes) = Similarity.loadIvfPqIndex(fresh, path)
+    assert(cents.zip(centroids).forall { case (a, b) => a.sameElements(b) },
+      "reloaded centroids must be bit-equal")
+    assert(cbs2.size == cbs.size &&
+      cbs2.zip(cbs).forall { case ((j1, c1, a1), (j2, c2, a2)) =>
+        j1 == j2 && c1 == c2 && a1.sameElements(a2) },
+      "reloaded codebooks must be bit-equal")
+    // Composed completeness gate: all lists + corpus-sized rerank ≡
+    // exact brute force over the appended union.
+    val exact = Similarity.bruteForceTopK(
+      corpus2, col("vec_id"), col("embedding"), q, k = 10).collect().toSeq
+    val full = Similarity.ivfPqTopK(cents, cbs2, codes, corpus2,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 8,
+      rerankN = 1 << 20).collect().toSeq
+    assert(full === exact,
+      "all-lists + corpus-rerank composed probe must equal brute force")
+    // The bytes-per-probe gate: the pruned stripe scan reads (id,
+    // codes) ONLY — never a float vector column — and the probe filter
+    // reaches the partition layer.
+    val partialDf = Similarity.ivfPqTopK(cents, cbs2, codes, corpus2,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 3, rerankN = 50)
+    val scan = scansOf(partialDf.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(
+        _.toString.contains(s"graft_ivfpq_lc_$runId")))
+    assert(scan.isDefined, "composed code scan not found")
+    assert(scan.get.partitionFilters.exists(
+      _.references.exists(_.name == "list")),
+      s"probe filter did not reach the partition layer:\n${scan.get}")
+    assert(scan.get.requiredSchema.fieldNames.toSet === Set("id", "codes"),
+      s"the pruned scan must read codes, not vectors — got " +
+        s"${scan.get.requiredSchema.fieldNames.mkString(", ")}")
+    // Delete: probe ≡ the same probe over an index built on the
+    // SURVIVORS with the same frozen artifacts.
+    val deleted = corpus2.filter(pmod(col("vec_id"), lit(10)) === 2)
+    val survivors = corpus2.filter(pmod(col("vec_id"), lit(10)) =!= 2)
+    Similarity.deleteFromIvfPqIndex(
+      deleted.select(col("vec_id")), col("vec_id"), path)
+    val fresh2 = spark.newSession()
+    val (_, _, codes2) = Similarity.loadIvfPqIndex(fresh2, path)
+    val wantSurv = Similarity.ivfPqTopK(cents, cbs2,
+      Similarity.ivfPqEncode(
+        survivors, col("vec_id"), col("embedding"), cents, cbs2),
+      survivors, col("vec_id"), col("embedding"), qv,
+      k = 10, nProbe = 8, rerankN = 1 << 20).collect().toSeq
+    val gotSurv = Similarity.ivfPqTopK(cents, cbs2, codes2, survivors,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 8,
+      rerankN = 1 << 20).collect().toSeq
+    assert(gotSurv === wantSurv,
+      "post-delete composed probe must equal the rebuilt-on-survivors probe")
+    // Re-ingest guard names the composed compaction verb.
+    val eR = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(
+        deleted, col("vec_id"), col("embedding"), path)
+    }
+    assert(eR.getMessage.contains("compactIvfPqIndex"))
+    // Compact: probe bit-equal, tombstones reset, physical erasure,
+    // one file per surviving stripe.
+    Similarity.compactIvfPqIndex(fresh2, path)
+    assert(fresh2.read.parquet(s"$path/tombstones").isEmpty)
+    val fresh3 = spark.newSession()
+    val (cents3, cbs3, codes3) = Similarity.loadIvfPqIndex(fresh3, path)
+    assert(cents3.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    assert(Similarity.ivfPqTopK(cents3, cbs3, codes3, survivors,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 8,
+      rerankN = 1 << 20).collect().toSeq === wantSurv,
+      "compacted composed probe must be bit-equal to the tombstoned probe")
+    val delIds = deleted.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    val fileIds = fresh3.read.parquet(s"$path/lists").select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fileIds.intersect(delIds).isEmpty,
+      "compaction must physically remove the deleted codes")
+    val stripeFiles = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.isDirectory).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+    assert(stripeFiles.values.forall(_ == 1),
+      s"each surviving stripe must come back as ONE file, got $stripeFiles")
+  }
+
+  test("re-ingesting a tombstoned id fails readably on every append path; compaction makes it legal and the rows visible again") {
+    // The churn workflow (delete by mistake, re-add): before the guard,
+    // the append landed rows that every load anti-joined away — the id
+    // silently vanished until a compaction. Now the append names the
+    // fix, and after compaction the re-ingest round-trips.
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val churn = corpus.filter(pmod(col("vec_id"), lit(5)) === 3)
+    val churnIds = churn.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+
+    // IVF: full delete → append(fails) → compact → append(ok) cycle.
+    val ivfPath = tmpDir("ivf_reingest")
+    val (centroids, indexed) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    Similarity.writeIvfIndex(centroids, indexed, ivfPath)
+    Similarity.deleteFromIvfIndex(
+      churn.select(col("vec_id")), col("vec_id"), ivfPath)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(
+        churn, col("vec_id"), col("embedding"), ivfPath)
+    }
+    assert(e1.getMessage.contains("compactIvfIndex"),
+      s"the error must name the compaction verb, got: ${e1.getMessage}")
+    // The refused append mutated nothing: the loaded index still hides
+    // the churn ids and holds no duplicate rows.
+    val (_, lists1) = Similarity.loadIvfIndex(spark.newSession(), ivfPath)
+    val ids1 = lists1.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids1.intersect(churnIds).isEmpty,
+      "refused append must not surface tombstoned ids")
+    Similarity.compactIvfIndex(spark, ivfPath)
+    Similarity.appendToIvfIndex(
+      churn, col("vec_id"), col("embedding"), ivfPath)
+    val (_, lists2) = Similarity.loadIvfIndex(spark.newSession(), ivfPath)
+    val ids2 = lists2.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(churnIds.subsetOf(ids2),
+      "post-compaction re-ingest must be visible on the next load")
+
+    // LSH + PQ: the same guard fires with the family's verb named.
+    val lshPath = tmpDir("lsh_reingest")
+    Similarity.writeLshIndex(
+      corpus, col("vec_id"), col("embedding"), nBits = 8, lshPath)
+    Similarity.deleteFromLshIndex(
+      churn.select(col("vec_id")), col("vec_id"), lshPath)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendToLshIndex(
+        churn, col("vec_id"), col("embedding"), lshPath)
+    }
+    assert(e2.getMessage.contains("compactLshIndex"))
+    val (cbs, encoded) = Similarity.pqIndex(
+      corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val pqPath = tmpDir("pq_reingest")
+    Similarity.writePqIndex(cbs, encoded, pqPath)
+    Similarity.deleteFromPqIndex(
+      churn.select(col("vec_id")), col("vec_id"), pqPath)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(
+        churn, col("vec_id"), col("embedding"), pqPath)
+    }
+    assert(e3.getMessage.contains("compactPqIndex"))
+
+    // Corpus index: same cycle through the catalog-table family.
+    val prefix = s"graft_idx_reingest_$runId"
+    val docs = Tables.documents(spark, sf)
+    val churnDocs = docs.filter(col("source") === "src8")
+    val churnDocIds = churnDocs.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val built = Dedup.corpusIndex(
+      docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"))
+    Dedup.writeCorpusIndex(built, prefix, buckets = 4)
+    built.unpersist()
+    Dedup.deleteFromCorpusIndex(
+      churnDocs.select(col("doc_id")), col("doc_id"), prefix)
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.appendToCorpusIndex(
+        churnDocs, col("doc_id"), col("text"), prefix)
+    }
+    assert(e4.getMessage.contains("compactCorpusIndex"),
+      s"the error must name the compaction verb, got: ${e4.getMessage}")
+    Dedup.compactCorpusIndex(spark, prefix)
+    Dedup.appendToCorpusIndex(churnDocs, col("doc_id"), col("text"), prefix)
+    val reIds = Dedup.loadCorpusIndex(spark.newSession(), prefix)
+      .rel.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(churnDocIds.subsetOf(reIds),
+      "post-compaction re-ingest must be visible to a fresh load")
+  }
+
+  test("indexHealth + compactIfNeeded: the measured knee becomes policy — below it a no-op, past it the family's compact fires") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val path = tmpDir("ivf_health")
+    val (centroids, indexed) = Similarity.ivfIndex(
+      corpus.filter(pmod(col("vec_id"), lit(10)) < 8),
+      col("vec_id"), col("embedding"), nLists = 8)
+    Similarity.writeIvfIndex(centroids, indexed, path)
+    for (night <- Seq(8, 9))
+      Similarity.appendToIvfIndex(
+        corpus.filter(pmod(col("vec_id"), lit(10)) === night),
+        col("vec_id"), col("embedding"), path)
+    val h = Similarity.indexHealth(spark, path).collect().head
+    assert(h.getAs[String]("kind") === "ivf")
+    assert(h.getAs[Int]("max_files_per_stripe") >= 2,
+      "two nightly appends must show as accreted stripe files")
+    assert(h.getAs[Boolean]("tombstone_broadcast_ok"))
+    assert(!h.getAs[Boolean]("needs_compaction"),
+      "2 files/stripe is far below the measured 64-file knee")
+    // Below the knee: a no-op — returns false, layout untouched.
+    val filesBefore = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.isDirectory)
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(!Similarity.compactIfNeeded(spark, path))
+    val filesAfterNoop = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.isDirectory)
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(filesAfterNoop === filesBefore, "below-knee call must not rewrite")
+    // Past the knee (knob tightened to the accreted state): fires the
+    // IVF compact, resets to one file per stripe, and the health row
+    // goes green even at the tight knob.
+    assert(Similarity.compactIfNeeded(spark, path, maxFilesPerStripe = 1))
+    val h2 = Similarity.indexHealth(spark, path, maxFilesPerStripe = 1)
+      .collect().head
+    assert(h2.getAs[Int]("max_files_per_stripe") === 1)
+    assert(!h2.getAs[Boolean]("needs_compaction"))
+    // Tombstone-volume trigger: a delete stream trips the bytes knob.
+    Similarity.deleteFromIvfIndex(
+      corpus.filter(pmod(col("vec_id"), lit(10)) === 9)
+        .select(col("vec_id")), col("vec_id"), path)
+    assert(Similarity.compactIfNeeded(spark, path, maxTombstoneBytes = 1L))
+    assert(spark.read.parquet(s"$path/tombstones").isEmpty,
+      "the fired compaction must have erased the tombstones")
+    // Family detection: a wrong path fails readably.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.indexHealth(spark, tmpDir("nonexistent"))
+    }
+    assert(e.getMessage.contains("IvfPq/Ivf/Lsh/Pq"))
+
+    // Corpus-table analogue.
+    val prefix = s"graft_idx_health_$runId"
+    val docs = Tables.documents(spark, sf)
+    val built = Dedup.corpusIndex(
+      docs.filter(col("source") =!= "src0" && col("source") =!= "src8"),
+      col("doc_id"), col("text"))
+    Dedup.writeCorpusIndex(built, prefix, buckets = 4)
+    built.unpersist()
+    Dedup.appendToCorpusIndex(
+      docs.filter(col("source") === "src8"), col("doc_id"), col("text"),
+      prefix)
+    val ch = Dedup.corpusIndexHealth(spark, prefix).collect().head
+    assert(ch.getAs[Int]("n_buckets") === 4)
+    assert(ch.getAs[Int]("max_files_per_bucket") >= 2,
+      "the append must show as accreted bucket files")
+    assert(!ch.getAs[Boolean]("needs_compaction"))
+    assert(!Dedup.compactCorpusIndexIfNeeded(spark, prefix))
+    assert(Dedup.compactCorpusIndexIfNeeded(spark, prefix,
+      maxFilesPerBucket = 1))
+    val ch2 = Dedup.corpusIndexHealth(spark, prefix, maxFilesPerBucket = 1)
+      .collect().head
+    assert(ch2.getAs[Int]("max_files_per_bucket") === 1)
+    assert(!ch2.getAs[Boolean]("needs_compaction"))
+  }
+
+  test("a delete issued AFTER a compaction still hides its id — the snapshot-scoped erase keeps the tombstone relation live") {
+    // Compaction must erase exactly the tombstone files it snapshotted
+    // (the lost-delete-race discipline): afterwards the relation is
+    // empty but APPENDABLE and loads still anti-join it, so the delete
+    // lifecycle keeps working across arbitrarily many compactions.
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val delA = corpus.filter(pmod(col("vec_id"), lit(10)) === 1)
+    val delB = corpus.filter(pmod(col("vec_id"), lit(10)) === 2)
+    val path = tmpDir("ivf_postcompact_del")
+    val (centroids, indexed) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    Similarity.writeIvfIndex(centroids, indexed, path)
+    Similarity.deleteFromIvfIndex(
+      delA.select(col("vec_id")), col("vec_id"), path)
+    Similarity.compactIvfIndex(spark, path)
+    Similarity.deleteFromIvfIndex(
+      delB.select(col("vec_id")), col("vec_id"), path)
+    val fresh = spark.newSession()
+    val (_, lists) = Similarity.loadIvfIndex(fresh, path)
+    val ids = lists.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids.forall(i => i % 10 != 1), "compacted-away ids stay gone")
+    assert(ids.forall(i => i % 10 != 2),
+      "a post-compaction delete must be visible on the next load")
+    val tombIds = fresh.read.parquet(s"$path/tombstones")
+      .collect().map(_.getLong(0)).toSet
+    assert(tombIds.nonEmpty && tombIds.forall(_ % 10 == 2),
+      "the tombstone relation must hold exactly the post-compaction batch")
   }
 }

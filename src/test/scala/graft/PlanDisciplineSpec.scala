@@ -80,6 +80,11 @@ class PlanDisciplineSpec extends SparkSpec {
     // cross, and the contract columns keep the 1-row recallStats
     // crosses; the index path itself is hash/broadcast equi-joins.
     "q195_hard_negatives_ann_ivf",
+    // q196: q78's recall contract through the composed IVF+PQ index —
+    // the same 1-row query-vector cross under the exact side and the
+    // rerank tail, plus the 1-row recallStats crosses; the ADC scan
+    // side is a pruned projection, no join at all.
+    "q196_ivfpq_reload_probe",
     // q141: the data card's token-share denominator — the 1-row corpus
     // totals broadcast crossed under the ≤|langs|-row share frame.
     "q141_data_card",

@@ -25,6 +25,44 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(1) - 1.0) < 1e-12)
   }
 
+  test("ivfIndex fails fast on ragged embedding widths in the fit sample") {
+    // A truncated embedding would otherwise train centroids on the
+    // common PREFIX silently (lloydFit's L2 kernels zip to the shorter
+    // width) — the pqEncode width discipline, enforced at the sample.
+    val ragged = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.5f)),
+      (3L, Array(0.0f, 1.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfIndex(ragged, col("id"), col("vec"), nLists = 2)
+    }
+    assert(e.getMessage.contains("ragged"))
+    assert(e.getMessage.contains("1, 2"),
+      s"the error should name the observed widths, got: ${e.getMessage}")
+  }
+
+  test("parallel Lloyd fit is bit-identical to the single-threaded schedule") {
+    // The determinism-vs-throughput gate: the parallel fit may only
+    // reorganize SCHEDULE, never float association — per-point work is
+    // disjoint-slot, per-cluster sums keep sample order. Gated on a
+    // real sample (the q78 fixture corpus), both k regimes.
+    val sample = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") =!= 0)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(500)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1).map(_._2)
+    for (k <- Seq(8, 64)) {
+      val seq = Similarity.lloydFitImpl(sample, k, iters = 10,
+        parallel = false)
+      val par = Similarity.lloydFitImpl(sample, k, iters = 10,
+        parallel = true)
+      assert(seq.length === par.length)
+      assert(seq.zip(par).forall { case (a, b) => a.sameElements(b) },
+        s"parallel fit diverged from the sequential schedule at k=$k")
+    }
+  }
+
   test("bruteForceTopK ranks by cosine, descending") {
     val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qv")
     val got = Similarity.bruteForceTopK(corpus, col("id"), col("vec"), q, 3)

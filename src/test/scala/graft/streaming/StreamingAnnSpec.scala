@@ -125,4 +125,69 @@ class StreamingAnnSpec extends SparkSpec {
     assert(expectBatch2 !== preAppendBatch2,
       "fixture must make the append visible in batch 2's neighbors")
   }
+
+  test("refreshing daemon: a deleteFromIvfIndex mid-stream is visible at the next batch boundary — RTBF without restart") {
+    // The delete analogue of the append test above (the RTBF-meets-
+    // streaming story): the resident daemon holds no index state
+    // across batches — startRefreshing re-resolves the handle, and
+    // loadIvfIndex anti-joins the tombstones — so a deletion issued
+    // WHILE THE QUERY RUNS must drop out of the next batch's
+    // neighbors, with no restart and no compaction.
+    import org.apache.spark.sql.streaming.Trigger
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val doomed = corpus.filter(pmod(col("vec_id"), lit(5)) === 3)
+    val root = Files.createTempDirectory("streamann_delete").toString
+    val (centroids, indexed) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    Similarity.writeIvfIndex(centroids, indexed, s"$root/idx")
+
+    val fresh = spark.newSession()
+    val emb2 = Tables.embeddings(fresh, sf)
+    val (cents, preLists) = Similarity.loadIvfIndex(fresh, s"$root/idx")
+    val inDir = s"$root/in"
+    emb2.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).write.parquet(inDir)
+    val schema = fresh.read.parquet(inDir).schema
+    val q = StreamingAnn.startRefreshing(fresh, inDir, schema,
+      col("vec_id"), col("embedding"), s"$root/idx", k = 5, nProbe = 8,
+      outDir = s"$root/out", checkpointDir = s"$root/ck",
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable() // batch 1: pre-delete index
+      Similarity.deleteFromIvfIndex(
+        doomed.select(col("vec_id")), col("vec_id"), s"$root/idx")
+      emb2.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable() // batch 2: post-delete, same running query
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val got = rows(fresh.read.parquet(s"$root/out"))
+    val (_, postLists) = Similarity.loadIvfIndex(fresh, s"$root/idx")
+    val expectBatch1 = rows(Similarity.ivfTopKBatch(cents, preLists,
+      emb2.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 5, nProbe = 8))
+    val expectBatch2 = rows(Similarity.ivfTopKBatch(cents, postLists,
+      emb2.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 5, nProbe = 8))
+    assert(got === (expectBatch1 ++ expectBatch2),
+      "batch 1 must probe the pre-delete index, batch 2 the tombstoned one")
+    val doomedIds = doomed.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    val batch2Got = got -- expectBatch1
+    assert(batch2Got.forall(r => !doomedIds(r._2)),
+      "no batch-2 neighbor may be a tombstoned id")
+    // Non-vacuous: the delete actually changed batch 2's answer (the
+    // pre-delete index would have returned a doomed neighbor).
+    val preDeleteBatch2 = rows(Similarity.ivfTopKBatch(cents, preLists,
+      emb2.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 5, nProbe = 8))
+    assert(preDeleteBatch2.exists(r => doomedIds(r._2)),
+      "fixture must make the delete visible in batch 2's neighbors")
+    assert(expectBatch2 !== preDeleteBatch2)
+  }
 }

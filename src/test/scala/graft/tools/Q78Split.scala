@@ -12,7 +12,8 @@ import graft.sources.Tables
   * whole recall CONTRACT — so its time is by design a multiple of any
   * single piece. This times the pieces separately at a given SF:
   * exact brute-force top-10, one-time `ivfIndex` build (deterministic
-  * Lloyd fit on the smallest-id sample + frozen-centroid assignment,
+  * Lloyd fit on the hash-ordered bounded sample — the smallest
+  * (xxhash64(id), id) values — + frozen-centroid assignment,
   * index persisted and forced), then N warm `ivfTopK`
   * probes — build once / probe many is the operator's premise, and the
   * steady-state per-query cost is the probe number.
