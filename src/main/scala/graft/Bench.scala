@@ -359,10 +359,26 @@ object Bench {
           graft.sources.Tables.embeddings(spark, sfDir)
             .filter(col("vec_id") < 5),
           col("vec_id"), col("embedding"), k = 5, nProbe = 3)))
+        // q196's steady state (round-18): the composed IVF+PQ probe
+        // against the already-landed index — a partition-pruned scan
+        // of (id, codes) + ADC + a 100-row exact rerank by id; the
+        // composed q196 entry carries both fits + write + append +
+        // the exact side.
+        val ivfPqDir = java.nio.file.Files
+          .createTempDirectory("graft-bench-ivfpq-").toString
+        Similarity.writeIvfPqIndex(centroids, cbs,
+          Similarity.ivfPqEncode(
+            corpus, col("vec_id"), col("embedding"), centroids, cbs),
+          ivfPqDir)
+        val (pqcents, pqcbs, pqcodes) = Similarity.loadIvfPqIndex(
+          spark, ivfPqDir)
+        val p196 = minOf3(noop(Similarity.ivfPqTopK(pqcents, pqcbs,
+          pqcodes, corpus, col("vec_id"), col("embedding"), qv,
+          k = 10, nProbe = 3, rerankN = 100)))
         Vector("q78_probe" -> p78, "q79_probe" -> p79, "q89_probe" -> p89,
           "q128_probe" -> p128,
           "q189_reload_probe" -> p189, "q78_reload_probe" -> p78r,
-          "q192_batch_probe" -> p192)
+          "q192_batch_probe" -> p192, "q196_ivfpq_probe" -> p196)
       } catch {
         case e: Throwable =>
           // Probe failure must not cost the run its full-query artifact,
