@@ -773,8 +773,12 @@ object PipelineQueries {
     * floor: q78's 3-of-8 IVF floor is 0.5 and the fixture sits AT it
     * by construction — 3/8 of the corpus scanned ⤳ ~0.5 expected
     * recall — so the ADC leg's loss, q89-small but nonzero, needs its
-    * own honest margin; measured 0.6/0.6/0.7 at sf0.001/0.01/0.1,
-    * IvfPqProbe). Oracle as q78: n_exact verified from the data,
+    * own honest margin; measured 0.6/0.6/0.6 at sf0.001/0.01/0.1,
+    * IvfPqProbe). The codebook fit runs ONE Lloyd iteration — q196
+    * gates lifecycle composition (encode/write/append/probe equality),
+    * not codebook quality, which q89 owns at iters = 2; the composed
+    * completeness gate is iteration-count-blind by construction.
+    * Oracle as q78: n_exact verified from the data,
     * booleans literal — any regression flips Spark's output and the
     * driver's hash. */
   def q196IvfPqReloadProbe(spark: SparkSession, dir: String): DataFrame = {
@@ -790,7 +794,7 @@ object PipelineQueries {
     val (centroids, _) = Similarity.ivfIndex(
       old, col("vec_id"), col("embedding"), nLists = 8)
     val (cbs, _) = Similarity.pqIndex(
-      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 2)
+      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_q196_ivfpq"
     Similarity.writeIvfPqIndex(centroids, cbs,
       Similarity.ivfPqEncode(

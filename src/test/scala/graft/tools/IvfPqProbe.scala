@@ -31,7 +31,7 @@ object IvfPqProbe {
     val (centroids, _) = Similarity.ivfIndex(
       old, col("vec_id"), col("embedding"), nLists = 8)
     val (cbs, _) = Similarity.pqIndex(
-      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 2)
+      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_probe"
     Similarity.writeIvfPqIndex(centroids, cbs,
       Similarity.ivfPqEncode(
