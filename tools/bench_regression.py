@@ -164,6 +164,16 @@ def main():
     if removed:
         print(f"  removed queries: {', '.join(removed)}")
     if not flagged:
+        # The zero-flag state is itself a round artifact (the judge
+        # reads <curr>.regression.json): record it machine-readably
+        # instead of leaving last round's file as the newest one.
+        with open(args[1] + ".regression.json", "w") as f:
+            json.dump({"rule": "grew >1.5x AND >+0.3s on the shared "
+                               "surface => must-disposition",
+                       "prev": args[0], "curr": args[1],
+                       "shared": len(shared), "improved": improved,
+                       "added": sorted(added), "removed": sorted(removed),
+                       "flags": []}, f, indent=1)
         print("no regressions on the shared surface")
         return 0
 
