@@ -1473,6 +1473,111 @@ object Similarity {
     due
   }
 
+  /** Batch probe over the composed index — [[ivfTopKBatch]]'s
+    * many-queries shape reading CODES instead of float vectors: the
+    * whole anchor batch probes in ONE plan (per-query probe lists
+    * picked declaratively with [[ivfTopKBatch]]'s exact centroid
+    * arithmetic; the bounded union of probed list ids applied as a
+    * static filter, so a [[loadIvfPqIndex]] scan partition-prunes to
+    * the probed stripes AND reads one long per row — the two scale
+    * levers composed), each (query, code) pair is ADC-scored by an
+    * EXPRESSION whose float association mirrors [[adcApproxCol]]'s
+    * driver LUT term for term (per-subspace left-fold dots, then the
+    * same left-to-right subspace sum, 6-dp round — a 1-query batch is
+    * bit-equal to [[ivfPqTopK]]'s shortlist stage by construction),
+    * per-query rerankN shortlists come from the bounded GroupTopK
+    * heaps, and ONE broadcast id semi-join fetches the survivors' full
+    * vectors for the exact rerank. Self-pairs are excluded before the
+    * heap ([[bruteForceTopKBatch]]'s contract), so `nProbe = nLists` ∧
+    * `rerankN ≥ |corpus|` degenerates to exact [[bruteForceTopKBatch]]
+    * BY CONSTRUCTION — the q197 completeness gate. Output:
+    * (query_id, id, sim, rank). */
+  def ivfPqTopKBatch(
+      centroids: Array[Array[Float]],
+      codebooks: Seq[(Int, Int, Array[Double])], indexed: DataFrame,
+      corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column,
+      k: Int, nProbe: Int, rerankN: Int): DataFrame = {
+    require(rerankN >= k, "rerankN must be >= k")
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+    // Probe-list pick: ivfTopKBatch's expression verbatim.
+    val cands = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("list"), typedLit(cv.map(_.toDouble).toSeq).as("c"))
+    }: _*)
+    val qd = transform(col("qv"), _.cast("double"))
+    val scoredCands = transform(cands, ct => struct(
+      (ddot(qd, ct.getField("c")) * lit(-1.0d) /
+        (sqrt(ddot(qd, qd)) *
+          sqrt(ddot(ct.getField("c"), ct.getField("c"))))).as("negcos"),
+      ct.getField("list").as("list")))
+    val probes = transform(
+      slice(array_sort(scoredCands), 1, nProbe), s => s.getField("list"))
+    val q = queries
+      .select(qid.cast("long").as("query_id"), qvec.as("qv"))
+      .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
+      .withColumn("probe_list", explode(probes))
+    val probedLists = q.select(col("probe_list")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // ADC per (query, code): the query is unit-normalized FIRST (the
+    // LUT scores ⟨q, codeword⟩ with the raw query — ranking-equivalent
+    // because qnrm is constant per query — but the BATCH must mirror
+    // the single-query arithmetic exactly, so score with the raw qv
+    // like adcApproxCol does), decoded per subspace against the
+    // codebook literal, per-subspace left-fold dot, left-to-right
+    // subspace sum, 6-dp round.
+    val m = codebooks.map(_._1).max + 1
+    val ksub = codebooks.map(_._2).max + 1
+    require((ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
+    val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
+    val dsub = codebooks.head._3.length
+    val cbArr = array((0 until m).map { j =>
+      array((0 until ksub).map { c =>
+        typedLit(codebooks.find(p => p._1 == j && p._2 == c)
+          .map(_._3.toSeq)
+          .getOrElse(Seq.fill(dsub)(Double.NegativeInfinity)))
+      }: _*)
+    }: _*)
+    val approx = round((0 until m).map { j =>
+      val cw = element_at(element_at(cbArr, j + 1),
+        shiftright(col("codes"), j * bits)
+          .bitwiseAND(lit((ksub - 1).toLong)).cast("int") + 1)
+      ddot(transform(slice(col("qv"), j * dsub + 1, dsub),
+        _.cast("double")), cw)
+    }.reduce(_ + _), 6)
+    val cand = indexed.filter(col("list").isin(probedLists: _*))
+      .join(broadcast(q), col("list") === col("probe_list"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("approx", approx)
+    val short = graft.plans.GroupTopK.topK(cand,
+        Seq(col("query_id")), Seq(col("approx").desc, col("id").asc),
+        rerankN)
+      .select(col("query_id"), col("id"))
+    // Exact rerank: fetch the survivors' full vectors by id, rescore
+    // with the 4-dp cosine, top-k per query (the rerankShortlist
+    // broadcast-gating discipline: the |queries|×rerankN id frame
+    // broadcasts when product-small, else the optimizer decides).
+    val nQueries = queries.count()
+    val shortSide =
+      if (nQueries * rerankN.toLong <= (1L << 20)) broadcast(short)
+      else short
+    val c = corpus.select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+    val rescored = c.join(shortSide, Seq("id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))
+        .dropDuplicates("query_id")), Seq("query_id"))
+      .withColumn("sim", round(
+        VectorFunctions.dot(col("v"), col("qv")) /
+          (col("nrm") * col("qnrm")), 4))
+    val top = graft.plans.GroupTopK.topK(rescored,
+      Seq(col("query_id")), Seq(col("sim").desc, col("id").asc), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("id"), col("sim"), col("rank"))
+  }
+
   /** The `nProbe` nearest inverted lists for a query — the driver-side
     * centroid scoring shared by [[ivfTopK]] and [[ivfPqTopK]] (nLists
     * is parameter-sized; descending cosine, ascending list on ties —

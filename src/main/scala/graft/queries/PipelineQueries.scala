@@ -827,6 +827,42 @@ object PipelineQueries {
       (col("n_hit_partial") >= col("n_exact") * 0.4).as("partial_recall_ok"))
   }
 
+  /** q197 — batch probe over the composed IVF+PQ index: q192's
+    * many-queries lifecycle through the code stripes. The whole anchor
+    * batch probes in ONE [[Similarity.ivfPqTopKBatch]] plan — static
+    * `list IN (…)` partition pruning over a [[Similarity
+    * .loadIvfPqIndex]] scan that reads ONE long per row (never the
+    * float vectors; plan-gated in `IndexLifecycleSpec`), per-(query,
+    * code) ADC expression bit-mirroring the single-query LUT, bounded
+    * GroupTopK shortlists, one broadcast id semi-join for the exact
+    * rerank. Probing every list with a corpus-sized rerank scores and
+    * reranks every (query, corpus) pair, so the batch must equal
+    * exhaustive [[q65BatchKnn]] row for row — q65's oracle SQL
+    * verbatim, through build → durable write → `newSession()` reload
+    * (the lifecycle-invisibility convention). */
+  def q197IvfPqBatchProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (centroids, _) = Similarity.ivfIndex(
+      emb, col("vec_id"), col("embedding"), nLists = 8)
+    val (cbs, _) = Similarity.pqIndex(
+      emb, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q197_ivfpq"
+    Similarity.writeIvfPqIndex(centroids, cbs,
+      Similarity.ivfPqEncode(
+        emb, col("vec_id"), col("embedding"), centroids, cbs), path)
+
+    val fresh = spark.newSession()
+    val emb2 = Tables.embeddings(fresh, dir)
+    val (cents, cbs2, codes) = Similarity.loadIvfPqIndex(fresh, path)
+    val n = emb2.count()
+    Similarity.ivfPqTopKBatch(cents, cbs2, codes,
+        emb2, col("vec_id"), col("embedding"),
+        emb2.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 5, nProbe = 8,
+        rerankN = math.min(n, Int.MaxValue.toLong).toInt)
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+
   /** q142 — truncated-dimension recall audit
     * ([[Similarity.truncatedDimRecall]]): exact top-10 for the vec_id-0
     * probe at prefix dims 8/16/32/64 vs the full-dimension truth — the
@@ -1422,6 +1458,7 @@ object PipelineQueries {
     "q194_index_delete_probe" -> q194IndexDeleteProbe _,
     "q195_hard_negatives_ann_ivf" -> q195HardNegativesAnnIvf _,
     "q196_ivfpq_reload_probe" -> q196IvfPqReloadProbe _,
+    "q197_ivfpq_batch_probe" -> q197IvfPqBatchProbe _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
@@ -1991,6 +2028,11 @@ object PipelineQueries {
     // batch KNN row for row — same oracle verbatim (the q189/q190/q191
     // lifecycle-invisibility convention).
     "q192_ivf_batch_probe" -> batchKnnSql,
+    // q197 is the same contract through the composed IVF+PQ lifecycle:
+    // all-lists probe + corpus-sized ADC rerank scores and reranks
+    // every (query, corpus) pair, so the batch ≡ exhaustive batch KNN
+    // row for row — q65's oracle once more.
+    "q197_ivfpq_batch_probe" -> batchKnnSql,
     "q142_truncated_recall" -> {
       def cosD(d: Int): String =
         s"""round(list_sum(list_transform(range($d),

@@ -909,6 +909,70 @@ class IndexLifecycleSpec extends SparkSpec {
       s"each surviving stripe must come back as ONE file, got $stripeFiles")
   }
 
+  test("IVF+PQ batch probe: full probe + corpus rerank ≡ exhaustive batch KNN; 1-query finite-rerank batch ≡ single-query probe; pruned scan reads codes") {
+    val emb = Tables.embeddings(spark, sf)
+    val (centroids, _) = Similarity.ivfIndex(
+      emb, col("vec_id"), col("embedding"), nLists = 8)
+    val (cbs, _) = Similarity.pqIndex(
+      emb, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val path = tmpDir("ivfpq_batch")
+    Similarity.writeIvfPqIndex(centroids, cbs,
+      Similarity.ivfPqEncode(
+        emb, col("vec_id"), col("embedding"), centroids, cbs), path)
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    val emb2 = Tables.embeddings(fresh, sf)
+    val (cents, cbs2, codes) = Similarity.loadIvfPqIndex(fresh, path)
+    val n = emb2.count().toInt
+    // Composed completeness: every list probed + every row reranked ≡
+    // the exhaustive batch KNN, row for row (q197's oracle contract).
+    val batch = Similarity.ivfPqTopKBatch(cents, cbs2, codes,
+      emb2, col("vec_id"), col("embedding"),
+      emb2.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 5, nProbe = 8, rerankN = n)
+    val want = Similarity.bruteForceTopKBatch(
+      emb2, col("vec_id"), col("embedding"),
+      emb2.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      col("qid"), col("qv"), k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(asc("query_id"), asc("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(rows(batch) === rows(want),
+      "full-probe corpus-rerank batch must equal exhaustive batch KNN")
+    // ADC bit-mirror: at a FINITE rerank the shortlist membership is
+    // decided by the batch ADC expression — a 1-query batch must pick
+    // the same survivors (and thus the same final rows) as the
+    // single-query driver-LUT probe.
+    val qv = emb2.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val one = Similarity.ivfPqTopKBatch(cents, cbs2, codes,
+        emb2.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        emb2.filter(col("vec_id") === 0), col("vec_id"), col("embedding"),
+        k = 10, nProbe = 3, rerankN = 50)
+      .select(col("id"), col("sim")).orderBy(asc("rank"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val single = Similarity.ivfPqTopK(cents, cbs2,
+        codes.filter(col("id") =!= 0),
+        emb2.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        qv, k = 10, nProbe = 3, rerankN = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(one === single,
+      "1-query batch at finite rerank must equal the single-query probe")
+    // The scale levers: probe filter at the partition layer, scan
+    // schema is (id, codes) — one long per probed row.
+    val scan = scansOf(batch.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(
+        _.toString.contains(s"graft_ivfpq_batch_$runId")))
+    assert(scan.isDefined, "composed code scan not found")
+    assert(scan.get.partitionFilters.exists(
+      _.references.exists(_.name == "list")),
+      s"batch probe filter did not reach the partition layer:\n${scan.get}")
+    assert(scan.get.requiredSchema.fieldNames.toSet === Set("id", "codes"),
+      "the batch probe must read codes, not vectors")
+  }
+
   test("re-ingesting a tombstoned id fails readably on every append path; compaction makes it legal and the rows visible again") {
     // The churn workflow (delete by mistake, re-add): before the guard,
     // the append landed rows that every load anti-joined away — the id
