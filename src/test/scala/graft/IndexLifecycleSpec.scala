@@ -847,10 +847,15 @@ class IndexLifecycleSpec extends SparkSpec {
       "all-lists + corpus-rerank composed probe must equal brute force")
     // The bytes-per-probe gate: the pruned stripe scan reads (id,
     // codes) ONLY — never a float vector column — and the probe filter
-    // reaches the partition layer.
-    val partialDf = Similarity.ivfPqTopK(cents, cbs2, codes, corpus2,
-      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 3, rerankN = 50)
-    val scan = scansOf(partialDf.queryExecution.executedPlan)
+    // reaches the partition layer. Asserted on the JOIN-form probe
+    // (rerankN past RerankIsinMax keeps the shortlist subtree in the
+    // final plan); the parameter-sized form collects the shortlist
+    // eagerly, so its code scan runs as its own bounded job and the
+    // returned frame carries only the id-IN rerank.
+    val joinForm = Similarity.ivfPqTopK(cents, cbs2, codes, corpus2,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 3,
+      rerankN = 100000)
+    val scan = scansOf(joinForm.queryExecution.executedPlan)
       .find(_.relation.location.rootPaths.exists(
         _.toString.contains(s"graft_ivfpq_lc_$runId")))
     assert(scan.isDefined, "composed code scan not found")
@@ -860,6 +865,22 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(scan.get.requiredSchema.fieldNames.toSet === Set("id", "codes"),
       s"the pruned scan must read codes, not vectors — got " +
         s"${scan.get.requiredSchema.fieldNames.mkString(", ")}")
+    // The parameter-sized rerank fetches by a PUSHED id filter — and
+    // both fetch forms are bit-equal (the same shortlist row set).
+    val isinForm = Similarity.ivfPqTopK(cents, cbs2, codes, corpus2,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 3,
+      rerankN = 50)
+    // The pushed filter names the SOURCE column (vec_id here — the
+    // "id" alias is the projection above the scan).
+    val isinScan = scansOf(isinForm.queryExecution.executedPlan)
+      .find(_.metadata.get("PushedFilters").exists(_.contains("In(vec_id")))
+    assert(isinScan.isDefined,
+      "the parameter-sized rerank must push the id list into the scan:\n" +
+        isinForm.queryExecution.executedPlan)
+    // Fetch-form equality (join ≡ isin at the SAME shortlist) is gated
+    // in the batch-probe test: the batch rerank keeps the join form
+    // while the single-query probe collects + pushes, and the two must
+    // produce identical rows at rerankN = 50.
     // Delete: probe ≡ the same probe over an index built on the
     // SURVIVORS with the same frozen artifacts.
     val deleted = corpus2.filter(pmod(col("vec_id"), lit(10)) === 2)
