@@ -1499,10 +1499,51 @@ object Similarity {
       queries: DataFrame, qid: Column, qvec: Column,
       k: Int, nProbe: Int, rerankN: Int): DataFrame = {
     require(rerankN >= k, "rerankN must be >= k")
+    val short = ivfPqShortlistBatch(centroids, codebooks, indexed,
+      queries, qid, qvec, nProbe, rerankN)
+    val q = queries
+      .select(qid.cast("long").as("query_id"), qvec.as("qv"))
+      .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
+    // Exact rerank: fetch the survivors' full vectors by id, rescore
+    // with the 4-dp cosine, top-k per query (the rerankShortlist
+    // broadcast-gating discipline: the |queries|×rerankN id frame
+    // broadcasts when product-small, else the optimizer decides).
+    val nQueries = queries.count()
+    val shortSide =
+      if (nQueries * rerankN.toLong <= (1L << 20)) broadcast(short)
+      else short
+    val c = corpus.select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+    val rescored = c.join(shortSide, Seq("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", round(
+        VectorFunctions.dot(col("v"), col("qv")) /
+          (col("nrm") * col("qnrm")), 4))
+    val top = graft.plans.GroupTopK.topK(rescored,
+      Seq(col("query_id")), Seq(col("sim").desc, col("id").asc), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("id"), col("sim"), col("rank"))
+  }
+
+  /** The ADC shortlist half of [[ivfPqTopKBatch]] — also the durable
+    * mining path's candidate source ([[hardNegativesAnnPq]]): probe
+    * lists picked declaratively ([[ivfTopKBatch]]'s expression
+    * verbatim), static partition pruning, per-(query, code) ADC
+    * expression mirroring [[adcApproxCol]]'s driver LUT term for term
+    * (per-subspace left-fold dots, left-to-right subspace sum, 6-dp
+    * round — the single-query bit-equality gate), self-pairs excluded
+    * before the bounded GroupTopK heaps. Output: (query_id, id) —
+    * `shortlistN` candidates per query by descending ADC score. */
+  private def ivfPqShortlistBatch(
+      centroids: Array[Array[Float]],
+      codebooks: Seq[(Int, Int, Array[Double])], indexed: DataFrame,
+      queries: DataFrame, qid: Column, qvec: Column,
+      nProbe: Int, shortlistN: Int): DataFrame = {
     def ddot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y),
         lit(0.0d), (acc, x) => acc + x)
-    // Probe-list pick: ivfTopKBatch's expression verbatim.
     val cands = array(centroids.zipWithIndex.map { case (cv, i) =>
       struct(lit(i).as("list"), typedLit(cv.map(_.toDouble).toSeq).as("c"))
     }: _*)
@@ -1516,17 +1557,13 @@ object Similarity {
       slice(array_sort(scoredCands), 1, nProbe), s => s.getField("list"))
     val q = queries
       .select(qid.cast("long").as("query_id"), qvec.as("qv"))
-      .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
       .withColumn("probe_list", explode(probes))
     val probedLists = q.select(col("probe_list")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    // ADC per (query, code): the query is unit-normalized FIRST (the
-    // LUT scores ⟨q, codeword⟩ with the raw query — ranking-equivalent
-    // because qnrm is constant per query — but the BATCH must mirror
-    // the single-query arithmetic exactly, so score with the raw qv
-    // like adcApproxCol does), decoded per subspace against the
-    // codebook literal, per-subspace left-fold dot, left-to-right
-    // subspace sum, 6-dp round.
+    // ADC per (query, code): scored with the RAW query vector exactly
+    // like adcApproxCol's LUT (ranking-equivalent to unit-normalized —
+    // qnrm is constant per query — and bit-mirroring is the contract),
+    // decoded per subspace against the codebook literal.
     val m = codebooks.map(_._1).max + 1
     val ksub = codebooks.map(_._2).max + 1
     require((ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
@@ -1550,32 +1587,48 @@ object Similarity {
       .join(broadcast(q), col("list") === col("probe_list"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("approx", approx)
-    val short = graft.plans.GroupTopK.topK(cand,
+    graft.plans.GroupTopK.topK(cand,
         Seq(col("query_id")), Seq(col("approx").desc, col("id").asc),
-        rerankN)
+        shortlistN)
       .select(col("query_id"), col("id"))
-    // Exact rerank: fetch the survivors' full vectors by id, rescore
-    // with the 4-dp cosine, top-k per query (the rerankShortlist
-    // broadcast-gating discipline: the |queries|×rerankN id frame
-    // broadcasts when product-small, else the optimizer decides).
-    val nQueries = queries.count()
-    val shortSide =
-      if (nQueries * rerankN.toLong <= (1L << 20)) broadcast(short)
-      else short
-    val c = corpus.select(id.cast("long").as("id"), vec.as("v"))
+  }
+
+  /** [[hardNegatives]] mined through the COMPOSED durable index — the
+    * minimum-bytes form of [[hardNegativesAnn]]'s 100 TB shape: the
+    * whole anchor batch's shortlist comes from ONE
+    * [[ivfPqShortlistBatch]] plan (partition-pruned CODE stripes — one
+    * long per probed row instead of d floats — bounded heaps), then
+    * the SHARED label-filtered exact rerank tail ([[rerankShortlist]],
+    * the q186/q195 definition) runs on the parameter-sized shortlist.
+    * Identical output contract: (anchor_id, rank, neg_id, neg_label,
+    * sim). Label semantics are [[hardNegativesAnn]]'s by construction
+    * (the index stores (id, codes, list) — label filtering happens on
+    * the shortlist; oversample `shortlist` ≫ k). With `nProbe =
+    * nLists` and `shortlist ≥ |corpus|` every eligible pair survives
+    * to the rerank and the output degenerates to [[hardNegatives]]
+    * EXACTLY (the q198 completeness gate); a finite shortlist is
+    * recall-floor-gated like q186/q195 — the floor carries the ADC
+    * leg's extra loss. */
+  def hardNegativesAnnPq(
+      centroids: Array[Array[Float]],
+      codebooks: Seq[(Int, Int, Array[Double])], indexed: DataFrame,
+      corpus: DataFrame, id: Column, vec: Column, label: Column,
+      anchors: DataFrame, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val short = ivfPqShortlistBatch(centroids, codebooks, indexed,
+        anchors.select(col("query_id"), col("qv")),
+        col("query_id"), col("qv"), nProbe, shortlist)
+      .select(col("query_id").as("anchor_id"), col("id"))
+    val c = Dedup.spread(corpus).select(id.cast("long").as("id"),
+        vec.as("v"), label.as("neg_label"))
       .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
-    val rescored = c.join(shortSide, Seq("id"))
-      .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))
-        .dropDuplicates("query_id")), Seq("query_id"))
-      .withColumn("sim", round(
-        VectorFunctions.dot(col("v"), col("qv")) /
-          (col("nrm") * col("qnrm")), 4))
-    val top = graft.plans.GroupTopK.topK(rescored,
-      Seq(col("query_id")), Seq(col("sim").desc, col("id").asc), k)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), asc("id"))
-    top.withColumn("rank", row_number().over(w))
-      .select(col("query_id"), col("id"), col("sim"), col("rank"))
+    val q = anchors
+      .select(col("query_id").cast("long").as("anchor_id"), col("qv"),
+        col("qlabel"))
+      .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
+    // The code-served shortlist is label-blind, so the shared tail
+    // applies the self/label exclusions at the rerank.
+    rerankShortlist(c, q, short, k, shortlist, filterLabels = true)
   }
 
   /** The `nProbe` nearest inverted lists for a query — the driver-side

@@ -863,6 +863,60 @@ object PipelineQueries {
       .orderBy(asc("query_id"), asc("rank"))
   }
 
+  /** q198 — hard-negative mining through the COMPOSED IVF+PQ index
+    * ([[Similarity.hardNegativesAnnPq]]): q195's durable-index mining
+    * at minimum probe bytes — the anchor batch's shortlist from ONE
+    * partition-pruned CODE-stripe plan (one long per probed row), the
+    * shared label-filtered exact rerank on the parameter-sized
+    * shortlist. Full probe + corpus-sized shortlist must reproduce
+    * exhaustive [[Similarity.hardNegatives]] IDENTICALLY (the composed
+    * completeness gate — every pair ADC-scored, every pair reranked);
+    * a 3-of-8 probe with a 30%-of-corpus shortlist must keep recall
+    * ≥ 0.4 (q195's shape with the ADC leg's extra loss priced into
+    * the floor; measured 0.62/0.66/0.60 at sf0.001/0.01/0.1,
+    * HardNegPqProbe — the floor is the contract, the measurements its
+    * margin). Oracle
+    * as q186/q195: n_exact verified from the exact side, booleans
+    * literal. */
+  def q198HardNegativesAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (centroids, _) = Similarity.ivfIndex(
+      emb, col("vec_id"), col("embedding"), nLists = 8)
+    val (cbs, _) = Similarity.pqIndex(
+      emb, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q198_ivfpq"
+    Similarity.writeIvfPqIndex(centroids, cbs,
+      Similarity.ivfPqEncode(
+        emb, col("vec_id"), col("embedding"), centroids, cbs), path)
+
+    val fresh = spark.newSession()
+    val emb2 = Tables.embeddings(fresh, dir)
+    val anchors = emb2.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val exact = Similarity.hardNegatives(
+      emb2, col("vec_id"), col("embedding"), col("label"), anchors, k = 5)
+    val (cents, cbs2, codes) = Similarity.loadIvfPqIndex(fresh, path)
+    val n = emb2.count()
+    val full = Similarity.hardNegativesAnnPq(cents, cbs2, codes,
+      emb2, col("vec_id"), col("embedding"), col("label"), anchors,
+      k = 5, nProbe = 8, shortlist = 1 << 20)
+    val partial = Similarity.hardNegativesAnnPq(cents, cbs2, codes,
+      emb2, col("vec_id"), col("embedding"), col("label"), anchors,
+      k = 5, nProbe = 3, shortlist = math.max(50L, n * 3 / 10).toInt)
+    val fullStats = Similarity.recallStats(exact, full,
+      Seq("anchor_id", "rank", "neg_id", "neg_label", "sim"))
+    val partStats = Similarity.recallStats(exact, partial,
+        Seq("anchor_id", "neg_id"))
+      .select(col("n_hit").as("n_hit_partial"))
+    fullStats.crossJoin(partStats).select(
+      col("n_exact"),
+      (col("n_approx") === col("n_exact") &&
+        col("n_hit") === col("n_exact")).as("full_shortlist_exact"),
+      (col("n_hit_partial") >= col("n_exact") * 0.4)
+        .as("partial_recall_ok"))
+  }
+
   /** q142 — truncated-dimension recall audit
     * ([[Similarity.truncatedDimRecall]]): exact top-10 for the vec_id-0
     * probe at prefix dims 8/16/32/64 vs the full-dimension truth — the
@@ -1459,6 +1513,7 @@ object PipelineQueries {
     "q195_hard_negatives_ann_ivf" -> q195HardNegativesAnnIvf _,
     "q196_ivfpq_reload_probe" -> q196IvfPqReloadProbe _,
     "q197_ivfpq_batch_probe" -> q197IvfPqBatchProbe _,
+    "q198_hard_negatives_ann_pq" -> q198HardNegativesAnnPq _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
@@ -2117,6 +2172,10 @@ object PipelineQueries {
     // q186's verbatim — a regression in the index path flips the
     // booleans and the hash.
     "q195_hard_negatives_ann_ivf" -> hardNegRecallSql,
+    // q198 mines through the COMPOSED IVF+PQ index — same contract,
+    // same oracle: the exact side is unchanged, the booleans are the
+    // (composed) recall contract as literals.
+    "q198_hard_negatives_ann_pq" -> hardNegRecallSql,
     "q81_token_budget" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
         | m AS (SELECT doc_id,

@@ -80,6 +80,11 @@ class PlanDisciplineSpec extends SparkSpec {
     // cross, and the contract columns keep the 1-row recallStats
     // crosses; the index path itself is hash/broadcast equi-joins.
     "q195_hard_negatives_ann_ivf",
+    // q198: q195's mining contract through the composed IVF+PQ index —
+    // the exhaustive EXACT side keeps q140's anchor-batch cross and
+    // the contract columns keep the 1-row recallStats crosses; the
+    // code-stripe shortlist path is hash/broadcast equi-joins.
+    "q198_hard_negatives_ann_pq",
     // q196: q78's recall contract through the composed IVF+PQ index —
     // the same 1-row query-vector cross under the exact side and the
     // rerank tail, plus the 1-row recallStats crosses; the ADC scan
