@@ -30,15 +30,18 @@ import graft.operators.Similarity
   * rows — downstream consumers dedupe on (query_id, id), or point each
   * batch at a batchId-keyed path for idempotent replay.
   *
-  * The handle composes with the durable lifecycle two ways:
+  * The handle composes with the durable lifecycle three ways:
   * [[start]] takes `loadIvfIndex`'s (centroids, lists) resolved ONCE —
   * the weeks-old-index daemon shape, where nightly
   * [[graft.operators.Similarity.appendToIvfIndex]] growth is picked up
-  * on the daemon's next restart/reload — and [[startRefreshing]]
+  * on the daemon's next restart/reload — [[startRefreshing]]
   * re-resolves the handle at EVERY batch boundary, so a resident
-  * daemon sees appends without a restart (the centroid re-read is a
-  * parameter-sized collect; appended list files surface because the
-  * probe scan lists its probed stripes at read time).
+  * daemon sees appends AND deletes without a restart (the centroid
+  * re-read is a parameter-sized collect; appended list files surface
+  * because the probe scan lists its probed stripes at read time; the
+  * tombstone anti-join is part of the load) — and
+  * [[startRefreshingPq]] is the same resident shape over the COMPOSED
+  * IVF+PQ index, probing code stripes at one long per row.
   */
 object StreamingAnn {
 
@@ -82,6 +85,35 @@ object StreamingAnn {
           Similarity.loadIvfIndex(batch.sparkSession, indexPath)
         Similarity.ivfTopKBatch(
             cents, lists, batch.toDF(), idCol, vecCol, k, nProbe)
+          .write.mode(SaveMode.Append).parquet(outDir)
+    }
+
+  /** [[startRefreshing]] over the COMPOSED IVF+PQ index — the resident
+    * daemon at minimum probe bytes: each batch re-resolves the
+    * [[Similarity.loadIvfPqIndex]] handle (centroids + codebooks are
+    * parameter-sized collects; the code-stripe file set refreshes at
+    * the scan's listing) and probes through ONE
+    * [[Similarity.ivfPqTopKBatch]] plan — partition-pruned stripes of
+    * (id, codes), the batch ADC expression, a rerankN-row exact rerank
+    * against `corpus` by id. Appends AND deletes land at the next
+    * batch boundary without restart ([[startRefreshing]]'s contract;
+    * gated in StreamingAnnSpec). `corpus` supplies the full vectors
+    * for the rerank only — a months-old handle is fine because only
+    * shortlist survivors are fetched from it by id. */
+  def startRefreshingPq(
+      spark: SparkSession, inputDir: String, schema: StructType,
+      idCol: Column, vecCol: Column, indexPath: String,
+      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      k: Int, nProbe: Int, rerankN: Int,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startWith(spark, inputDir, schema, checkpointDir, trigger) {
+      (batch) =>
+        val (cents, cbs, codes) =
+          Similarity.loadIvfPqIndex(batch.sparkSession, indexPath)
+        Similarity.ivfPqTopKBatch(cents, cbs, codes,
+            corpus, corpusId, corpusVec,
+            batch.toDF(), idCol, vecCol, k, nProbe, rerankN)
           .write.mode(SaveMode.Append).parquet(outDir)
     }
 

@@ -190,4 +190,86 @@ class StreamingAnnSpec extends SparkSpec {
       "fixture must make the delete visible in batch 2's neighbors")
     assert(expectBatch2 !== preDeleteBatch2)
   }
+
+  test("composed IVF+PQ refreshing daemon: append AND delete land at the next batch boundary; stream ≡ batch over the code stripes") {
+    // The resident daemon at minimum probe bytes: batch 1 probes the
+    // index as built; a nightly shard APPENDS and an RTBF batch
+    // DELETES while the query runs; batch 2 must probe the mutated
+    // code stripes — handle re-resolved per batch, no restart.
+    import org.apache.spark.sql.streaming.Trigger
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val old = corpus.filter(pmod(col("vec_id"), lit(5)) =!= 3)
+    val shard = corpus.filter(pmod(col("vec_id"), lit(5)) === 3)
+    val doomed = old.filter(pmod(col("vec_id"), lit(7)) === 2)
+    val root = Files.createTempDirectory("streamann_pq").toString
+    val (centroids, _) = Similarity.ivfIndex(
+      old, col("vec_id"), col("embedding"), nLists = 8)
+    val (cbs, _) = Similarity.pqIndex(
+      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    Similarity.writeIvfPqIndex(centroids, cbs,
+      Similarity.ivfPqEncode(
+        old, col("vec_id"), col("embedding"), centroids, cbs),
+      s"$root/idx")
+
+    val fresh = spark.newSession()
+    val emb2 = Tables.embeddings(fresh, sf)
+    val corpus2 = emb2.filter(col("vec_id") >= 10)
+    val (cents, cbs2, preCodes) = Similarity.loadIvfPqIndex(
+      fresh, s"$root/idx")
+    val inDir = s"$root/in"
+    emb2.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).write.parquet(inDir)
+    val schema = fresh.read.parquet(inDir).schema
+    val q = StreamingAnn.startRefreshingPq(fresh, inDir, schema,
+      col("vec_id"), col("embedding"), s"$root/idx",
+      corpus2, col("vec_id"), col("embedding"),
+      k = 5, nProbe = 8, rerankN = 50,
+      outDir = s"$root/out", checkpointDir = s"$root/ck",
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable() // batch 1: the index as built
+      Similarity.appendToIvfPqIndex(
+        shard, col("vec_id"), col("embedding"), s"$root/idx")
+      Similarity.deleteFromIvfPqIndex(
+        doomed.select(col("vec_id")), col("vec_id"), s"$root/idx")
+      emb2.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable() // batch 2: post-append, post-delete
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val got = rows(fresh.read.parquet(s"$root/out"))
+    val (_, _, postCodes) = Similarity.loadIvfPqIndex(fresh, s"$root/idx")
+    val expectBatch1 = rows(Similarity.ivfPqTopKBatch(cents, cbs2,
+      preCodes, corpus2, col("vec_id"), col("embedding"),
+      emb2.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 5, nProbe = 8, rerankN = 50))
+    val expectBatch2 = rows(Similarity.ivfPqTopKBatch(cents, cbs2,
+      postCodes, corpus2, col("vec_id"), col("embedding"),
+      emb2.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 5, nProbe = 8, rerankN = 50))
+    assert(got === (expectBatch1 ++ expectBatch2),
+      "batch 1 must probe the built index, batch 2 the mutated one")
+    val doomedIds = doomed.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    val shardIds = shard.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    val batch2Got = got.filter(r => r._1 >= 5 && r._1 < 10)
+    assert(batch2Got.forall(r => !doomedIds(r._2)),
+      "no batch-2 neighbor may be a tombstoned id")
+    // Non-vacuous both ways: the appended shard surfaces in batch 2,
+    // and the pre-mutation index would have answered differently.
+    assert(batch2Got.exists(r => shardIds(r._2)),
+      "fixture must surface appended vectors in batch 2's neighbors")
+    val preMutBatch2 = rows(Similarity.ivfPqTopKBatch(cents, cbs2,
+      preCodes, corpus2, col("vec_id"), col("embedding"),
+      emb2.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 5, nProbe = 8, rerankN = 50))
+    assert(expectBatch2 !== preMutBatch2,
+      "fixture must make the mutations visible in batch 2's neighbors")
+  }
 }
