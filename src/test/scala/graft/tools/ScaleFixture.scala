@@ -65,7 +65,13 @@ object ScaleFixture {
     // write + tombstone delete + reload + probe) and hard-negative
     // mining through the durable IVF index (build + write + reload +
     // exhaustive exact side + two shortlist-reranks).
-    "q194_index_delete_probe", "q195_hard_negatives_ann_ivf")
+    "q194_index_delete_probe", "q195_hard_negatives_ann_ivf",
+    // round-18 additions: the composed IVF+PQ family — single probe
+    // through write(4/5)+append(1/5)+reload, many-queries batch probe,
+    // and mining through the code stripes (all composed
+    // fits+write+reload+exact-side classes).
+    "q196_ivfpq_reload_probe", "q197_ivfpq_batch_probe",
+    "q198_hard_negatives_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(16)
