@@ -366,9 +366,12 @@ object Bench {
         // the exact side.
         val ivfPqDir = java.nio.file.Files
           .createTempDirectory("graft-bench-ivfpq-").toString
-        Similarity.writeIvfPqIndex(centroids, cbs,
+        val ivfPqCbs = Similarity.ivfPqFitCodebooks(
+          corpus, col("vec_id"), col("embedding"), centroids,
+          m = 16, ksub = 16, iters = 2)
+        Similarity.writeIvfPqIndex(centroids, ivfPqCbs,
           Similarity.ivfPqEncode(
-            corpus, col("vec_id"), col("embedding"), centroids, cbs),
+            corpus, col("vec_id"), col("embedding"), centroids, ivfPqCbs),
           ivfPqDir)
         val (pqcents, pqcbs, pqcodes) = Similarity.loadIvfPqIndex(
           spark, ivfPqDir)

@@ -1391,11 +1391,14 @@ object Dedup {
     * exchange-free plan still green on the appended tables, and
     * straddling pairs (probe × old corpus AND probe × new shard) found.
     *
-    * Caller contract: shard ids must be new (an id already in the index
-    * would duplicate its rows — run the probe first, that's the point
-    * of the index). Appends are not atomic across the two tables; on a
-    * mid-append failure re-run the append after deduplicating, or
-    * rebuild. */
+    * Shard ids must be NEW — ENFORCED, not just documented: an id
+    * already live in the index would duplicate its rows into every
+    * later probe (the realistic trigger is a RETRIED partially-failed
+    * append — the two-table append is not atomic), so the guard
+    * semi-joins the shard's ids against the bucketed `_rel` table's id
+    * column (bucket-pruned, column-pruned) and fails readably, naming
+    * the recovery: append only the missing rows, or delete + compact
+    * to replace. */
   def appendToCorpusIndex(
       shard: DataFrame, id: Column, text: Column,
       tablePrefix: String): Unit = {
@@ -1417,6 +1420,22 @@ object Dedup {
           "invisible to every probe until compaction clears the " +
           "tombstones; run compactCorpusIndex first, then re-append")
     }
+    // Live-duplicate guard (the Similarity requireNewIds discipline):
+    // tombstoned ids were rejected above, so any clash here is an id
+    // whose rows are LIVE — a retry would land them twice.
+    val liveClash = spark.table(s"${tablePrefix}_rel").select(col("id"))
+      .join(shard.select(id.cast("long").as("id")), Seq("id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(liveClash.isEmpty,
+      s"appendToCorpusIndex would duplicate LIVE id(s) " +
+        s"${liveClash.mkString(", ")}" +
+        (if (liveClash.length == 5) ", …" else "") +
+        s" already in corpus index '$tablePrefix' — append ids must be " +
+        "NEW (a retried partially-failed append is the usual cause; " +
+        "the two-table append is not atomic), else probes see the id's " +
+        "rows twice. Recover by appending only the missing rows " +
+        "(anti-join the shard against the index) or by deleting + " +
+        "compacting the id first")
     val (k, bands) = (m.getAs[Int]("k"), m.getAs[Int]("bands"))
     val rel = shingleRel(shard, id, text, m.getAs[Int]("n"), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -503,6 +503,7 @@ object Similarity {
       path: String): Unit = {
     val spark = indexed.sparkSession
     import spark.implicits._
+    clearCompletionMarker(spark, path)
     // Cluster by the partition column before the partitioned write
     // (writeLshIndex's discipline): one task per stripe → one file per
     // stripe, instead of a file per (task × touched stripe).
@@ -519,10 +520,15 @@ object Similarity {
     // unconditionally — delete visibility can never depend on whether a
     // first delete happened to precede the load. Seeded AFTER the data
     // writes succeed: a crash mid-rebuild then leaves the OLD
-    // tombstones over a broken data dir (which requireIndexDir/schema
-    // inference surface loudly) instead of freshly cleared tombstones
-    // over the old data — which would silently resurrect deleted rows.
+    // tombstones over a broken data dir instead of freshly cleared
+    // tombstones over the old data — which would silently resurrect
+    // deleted rows. The remaining window (crash after the data writes
+    // COMPLETE but before this seed: stale tombstones over a loadable
+    // new index, silently hiding its rows) is closed by the completion
+    // marker — cleared first above, re-created last below, required by
+    // every later verb.
     seedEmptyTombstones(spark, path)
+    writeCompletionMarker(spark, path)
   }
 
   /** Reload a [[writeIvfIndex]]-persisted index in (possibly) a fresh
@@ -532,18 +538,64 @@ object Similarity {
     * scan itself, not a cache: [[ivfTopK]]'s probe filter prunes to the
     * probed partitions, so steady-state probe cost is the probed lists'
     * bytes, independent of corpus size. */
+  /** The write-completion marker: an empty file every `write*Index`
+    * DELETES before its first artifact write and CREATES as its LAST
+    * step (after the tombstone seed). Every later verb requires it
+    * ([[requireIndexDir]]), which closes BOTH rebuild-crash windows at
+    * once: a crash before the data writes finish leaves old tombstones
+    * over broken data (loud anyway), and a crash AFTER the data writes
+    * but before the tombstone seed leaves stale non-empty tombstones
+    * over a complete, loadable new index — previously silent (rows of
+    * the new index sharing ids with old tombstones were hidden on
+    * every load), now a readable must-rebuild failure because the
+    * marker was cleared first and never re-created. Compactions never
+    * touch it ([[swapInPlace]] carries its own crash discipline). */
+  private val CompletionMarker = "_GRAFT_INDEX_COMPLETE"
+
+  private def markerPath(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$path/$CompletionMarker")
+
+  /** First step of every index write: from here to
+    * [[writeCompletionMarker]] the path is formally incomplete. */
+  private def clearCompletionMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = markerPath(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+    ()
+  }
+
+  /** Last step of every index write — after the data artifacts AND the
+    * tombstone seed, so its existence certifies the whole layout. */
+  private def writeCompletionMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = markerPath(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
+      .close()
+  }
+
   /** Readable failure for a wrong index path — a fresh-session user
-    * otherwise gets a bare PATH_NOT_FOUND on an internal subdirectory. */
+    * otherwise gets a bare PATH_NOT_FOUND on an internal subdirectory —
+    * and for an INCOMPLETE one (the [[CompletionMarker]] discipline):
+    * missing directories mean the wrong path, a missing marker over
+    * present directories means an interrupted write*Index (or an index
+    * from before the marker format) — rebuild. */
   private def requireIndexDir(
       spark: org.apache.spark.sql.SparkSession,
       path: String, parts: Seq[String], kind: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     val missing = parts.map(s => s"$path/$s").filterNot { p0 =>
       val p = new org.apache.hadoop.fs.Path(p0)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      p.getFileSystem(conf).exists(p)
     }
     require(missing.isEmpty,
       s"no $kind index at '$path': missing ${missing.mkString(", ")} — " +
         s"was write${kind}Index run against this filesystem?")
+    require(markerPath(path).getFileSystem(conf).exists(markerPath(path)),
+      s"$kind index at '$path' is INCOMPLETE: its directories exist " +
+        s"but the completion marker does not — the write${kind}Index " +
+        "run crashed before finishing (stale tombstones or partial " +
+        "artifacts may sit over the data), or the index predates the " +
+        s"marker format; rebuild with write${kind}Index")
   }
 
   def loadIvfIndex(
@@ -764,6 +816,47 @@ object Similarity {
     }
   }
 
+  /** Past this many touched stripes the live-id guard scans the whole
+    * id column instead of stripe-pruning: a 10⁴-entry `IN` literal
+    * costs the plan more than the pruning saves, and a shard touching
+    * that many stripes reads most of them anyway. */
+  private val LiveGuardMaxStripes = 1024
+
+  /** Fail an append whose shard contains an id ALREADY LIVE in the
+    * index: `SaveMode.Append` is not atomic, so the realistic trigger
+    * is a RETRIED partially-failed nightly append — re-running it
+    * re-lands rows the first attempt already committed, after which
+    * probes return the same id twice (two identical (sim, id) rows
+    * enter the rerank and the GroupTopK heaps) with every gate green.
+    * Tombstoned ids never reach this check ([[requireNotTombstoned]]
+    * runs first and names the compaction), so any clash here is a
+    * live duplicate. Cost: one semi-join of the existing rows' ID
+    * COLUMN against the shard's ids — pruned to the stripes the shard
+    * touches when the index is striped (`stripeFilter`, bounded by the
+    * shard's list/bucket set), column-pruned to the id alone
+    * otherwise. The error names the recovery: append exactly the
+    * missing rows (anti-join the shard against the index's ids), or
+    * delete + compact to replace. */
+  private def requireNewIds(
+      spark: org.apache.spark.sql.SparkSession, dataDir: String,
+      stripeFilter: Option[Column], shardIds: DataFrame,
+      verb: String): Unit = {
+    val existing0 = spark.read.parquet(dataDir)
+    val existing = stripeFilter.fold(existing0)(existing0.filter)
+    val clash = existing.select(col("id"))
+      .join(shardIds.select(col("id")), Seq("id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"$verb would duplicate LIVE id(s) ${clash.mkString(", ")}" +
+        (if (clash.length == 5) ", …" else "") +
+        s" already in the index at '$dataDir' — append ids must be NEW " +
+        "(a retried partially-failed append is the usual cause; " +
+        "SaveMode.Append is not atomic), else probes return the id " +
+        "twice. Recover by appending only the missing rows (anti-join " +
+        "the shard against the index's ids) or by deleting + " +
+        "compacting the id first")
+  }
+
   /** Written by every index write AND at the end of every compaction,
     * so the tombstone relation always EXISTS and is empty exactly when
     * there is nothing deleted: loads anti-join unconditionally, and
@@ -911,6 +1004,7 @@ object Similarity {
     // would pin a meta nBits every probe/append then throws on.
     require(nBits >= 1 && nBits <= 32,
       s"nBits must be in [1, 32] (HyperplaneBucket64's domain), got $nBits")
+    clearCompletionMarker(spark, path)
     // The meta nBits IS the probe scheme, so consistency is STRUCTURAL:
     // this writer bands the raw vectors itself through [[bucketize]]
     // with the same nBits it pins (the pqEncode derived-width
@@ -933,8 +1027,10 @@ object Similarity {
       .parquet(s"$path/meta")
     // Same stale-tombstone reset + empty-seed as writeIvfIndex, AFTER
     // the data writes: a failed rebuild keeps the old tombstones (RTBF-
-    // safe) rather than un-deleting rows over surviving old data.
+    // safe) rather than un-deleting rows over surviving old data; the
+    // marker (cleared first, created last) closes the seed-crash window.
     seedEmptyTombstones(spark, path)
+    writeCompletionMarker(spark, path)
   }
 
   /** Reload a [[writeLshIndex]]-persisted index: (nBits, bucketed
@@ -964,8 +1060,8 @@ object Similarity {
     * build used (hash-seeded hyperplanes — appended rows are
     * byte-identical to a build-time banding) and append files into the
     * bucket stripes. Pays the SHARD's banding + write; existing
-    * stripes are never rewritten. Caller contract mirrors
-    * [[appendToIvfIndex]]: ids must be new. */
+    * stripes are never rewritten. Ids must be NEW — enforced by
+    * [[requireNewIds]] ([[appendToIvfIndex]]'s contract). */
   def appendToLshIndex(
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
@@ -973,14 +1069,32 @@ object Similarity {
     requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
       path, "compactLshIndex")
     val nBits = loadLshNBits(spark, path)
-    // Same cluster-before-write as the build path: without it a shard
-    // written by T tasks opens up to T files per touched stripe, and
-    // nightly appends compound exactly the small-file mode the build's
-    // layout avoids.
-    bucketize(newVecs, id, vec, nBits)
-      .repartition(col("bucket"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("bucket").parquet(s"$path/buckets")
+    val banded = bucketize(newVecs, id, vec, nBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Live-duplicate guard. The touched-bucket set is bounded by
+      // min(|shard|, 2^nBits) — prune when it stays IN-literal-sized,
+      // fall back to the column-pruned full id scan past that.
+      val touched = banded.select(col("bucket")).distinct()
+        .limit(LiveGuardMaxStripes + 1)
+        .collect().map(_.getLong(0)).toSeq
+      requireNewIds(spark, s"$path/buckets",
+        if (touched.size <= LiveGuardMaxStripes)
+          Some(col("bucket").isin(touched: _*))
+        else None,
+        banded, "appendToLshIndex")
+      // Same cluster-before-write as the build path: without it a shard
+      // written by T tasks opens up to T files per touched stripe, and
+      // nightly appends compound exactly the small-file mode the build's
+      // layout avoids.
+      banded
+        .repartition(col("bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("bucket").parquet(s"$path/buckets")
+    } finally {
+      banded.unpersist()
+      ()
+    }
   }
 
   /** |ball(·, radius)| over nBits bits = Σ_{h≤radius} C(nBits, h),
@@ -1122,22 +1236,37 @@ object Similarity {
     * files to the touched `list=` stripes — existing posting lists are
     * never rewritten, and the reloaded probe's partition pruning is
     * untouched). Pays the SHARD's assignment + write, never a re-shard
-    * of the corpus. Caller contract mirrors
-    * [[graft.operators.Dedup.appendToCorpusIndex]]: ids must be new,
-    * and a mid-append failure is re-run after deduplicating. */
+    * of the corpus. Ids must be NEW — enforced by [[requireNewIds]]
+    * (tombstoned ids by [[requireNotTombstoned]] first), so a retried
+    * partially-failed append fails readably instead of silently
+    * double-landing rows; the error names the recovery. */
   def appendToIvfIndex(
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
     requireIndexDir(spark, path, Seq("centroids", "lists"), "Ivf")
     requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
       path, "compactIvfIndex")
-    // Same cluster-before-write as the build path and appendToLshIndex:
-    // one file per touched stripe per append, not one per (task ×
-    // stripe) — nightly accretion is linear in nights, not tasks.
-    ivfAssign(newVecs, id, vec, loadIvfCentroids(spark, path))
-      .repartition(col("list"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("list").parquet(s"$path/lists")
+    val assigned = ivfAssign(newVecs, id, vec, loadIvfCentroids(spark, path))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Live-duplicate guard, pruned to the shard's own stripe set
+      // (≤ nLists — parameter-bounded by construction).
+      val touched = assigned.select(col("list")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      requireNewIds(spark, s"$path/lists",
+        Some(col("list").isin(touched: _*)), assigned,
+        "appendToIvfIndex")
+      // Same cluster-before-write as the build path and appendToLshIndex:
+      // one file per touched stripe per append, not one per (task ×
+      // stripe) — nightly accretion is linear in nights, not tasks.
+      assigned
+        .repartition(col("list"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("list").parquet(s"$path/lists")
+    } finally {
+      assigned.unpersist()
+      ()
+    }
   }
 
   /** Fold new vectors INTO a durable PQ index: encode against the
@@ -1152,6 +1281,11 @@ object Similarity {
     requireIndexDir(spark, path, Seq("codebooks", "codes"), "Pq")
     requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
       path, "compactPqIndex")
+    // Live-duplicate guard: the code table is unpartitioned (no probe
+    // key to prune by), so the guard is a column-pruned scan of the
+    // id longs alone — the same bandwidth class as the ADC probe scan.
+    requireNewIds(spark, s"$path/codes", None,
+      newVecs.select(id.cast("long").as("id")), "appendToPqIndex")
     pqEncode(newVecs, id, vec, loadPqCodebooks(spark, path))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/codes")
@@ -1170,6 +1304,7 @@ object Similarity {
       path: String): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
+    clearCompletionMarker(spark, path)
     encoded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codes")
     codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }
@@ -1177,8 +1312,10 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codebooks")
     // Same stale-tombstone reset + empty-seed as writeIvfIndex, AFTER
-    // the data writes (failed rebuild keeps the old tombstones).
+    // the data writes (failed rebuild keeps the old tombstones); the
+    // marker closes the seed-crash window.
     seedEmptyTombstones(spark, path)
+    writeCompletionMarker(spark, path)
   }
 
   /** Reload a [[writePqIndex]]-persisted index in (possibly) a fresh
@@ -1232,32 +1369,166 @@ object Similarity {
     * retraining either half is a rebuild by definition (new centroids
     * re-shard every stripe, new codebooks re-code every row). */
 
+  /** The composed family's unit-normalized centroid, as doubles — THE
+    * one definition behind the residual convention: the residual
+    * encode ([[ivfPqEncode]]), the single-query probe's per-list
+    * offset ([[ivfPqTopK]]) and the batch probe's offset expression
+    * ([[ivfPqShortlistBatch]]) all consume centroids through it, so
+    * the decomposition `u = ĉ(list) + r` can never disagree between a
+    * built row, an appended row and either probe form. Norm
+    * accumulated left-to-right in double; a zero-norm (dead) centroid
+    * maps to the ZERO vector — residual degrades to the raw unit
+    * vector and the probe offset to 0, consistently on every side. */
+  private def unitCentroid(c: Array[Float]): Array[Double] = {
+    var n2 = 0.0; var i = 0
+    while (i < c.length) { n2 += c(i).toDouble * c(i).toDouble; i += 1 }
+    if (n2 == 0.0) Array.fill(c.length)(0.0)
+    else { val n = math.sqrt(n2); c.map(_.toDouble / n) }
+  }
+
+  /** ⟨query, unit-centroid⟩ accumulated left-to-right in double — the
+    * driver mirror of the batch probe's `ddot(qd, ĉ)` offset term
+    * (per-element double products, left fold), so a 1-query batch's
+    * ADC scores stay bit-equal to [[ivfPqTopK]]'s driver-LUT scores. */
+  private def qDotCentroid(q: Array[Float], uc: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < math.min(q.length, uc.length)) {
+      s += q(i).toDouble * uc(i); i += 1
+    }
+    s
+  }
+
+  /** The RESIDUAL `u − ĉ(list)` as an expression — the IVFADC encode
+    * convention (Jégou et al. 2011; the FAISS `IndexIVFPQ` default):
+    * PQ codes quantize the residual against the row's own inverted-
+    * list centroid, not the raw unit vector, so the ksub codewords per
+    * subspace only have to cover WITHIN-LIST variance — materially
+    * better recall at the same one-long-per-row byte budget. The
+    * centroid literal is nLists-bounded and routed through
+    * [[unitCentroid]] (the one decomposition definition). */
+  private def residualCol(
+      u: Column, list: Column,
+      centroids: Array[Array[Float]]): Column = {
+    val ucLit = array(centroids.map(c =>
+      typedLit(unitCentroid(c).toSeq)): _*)
+    zip_with(u, element_at(ucLit, list + 1), (a, b) => a - b)
+  }
+
+  /** The composed family's trained PQ artifact: the codebooks PLUS the
+    * quantization TARGET they were fit on — `"raw"` (codes quantize
+    * the unit vector `u` itself) or `"residual"` (codes quantize
+    * `u − ĉ(list)`, the IVFADC convention — FAISS's `by_residual`).
+    * The encoding is part of the artifact, not a probe-time knob:
+    * codes written under one convention are garbage under the other's
+    * decode, so [[writeIvfPqIndex]] pins it in the index's meta table
+    * and every later encode/probe reads it back — exactly the
+    * [[writeLshIndex]] nBits discipline.
+    *
+    * Which convention wins was MEASURED, not assumed
+    * (ResidualDiag/ResidualGainSweep, 20-query mean recall@10 at full
+    * probe so ADC ordering is the only variable): for THIS engine's
+    * cosine/inner-product ranking, raw wins or ties residual on BOTH
+    * corpus shapes — clearly on isotropic embeddings (residuals are
+    * LONGER than the unit vectors there: mean ‖r‖² = 1.55 vs ‖u‖² = 1,
+    * quantization MSE 0.53 vs 0.37), and at parity on a clustered
+    * mixture even though residual's average MSE is smaller (average
+    * compression error is not ranking error among the TOP candidates,
+    * where raw codewords sit densest). This reproduces the public
+    * FAISS guidance that `by_residual` pays for L2, much less for IP —
+    * so `"raw"` is the measured default, `"residual"` the fully
+    * supported IVFADC convention (offset-corrected probes, gated end
+    * to end), and `"auto"` the measured-MSE pick for callers who want
+    * the compression-optimal codebooks. */
+  case class IvfPqCodebooks(
+      encoding: String, codebooks: Seq[(Int, Int, Array[Double])]) {
+    require(encoding == "raw" || encoding == "residual",
+      s"encoding must be 'raw' or 'residual', got '$encoding'")
+  }
+
   /** One map pass assigning each vector's inverted list (frozen
     * centroids — [[listAssignCol]], [[ivfAssign]]'s exact expression,
-    * on the RAW vector) and packing its PQ codes (frozen codebooks —
-    * [[packedCodesCol]], [[pqEncode]]'s exact expression, on the UNIT
-    * vector): no join between the two assignments, no shuffle. Output:
-    * (id, codes, list) in [[writeIvfPqIndex]]'s layout. Zero-norm
-    * vectors are excluded (the PQ-family contract). */
+    * on the RAW vector) and packing its PQ codes through
+    * [[packedCodesCol]] ([[pqEncode]]'s exact packing expression) —
+    * of the RESIDUAL `u − ĉ(list)` ([[residualCol]], the IVFADC
+    * convention) or of `u` itself, per the artifact's pinned
+    * `encoding`: no join between the two assignments, no shuffle.
+    * Output: (id, codes, list) in [[writeIvfPqIndex]]'s layout.
+    * Zero-norm vectors are excluded (the PQ-family contract). */
   def ivfPqEncode(
       vecs: DataFrame, id: Column, vec: Column,
       centroids: Array[Array[Float]],
-      codebooks: Seq[(Int, Int, Array[Double])]): DataFrame =
-    unitNormalized(vecs, id, vec).select(
+      cbs: IvfPqCodebooks): DataFrame = {
+    val base = unitNormalized(vecs, id, vec)
+      .withColumn("list", listAssignCol(col("v"), centroids))
+    val target =
+      if (cbs.encoding == "residual")
+        residualCol(col("u"), col("list"), centroids)
+      else col("u")
+    base.select(
       col("id"),
-      packedCodesCol(col("u"), codebooks).as("codes"),
-      listAssignCol(col("v"), centroids).as("list"))
+      packedCodesCol(target, cbs.codebooks).as("codes"),
+      col("list"))
+  }
+
+  /** Fit the composed family's PQ codebooks under FROZEN IVF
+    * centroids. `encoding` picks the quantization target:
+    * `"raw"` (the DEFAULT — measured best-or-tied for this engine's
+    * cosine/IP ranking on every corpus shape swept, see
+    * [[IvfPqCodebooks]]) fits on `u` (flat PQ under the IVF layout),
+    * `"residual"` on `u − ĉ(list)` (IVFADC — codewords cover
+    * within-list variance only, the L2-metric convention), and
+    * `"auto"` fits BOTH and keeps the convention with the smaller
+    * measured mean quantization error on the fit data — the
+    * per-subspace L2 error [[l2Assign]] minimizes, 6-dp-rounded
+    * cross-row mean so the pick is stable across partition layouts;
+    * ties go to `"raw"` (the offset-free probe). Note auto optimizes
+    * COMPRESSION error, which tracks IP-ranking recall only loosely
+    * (the measured reason raw is the default). All fits run
+    * [[pqIndex]]'s deterministic Lloyd schedule (first-ksub-ids init,
+    * 6-dp-rounded means, fixed order); the list assignment is
+    * [[listAssignCol]] — [[ivfPqEncode]]'s exact expression, so the
+    * fit sees precisely the target the encode will quantize. Auto
+    * doubles the (parameter-bounded) fit cost, never the probe
+    * cost. */
+  def ivfPqFitCodebooks(
+      corpus: DataFrame, id: Column, vec: Column,
+      centroids: Array[Array[Float]],
+      m: Int, ksub: Int, iters: Int,
+      encoding: String = "raw"): IvfPqCodebooks = {
+    require(Seq("auto", "raw", "residual").contains(encoding),
+      s"encoding must be 'auto', 'raw' or 'residual', got '$encoding'")
+    val base = unitNormalized(corpus, id, vec)
+      .withColumn("list", listAssignCol(col("v"), centroids))
+    def rawUn = base.select(col("id"), col("u").as("w"))
+    def resUn = base.select(col("id"),
+      residualCol(col("u"), col("list"), centroids).as("w"))
+    encoding match {
+      case "raw" => IvfPqCodebooks("raw", fitCodebooks(rawUn, m, ksub, iters))
+      case "residual" =>
+        IvfPqCodebooks("residual", fitCodebooks(resUn, m, ksub, iters))
+      case _ =>
+        val (rawCbs, rawErr) = fitCodebooksWithErr(rawUn, m, ksub, iters)
+        val (resCbs, resErr) = fitCodebooksWithErr(resUn, m, ksub, iters)
+        if (resErr < rawErr) IvfPqCodebooks("residual", resCbs)
+        else IvfPqCodebooks("raw", rawCbs)
+    }
+  }
 
   /** Durable form of the composed index — [[writeIvfIndex]]'s write
     * discipline (cluster-by-stripe, tombstones seeded AFTER the data
-    * writes succeed). `encoded` must be [[ivfPqEncode]]'s output under
-    * the same frozen artifacts. */
+    * writes succeed), plus a 1-row `meta` table pinning the artifact's
+    * `encoding` ([[writeLshIndex]]'s nBits discipline: the convention
+    * is STRUCTURAL — codes written under one target are garbage under
+    * the other's decode, so later sessions, appends and probes read it
+    * back instead of guessing). `encoded` must be [[ivfPqEncode]]'s
+    * output under the same frozen artifacts. */
   def writeIvfPqIndex(
       centroids: Array[Array[Float]],
-      codebooks: Seq[(Int, Int, Array[Double])],
+      cbs: IvfPqCodebooks,
       encoded: DataFrame, path: String): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
+    clearCompletionMarker(spark, path)
     encoded.repartition(col("list"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list").parquet(s"$path/lists")
@@ -1265,44 +1536,81 @@ object Similarity {
       .toDF("list", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/centroids")
-    codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }
+    cbs.codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }
       .toDF("j", "cl", "c")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codebooks")
+    Seq(Tuple1(cbs.encoding)).toDF("encoding")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
     seedEmptyTombstones(spark, path)
+    writeCompletionMarker(spark, path)
+  }
+
+  /** Meta alone — the append path's need ([[loadIvfCentroids]]'s
+    * rationale). Indexes written before the encoding-pinning format
+    * (or whose meta write was interrupted) fail readably toward a
+    * rebuild: guessing the convention would silently mis-decode every
+    * code. */
+  private def loadIvfPqEncoding(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val rows = spark.read.parquet(s"$path/meta").collect()
+    require(rows.nonEmpty,
+      s"IvfPq index at '$path' has an EMPTY meta table — the index " +
+        "write was interrupted (or predates the encoding-pinned " +
+        "format); rebuild with writeIvfPqIndex")
+    rows(0).getString(0)
   }
 
   /** Reload a [[writeIvfPqIndex]]-persisted index in (possibly) a
-    * fresh session: (centroids by list id, codebooks in (j, cl) order,
-    * tombstone-filtered code scan). Both parameter tables are bounded
-    * driver collects; the code frame is the partitioned scan itself —
-    * [[ivfPqTopK]]'s probe filter prunes it to the probed stripes. */
+    * fresh session: (centroids by list id, the [[IvfPqCodebooks]]
+    * artifact — codebooks in (j, cl) order plus the meta-pinned
+    * encoding — and the tombstone-filtered code scan). The parameter
+    * tables are bounded driver collects; the code frame is the
+    * partitioned scan itself — [[ivfPqTopK]]'s probe filter prunes it
+    * to the probed stripes. */
   def loadIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String):
-      (Array[Array[Float]], Seq[(Int, Int, Array[Double])], DataFrame) = {
+      (Array[Array[Float]], IvfPqCodebooks, DataFrame) = {
     requireIndexDir(spark, path,
-      Seq("centroids", "codebooks", "lists"), "IvfPq")
-    (loadIvfCentroids(spark, path), loadPqCodebooks(spark, path),
+      Seq("centroids", "codebooks", "lists", "meta"), "IvfPq")
+    (loadIvfCentroids(spark, path),
+      IvfPqCodebooks(loadIvfPqEncoding(spark, path),
+        loadPqCodebooks(spark, path)),
       withoutTombstones(spark, path, spark.read.parquet(s"$path/lists")))
   }
 
   /** Fold new vectors INTO a durable composed index: encode against
-    * the FROZEN persisted centroids AND codebooks in one pass
-    * ([[ivfPqEncode]]) and append files into the touched stripes —
-    * [[appendToIvfIndex]]'s growth contract, including the tombstone
-    * re-ingest guard. */
+    * the FROZEN persisted centroids AND codebooks — under the
+    * meta-pinned encoding, in one pass ([[ivfPqEncode]]) — and append
+    * files into the touched stripes — [[appendToIvfIndex]]'s growth
+    * contract, including the tombstone re-ingest guard. */
   def appendToIvfPqIndex(
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
     requireIndexDir(spark, path,
-      Seq("centroids", "codebooks", "lists"), "IvfPq")
+      Seq("centroids", "codebooks", "lists", "meta"), "IvfPq")
     requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
       path, "compactIvfPqIndex")
-    ivfPqEncode(newVecs, id, vec,
-        loadIvfCentroids(spark, path), loadPqCodebooks(spark, path))
-      .repartition(col("list"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("list").parquet(s"$path/lists")
+    val encoded = ivfPqEncode(newVecs, id, vec,
+        loadIvfCentroids(spark, path),
+        IvfPqCodebooks(loadIvfPqEncoding(spark, path),
+          loadPqCodebooks(spark, path)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = encoded.select(col("list")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      requireNewIds(spark, s"$path/lists",
+        Some(col("list").isin(touched: _*)), encoded,
+        "appendToIvfPqIndex")
+      encoded
+        .repartition(col("list"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("list").parquet(s"$path/lists")
+    } finally {
+      encoded.unpersist()
+      ()
+    }
   }
 
   /** [[deleteFromIvfIndex]]'s logical-delete contract for the composed
@@ -1310,7 +1618,7 @@ object Similarity {
   def deleteFromIvfPqIndex(
       ids: DataFrame, id: Column, path: String): Unit = {
     requireIndexDir(ids.sparkSession, path,
-      Seq("centroids", "codebooks", "lists"), "IvfPq")
+      Seq("centroids", "codebooks", "lists", "meta"), "IvfPq")
     writeTombstones(ids, id, path)
   }
 
@@ -1319,7 +1627,7 @@ object Similarity {
   def compactIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     requireIndexDir(spark, path,
-      Seq("centroids", "codebooks", "lists"), "IvfPq")
+      Seq("centroids", "codebooks", "lists", "meta"), "IvfPq")
     val snapshot = tombstoneFileSnapshot(spark, path)
     val survivors = withoutTombstones(
       spark, path, spark.read.parquet(s"$path/lists"))
@@ -1336,16 +1644,36 @@ object Similarity {
     * `nProbe` lists ([[probeLists]] — [[ivfTopK]]'s order), the pruned
     * stripe scan ADC-scores ONLY codes (one long + an m-term LUT sum
     * per probed row — never the float vectors; plan-gated), and the
-    * rerankN survivors rerank exactly against `corpus` by id. Output:
-    * (id, sim) — [[bruteForceTopK]]'s contract. */
+    * rerankN survivors rerank exactly against `corpus` by id. Under
+    * the `"residual"` encoding the per-list offset ⟨q, ĉ(list)⟩ is
+    * added back (nProbe-bounded driver map, [[qDotCentroid]] — the
+    * batch expression's arithmetic): within one list it is a constant,
+    * but the shortlist MERGES lists, so it must be added for cross-list
+    * ADC scores to be comparable. Output: (id, sim) —
+    * [[bruteForceTopK]]'s contract.
+    *
+    * EAGERNESS: at `rerankN ≤` [[RerankIsinMax]] the shortlist ids are
+    * collected at CONSTRUCTION time (one bounded job) so the rerank
+    * can reach the corpus scan as a pushed `id IN (…)` filter — the
+    * returned frame is NOT fully lazy, and the shortlist is frozen as
+    * of this call (an index mutated between construction and action
+    * does not move it). Above the bound the frame is lazy end to end
+    * (the join fetch form). Same contract as [[pqTopK]]. */
   def ivfPqTopK(
       centroids: Array[Array[Float]],
-      codebooks: Seq[(Int, Int, Array[Double])], indexed: DataFrame,
+      cbs: IvfPqCodebooks, indexed: DataFrame,
       corpus: DataFrame, id: Column, vec: Column,
       queryVec: Array[Float], k: Int, nProbe: Int, rerankN: Int): DataFrame = {
     val probe = probeLists(centroids, queryVec, nProbe)
+    val offCol =
+      if (cbs.encoding == "residual") {
+        val offs: Map[Int, Double] = probe.map(l =>
+          l -> qDotCentroid(queryVec, unitCentroid(centroids(l)))).toMap
+        Some(element_at(typedLit(offs), col("list")))
+      } else None
     val shortlist = indexed.filter(col("list").isin(probe.toSeq: _*))
-      .select(col("id"), adcApproxCol(codebooks, queryVec).as("approx"))
+      .select(col("id"),
+        adcApproxCol(cbs.codebooks, queryVec, offCol).as("approx"))
       .orderBy(desc("approx"), asc("id"))
       .limit(rerankN)
     exactRerank(shortlist, corpus, id, vec, queryVec, k, rerankN)
@@ -1384,7 +1712,10 @@ object Similarity {
       else if (exists("codebooks") && exists("codes")) ("pq", "codes", false)
       else throw new IllegalArgumentException(
         s"no durable index at '$path': expected an IvfPq/Ivf/Lsh/Pq " +
-          "layout (was a write*Index run against this filesystem?)")
+          "layout (was a write*Index run against this filesystem?), " +
+          "or a corpus-index TABLE PREFIX (writeCorpusIndex's layout — " +
+          "indexHealth/compactIfNeeded dispatch there when " +
+          "'<prefix>_meta' exists in the catalog)")
     val dp = new org.apache.hadoop.fs.Path(s"$path/$dataDir")
     val fs = dp.getFileSystem(conf)
     def dataFiles(p: org.apache.hadoop.fs.Path): Int =
@@ -1410,10 +1741,24 @@ object Similarity {
       tfs.map(_.getLen).sum)
   }
 
-  /** One-row health report for any durable path-based index family:
-    * (kind, n_stripes, n_data_files, max_files_per_stripe,
-    * n_tombstone_files, tombstone_bytes, tombstone_broadcast_ok,
-    * needs_compaction). `needs_compaction` applies the measured-knee
+  /** `path` names a durable CORPUS index (table-prefix layout,
+    * [[graft.operators.Dedup.writeCorpusIndex]]) rather than a
+    * path-based ANN index: a plain SQL identifier whose `_meta` table
+    * exists in the catalog. The dispatch test for the ONE-verb policy
+    * surface — a nightly job calls [[indexHealth]]/[[compactIfNeeded]]
+    * on whatever it appended to, vector stripes or text buckets. */
+  private def isCorpusIndexPrefix(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    path.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+      spark.catalog.tableExists(s"${path}_meta")
+
+  /** One-row health report for ANY durable index — the four path-based
+    * ANN families: (kind, n_stripes, n_data_files,
+    * max_files_per_stripe, n_tombstone_files, tombstone_bytes,
+    * tombstone_broadcast_ok, needs_compaction) — or, when `path` is a
+    * corpus-index table prefix, [[graft.operators.Dedup
+    * .corpusIndexHealth]]'s frame (same knee thresholds, the bucketed-
+    * table column names). `needs_compaction` applies the measured-knee
     * thresholds [[compactIfNeeded]] enforces; `tombstone_broadcast_ok`
     * is the [[TombstoneBroadcastCapBytes]] headroom — false means
     * loads have already degraded off the broadcast anti-join. */
@@ -1421,6 +1766,9 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerStripe: Int = DefaultMaxFilesPerStripe,
       maxTombstoneBytes: Long = DefaultMaxTombstoneBytes): DataFrame = {
+    if (isCorpusIndexPrefix(spark, path))
+      return Dedup.corpusIndexHealth(
+        spark, path, maxFilesPerStripe, maxTombstoneBytes)
     val h = pathIndexHealth(spark, path)
     import spark.implicits._
     Seq((h.kind, h.nStripes, h.nDataFiles, h.maxFilesPerStripe,
@@ -1453,8 +1801,12 @@ object Similarity {
       h.tombstoneBytes > maxTombstoneBytes
 
   /** Compact `path` iff its health is past the knee, dispatching to
-    * the family's compact verb. Returns true iff a compaction ran —
-    * the nightly-append job's post-step (`appendTo*Index(...);
+    * the family's compact verb — ANY family: the four path-based ANN
+    * layouts, or a corpus-index table prefix (routed to
+    * [[graft.operators.Dedup.compactCorpusIndexIfNeeded]] under the
+    * same knee constants), so a nightly job has ONE verb regardless of
+    * what it appended to. Returns true iff a compaction ran — the
+    * nightly-append job's post-step (`appendTo*Index(...);
     * compactIfNeeded(...)`) that keeps the layout inside the measured
     * regime without scheduling corpus-sized rewrites that buy
     * nothing. */
@@ -1462,6 +1814,9 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerStripe: Int = DefaultMaxFilesPerStripe,
       maxTombstoneBytes: Long = DefaultMaxTombstoneBytes): Boolean = {
+    if (isCorpusIndexPrefix(spark, path))
+      return Dedup.compactCorpusIndexIfNeeded(
+        spark, path, maxFilesPerStripe, maxTombstoneBytes)
     val h = pathIndexHealth(spark, path)
     val due = needsCompaction(h, maxFilesPerStripe, maxTombstoneBytes)
     if (due) h.kind match {
@@ -1494,26 +1849,39 @@ object Similarity {
     * (query_id, id, sim, rank). */
   def ivfPqTopKBatch(
       centroids: Array[Array[Float]],
-      codebooks: Seq[(Int, Int, Array[Double])], indexed: DataFrame,
+      cbs: IvfPqCodebooks, indexed: DataFrame,
       corpus: DataFrame, id: Column, vec: Column,
       queries: DataFrame, qid: Column, qvec: Column,
       k: Int, nProbe: Int, rerankN: Int): DataFrame = {
     require(rerankN >= k, "rerankN must be >= k")
-    val short = ivfPqShortlistBatch(centroids, codebooks, indexed,
+    val short = ivfPqShortlistBatch(centroids, cbs, indexed,
       queries, qid, qvec, nProbe, rerankN)
     val q = queries
       .select(qid.cast("long").as("query_id"), qvec.as("qv"))
       .withColumn("qnrm", sqrt(VectorFunctions.normSq(col("qv"))))
     // Exact rerank: fetch the survivors' full vectors by id, rescore
-    // with the 4-dp cosine, top-k per query (the rerankShortlist
-    // broadcast-gating discipline: the |queries|×rerankN id frame
-    // broadcasts when product-small, else the optimizer decides).
-    val nQueries = queries.count()
+    // with the 4-dp cosine, top-k per query. Broadcast gating runs on
+    // rerankN ALONE — the query batch is parameter-sized by contract
+    // (it is force-broadcast in this very plan), so rerankN bounds the
+    // per-query shortlist frame and no COUNT job fires on the
+    // steady-state probe path (it used to — one extra Spark job per
+    // batch probe purely to gate this hint). Past the bound the
+    // optimizer/AQE decides from its own stats.
     val shortSide =
-      if (nQueries * rerankN.toLong <= (1L << 20)) broadcast(short)
+      if (rerankN <= RerankIsinMax) broadcast(short)
       else short
     val c = corpus.select(id.cast("long").as("id"), vec.as("v"))
       .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+    // COVERAGE CONTRACT: `corpus` must supply the full vector of every
+    // id in the index — a corpus handle resolved BEFORE the index's
+    // latest append silently drops the appended ids at this inner join
+    // (shortlisted by ADC, no vector to rerank → under-k results, no
+    // signal). The join stays INNER because the broadcast build side
+    // must be the shortlist (Spark cannot broadcast the preserved side
+    // of an outer join — a coverage-asserting left join would demote
+    // this to a corpus-wide shuffle). Resident daemons re-resolve the
+    // corpus each batch (StreamingAnn.startRefreshingPq), which
+    // discharges the contract by construction.
     val rescored = c.join(shortSide, Seq("id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("sim", round(
@@ -1538,9 +1906,10 @@ object Similarity {
     * `shortlistN` candidates per query by descending ADC score. */
   private def ivfPqShortlistBatch(
       centroids: Array[Array[Float]],
-      codebooks: Seq[(Int, Int, Array[Double])], indexed: DataFrame,
+      cbs: IvfPqCodebooks, indexed: DataFrame,
       queries: DataFrame, qid: Column, qvec: Column,
       nProbe: Int, shortlistN: Int): DataFrame = {
+    val codebooks = cbs.codebooks
     def ddot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y),
         lit(0.0d), (acc, x) => acc + x)
@@ -1563,7 +1932,12 @@ object Similarity {
     // ADC per (query, code): scored with the RAW query vector exactly
     // like adcApproxCol's LUT (ranking-equivalent to unit-normalized —
     // qnrm is constant per query — and bit-mirroring is the contract),
-    // decoded per subspace against the codebook literal.
+    // decoded per subspace against the codebook literal. Under the
+    // "residual" encoding the per-(query, probed-list) offset
+    // ⟨q, ĉ(list)⟩ is added back before the round — term-for-term the
+    // driver path's qDotCentroid + LUT sum (per-element double
+    // products folded left-to-right, LUT sum first, offset added
+    // last, 6-dp round).
     val m = codebooks.map(_._1).max + 1
     val ksub = codebooks.map(_._2).max + 1
     require((ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
@@ -1576,13 +1950,20 @@ object Similarity {
           .getOrElse(Seq.fill(dsub)(Double.NegativeInfinity)))
       }: _*)
     }: _*)
-    val approx = round((0 until m).map { j =>
+    val lutSum = (0 until m).map { j =>
       val cw = element_at(element_at(cbArr, j + 1),
         shiftright(col("codes"), j * bits)
           .bitwiseAND(lit((ksub - 1).toLong)).cast("int") + 1)
       ddot(transform(slice(col("qv"), j * dsub + 1, dsub),
         _.cast("double")), cw)
-    }.reduce(_ + _), 6)
+    }.reduce(_ + _)
+    val approx =
+      if (cbs.encoding == "residual") {
+        val ucArr = array(centroids.map(c =>
+          typedLit(unitCentroid(c).toSeq)): _*)
+        round(lutSum + ddot(transform(col("qv"), _.cast("double")),
+          element_at(ucArr, col("probe_list") + 1)), 6)
+      } else round(lutSum, 6)
     val cand = indexed.filter(col("list").isin(probedLists: _*))
       .join(broadcast(q), col("list") === col("probe_list"))
       .filter(col("id") =!= col("query_id"))
@@ -1611,11 +1992,11 @@ object Similarity {
     * leg's extra loss. */
   def hardNegativesAnnPq(
       centroids: Array[Array[Float]],
-      codebooks: Seq[(Int, Int, Array[Double])], indexed: DataFrame,
+      cbs: IvfPqCodebooks, indexed: DataFrame,
       corpus: DataFrame, id: Column, vec: Column, label: Column,
       anchors: DataFrame, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
-    val short = ivfPqShortlistBatch(centroids, codebooks, indexed,
+    val short = ivfPqShortlistBatch(centroids, cbs, indexed,
         anchors.select(col("query_id"), col("qv")),
         col("query_id"), col("qv"), nProbe, shortlist)
       .select(col("query_id").as("anchor_id"), col("id"))
@@ -1634,20 +2015,29 @@ object Similarity {
   /** The `nProbe` nearest inverted lists for a query — the driver-side
     * centroid scoring shared by [[ivfTopK]] and [[ivfPqTopK]] (nLists
     * is parameter-sized; descending cosine, ascending list on ties —
-    * stable sortBy keeps the original index order for equal keys). */
+    * stable sortBy keeps the original index order for equal keys).
+    *
+    * The arithmetic MIRRORS the batch probes' declarative negcos
+    * expression term for term ([[ivfTopKBatch]]/[[ivfPqShortlistBatch]]:
+    * per-element double products folded left-to-right, `dot * -1.0`
+    * divided by the product of left-to-right-accumulated norms), so a
+    * 1-query batch selects the same probe lists as this driver loop
+    * even on near-tie centroid scores — the probe-selection half of
+    * the batch≡single bit-equality gate, by construction rather than
+    * by fixture luck. */
   private def probeLists(
       centroids: Array[Array[Float]], queryVec: Array[Float],
       nProbe: Int): Array[Int] = {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1
+    def negcos(c: Array[Float], q: Array[Float]): Double = {
+      var dot = 0.0; var qq = 0.0; var cc = 0.0; var i = 0
+      while (i < math.min(c.length, q.length)) {
+        val qi = q(i).toDouble; val ci = c(i).toDouble
+        dot += qi * ci; qq += qi * qi; cc += ci * ci; i += 1
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      (dot * -1.0) / (math.sqrt(qq) * math.sqrt(cc))
     }
     centroids.zipWithIndex
-      .sortBy { case (cv, _) => -cos(cv, queryVec) }
+      .sortBy { case (cv, _) => negcos(cv, queryVec) }
       .take(nProbe).map(_._2)
   }
 
@@ -1737,25 +2127,58 @@ object Similarity {
   def pqIndex(
       corpus: DataFrame, id: Column, vec: Column,
       m: Int, ksub: Int, iters: Int): (Seq[(Int, Int, Array[Double])], DataFrame) = {
+    val cbs = fitCodebooks(
+      unitNormalized(corpus, id, vec).select(col("id"), col("u").as("w")),
+      m, ksub, iters)
+    // Encode through the SAME derived-ksub definition as pqTopK's
+    // decode and appendToPqIndex's growth encode — all three derive
+    // the packing width from the codebooks (max codeword + 1), so
+    // they can never disagree on bit layout. If k-means loss killed
+    // the TOP codewords down past a power-of-2 boundary, this throws
+    // loudly at BUILD time (pqTopK would throw on such an index
+    // anyway) instead of packing at a width the decoder won't use.
+    (cbs, pqEncode(corpus, id, vec, cbs))
+  }
+
+  /** The deterministic PQ codebook fit over an arbitrary vector frame
+    * (id, w) — [[pqIndex]]'s Lloyd schedule factored out so
+    * [[ivfPqFitCodebooks]] can run it on RESIDUALS: init from the
+    * first `ksub` ids' subvectors (deterministic, partition-invariant),
+    * then `iters` rounds of broadcast-candidate L2 assignment
+    * ([[l2Assign]] — the one assignment definition) and 6-dp-rounded
+    * per-(j, cl, dim) means. The per-iteration collect is m·ksub·dsub
+    * values — parameter-sized. */
+  private def fitCodebooks(
+      un: DataFrame, m: Int, ksub: Int,
+      iters: Int): Seq[(Int, Int, Array[Double])] =
+    fitCodebooksWithErr(un, m, ksub, iters)._1
+
+  /** [[fitCodebooks]] plus the mean per-subspace quantization error of
+    * the FINAL codebooks on the fit data — the measured quantity
+    * [[ivfPqFitCodebooks]]'s auto mode compares between the raw and
+    * residual conventions (the per-row ADC error for inner-product
+    * ranking is ⟨q, target − target̂⟩, so the smaller error norm is
+    * the better codebook set in expectation). One extra
+    * broadcast-join + single-row aggregate over the already-persisted
+    * subs frame; the cross-row mean is 6-dp-rounded so the comparison
+    * is stable across partition layouts. */
+  private def fitCodebooksWithErr(
+      un: DataFrame, m: Int, ksub: Int,
+      iters: Int): (Seq[(Int, Int, Array[Double])], Double) = {
     require(ksub >= 2 && (ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
     val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
     require(m * bits <= 64, s"m*log2(ksub)=${m * bits} exceeds one long")
-    val spark = corpus.sparkSession
+    val spark = un.sparkSession
     import spark.implicits._
 
-    val v0 = Dedup.spread(corpus).select(id.cast("long").as("id"), vec.as("v"))
-      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
-      .filter(col("nrm") > 0)
-    val un = v0.select(col("id"),
-      transform(col("v"), x => x.cast("double") / col("nrm")).as("u"))
-    val dsubCol = (size(col("u")) / m).cast("int")
+    val dsubCol = (size(col("w")) / m).cast("int")
     val subs = un.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)), j =>
-          slice(col("u"), j * dsubCol + 1, dsubCol))).as(Seq("j", "sub")))
+          slice(col("w"), j * dsubCol + 1, dsubCol))).as(Seq("j", "sub")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val init = un.orderBy(col("id")).limit(ksub)
-      .select(col("id"), size(col("u")).as("d")).as[(Long, Int)]
+      .select(col("id"), size(col("w")).as("d")).as[(Long, Int)]
       .collect().toSeq
     // Validated against the first non-null vector (like the ksub
     // power-of-2 check): dsub = ⌊d/m⌋ slices cover only m·dsub
@@ -1792,15 +2215,14 @@ object Similarity {
           (j, cl, dims.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
         }
     }
+    val err = subs.join(broadcast(candDf(cbs)), "j")
+      .select(array_min(transform(col("cands"), ct =>
+        round(aggregate(zip_with(col("sub"), ct.getField("c"),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x),
+          6))).as("d2"))
+      .agg(round(avg(col("d2")), 6)).collect().head.getDouble(0)
     subs.unpersist()
-    // Encode through the SAME derived-ksub definition as pqTopK's
-    // decode and appendToPqIndex's growth encode — all three derive
-    // the packing width from the codebooks (max codeword + 1), so
-    // they can never disagree on bit layout. If k-means loss killed
-    // the TOP codewords down past a power-of-2 boundary, this throws
-    // loudly at BUILD time (pqTopK would throw on such an index
-    // anyway) instead of packing at a width the decoder won't use.
-    (cbs, pqEncode(corpus, id, vec, cbs))
+    (cbs, err)
   }
 
   /** L2 argmin against a candidate array<struct(cl, c)>: min over
@@ -1884,7 +2306,14 @@ object Similarity {
     * vectors are read only for the rerankN survivors. `rerankN ≥ |corpus|`
     * degenerates to exact brute force BY CONSTRUCTION (every row
     * survives to the exact rerank) — the q89 completeness gate; finite
-    * rerankN trades recall for the 32× smaller scan. */
+    * rerankN trades recall for the 32× smaller scan.
+    *
+    * EAGERNESS: at `rerankN ≤` [[RerankIsinMax]] the shortlist ids are
+    * collected at CONSTRUCTION time (one bounded job) so the rerank
+    * reaches the corpus scan as a pushed `id IN (…)` filter — the
+    * returned frame is not fully lazy, and the shortlist is frozen as
+    * of this call. Above the bound the frame is lazy end to end (the
+    * join fetch form). */
   def pqTopK(
       codebooks: Seq[(Int, Int, Array[Double])], encoded: DataFrame,
       corpus: DataFrame, id: Column, vec: Column,
@@ -1902,10 +2331,18 @@ object Similarity {
     * literal), so scoring a row is m codegen'd bit-extracts + LUT adds.
     * THE one decode definition — [[pqTopK]] and [[ivfPqTopK]] route
     * through it, deriving ksub from the codebooks exactly like
-    * [[packedCodesCol]]'s encode, so bit layouts cannot diverge. */
+    * [[packedCodesCol]]'s encode, so bit layouts cannot diverge.
+    *
+    * `offset` is the composed family's residual correction
+    * ([[ivfPqTopK]]): codes there quantize `u − ĉ(list)`, so the LUT
+    * sum estimates ⟨q, r⟩ and the per-list constant ⟨q, ĉ(list)⟩ is
+    * added back BEFORE the 6-dp round — `⟨q, u⟩ ≈ ⟨q, ĉ⟩ + ⟨q, r̂⟩`.
+    * `None` (the raw-PQ family) leaves the expression bit-identical
+    * to the offset-free form. */
   private def adcApproxCol(
       codebooks: Seq[(Int, Int, Array[Double])],
-      queryVec: Array[Float]): Column = {
+      queryVec: Array[Float],
+      offset: Option[Column] = None): Column = {
     val m = codebooks.map(_._1).max + 1
     val ksub = codebooks.map(_._2).max + 1
     require((ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
@@ -1925,11 +2362,12 @@ object Similarity {
       }
     }
     val lutLit = typedLit(lut)
-    round((0 until m).map { j =>
+    val lutSum = (0 until m).map { j =>
       element_at(element_at(lutLit, j + 1),
         shiftright(col("codes"), j * bits)
           .bitwiseAND(lit((ksub - 1).toLong)).cast("int") + 1)
-    }.reduce(_ + _), 6)
+    }.reduce(_ + _)
+    round(offset.fold(lutSum)(lutSum + _), 6)
   }
 
   /** Past this shortlist size the rerank keeps the join form: an

@@ -769,18 +769,22 @@ object PipelineQueries {
     * corpus-sized rerank must reproduce exact brute-force top-10
     * IDENTICALLY over the appended union (the composed completeness
     * gate — every row scanned, every row reranked), and a 3-of-8 probe
-    * with a 100-row ADC rerank must keep recall ≥ 0.4 (the composed
-    * floor: q78's 3-of-8 IVF floor is 0.5 and the fixture sits AT it
-    * by construction — 3/8 of the corpus scanned ⤳ ~0.5 expected
-    * recall — so the ADC leg's loss, q89-small but nonzero, needs its
-    * own honest margin; measured 0.6/0.6/0.6 at sf0.001/0.01/0.1,
-    * IvfPqProbe). The codebook fit runs ONE Lloyd iteration — q196
-    * gates lifecycle composition (encode/write/append/probe equality),
-    * not codebook quality, which q89 owns at iters = 2; the composed
-    * completeness gate is iteration-count-blind by construction.
-    * Oracle as q78: n_exact verified from the data,
-    * booleans literal — any regression flips Spark's output and the
-    * driver's hash. */
+    * with a 100-row ADC rerank must keep recall ≥ 0.5 — the IVF
+    * family's own q78 floor, RAISED from the round-18 0.4: the
+    * codebook fit is now [[Similarity.ivfPqFitCodebooks]] under the
+    * MEASURED encoding default (raw — the cosine/IP-ranking winner on
+    * every corpus shape swept, with residual IVFADC and measured-MSE
+    * auto as pinned-in-meta options; ResidualGainSweep), so the ADC
+    * leg no longer needs its own loss allowance below the probe leg's
+    * floor (measured 0.6/0.6/0.6 at sf0.001/0.01/0.1, IvfPqProbe —
+    * one-hit margin at every SF, and the whole composition is
+    * deterministic). The codebook fit runs ONE Lloyd
+    * iteration — q196 gates lifecycle composition
+    * (encode/write/append/probe equality), not codebook quality, which
+    * q89 owns at iters = 2; the composed completeness gate is
+    * iteration-count-blind by construction. Oracle as q78: n_exact
+    * verified from the data, booleans literal — any regression flips
+    * Spark's output and the driver's hash. */
   def q196IvfPqReloadProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val old = emb.filter(col("vec_id") =!= 0 &&
@@ -793,8 +797,9 @@ object PipelineQueries {
     // codebook fit.
     val (centroids, _) = Similarity.ivfIndex(
       old, col("vec_id"), col("embedding"), nLists = 8)
-    val (cbs, _) = Similarity.pqIndex(
-      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val cbs = Similarity.ivfPqFitCodebooks(
+      old, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_q196_ivfpq"
     Similarity.writeIvfPqIndex(centroids, cbs,
       Similarity.ivfPqEncode(
@@ -824,7 +829,7 @@ object PipelineQueries {
       col("n_exact"),
       (col("n_approx") === col("n_exact") &&
         col("n_hit") === col("n_exact")).as("full_probe_exact"),
-      (col("n_hit_partial") >= col("n_exact") * 0.4).as("partial_recall_ok"))
+      (col("n_hit_partial") >= col("n_exact") * 0.5).as("partial_recall_ok"))
   }
 
   /** q197 — batch probe over the composed IVF+PQ index: q192's
@@ -844,8 +849,9 @@ object PipelineQueries {
     val emb = Tables.embeddings(spark, dir)
     val (centroids, _) = Similarity.ivfIndex(
       emb, col("vec_id"), col("embedding"), nLists = 8)
-    val (cbs, _) = Similarity.pqIndex(
-      emb, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val cbs = Similarity.ivfPqFitCodebooks(
+      emb, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_q197_ivfpq"
     Similarity.writeIvfPqIndex(centroids, cbs,
       Similarity.ivfPqEncode(
@@ -872,18 +878,20 @@ object PipelineQueries {
     * exhaustive [[Similarity.hardNegatives]] IDENTICALLY (the composed
     * completeness gate — every pair ADC-scored, every pair reranked);
     * a 3-of-8 probe with a 30%-of-corpus shortlist must keep recall
-    * ≥ 0.4 (q195's shape with the ADC leg's extra loss priced into
-    * the floor; measured 0.62/0.66/0.60 at sf0.001/0.01/0.1,
-    * HardNegPqProbe — the floor is the contract, the measurements its
-    * margin). Oracle
+    * ≥ 0.5 — q195's own floor, raised from the round-18 0.4 now that
+    * the measured-encoding fit ([[Similarity.ivfPqFitCodebooks]])
+    * removes the ADC leg's extra loss allowance (measured
+    * 0.62/0.66/0.60 at sf0.001/0.01/0.1, HardNegPqProbe — the floor is
+    * the contract, the measurements its margin). Oracle
     * as q186/q195: n_exact verified from the exact side, booleans
     * literal. */
   def q198HardNegativesAnnPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val (centroids, _) = Similarity.ivfIndex(
       emb, col("vec_id"), col("embedding"), nLists = 8)
-    val (cbs, _) = Similarity.pqIndex(
-      emb, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val cbs = Similarity.ivfPqFitCodebooks(
+      emb, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_q198_ivfpq"
     Similarity.writeIvfPqIndex(centroids, cbs,
       Similarity.ivfPqEncode(
@@ -913,7 +921,7 @@ object PipelineQueries {
       col("n_exact"),
       (col("n_approx") === col("n_exact") &&
         col("n_hit") === col("n_exact")).as("full_shortlist_exact"),
-      (col("n_hit_partial") >= col("n_exact") * 0.4)
+      (col("n_hit_partial") >= col("n_exact") * 0.5)
         .as("partial_recall_ok"))
   }
 

@@ -42,6 +42,17 @@ import graft.operators.Similarity
   * tombstone anti-join is part of the load) — and
   * [[startRefreshingPq]] is the same resident shape over the COMPOSED
   * IVF+PQ index, probing code stripes at one long per row.
+  *
+  * COMPACTION under a running daemon: safe when it lands BETWEEN
+  * batches — the next tick re-resolves the handle and reads the
+  * compacted (survivor) layout with no restart (gated in
+  * StreamingAnnSpec), which is exactly the nightly job's
+  * `appendTo…; compactIfNeeded(…)` shape. A swap racing a MID-FLIGHT
+  * batch can fail that one batch against the renamed-away file
+  * listing; the failure stops the query, and a restart replays the
+  * batch from the checkpointed offsets against the new layout — no
+  * neighbor rows are lost, but prefer running compaction from the
+  * append job between ticks rather than concurrently with one.
   */
 object StreamingAnn {
 
@@ -95,15 +106,26 @@ object StreamingAnn {
     * the scan's listing) and probes through ONE
     * [[Similarity.ivfPqTopKBatch]] plan — partition-pruned stripes of
     * (id, codes), the batch ADC expression, a rerankN-row exact rerank
-    * against `corpus` by id. Appends AND deletes land at the next
+    * against the corpus by id. Appends AND deletes land at the next
     * batch boundary without restart ([[startRefreshing]]'s contract;
-    * gated in StreamingAnnSpec). `corpus` supplies the full vectors
-    * for the rerank only — a months-old handle is fine because only
-    * shortlist survivors are fetched from it by id. */
+    * gated in StreamingAnnSpec).
+    *
+    * `corpusFor` resolves the rerank's full-vector corpus and is
+    * called ONCE PER BATCH, exactly like the index handle — because a
+    * parquet-backed DataFrame snapshots its file listing at creation,
+    * a months-old corpus HANDLE would silently miss ids a nightly
+    * [[Similarity.appendToIvfPqIndex]] added after it was resolved:
+    * the new ids get shortlisted by ADC, then dropped by the rerank's
+    * inner id join — under-k results with no signal. Re-resolving
+    * discharges [[Similarity.ivfPqTopKBatch]]'s coverage contract by
+    * construction (the corpus frame can never be older than the index
+    * frame in the same batch); the resolve is a plan, not a job, so
+    * the per-batch cost is a file listing. */
   def startRefreshingPq(
       spark: SparkSession, inputDir: String, schema: StructType,
       idCol: Column, vecCol: Column, indexPath: String,
-      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      corpusFor: SparkSession => DataFrame,
+      corpusId: Column, corpusVec: Column,
       k: Int, nProbe: Int, rerankN: Int,
       outDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -112,7 +134,7 @@ object StreamingAnn {
         val (cents, cbs, codes) =
           Similarity.loadIvfPqIndex(batch.sparkSession, indexPath)
         Similarity.ivfPqTopKBatch(cents, cbs, codes,
-            corpus, corpusId, corpusVec,
+            corpusFor(batch.sparkSession), corpusId, corpusVec,
             batch.toDF(), idCol, vecCol, k, nProbe, rerankN)
           .write.mode(SaveMode.Append).parquet(outDir)
     }

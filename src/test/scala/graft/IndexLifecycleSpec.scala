@@ -814,8 +814,9 @@ class IndexLifecycleSpec extends SparkSpec {
     // Frozen artifacts fit on the BUILD corpus (q196's composition).
     val (centroids, _) = Similarity.ivfIndex(
       old, col("vec_id"), col("embedding"), nLists = 8)
-    val (cbs, _) = Similarity.pqIndex(
-      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val cbs = Similarity.ivfPqFitCodebooks(
+      old, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1)
     val path = tmpDir("ivfpq_lc")
     Similarity.writeIvfPqIndex(centroids, cbs,
       Similarity.ivfPqEncode(
@@ -832,9 +833,12 @@ class IndexLifecycleSpec extends SparkSpec {
     val (cents, cbs2, codes) = Similarity.loadIvfPqIndex(fresh, path)
     assert(cents.zip(centroids).forall { case (a, b) => a.sameElements(b) },
       "reloaded centroids must be bit-equal")
-    assert(cbs2.size == cbs.size &&
-      cbs2.zip(cbs).forall { case ((j1, c1, a1), (j2, c2, a2)) =>
-        j1 == j2 && c1 == c2 && a1.sameElements(a2) },
+    assert(cbs2.encoding == cbs.encoding,
+      "reloaded artifact must carry the meta-pinned encoding")
+    assert(cbs2.codebooks.size == cbs.codebooks.size &&
+      cbs2.codebooks.zip(cbs.codebooks).forall {
+        case ((j1, c1, a1), (j2, c2, a2)) =>
+          j1 == j2 && c1 == c2 && a1.sameElements(a2) },
       "reloaded codebooks must be bit-equal")
     // Composed completeness gate: all lists + corpus-sized rerank ≡
     // exact brute force over the appended union.
@@ -934,8 +938,9 @@ class IndexLifecycleSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
     val (centroids, _) = Similarity.ivfIndex(
       emb, col("vec_id"), col("embedding"), nLists = 8)
-    val (cbs, _) = Similarity.pqIndex(
-      emb, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val cbs = Similarity.ivfPqFitCodebooks(
+      emb, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1)
     val path = tmpDir("ivfpq_batch")
     Similarity.writeIvfPqIndex(centroids, cbs,
       Similarity.ivfPqEncode(
@@ -1183,5 +1188,244 @@ class IndexLifecycleSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(tombIds.nonEmpty && tombIds.forall(_ % 10 == 2),
       "the tombstone relation must hold exactly the post-compaction batch")
+  }
+
+  test("re-appending a LIVE id fails readably on every append path; a disjoint append still lands") {
+    // The retried-partial-append workflow: SaveMode.Append is not
+    // atomic, so re-running an interrupted nightly append re-lands
+    // rows the first attempt committed — before the guard, probes then
+    // returned the id twice with every gate green. Each family's
+    // append must reject the retry naming the recovery, mutate
+    // NOTHING, and still accept a genuinely new shard afterwards.
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val old = corpus.filter(pmod(col("vec_id"), lit(5)) < 3)
+    val shard = corpus.filter(pmod(col("vec_id"), lit(5)) === 3)
+    val shard2 = corpus.filter(pmod(col("vec_id"), lit(5)) === 4)
+
+    def expectDup(f: => Unit): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("duplicate LIVE id"),
+        s"the error must name the live-duplicate contract, got: " +
+          s"${e.getMessage}")
+    }
+
+    // IVF.
+    val ivfPath = tmpDir("ivf_dup")
+    val (centroids, indexed) = Similarity.ivfIndex(
+      old, col("vec_id"), col("embedding"), nLists = 8)
+    Similarity.writeIvfIndex(centroids, indexed, ivfPath)
+    Similarity.appendToIvfIndex(
+      shard, col("vec_id"), col("embedding"), ivfPath)
+    val preRows = spark.read.parquet(s"$ivfPath/lists").count()
+    expectDup(Similarity.appendToIvfIndex(
+      shard, col("vec_id"), col("embedding"), ivfPath))
+    assert(spark.read.parquet(s"$ivfPath/lists").count() === preRows,
+      "the refused retry must not have landed rows")
+    Similarity.appendToIvfIndex(
+      shard2, col("vec_id"), col("embedding"), ivfPath)
+    val ids = spark.read.parquet(s"$ivfPath/lists")
+      .groupBy(col("id")).count().filter(col("count") > 1).count()
+    assert(ids === 0, "no id may appear twice after the guarded appends")
+
+    // Composed IVF+PQ.
+    val pqPath = tmpDir("ivfpq_dup")
+    val cbs = Similarity.ivfPqFitCodebooks(
+      old, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1)
+    Similarity.writeIvfPqIndex(centroids, cbs,
+      Similarity.ivfPqEncode(
+        old, col("vec_id"), col("embedding"), centroids, cbs), pqPath)
+    Similarity.appendToIvfPqIndex(
+      shard, col("vec_id"), col("embedding"), pqPath)
+    expectDup(Similarity.appendToIvfPqIndex(
+      shard, col("vec_id"), col("embedding"), pqPath))
+    Similarity.appendToIvfPqIndex(
+      shard2, col("vec_id"), col("embedding"), pqPath)
+
+    // LSH.
+    val lshPath = tmpDir("lsh_dup")
+    Similarity.writeLshIndex(
+      old, col("vec_id"), col("embedding"), nBits = 8, lshPath)
+    Similarity.appendToLshIndex(
+      shard, col("vec_id"), col("embedding"), lshPath)
+    expectDup(Similarity.appendToLshIndex(
+      shard, col("vec_id"), col("embedding"), lshPath))
+    Similarity.appendToLshIndex(
+      shard2, col("vec_id"), col("embedding"), lshPath)
+
+    // Flat PQ (unpartitioned code table — the column-pruned guard).
+    val flatPath = tmpDir("pqflat_dup")
+    val (fcbs, fenc) = Similarity.pqIndex(
+      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    Similarity.writePqIndex(fcbs, fenc, flatPath)
+    Similarity.appendToPqIndex(
+      shard, col("vec_id"), col("embedding"), flatPath)
+    expectDup(Similarity.appendToPqIndex(
+      shard, col("vec_id"), col("embedding"), flatPath))
+    Similarity.appendToPqIndex(
+      shard2, col("vec_id"), col("embedding"), flatPath)
+
+    // Corpus index (catalog-table family).
+    val prefix = s"graft_idx_dup_$runId"
+    val docs = Tables.documents(spark, sf)
+    val built = Dedup.corpusIndex(
+      docs.filter(col("source") =!= "src0" && col("source") =!= "src8"),
+      col("doc_id"), col("text"))
+    Dedup.writeCorpusIndex(built, prefix, buckets = 4)
+    built.unpersist()
+    val docShard = docs.filter(col("source") === "src8")
+    Dedup.appendToCorpusIndex(docShard, col("doc_id"), col("text"), prefix)
+    expectDup(Dedup.appendToCorpusIndex(
+      docShard, col("doc_id"), col("text"), prefix))
+    Dedup.appendToCorpusIndex(
+      docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+      prefix)
+  }
+
+  test("an interrupted write*Index (completion marker missing) fails every later verb readably; a finished rebuild restores it") {
+    // The marker is cleared first and created last, so a crash
+    // anywhere inside the write leaves a path every verb refuses with
+    // a must-rebuild message — including the previously-silent window
+    // (data writes complete, tombstone seed not reached: stale
+    // tombstones would hide new rows on every load).
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val path = tmpDir("ivf_marker")
+    val (centroids, indexed) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    Similarity.writeIvfIndex(centroids, indexed, path)
+    // Loads work while the marker stands.
+    Similarity.loadIvfIndex(spark.newSession(), path)
+    // Simulate the crash window: marker gone, directories intact.
+    assert(new java.io.File(s"$path/_GRAFT_INDEX_COMPLETE").delete())
+    val eLoad = intercept[IllegalArgumentException] {
+      Similarity.loadIvfIndex(spark.newSession(), path)
+    }
+    assert(eLoad.getMessage.contains("INCOMPLETE") &&
+      eLoad.getMessage.contains("rebuild"),
+      s"an incomplete index must fail toward a rebuild: ${eLoad.getMessage}")
+    val eAppend = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(
+        corpus, col("vec_id"), col("embedding"), path)
+    }
+    assert(eAppend.getMessage.contains("INCOMPLETE"))
+    // A finished rebuild restores the marker and the index loads again.
+    Similarity.writeIvfIndex(centroids, indexed, path)
+    val (_, lists) = Similarity.loadIvfIndex(spark.newSession(), path)
+    assert(lists.count() > 0)
+  }
+
+  test("ONE policy verb for every family: indexHealth + compactIfNeeded dispatch on a corpus-index table prefix") {
+    // A nightly job appends to whatever index it owns — vector stripes
+    // or text buckets — and calls the same guard; the corpus family
+    // must route through the shared knee constants.
+    val prefix = s"graft_idx_unified_$runId"
+    val docs = Tables.documents(spark, sf)
+    val built = Dedup.corpusIndex(
+      docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"))
+    Dedup.writeCorpusIndex(built, prefix, buckets = 4)
+    built.unpersist()
+    Dedup.appendToCorpusIndex(
+      docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+      prefix)
+    // The UNIFIED verbs, called with the PREFIX, reach the corpus
+    // layout: the health frame is corpusIndexHealth's schema, and the
+    // policy guard fires the corpus compaction at a tightened knob.
+    val h = Similarity.indexHealth(spark, prefix).collect().head
+    assert(h.getAs[Int]("n_buckets") === 4,
+      "prefix dispatch must return the corpus-family health frame")
+    assert(h.getAs[Int]("max_files_per_bucket") >= 2)
+    assert(!Similarity.compactIfNeeded(spark, prefix),
+      "below the knee the unified guard is a no-op on the corpus family")
+    assert(Similarity.compactIfNeeded(spark, prefix,
+      maxFilesPerStripe = 1),
+      "past the knee the unified guard must fire compactCorpusIndex")
+    val h2 = Similarity.indexHealth(spark, prefix, maxFilesPerStripe = 1)
+      .collect().head
+    assert(h2.getAs[Int]("max_files_per_bucket") === 1 &&
+      !h2.getAs[Boolean]("needs_compaction"),
+      "the fired corpus compaction must reset the bucket file counts")
+  }
+
+  test("composed encoding is measured, pinned and honored: auto picks by quantization error; a forced-residual index round-trips and its probes stay exact/bit-mirrored") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    val (centroids, _) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    // On the near-isotropic test embeddings residuals are LONGER than
+    // the unit vectors (the centroids capture little direction), so
+    // the measured-MSE auto mode must pick raw — agreeing with the
+    // raw default the recall sweeps fixed (ResidualGainSweep).
+    val auto = Similarity.ivfPqFitCodebooks(
+      corpus, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1, encoding = "auto")
+    assert(auto.encoding === "raw",
+      "auto must pick raw on the isotropic test embeddings")
+    val default = Similarity.ivfPqFitCodebooks(
+      corpus, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1)
+    assert(default.encoding === "raw",
+      "the default convention is raw — the measured IP-ranking winner")
+    // Forced residual: the IVFADC convention end to end. Completeness
+    // is encoding-blind by construction (every row scanned + reranked
+    // exactly), and the per-list offset must make cross-list ADC
+    // scores comparable in BOTH probe forms identically.
+    val res = Similarity.ivfPqFitCodebooks(
+      corpus, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1, encoding = "residual")
+    assert(res.encoding === "residual")
+    val path = tmpDir("ivfpq_residual")
+    Similarity.writeIvfPqIndex(centroids, res,
+      Similarity.ivfPqEncode(
+        corpus, col("vec_id"), col("embedding"), centroids, res), path)
+    val fresh = spark.newSession()
+    val (cents, cbs2, codes) = Similarity.loadIvfPqIndex(fresh, path)
+    assert(cbs2.encoding === "residual",
+      "the meta table must round-trip the residual convention")
+    val corpus2 = Tables.embeddings(fresh, sf).filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(
+      corpus2, col("vec_id"), col("embedding"), q, k = 10).collect().toSeq
+    val full = Similarity.ivfPqTopK(cents, cbs2, codes, corpus2,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 8,
+      rerankN = 1 << 20).collect().toSeq
+    assert(full === exact,
+      "residual composed completeness gate: full probe must equal exact")
+    // Offset bit-mirror: a 1-query batch at FINITE rerank must pick the
+    // same shortlist (thus the same rows) as the single-query
+    // driver-LUT + offset-map probe.
+    val one = Similarity.ivfPqTopKBatch(cents, cbs2, codes,
+        corpus2, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") === 0), col("vec_id"), col("embedding"),
+        k = 10, nProbe = 3, rerankN = 50)
+      .select(col("id"), col("sim")).orderBy(asc("rank"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val single = Similarity.ivfPqTopK(cents, cbs2,
+        codes.filter(col("id") =!= 0), corpus2,
+        col("vec_id"), col("embedding"),
+        qv, k = 10, nProbe = 3, rerankN = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(one === single,
+      "residual 1-query batch must bit-mirror the single-query probe")
+    // A residual-encoded shard appends under the pinned convention and
+    // the appended index still degenerates to exact at full settings.
+    val extra = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"))
+    Similarity.appendToIvfPqIndex(
+      extra, col("vec_id"), col("embedding"), path)
+    val fresh2 = spark.newSession()
+    val (c3, cb3, codes3) = Similarity.loadIvfPqIndex(fresh2, path)
+    val union = corpus2.select(col("vec_id"), col("embedding"))
+      .unionAll(extra)
+    val exactU = Similarity.bruteForceTopK(
+      union, col("vec_id"), col("embedding"), q, k = 10).collect().toSeq
+    val fullU = Similarity.ivfPqTopK(c3, cb3, codes3, union,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 8,
+      rerankN = 1 << 20).collect().toSeq
+    assert(fullU === exactU,
+      "post-append residual probe must still equal exact at full settings")
   }
 }

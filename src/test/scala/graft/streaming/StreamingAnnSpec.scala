@@ -205,8 +205,9 @@ class StreamingAnnSpec extends SparkSpec {
     val root = Files.createTempDirectory("streamann_pq").toString
     val (centroids, _) = Similarity.ivfIndex(
       old, col("vec_id"), col("embedding"), nLists = 8)
-    val (cbs, _) = Similarity.pqIndex(
-      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val cbs = Similarity.ivfPqFitCodebooks(
+      old, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1)
     Similarity.writeIvfPqIndex(centroids, cbs,
       Similarity.ivfPqEncode(
         old, col("vec_id"), col("embedding"), centroids, cbs),
@@ -223,7 +224,8 @@ class StreamingAnnSpec extends SparkSpec {
     val schema = fresh.read.parquet(inDir).schema
     val q = StreamingAnn.startRefreshingPq(fresh, inDir, schema,
       col("vec_id"), col("embedding"), s"$root/idx",
-      corpus2, col("vec_id"), col("embedding"),
+      s => Tables.embeddings(s, sf).filter(col("vec_id") >= 10),
+      col("vec_id"), col("embedding"),
       k = 5, nProbe = 8, rerankN = 50,
       outDir = s"$root/out", checkpointDir = s"$root/ck",
       trigger = Trigger.ProcessingTime("100 milliseconds"))
@@ -271,5 +273,85 @@ class StreamingAnnSpec extends SparkSpec {
       col("vec_id"), col("embedding"), k = 5, nProbe = 8, rerankN = 50))
     assert(expectBatch2 !== preMutBatch2,
       "fixture must make the mutations visible in batch 2's neighbors")
+  }
+
+  test("compactIfNeeded fires under a RUNNING composed daemon between batches: the next batch returns the post-compaction answer, no restart, no rename-window error") {
+    // The operational seam the nightly job creates: `appendTo…;
+    // compactIfNeeded(…)` WILL eventually fire while the resident
+    // daemon is up. Safe ordering (the documented contract): the swap
+    // lands BETWEEN batches, the daemon re-resolves the handle at the
+    // next tick, and the batch reads the compacted (survivor) layout —
+    // no FileNotFound from swapInPlace's rename window, no restart.
+    import org.apache.spark.sql.streaming.Trigger
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val doomed = corpus.filter(pmod(col("vec_id"), lit(5)) === 3)
+    val root = Files.createTempDirectory("streamann_compact").toString
+    val (centroids, _) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    val cbs = Similarity.ivfPqFitCodebooks(
+      corpus, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1)
+    Similarity.writeIvfPqIndex(centroids, cbs,
+      Similarity.ivfPqEncode(
+        corpus, col("vec_id"), col("embedding"), centroids, cbs),
+      s"$root/idx")
+
+    val fresh = spark.newSession()
+    val emb2 = Tables.embeddings(fresh, sf)
+    val (cents, cbs2, _) = Similarity.loadIvfPqIndex(fresh, s"$root/idx")
+    val inDir = s"$root/in"
+    emb2.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).write.parquet(inDir)
+    val schema = fresh.read.parquet(inDir).schema
+    val q = StreamingAnn.startRefreshingPq(fresh, inDir, schema,
+      col("vec_id"), col("embedding"), s"$root/idx",
+      s => Tables.embeddings(s, sf).filter(col("vec_id") >= 10),
+      col("vec_id"), col("embedding"),
+      k = 5, nProbe = 8, rerankN = 50,
+      outDir = s"$root/out", checkpointDir = s"$root/ck",
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable() // batch 1: the index as built
+      // Delete a slice, then let the POLICY verb fire the compaction
+      // between batches (tightened tombstone knob = past the knee).
+      Similarity.deleteFromIvfPqIndex(
+        doomed.select(col("vec_id")), col("vec_id"), s"$root/idx")
+      assert(Similarity.compactIfNeeded(fresh, s"$root/idx",
+        maxTombstoneBytes = 1L),
+        "the policy guard must fire the composed compaction mid-stream")
+      emb2.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable() // batch 2: post-compaction, same query
+      assert(q.exception.isEmpty,
+        s"the daemon must survive the between-batch swap: ${q.exception}")
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val got = rows(fresh.read.parquet(s"$root/out"))
+    val (_, _, postCodes) = Similarity.loadIvfPqIndex(fresh, s"$root/idx")
+    val corpus2 = emb2.filter(col("vec_id") >= 10)
+    val expectBatch2 = rows(Similarity.ivfPqTopKBatch(cents, cbs2,
+      postCodes, corpus2, col("vec_id"), col("embedding"),
+      emb2.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 5, nProbe = 8, rerankN = 50))
+    val batch2Got = got.filter(r => r._1 >= 5 && r._1 < 10)
+    assert(batch2Got === expectBatch2,
+      "batch 2 must equal the batch operator over the compacted index")
+    val doomedIds = doomed.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(batch2Got.forall(r => !doomedIds(r._2)),
+      "no post-compaction neighbor may be a compacted-away id")
+    // Non-vacuous: physical erasure happened (no tombstones left, the
+    // doomed codes gone from the stripes) and the pre-compaction index
+    // would have answered differently.
+    assert(fresh.read.parquet(s"$root/idx/tombstones").isEmpty)
+    val fileIds = fresh.read.parquet(s"$root/idx/lists").select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fileIds.intersect(doomedIds).isEmpty,
+      "compaction under the daemon must physically erase the codes")
   }
 }

@@ -26,8 +26,9 @@ object HardNegPqProbe {
       val emb = Tables.embeddings(spark, dir)
       val (centroids, _) = Similarity.ivfIndex(
         emb, col("vec_id"), col("embedding"), nLists = 8)
-      val (cbs, _) = Similarity.pqIndex(
-        emb, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+      val cbs = Similarity.ivfPqFitCodebooks(
+        emb, col("vec_id"), col("embedding"), centroids,
+        m = 16, ksub = 16, iters = 1)
       val indexed = Similarity.ivfPqEncode(
         emb, col("vec_id"), col("embedding"), centroids, cbs)
       val anchors = emb.filter(col("vec_id") < 10)

@@ -58,8 +58,8 @@ object IvfPqAppendSweep {
       val (cents, _) = Similarity.ivfIndex(
         corpus, col("vec_id"), col("embedding"), nLists = 8,
         fitSampleRows = 2000L)
-      val (cbs, _) = Similarity.pqIndex(
-        corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16,
+      val cbs = Similarity.ivfPqFitCodebooks(
+        corpus, col("vec_id"), col("embedding"), cents, m = 16, ksub = 16,
         iters = 1)
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

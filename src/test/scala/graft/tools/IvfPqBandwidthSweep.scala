@@ -73,8 +73,8 @@ object IvfPqBandwidthSweep {
         fitSampleRows = 2000L)
       val ivfPath = s"${System.getProperty("java.io.tmpdir")}/graft_bw_ivf_$d"
       Similarity.writeIvfIndex(cents, indexed, ivfPath)
-      val (cbs, _) = Similarity.pqIndex(
-        corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16,
+      val cbs = Similarity.ivfPqFitCodebooks(
+        corpus, col("vec_id"), col("embedding"), cents, m = 16, ksub = 16,
         iters = 1)
       val pqPath = s"${System.getProperty("java.io.tmpdir")}/graft_bw_ivfpq_$d"
       Similarity.writeIvfPqIndex(cents, cbs,

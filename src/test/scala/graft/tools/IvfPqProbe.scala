@@ -30,8 +30,10 @@ object IvfPqProbe {
     println(s"exact top-10: $exact")
     val (centroids, _) = Similarity.ivfIndex(
       old, col("vec_id"), col("embedding"), nLists = 8)
-    val (cbs, _) = Similarity.pqIndex(
-      old, col("vec_id"), col("embedding"), m = 16, ksub = 16, iters = 1)
+    val iters = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+    val cbs = Similarity.ivfPqFitCodebooks(
+      old, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = iters)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_probe"
     Similarity.writeIvfPqIndex(centroids, cbs,
       Similarity.ivfPqEncode(
