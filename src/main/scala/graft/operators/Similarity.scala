@@ -1494,11 +1494,14 @@ object Similarity {
       corpus: DataFrame, id: Column, vec: Column,
       centroids: Array[Array[Float]],
       m: Int, ksub: Int, iters: Int,
-      encoding: String = "raw"): IvfPqCodebooks = {
+      encoding: String = "raw",
+      fitSampleRows: Long = PqFitSampleRowsDefault): IvfPqCodebooks = {
     require(Seq("auto", "raw", "residual").contains(encoding),
       s"encoding must be 'auto', 'raw' or 'residual', got '$encoding'")
-    val base = unitNormalized(corpus, id, vec)
-      .withColumn("list", listAssignCol(col("v"), centroids))
+    val base = fitSampleOf(
+      unitNormalized(corpus, id, vec)
+        .withColumn("list", listAssignCol(col("v"), centroids)),
+      fitSampleRows)
     def rawUn = base.select(col("id"), col("u").as("w"))
     def resUn = base.select(col("id"),
       residualCol(col("u"), col("list"), centroids).as("w"))
@@ -2113,12 +2116,16 @@ object Similarity {
     * storage and are fetched only for the final rerank join.
     *
     * Scale shape: training iterates on the (id, subspace, subvector)
-    * relation — per iteration one broadcast-join assignment pass and a
-    * (subspace, codeword, dim) partial aggregation collecting exactly
-    * m·ksub·dsub rows (parameter-bounded, never corpus-bound); encoding
-    * is one codegen'd map pass against the codebook literal. Driver
-    * collects: the ksub init vectors and the m·ksub·dsub centroid table
-    * — both parameter-sized.
+    * relation OF A BOUNDED SAMPLE ([[fitSampleOf]] — the `fitSampleRows`
+    * smallest (xxhash64(id), id) values, [[ivfIndex]]'s deterministic
+    * hash-ordered discipline; defaults to [[PqFitSampleRowsDefault]],
+    * inactive below it) — per iteration one broadcast-join assignment
+    * pass and a (subspace, codeword, dim) partial aggregation
+    * collecting exactly m·ksub·dsub rows (parameter-bounded, never
+    * corpus-bound); encoding is one codegen'd map pass against the
+    * codebook literal over EVERY vector (assignment is never sampled).
+    * Driver collects: the ksub init vectors and the m·ksub·dsub
+    * centroid table — both parameter-sized.
     *
     * Returns (codebooks as (subspace, codeword, centroid), encoded
     * (id, codes) with `codes` the packed long). Zero-norm vectors are
@@ -2126,9 +2133,13 @@ object Similarity {
     * .CorpusStats.embeddingAudit]] is the upstream gate). */
   def pqIndex(
       corpus: DataFrame, id: Column, vec: Column,
-      m: Int, ksub: Int, iters: Int): (Seq[(Int, Int, Array[Double])], DataFrame) = {
+      m: Int, ksub: Int, iters: Int,
+      fitSampleRows: Long = PqFitSampleRowsDefault)
+      : (Seq[(Int, Int, Array[Double])], DataFrame) = {
     val cbs = fitCodebooks(
-      unitNormalized(corpus, id, vec).select(col("id"), col("u").as("w")),
+      fitSampleOf(
+        unitNormalized(corpus, id, vec).select(col("id"), col("u").as("w")),
+        fitSampleRows),
       m, ksub, iters)
     // Encode through the SAME derived-ksub definition as pqTopK's
     // decode and appendToPqIndex's growth encode — all three derive
@@ -2148,6 +2159,30 @@ object Similarity {
     * ([[l2Assign]] — the one assignment definition) and 6-dp-rounded
     * per-(j, cl, dim) means. The per-iteration collect is m·ksub·dsub
     * values — parameter-sized. */
+  /** [[ivfIndex]]'s `fitSampleRows` default, shared by the PQ fits —
+    * codebook ESTIMATES converge with a representative sample (the
+    * FAISS training-buffer convention), so past this bound extra rows
+    * buy per-iteration cost, not quality. Every local test corpus
+    * sits far under it, so the default changes nothing at test scale
+    * while bounding the fit at 100 TB. */
+  val PqFitSampleRowsDefault: Long = 100000L
+
+  /** The deterministic bounded fit sample — [[ivfIndex]]'s exact
+    * discipline applied to the DISTRIBUTED PQ fit: the `fitSampleRows`
+    * smallest (xxhash64(id), id) values, one TakeOrderedAndProject —
+    * hash-ordered so the bound is UNBIASED when ids correlate with
+    * ingest time, partition-invariant because the hash is a pure
+    * function of the id. Unlike [[ivfIndex]]'s driver-collected
+    * sample, the PQ fit stays a Spark plan, so the sample bounds the
+    * per-iteration scan (m × sample subvector rows instead of m ×
+    * corpus), not driver memory. `fitSampleRows ≤ 0` disables
+    * sampling; the ENCODE pass always covers every vector either
+    * way. */
+  private def fitSampleOf(un: DataFrame, fitSampleRows: Long): DataFrame =
+    if (fitSampleRows <= 0) un
+    else un.orderBy(xxhash64(col("id")), col("id"))
+      .limit(math.min(fitSampleRows, Int.MaxValue.toLong).toInt)
+
   private def fitCodebooks(
       un: DataFrame, m: Int, ksub: Int,
       iters: Int): Seq[(Int, Int, Array[Double])] =

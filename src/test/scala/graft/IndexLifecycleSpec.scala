@@ -1428,4 +1428,57 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(fullU === exactU,
       "post-append residual probe must still equal exact at full settings")
   }
+
+  test("bounded PQ fit sample: above-corpus bound is bit-identical; a small sample still yields a complete index whose full-rerank probe is exact") {
+    // ivfIndex's fitSampleRows discipline extended to the PQ fits: the
+    // codebook ESTIMATE trains on the hash-ordered bounded sample (the
+    // 100 TB per-iteration bound), the encode covers every vector.
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val n = corpus.count()
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    // Above the corpus size the sample is the whole corpus — codebooks
+    // and codes bit-identical to the unsampled fit.
+    val (cbsAll, encAll) = Similarity.pqIndex(
+      corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16,
+      iters = 1, fitSampleRows = 0L)
+    val (cbsBig, encBig) = Similarity.pqIndex(
+      corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16,
+      iters = 1, fitSampleRows = n * 10)
+    assert(cbsAll.size == cbsBig.size &&
+      cbsAll.zip(cbsBig).forall { case ((j1, c1, a1), (j2, c2, a2)) =>
+        j1 == j2 && c1 == c2 && a1.sameElements(a2) },
+      "an above-corpus sample bound must not change the fit")
+    assert(encAll.orderBy(col("id")).collect().toSeq ===
+      encBig.orderBy(col("id")).collect().toSeq)
+    // A small sample: fewer rows trained on, but every row ENCODED and
+    // the completeness gate (corpus-sized rerank ≡ exact) is fit-blind.
+    val (cbsS, encS) = Similarity.pqIndex(
+      corpus, col("vec_id"), col("embedding"), m = 16, ksub = 16,
+      iters = 1, fitSampleRows = 64L)
+    assert(encS.count() === n, "the encode pass must cover every vector")
+    val exact = Similarity.bruteForceTopK(
+      corpus, col("vec_id"), col("embedding"), q, k = 10).collect().toSeq
+    val full = Similarity.pqTopK(cbsS, encS, corpus,
+      col("vec_id"), col("embedding"), qv, k = 10,
+      rerankN = math.min(n, Int.MaxValue.toLong).toInt)
+      .collect().toSeq
+    assert(full === exact,
+      "sample-fit PQ at corpus-sized rerank must still equal exact")
+    // Same contract through the composed fit verb.
+    val (centroids, _) = Similarity.ivfIndex(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    val cbsC = Similarity.ivfPqFitCodebooks(
+      corpus, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1, fitSampleRows = 64L)
+    val encC = Similarity.ivfPqEncode(
+      corpus, col("vec_id"), col("embedding"), centroids, cbsC)
+    assert(encC.count() === n)
+    val fullC = Similarity.ivfPqTopK(centroids, cbsC, encC, corpus,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 8,
+      rerankN = 1 << 20).collect().toSeq
+    assert(fullC === exact,
+      "sample-fit composed probe at full settings must equal exact")
+  }
 }
