@@ -2180,26 +2180,37 @@ object Similarity {
     * way. */
   private def fitSampleOf(un: DataFrame, fitSampleRows: Long): DataFrame =
     if (fitSampleRows <= 0) un
-    else un.orderBy(xxhash64(col("id")), col("id"))
-      .limit(math.min(fitSampleRows, Int.MaxValue.toLong).toInt)
+    else
+      // GlobalLimit emits ONE partition — without the re-spread the
+      // fit's subvector explode and assignment joins run
+      // single-threaded (measured ~2.5× on the composed fixtures).
+      // repartition(id) is deterministic in CONTENT per partition; the
+      // Lloyd means are 6-dp-rounded — the standing discipline that
+      // already makes them layout-stable across 8-vs-32-cpu gates.
+      un.orderBy(xxhash64(col("id")), col("id"))
+        .limit(math.min(fitSampleRows, Int.MaxValue.toLong).toInt)
+        .repartition(col("id"))
 
   private def fitCodebooks(
       un: DataFrame, m: Int, ksub: Int,
       iters: Int): Seq[(Int, Int, Array[Double])] =
-    fitCodebooksWithErr(un, m, ksub, iters)._1
+    fitCodebooksWithErr(un, m, ksub, iters, withErr = false)._1
 
-  /** [[fitCodebooks]] plus the mean per-subspace quantization error of
-    * the FINAL codebooks on the fit data — the measured quantity
-    * [[ivfPqFitCodebooks]]'s auto mode compares between the raw and
-    * residual conventions (the per-row ADC error for inner-product
-    * ranking is ⟨q, target − target̂⟩, so the smaller error norm is
-    * the better codebook set in expectation). One extra
-    * broadcast-join + single-row aggregate over the already-persisted
-    * subs frame; the cross-row mean is 6-dp-rounded so the comparison
-    * is stable across partition layouts. */
+  /** [[fitCodebooks]] plus (when `withErr`) the mean per-subspace
+    * quantization error of the FINAL codebooks on the fit data — the
+    * measured quantity [[ivfPqFitCodebooks]]'s auto mode compares
+    * between the raw and residual conventions (the per-row ADC error
+    * for inner-product ranking is ⟨q, target − target̂⟩, so the
+    * smaller error norm is the better codebook set in expectation).
+    * One extra broadcast-join + single-row aggregate over the
+    * already-persisted subs frame, paid ONLY by auto mode — the plain
+    * fits skip it (it cost ~20% of a q89-shaped fit when it ran
+    * unconditionally); the cross-row mean is 6-dp-rounded so the
+    * comparison is stable across partition layouts. */
   private def fitCodebooksWithErr(
       un: DataFrame, m: Int, ksub: Int,
-      iters: Int): (Seq[(Int, Int, Array[Double])], Double) = {
+      iters: Int, withErr: Boolean = true)
+      : (Seq[(Int, Int, Array[Double])], Double) = {
     require(ksub >= 2 && (ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
     val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
     require(m * bits <= 64, s"m*log2(ksub)=${m * bits} exceeds one long")
@@ -2250,12 +2261,14 @@ object Similarity {
           (j, cl, dims.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
         }
     }
-    val err = subs.join(broadcast(candDf(cbs)), "j")
-      .select(array_min(transform(col("cands"), ct =>
-        round(aggregate(zip_with(col("sub"), ct.getField("c"),
-          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x),
-          6))).as("d2"))
-      .agg(round(avg(col("d2")), 6)).collect().head.getDouble(0)
+    val err =
+      if (!withErr) 0.0
+      else subs.join(broadcast(candDf(cbs)), "j")
+        .select(array_min(transform(col("cands"), ct =>
+          round(aggregate(zip_with(col("sub"), ct.getField("c"),
+            (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x),
+            6))).as("d2"))
+        .agg(round(avg(col("d2")), 6)).collect().head.getDouble(0)
     subs.unpersist()
     (cbs, err)
   }

@@ -925,6 +925,69 @@ object PipelineQueries {
         .as("partial_recall_ok"))
   }
 
+  /** q199 — the composed lifecycle under FORCED RESIDUAL encoding
+    * (IVFADC proper): q196's exact write(4/5) → append(1/5) →
+    * fresh-reload composition with
+    * [[Similarity.ivfPqFitCodebooks]](encoding = "residual") — codes
+    * quantize `u − ĉ(list)`, the probe adds the per-list offset
+    * ⟨q, ĉ⟩ — so the convention the measured default DOESN'T pick
+    * (see q196: raw won the IP-ranking sweeps) stays oracle-gated at
+    * the driver, not just spec-gated: the completeness gate is
+    * encoding-blind BY CONSTRUCTION (all lists scanned + corpus-sized
+    * exact rerank ⇒ the offsets and codes only order a shortlist that
+    * contains everything), the partial 3-of-8 × ADC-100 probe holds
+    * the same 0.5 floor (measured 0.6/0.6/0.6 at sf0.001/0.01/0.1,
+    * IvfPqProbe with iters=1 residual — the round-19 first
+    * measurement set), and `residual_pinned` asserts the meta table
+    * round-trips the convention through the fresh session (an index
+    * silently reloaded as raw would mis-decode every code — the
+    * completeness gate would catch the ordering, this boolean names
+    * the cause). Oracle as q196: n_exact from the data, booleans
+    * literal. */
+  def q199IvfPqResidualProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val old = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) =!= 3)
+    val shard = emb.filter(col("vec_id") =!= 0 &&
+      pmod(col("vec_id"), lit(5)) === 3)
+    val (centroids, _) = Similarity.ivfIndex(
+      old, col("vec_id"), col("embedding"), nLists = 8)
+    val cbs = Similarity.ivfPqFitCodebooks(
+      old, col("vec_id"), col("embedding"), centroids,
+      m = 16, ksub = 16, iters = 1, encoding = "residual")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q199_ivfpq"
+    Similarity.writeIvfPqIndex(centroids, cbs,
+      Similarity.ivfPqEncode(
+        old, col("vec_id"), col("embedding"), centroids, cbs), path)
+    Similarity.appendToIvfPqIndex(
+      shard, col("vec_id"), col("embedding"), path)
+
+    val fresh = spark.newSession()
+    val emb2 = Tables.embeddings(fresh, dir)
+    val corpus = emb2.filter(col("vec_id") =!= 0)
+    val q = emb2.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+      corpus, col("vec_id"), col("embedding"), q, k = 10)
+    val (cents, cbs2, codes) = Similarity.loadIvfPqIndex(fresh, path)
+    val qv = q.collect().head.getSeq[Float](0).toArray
+    val full = Similarity.ivfPqTopK(cents, cbs2, codes, corpus,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 8,
+      rerankN = 1 << 20)
+    val partial = Similarity.ivfPqTopK(cents, cbs2, codes, corpus,
+      col("vec_id"), col("embedding"), qv, k = 10, nProbe = 3,
+      rerankN = 100)
+    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+      .select(col("n_hit").as("n_hit_partial"))
+    fullStats.crossJoin(partStats).select(
+      col("n_exact"),
+      (col("n_approx") === col("n_exact") &&
+        col("n_hit") === col("n_exact")).as("full_probe_exact"),
+      (col("n_hit_partial") >= col("n_exact") * 0.5).as("partial_recall_ok"),
+      lit(cbs2.encoding == "residual").as("residual_pinned"))
+  }
+
   /** q142 — truncated-dimension recall audit
     * ([[Similarity.truncatedDimRecall]]): exact top-10 for the vec_id-0
     * probe at prefix dims 8/16/32/64 vs the full-dimension truth — the
@@ -1522,6 +1585,7 @@ object PipelineQueries {
     "q196_ivfpq_reload_probe" -> q196IvfPqReloadProbe _,
     "q197_ivfpq_batch_probe" -> q197IvfPqBatchProbe _,
     "q198_hard_negatives_ann_pq" -> q198HardNegativesAnnPq _,
+    "q199_ivfpq_residual_probe" -> q199IvfPqResidualProbe _,
     "q112_source_dup_matrix" -> q112SourceDupMatrix _,
     "q113_cluster_sizes"     -> q113ClusterSizes _,
     "q120_curation_pipeline" -> q120CurationPipeline _,
@@ -2359,6 +2423,14 @@ object PipelineQueries {
       s"""WITH $exactTop10Sql
         |SELECT count(*) AS n_exact, true AS full_probe_exact,
         | true AS partial_recall_ok FROM top""".stripMargin,
+    // q199 is q196 under FORCED residual (IVFADC) encoding — the
+    // completeness gate is encoding-blind by construction, and the
+    // extra boolean pins the meta round-trip of the convention.
+    "q199_ivfpq_residual_probe" ->
+      s"""WITH $exactTop10Sql
+        |SELECT count(*) AS n_exact, true AS full_probe_exact,
+        | true AS partial_recall_ok, true AS residual_pinned
+        | FROM top""".stripMargin,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -90,6 +90,9 @@ class PlanDisciplineSpec extends SparkSpec {
     // rerank tail, plus the 1-row recallStats crosses; the ADC scan
     // side is a pruned projection, no join at all.
     "q196_ivfpq_reload_probe",
+    // q199: q196's crosses verbatim under the forced-residual encoding
+    // (same exact side, same 1×1 recallStats joins).
+    "q199_ivfpq_residual_probe",
     // q141: the data card's token-share denominator — the 1-row corpus
     // totals broadcast crossed under the ≤|langs|-row share frame.
     "q141_data_card",
