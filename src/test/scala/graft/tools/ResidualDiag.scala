@@ -6,10 +6,13 @@ import graft.GraftSession
 import graft.operators.Similarity
 import graft.sources.Tables
 
-/** Scratch diagnostic: per-row quantization error of raw-u PQ vs
-  * residual PQ at matched m/ksub/iters, plus residual-norm stats —
-  * explains the ResidualGainSweep direction before the convention is
-  * pinned. Run: sbt "Test/runMain graft.tools.ResidualDiag [sfDir]" */
+/** The decomposition behind BASELINE.md's raw-vs-residual conclusion:
+  * per-row quantization error of raw-u PQ vs residual PQ at matched
+  * m/ksub/iters, plus the residual-norm stats that explain the
+  * direction (on the isotropic test embeddings mean ‖r‖² > ‖u‖² —
+  * subtracting a centroid that captures little direction INFLATES the
+  * quantization target), and the auto mode's resulting pick.
+  * Run: sbt "Test/runMain graft.tools.ResidualDiag [sfDir]" */
 object ResidualDiag {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
