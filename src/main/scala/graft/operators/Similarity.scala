@@ -498,6 +498,29 @@ object Similarity {
     * the corpus — the layout that makes IVF an index rather than a
     * filter (gated in `IndexLifecycleSpec`: probe ≡ same-session build
     * bit-equal, plan carries the partition filter). */
+  /** Write-task fan-out for the cluster-before-write exchange (guide
+    * §2.5: synthetic partitioning keys with too few distinct values):
+    * `repartition(col)` hashes the stripe key into
+    * spark.sql.shuffle.partitions buckets, and hash collisions hand one
+    * task SEVERAL stripes — that task then opens its stripes' files
+    * sequentially, so the straggler pays ~(stripes/tasks)× the per-file
+    * writer cost (measured on the 254-stripe LSH write at sf0.1:
+    * 3.9 s → 1.6 s by fanning to one task per stripe). One task per
+    * stripe is the documented write discipline; this picks the
+    * partition count to MATCH it: the stripe count, floored at the core
+    * count (empty partitions cost ~nothing) and capped
+    * (`graft.index.writeFanout.max`, default 4096) so a 65536-list
+    * production index fans to a bounded task count of whole stripes.
+    * Scale-adaptive by construction — derived from index geometry, not
+    * a local-mode constant. */
+  private def stripeFanout(
+      spark: org.apache.spark.sql.SparkSession, nStripes: Long): Int = {
+    val cap = spark.conf.getOption("graft.index.writeFanout.max")
+      .flatMap(_.toIntOption).getOrElse(4096)
+    math.max(spark.sparkContext.defaultParallelism,
+      math.min(nStripes, cap.toLong).toInt)
+  }
+
   def writeIvfIndex(
       centroids: Array[Array[Float]], indexed: DataFrame,
       path: String): Unit = {
@@ -507,7 +530,8 @@ object Similarity {
     // Cluster by the partition column before the partitioned write
     // (writeLshIndex's discipline): one task per stripe → one file per
     // stripe, instead of a file per (task × touched stripe).
-    indexed.repartition(col("list"))
+    indexed.repartition(stripeFanout(spark, centroids.length.toLong),
+        col("list"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list").parquet(s"$path/lists")
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -683,7 +707,9 @@ object Similarity {
       spark, path, spark.read.parquet(s"$path/lists"))
     requireNonEmptySurvivors(survivors, path)
     swapInPlace(spark, s"$path/lists") { tmp =>
-      survivors.repartition(col("list"))
+      survivors.repartition(
+          stripeFanout(spark, loadIvfCentroids(spark, path).length.toLong),
+          col("list"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("list").parquet(tmp)
     }
@@ -699,7 +725,9 @@ object Similarity {
       spark, path, spark.read.parquet(s"$path/buckets"))
     requireNonEmptySurvivors(survivors, path)
     swapInPlace(spark, s"$path/buckets") { tmp =>
-      survivors.repartition(col("bucket"))
+      survivors.repartition(
+          stripeFanout(spark, 1L << loadLshNBits(spark, path)),
+          col("bucket"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("bucket").parquet(tmp)
     }
@@ -1019,7 +1047,8 @@ object Similarity {
     // written by one task — the layout discipline that matters at both
     // local scale (file count) and 100 TB (writer memory, one open
     // file per task).
-    bucketize(vecs, id, vec, nBits).repartition(col("bucket"))
+    bucketize(vecs, id, vec, nBits)
+      .repartition(stripeFanout(spark, 1L << nBits), col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$path/buckets")
     Seq(Tuple1(nBits)).toDF("n_bits")
@@ -1086,9 +1115,13 @@ object Similarity {
       // Same cluster-before-write as the build path: without it a shard
       // written by T tasks opens up to T files per touched stripe, and
       // nightly appends compound exactly the small-file mode the build's
-      // layout avoids.
+      // layout avoids. Fan-out = the shard's own touched-stripe count
+      // when bounded (one task per touched stripe), else the full
+      // bucket space.
       banded
-        .repartition(col("bucket"))
+        .repartition(stripeFanout(spark,
+          if (touched.size <= LiveGuardMaxStripes) touched.size.toLong
+          else 1L << nBits), col("bucket"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("bucket").parquet(s"$path/buckets")
     } finally {
@@ -1260,7 +1293,7 @@ object Similarity {
       // one file per touched stripe per append, not one per (task ×
       // stripe) — nightly accretion is linear in nights, not tasks.
       assigned
-        .repartition(col("list"))
+        .repartition(stripeFanout(spark, touched.size.toLong), col("list"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("list").parquet(s"$path/lists")
     } finally {
@@ -1532,7 +1565,8 @@ object Similarity {
     val spark = encoded.sparkSession
     import spark.implicits._
     clearCompletionMarker(spark, path)
-    encoded.repartition(col("list"))
+    encoded.repartition(stripeFanout(spark, centroids.length.toLong),
+        col("list"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list").parquet(s"$path/lists")
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -1607,7 +1641,7 @@ object Similarity {
         Some(col("list").isin(touched: _*)), encoded,
         "appendToIvfPqIndex")
       encoded
-        .repartition(col("list"))
+        .repartition(stripeFanout(spark, touched.size.toLong), col("list"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("list").parquet(s"$path/lists")
     } finally {
@@ -1636,7 +1670,9 @@ object Similarity {
       spark, path, spark.read.parquet(s"$path/lists"))
     requireNonEmptySurvivors(survivors, path)
     swapInPlace(spark, s"$path/lists") { tmp =>
-      survivors.repartition(col("list"))
+      survivors.repartition(
+          stripeFanout(spark, loadIvfCentroids(spark, path).length.toLong),
+          col("list"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("list").parquet(tmp)
     }
@@ -2217,13 +2253,22 @@ object Similarity {
     val spark = un.sparkSession
     import spark.implicits._
 
+    // Pin the (sample-bounded) fit frame for the fit's duration: both
+    // consumers below — the init-ids collect and the subvector explode —
+    // otherwise recompute the whole upstream chain independently, and
+    // for a sampled fit that chain is [[fitSampleOf]]'s sort + global
+    // limit + repartition (measured ~0.5 s per extra computation at
+    // sf0.1). Sample-bounded by construction, so the cache is
+    // parameter-sized; released before returning.
+    val unP = un.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     val dsubCol = (size(col("w")) / m).cast("int")
-    val subs = un.select(col("id"), posexplode(
+    val subs = unP.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)), j =>
           slice(col("w"), j * dsubCol + 1, dsubCol))).as(Seq("j", "sub")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val init = un.orderBy(col("id")).limit(ksub)
+    val init = unP.orderBy(col("id")).limit(ksub)
       .select(col("id"), size(col("w")).as("d")).as[(Long, Int)]
       .collect().toSeq
     // Validated against the first non-null vector (like the ksub
@@ -2270,6 +2315,7 @@ object Similarity {
             6))).as("d2"))
         .agg(round(avg(col("d2")), 6)).collect().head.getDouble(0)
     subs.unpersist()
+    unP.unpersist()
     (cbs, err)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{AsOf, Dedup, Multimodal, Similarity, Split}
+import graft.operators.{AsOf, Dedup, Materialize, Multimodal, Similarity, Split}
 import graft.sources.Tables
 
 /** Training-data-pipeline query surface (beyond the reference, per the
@@ -18,6 +18,18 @@ import graft.sources.Tables
   * are pinned by unit tests with planted duplicates.
   */
 object PipelineQueries {
+
+  /** Pin a recall-gate LEG (exact baseline / probe result / verified
+    * pair set) before the stats tail references it twice
+    * ([[Similarity.recallStats]] reads each input for its count AND its
+    * semi-join, and the exact side feeds BOTH stats calls): without the
+    * pin the final one-row plan re-computes every leg's full subtree
+    * per reference — the exact side alone is a corpus scan, re-run up
+    * to four times inside one action (measured 1.0–2.5 s of each
+    * composed lifecycle row at sf0.1, R20Split; the legs themselves are
+    * top-k / pair-set sized, so the checkpoint is trivially small).
+    * Same result bit-for-bit — the pin only stops re-computation. */
+  private def pinLeg(df: DataFrame): DataFrame = Materialize.pin(df)
 
   /** q18 — per-document text metrics: token count, punctuation ratio,
     * stopword ratio, mean token length, 0-4 quality score. */
@@ -693,9 +705,11 @@ object PipelineQueries {
       emb, col("vec_id"), col("embedding"), col("label"), anchors,
       k = 5, inDim = 64, outDim = 16,
       shortlist = math.max(50L, n * 3 / 10).toInt)
-    val fullStats = Similarity.recallStats(exact, full,
+    val (exactP, fullP, partialP) =
+      (pinLeg(exact), pinLeg(full), pinLeg(partial))
+    val fullStats = Similarity.recallStats(exactP, fullP,
       Seq("anchor_id", "rank", "neg_id", "neg_label", "sim"))
-    val partStats = Similarity.recallStats(exact, partial,
+    val partStats = Similarity.recallStats(exactP, partialP,
         Seq("anchor_id", "neg_id"))
       .select(col("n_hit").as("n_hit_partial"))
     fullStats.crossJoin(partStats).select(
@@ -743,9 +757,11 @@ object PipelineQueries {
     val partial = Similarity.hardNegativesAnn(cents, lists,
       emb2, col("vec_id"), col("embedding"), col("label"), anchors,
       k = 5, nProbe = 3, shortlist = math.max(50L, n * 3 / 10).toInt)
-    val fullStats = Similarity.recallStats(exact, full,
+    val (exactP, fullP, partialP) =
+      (pinLeg(exact), pinLeg(full), pinLeg(partial))
+    val fullStats = Similarity.recallStats(exactP, fullP,
       Seq("anchor_id", "rank", "neg_id", "neg_label", "sim"))
-    val partStats = Similarity.recallStats(exact, partial,
+    val partStats = Similarity.recallStats(exactP, partialP,
         Seq("anchor_id", "neg_id"))
       .select(col("n_hit").as("n_hit_partial"))
     fullStats.crossJoin(partStats).select(
@@ -822,8 +838,10 @@ object PipelineQueries {
     val partial = Similarity.ivfPqTopK(cents, cbs2, codes, corpus,
       col("vec_id"), col("embedding"), qv, k = 10, nProbe = 3,
       rerankN = 100)
-    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
-    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+    val (exactP, fullP, partialP) =
+      (pinLeg(exact), pinLeg(full), pinLeg(partial))
+    val fullStats = Similarity.recallStats(exactP, fullP, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exactP, partialP, Seq("id"))
       .select(col("n_hit").as("n_hit_partial"))
     fullStats.crossJoin(partStats).select(
       col("n_exact"),
@@ -912,9 +930,11 @@ object PipelineQueries {
     val partial = Similarity.hardNegativesAnnPq(cents, cbs2, codes,
       emb2, col("vec_id"), col("embedding"), col("label"), anchors,
       k = 5, nProbe = 3, shortlist = math.max(50L, n * 3 / 10).toInt)
-    val fullStats = Similarity.recallStats(exact, full,
+    val (exactP, fullP, partialP) =
+      (pinLeg(exact), pinLeg(full), pinLeg(partial))
+    val fullStats = Similarity.recallStats(exactP, fullP,
       Seq("anchor_id", "rank", "neg_id", "neg_label", "sim"))
-    val partStats = Similarity.recallStats(exact, partial,
+    val partStats = Similarity.recallStats(exactP, partialP,
         Seq("anchor_id", "neg_id"))
       .select(col("n_hit").as("n_hit_partial"))
     fullStats.crossJoin(partStats).select(
@@ -977,8 +997,10 @@ object PipelineQueries {
     val partial = Similarity.ivfPqTopK(cents, cbs2, codes, corpus,
       col("vec_id"), col("embedding"), qv, k = 10, nProbe = 3,
       rerankN = 100)
-    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
-    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+    val (exactP, fullP, partialP) =
+      (pinLeg(exact), pinLeg(full), pinLeg(partial))
+    val fullStats = Similarity.recallStats(exactP, fullP, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exactP, partialP, Seq("id"))
       .select(col("n_hit").as("n_hit_partial"))
     fullStats.crossJoin(partStats).select(
       col("n_exact"),
@@ -1066,8 +1088,10 @@ object PipelineQueries {
     val qv = q.collect().head.getSeq[Float](0).toArray
     val full = Similarity.ivfTopK(centroids, indexed, qv, k = 10, nProbe = 8)
     val partial = Similarity.ivfTopK(centroids, indexed, qv, k = 10, nProbe = 3)
-    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
-    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+    val (exactP, fullP, partialP) =
+      (pinLeg(exact), pinLeg(full), pinLeg(partial))
+    val fullStats = Similarity.recallStats(exactP, fullP, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exactP, partialP, Seq("id"))
       .select(col("n_hit").as("n_hit_partial"))
     fullStats.crossJoin(partStats).select(
       col("n_exact"),
@@ -1104,11 +1128,14 @@ object PipelineQueries {
     val lshPairs = Dedup.embeddingPairsLsh(
         emb, col("vec_id"), col("embedding"), threshold = 0.45, nBits = 4)
       .withColumn("cosine", round(col("cosine"), 4))
-    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
-    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+    val (exactP, fullP, partialP) =
+      (pinLeg(exact), pinLeg(full), pinLeg(partial))
+    val fullStats = Similarity.recallStats(exactP, fullP, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exactP, partialP, Seq("id"))
       .select(col("n_hit").as("n_hit_partial"))
     val pairStats = Similarity
-      .recallStats(exactPairs, lshPairs, Seq("id_a", "id_b", "cosine"))
+      .recallStats(pinLeg(exactPairs), pinLeg(lshPairs),
+        Seq("id_a", "id_b", "cosine"))
       .select(col("n_approx").as("n_lsh_pairs"), col("n_hit").as("n_pair_hit"))
     fullStats.crossJoin(partStats).crossJoin(pairStats).select(
       col("n_exact"),
@@ -1144,8 +1171,10 @@ object PipelineQueries {
       col("vec_id"), col("embedding"), qv, k = 10, rerankN = 1 << 20)
     val partial = Similarity.pqTopK(cbs, encoded, corpus,
       col("vec_id"), col("embedding"), qv, k = 10, rerankN = 100)
-    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
-    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+    val (exactP, fullP, partialP) =
+      (pinLeg(exact), pinLeg(full), pinLeg(partial))
+    val fullStats = Similarity.recallStats(exactP, fullP, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exactP, partialP, Seq("id"))
       .select(col("n_hit").as("n_hit_partial"))
     fullStats.crossJoin(partStats).select(
       col("n_exact"),
@@ -1201,8 +1230,10 @@ object PipelineQueries {
     val partial = Similarity.projectedTopK(corpus, col("vec_id"),
       col("embedding"), q, inDim = 64, outDim = 16,
       shortlist = math.max(50L, n * 3 / 10).toInt, k = 10)
-    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
-    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+    val (exactP, fullP, partialP) =
+      (pinLeg(exact), pinLeg(full), pinLeg(partial))
+    val fullStats = Similarity.recallStats(exactP, fullP, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exactP, partialP, Seq("id"))
       .select(col("n_hit").as("n_hit_partial"))
     fullStats.crossJoin(partStats).select(
       col("n_exact"),
@@ -1339,8 +1370,10 @@ object PipelineQueries {
     val qv = q.collect().head.getSeq[Float](0).toArray
     val full = Similarity.ivfTopK(cents, lists, qv, k = 10, nProbe = 8)
     val partial = Similarity.ivfTopK(cents, lists, qv, k = 10, nProbe = 3)
-    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
-    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+    val (exactP, fullP, partialP) =
+      (pinLeg(exact), pinLeg(full), pinLeg(partial))
+    val fullStats = Similarity.recallStats(exactP, fullP, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exactP, partialP, Seq("id"))
       .select(col("n_hit").as("n_hit_partial"))
     fullStats.crossJoin(partStats).select(
       col("n_exact"),
@@ -1420,8 +1453,10 @@ object PipelineQueries {
       probeHamming = nb)
     val partial = Similarity.lshTopKPruned(loaded, q, k = 10, nBits = nb,
       probeHamming = 2)
-    val fullStats = Similarity.recallStats(exact, full, Seq("id", "sim"))
-    val partStats = Similarity.recallStats(exact, partial, Seq("id"))
+    val (exactP, fullP, partialP) =
+      (pinLeg(exact), pinLeg(full), pinLeg(partial))
+    val fullStats = Similarity.recallStats(exactP, fullP, Seq("id", "sim"))
+    val partStats = Similarity.recallStats(exactP, partialP, Seq("id"))
       .select(col("n_hit").as("n_hit_partial"))
     fullStats.crossJoin(partStats).select(
       col("n_exact"),
