@@ -521,6 +521,38 @@ object Similarity {
       math.min(nStripes, cap.toLong).toInt)
   }
 
+  /** Run INDEPENDENT index-artifact jobs concurrently (guide §2.6 —
+    * actions are only sequential because the caller calls them
+    * sequentially): the small-table writes beside a data write, or an
+    * append's parameter-table loads beside its tombstone guard, each
+    * pay a full job floor back to back when nothing orders them. Plain
+    * `new Thread`s, NOT a pooled executor: Spark's job group /
+    * description live in an InheritableThreadLocal, so threads created
+    * HERE inherit the caller's group (Bench's watchdog can still
+    * cancel these jobs) where a pool's pre-created threads would not.
+    * First failure rethrown after all tasks settle — the completion-
+    * marker discipline already treats ANY interruption between
+    * clear-marker and write-marker as a must-rebuild, so concurrent
+    * data writes do not widen a crash window. */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    val errs = new Array[Throwable](tasks.size)
+    // The active session is a ThreadLocal some analysis-time conf
+    // lookups read — propagate the caller's into each worker thread.
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    val threads = tasks.zipWithIndex.map { case (t, i) =>
+      new Thread(() => try {
+        active.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+        t()
+      } catch { case e: Throwable => errs(i) = e })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // Deterministic error precedence: the LOWEST-index failure is
+    // thrown, so a caller's guard ordering (tombstone check before
+    // live-id check) reads the same as the sequential form it replaced.
+    errs.find(_ != null).foreach(e => throw e)
+  }
+
   def writeIvfIndex(
       centroids: Array[Array[Float]], indexed: DataFrame,
       path: String): Unit = {
@@ -529,15 +561,20 @@ object Similarity {
     clearCompletionMarker(spark, path)
     // Cluster by the partition column before the partitioned write
     // (writeLshIndex's discipline): one task per stripe → one file per
-    // stripe, instead of a file per (task × touched stripe).
-    indexed.repartition(stripeFanout(spark, centroids.length.toLong),
-        col("list"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("list").parquet(s"$path/lists")
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list", "centroid")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/centroids")
+    // stripe, instead of a file per (task × touched stripe). The two
+    // data artifacts are independent — written concurrently
+    // ([[inParallel]]); the tombstone seed and marker stay ordered
+    // AFTER both (the crash discipline below).
+    inParallel(
+      () => indexed
+        .repartition(stripeFanout(spark, centroids.length.toLong),
+          col("list"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("list").parquet(s"$path/lists"),
+      () => centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list", "centroid")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/centroids"))
     // A fresh index has no deletions: stale tombstones from a previous
     // index at this path would silently hide rows of the NEW one. The
     // write SEEDS an empty tombstone table, so every load anti-joins
@@ -1047,13 +1084,14 @@ object Similarity {
     // written by one task — the layout discipline that matters at both
     // local scale (file count) and 100 TB (writer memory, one open
     // file per task).
-    bucketize(vecs, id, vec, nBits)
-      .repartition(stripeFanout(spark, 1L << nBits), col("bucket"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(s"$path/buckets")
-    Seq(Tuple1(nBits)).toDF("n_bits")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/meta")
+    inParallel(
+      () => bucketize(vecs, id, vec, nBits)
+        .repartition(stripeFanout(spark, 1L << nBits), col("bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(s"$path/buckets"),
+      () => Seq(Tuple1(nBits)).toDF("n_bits")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/meta"))
     // Same stale-tombstone reset + empty-seed as writeIvfIndex, AFTER
     // the data writes: a failed rebuild keeps the old tombstones (RTBF-
     // safe) rather than un-deleting rows over surviving old data; the
@@ -1095,9 +1133,14 @@ object Similarity {
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
     requireIndexDir(spark, path, Seq("meta", "buckets"), "Lsh")
-    requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
-      path, "compactLshIndex")
-    val nBits = loadLshNBits(spark, path)
+    // Guard and meta load are independent bounded jobs — run
+    // concurrently (the appendToIvfPqIndex discipline).
+    var nBits0: Int = -1
+    inParallel(
+      () => requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
+        path, "compactLshIndex"),
+      () => nBits0 = loadLshNBits(spark, path))
+    val nBits = nBits0
     val banded = bucketize(newVecs, id, vec, nBits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1277,9 +1320,14 @@ object Similarity {
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
     requireIndexDir(spark, path, Seq("centroids", "lists"), "Ivf")
-    requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
-      path, "compactIvfIndex")
-    val assigned = ivfAssign(newVecs, id, vec, loadIvfCentroids(spark, path))
+    // Guard and centroid load are independent bounded jobs — run
+    // concurrently (the appendToIvfPqIndex discipline).
+    var cents0: Array[Array[Float]] = null
+    inParallel(
+      () => requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
+        path, "compactIvfIndex"),
+      () => cents0 = loadIvfCentroids(spark, path))
+    val assigned = ivfAssign(newVecs, id, vec, cents0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // Live-duplicate guard, pruned to the shard's own stripe set
@@ -1312,14 +1360,20 @@ object Similarity {
       newVecs: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val spark = newVecs.sparkSession
     requireIndexDir(spark, path, Seq("codebooks", "codes"), "Pq")
-    requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
-      path, "compactPqIndex")
+    // Both guards and the codebook load are independent bounded jobs —
+    // run concurrently ([[inParallel]]; the lowest-index error wins, so
+    // the tombstone guard still takes precedence over the live-id one).
     // Live-duplicate guard: the code table is unpartitioned (no probe
     // key to prune by), so the guard is a column-pruned scan of the
     // id longs alone — the same bandwidth class as the ADC probe scan.
-    requireNewIds(spark, s"$path/codes", None,
-      newVecs.select(id.cast("long").as("id")), "appendToPqIndex")
-    pqEncode(newVecs, id, vec, loadPqCodebooks(spark, path))
+    var cbs0: Seq[(Int, Int, Array[Double])] = null
+    inParallel(
+      () => requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
+        path, "compactPqIndex"),
+      () => requireNewIds(spark, s"$path/codes", None,
+        newVecs.select(id.cast("long").as("id")), "appendToPqIndex"),
+      () => cbs0 = loadPqCodebooks(spark, path))
+    pqEncode(newVecs, id, vec, cbs0)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/codes")
   }
@@ -1338,12 +1392,13 @@ object Similarity {
     val spark = encoded.sparkSession
     import spark.implicits._
     clearCompletionMarker(spark, path)
-    encoded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/codes")
-    codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }
-      .toDF("j", "cl", "c")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/codebooks")
+    inParallel(
+      () => encoded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/codes"),
+      () => codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }
+        .toDF("j", "cl", "c")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/codebooks"))
     // Same stale-tombstone reset + empty-seed as writeIvfIndex, AFTER
     // the data writes (failed rebuild keeps the old tombstones); the
     // marker closes the seed-crash window.
@@ -1565,21 +1620,26 @@ object Similarity {
     val spark = encoded.sparkSession
     import spark.implicits._
     clearCompletionMarker(spark, path)
-    encoded.repartition(stripeFanout(spark, centroids.length.toLong),
-        col("list"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("list").parquet(s"$path/lists")
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list", "centroid")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/centroids")
-    cbs.codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }
-      .toDF("j", "cl", "c")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/codebooks")
-    Seq(Tuple1(cbs.encoding)).toDF("encoding")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/meta")
+    // Four independent data artifacts, written concurrently
+    // ([[inParallel]] — sequentially they paid four job floors back to
+    // back); seed + marker stay ordered after all of them.
+    inParallel(
+      () => encoded
+        .repartition(stripeFanout(spark, centroids.length.toLong),
+          col("list"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("list").parquet(s"$path/lists"),
+      () => centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list", "centroid")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/centroids"),
+      () => cbs.codebooks.map { case (j, cl, c) => (j, cl, c.toSeq) }
+        .toDF("j", "cl", "c")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/codebooks"),
+      () => Seq(Tuple1(cbs.encoding)).toDF("encoding")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/meta"))
     seedEmptyTombstones(spark, path)
     writeCompletionMarker(spark, path)
   }
@@ -1627,12 +1687,20 @@ object Similarity {
     val spark = newVecs.sparkSession
     requireIndexDir(spark, path,
       Seq("centroids", "codebooks", "lists", "meta"), "IvfPq")
-    requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
-      path, "compactIvfPqIndex")
+    // The tombstone guard and the three parameter-table loads are
+    // independent bounded jobs — run concurrently ([[inParallel]]);
+    // Thread.join orders the writes below after all four.
+    var cents0: Array[Array[Float]] = null
+    var enc0: String = null
+    var cbs0: Seq[(Int, Int, Array[Double])] = null
+    inParallel(
+      () => requireNotTombstoned(newVecs.select(id.cast("long").as("id")),
+        path, "compactIvfPqIndex"),
+      () => cents0 = loadIvfCentroids(spark, path),
+      () => enc0 = loadIvfPqEncoding(spark, path),
+      () => cbs0 = loadPqCodebooks(spark, path))
     val encoded = ivfPqEncode(newVecs, id, vec,
-        loadIvfCentroids(spark, path),
-        IvfPqCodebooks(loadIvfPqEncoding(spark, path),
-          loadPqCodebooks(spark, path)))
+        cents0, IvfPqCodebooks(enc0, cbs0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = encoded.select(col("list")).distinct()
@@ -1981,21 +2049,13 @@ object Similarity {
     val ksub = codebooks.map(_._2).max + 1
     require((ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
     val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
-    val dsub = codebooks.head._3.length
-    val cbArr = array((0 until m).map { j =>
-      array((0 until ksub).map { c =>
-        typedLit(codebooks.find(p => p._1 == j && p._2 == c)
-          .map(_._3.toSeq)
-          .getOrElse(Seq.fill(dsub)(Double.NegativeInfinity)))
-      }: _*)
-    }: _*)
-    val lutSum = (0 until m).map { j =>
-      val cw = element_at(element_at(cbArr, j + 1),
-        shiftright(col("codes"), j * bits)
-          .bitwiseAND(lit((ksub - 1).toLong)).cast("int") + 1)
-      ddot(transform(slice(col("qv"), j * dsub + 1, dsub),
-        _.cast("double")), cw)
-    }.reduce(_ + _)
+    // Native codegen'd ADC sum ([[graft.expressions.PqAdcScore]] — the
+    // [[graft.expressions.L2ArgminCode]] discipline): same per-subspace
+    // left-fold dots and left-to-right subspace sum as the HOF chain it
+    // replaces (retained as [[adcLutSumHof]], spec-gated equal), so the
+    // batch≡single bit-mirror contract is unchanged.
+    val lutSum = graft.expressions.PqAdcScore.score(
+      col("qv"), col("codes"), adcCbData(codebooks), bits)
     val approx =
       if (cbs.encoding == "residual") {
         val ucArr = array(centroids.map(c =>
@@ -2151,17 +2211,16 @@ object Similarity {
     * scans at memory bandwidth, while the full vectors stay in cold
     * storage and are fetched only for the final rerank join.
     *
-    * Scale shape: training iterates on the (id, subspace, subvector)
-    * relation OF A BOUNDED SAMPLE ([[fitSampleOf]] — the `fitSampleRows`
-    * smallest (xxhash64(id), id) values, [[ivfIndex]]'s deterministic
-    * hash-ordered discipline; defaults to [[PqFitSampleRowsDefault]],
-    * inactive below it) — per iteration one broadcast-join assignment
-    * pass and a (subspace, codeword, dim) partial aggregation
-    * collecting exactly m·ksub·dsub rows (parameter-bounded, never
-    * corpus-bound); encoding is one codegen'd map pass against the
-    * codebook literal over EVERY vector (assignment is never sampled).
-    * Driver collects: the ksub init vectors and the m·ksub·dsub
-    * centroid table — both parameter-sized.
+    * Scale shape: training collects A BOUNDED SAMPLE once
+    * ([[fitSampleOf]] — the `fitSampleRows` smallest (xxhash64(id), id)
+    * values, [[ivfIndex]]'s deterministic hash-ordered discipline;
+    * defaults to [[PqFitSampleRowsDefault]]) and runs the Lloyd
+    * schedule on the driver, exactly like [[ivfIndex]]'s centroid fit —
+    * one Spark job per fit instead of one broadcast-join + shuffle per
+    * iteration ([[fitCodebooksWithErr]]); encoding is one codegen'd
+    * map pass against the codebook literal over EVERY vector
+    * (assignment is never sampled). Driver memory: the sample —
+    * fitSampleRows × d doubles, [[lloydFit]]'s envelope.
     *
     * Returns (codebooks as (subspace, codeword, centroid), encoded
     * (id, codes) with `codes` the packed long). Zero-norm vectors are
@@ -2191,10 +2250,9 @@ object Similarity {
     * (id, w) — [[pqIndex]]'s Lloyd schedule factored out so
     * [[ivfPqFitCodebooks]] can run it on RESIDUALS: init from the
     * first `ksub` ids' subvectors (deterministic, partition-invariant),
-    * then `iters` rounds of broadcast-candidate L2 assignment
-    * ([[l2Assign]] — the one assignment definition) and 6-dp-rounded
-    * per-(j, cl, dim) means. The per-iteration collect is m·ksub·dsub
-    * values — parameter-sized. */
+    * then `iters` rounds of L2 assignment and 6-dp-rounded per-(j, cl,
+    * dim) means — driver-side on the bounded sample, see
+    * [[fitCodebooksWithErr]]. */
   /** [[ivfIndex]]'s `fitSampleRows` default, shared by the PQ fits —
     * codebook ESTIMATES converge with a representative sample (the
     * FAISS training-buffer convention), so past this bound extra rows
@@ -2204,28 +2262,22 @@ object Similarity {
   val PqFitSampleRowsDefault: Long = 100000L
 
   /** The deterministic bounded fit sample — [[ivfIndex]]'s exact
-    * discipline applied to the DISTRIBUTED PQ fit: the `fitSampleRows`
-    * smallest (xxhash64(id), id) values, one TakeOrderedAndProject —
+    * discipline applied to the PQ fits: the `fitSampleRows` smallest
+    * (xxhash64(id), id) values, one TakeOrderedAndProject —
     * hash-ordered so the bound is UNBIASED when ids correlate with
     * ingest time, partition-invariant because the hash is a pure
-    * function of the id. Unlike [[ivfIndex]]'s driver-collected
-    * sample, the PQ fit stays a Spark plan, so the sample bounds the
-    * per-iteration scan (m × sample subvector rows instead of m ×
-    * corpus), not driver memory. `fitSampleRows ≤ 0` disables
-    * sampling; the ENCODE pass always covers every vector either
-    * way. */
+    * function of the id. The fit collects this frame
+    * ([[fitCodebooksWithErr]]'s driver-side Lloyd), so the bound sizes
+    * BOTH the per-fit scan and driver memory — exactly [[ivfIndex]]'s
+    * own sample contract (the round-19 repartition re-spread fed the
+    * since-removed distributed fit and would now only add an exchange
+    * before the collect). `fitSampleRows ≤ 0` disables sampling; the
+    * ENCODE pass always covers every vector either way. */
   private def fitSampleOf(un: DataFrame, fitSampleRows: Long): DataFrame =
     if (fitSampleRows <= 0) un
     else
-      // GlobalLimit emits ONE partition — without the re-spread the
-      // fit's subvector explode and assignment joins run
-      // single-threaded (measured ~2.5× on the composed fixtures).
-      // repartition(id) is deterministic in CONTENT per partition; the
-      // Lloyd means are 6-dp-rounded — the standing discipline that
-      // already makes them layout-stable across 8-vs-32-cpu gates.
       un.orderBy(xxhash64(col("id")), col("id"))
         .limit(math.min(fitSampleRows, Int.MaxValue.toLong).toInt)
-        .repartition(col("id"))
 
   private def fitCodebooks(
       un: DataFrame, m: Int, ksub: Int,
@@ -2238,11 +2290,33 @@ object Similarity {
     * between the raw and residual conventions (the per-row ADC error
     * for inner-product ranking is ⟨q, target − target̂⟩, so the
     * smaller error norm is the better codebook set in expectation).
-    * One extra broadcast-join + single-row aggregate over the
-    * already-persisted subs frame, paid ONLY by auto mode — the plain
-    * fits skip it (it cost ~20% of a q89-shaped fit when it ran
-    * unconditionally); the cross-row mean is 6-dp-rounded so the
-    * comparison is stable across partition layouts. */
+    *
+    * DRIVER-SIDE fit (round 20) — [[lloydFit]]'s own doctrine applied
+    * to the PQ codebooks: the fit input is sample-bounded BY DESIGN
+    * ([[fitSampleOf]], the FAISS training-buffer convention), so the
+    * fit collects it once and runs the deterministic Lloyd schedule on
+    * the driver — the distributed form paid ~4 Spark jobs per fit plus
+    * one broadcast-join + shuffle PER ITERATION to move m·ksub·dsub
+    * parameter-sized aggregates (measured 1.4–2.2 s per composed fit
+    * at sf0.1, R20Split6, ~90% scheduling floor), and its partial
+    * aggregation made the means partition-layout-dependent (absorbed
+    * by the 6-dp rounding — the r16 q191 risk class [[lloydFit]]
+    * already banned for centroids). Driver memory envelope =
+    * [[lloydFit]]'s: fitSampleRows × d doubles. `fitSampleRows ≤ 0`
+    * (sampling disabled) collects the whole corpus — size the bound to
+    * the driver exactly as for [[ivfIndex]].
+    *
+    * Semantics preserved operation for operation: per-row dsub =
+    * ⌊width/m⌋ slices; init = the ksub smallest ids' subvectors, cl in
+    * id order; assignment = (round6 d2, cl) argmin with
+    * length-mismatch d2 sorting smallest ([[l2AssignHof]]'s struct-min,
+    * [[graft.expressions.L2ArgminCode]]'s arithmetic); recompute =
+    * per-(cl, dim) means over members (round(sum/count, 6) — the sum
+    * now in id order, deterministic, where the distributed fit's
+    * partial-agg order varied); clusters that lose every member drop
+    * out. Subspaces are independent — the loop parallelizes across j
+    * with disjoint state (the [[lloydFitImpl]] discipline), bit-equal
+    * to the sequential schedule by construction. */
   private def fitCodebooksWithErr(
       un: DataFrame, m: Int, ksub: Int,
       iters: Int, withErr: Boolean = true)
@@ -2250,81 +2324,153 @@ object Similarity {
     require(ksub >= 2 && (ksub & (ksub - 1)) == 0, "ksub must be a power of 2")
     val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
     require(m * bits <= 64, s"m*log2(ksub)=${m * bits} exceeds one long")
-    val spark = un.sparkSession
-    import spark.implicits._
 
-    // Pin the (sample-bounded) fit frame for the fit's duration: both
-    // consumers below — the init-ids collect and the subvector explode —
-    // otherwise recompute the whole upstream chain independently, and
-    // for a sampled fit that chain is [[fitSampleOf]]'s sort + global
-    // limit + repartition (measured ~0.5 s per extra computation at
-    // sf0.1). Sample-bounded by construction, so the cache is
-    // parameter-sized; released before returning.
-    val unP = un.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val dsubCol = (size(col("w")) / m).cast("int")
-    val subs = unP.select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(m - 1)), j =>
-          slice(col("w"), j * dsubCol + 1, dsubCol))).as(Seq("j", "sub")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val init = unP.orderBy(col("id")).limit(ksub)
-      .select(col("id"), size(col("w")).as("d")).as[(Long, Int)]
-      .collect().toSeq
-    // Validated against the first non-null vector (like the ksub
-    // power-of-2 check): dsub = ⌊d/m⌋ slices cover only m·dsub
+    // One bounded collect, id-sorted so every fold below has one
+    // deterministic order (the ivfIndex sample discipline).
+    val sample: Array[Array[Double]] = un.select(col("id"), col("w"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    if (sample.isEmpty) return (Seq.empty, 0.0)
+    // Validated against the first (smallest-id) vector, as the old
+    // init-row check did: dsub = ⌊d/m⌋ slices cover only m·dsub
     // components, so a non-divisible dim would silently drop the
     // trailing d % m dimensions from ADC scoring while the exact
     // rerank uses the full vector — recall would degrade with no error.
-    init.headOption.foreach { case (_, d) =>
-      require(d % m == 0,
-        s"vector dim $d is not divisible by m=$m (trailing ${d % m} " +
-          "dims would be ignored by ADC scoring)")
+    val d0 = sample.head.length
+    require(d0 % m == 0,
+      s"vector dim $d0 is not divisible by m=$m (trailing ${d0 % m} " +
+        "dims would be ignored by ADC scoring)")
+
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // Per-row slice width — the old fit's per-row dsub expression: a
+    // ragged row yields short subvectors whose length-mismatched d2 is
+    // null and sorts smallest (L2ArgminCode's contract).
+    def subOf(w: Array[Double], j: Int): Array[Double] = {
+      val dsub = w.length / m
+      java.util.Arrays.copyOfRange(w, j * dsub, j * dsub + dsub)
     }
-    val initIds = init.map(_._1)
-    val initRows = subs.filter(col("id").isin(initIds: _*))
-      .select(col("id"), col("j"), col("sub")).collect()
-    var cbs: Seq[(Int, Int, Array[Double])] = initRows
-      .groupBy(_.getInt(1)).toSeq.flatMap { case (j, rows) =>
-        rows.sortBy(_.getLong(0)).zipWithIndex.map { case (r, cl) =>
-          (j, cl, r.getSeq[Double](2).toArray)
+    def argmin(cands: IndexedSeq[(Int, Array[Double])],
+        sub: Array[Double]): Int = {
+      var bestCl = 0; var bestD2 = 0.0
+      var bestNull = false; var found = false
+      cands.foreach { case (cl, c) =>
+        var d2 = 0.0
+        val isNull = c.length != sub.length
+        if (!isNull) {
+          var i = 0
+          while (i < sub.length) { val t = sub(i) - c(i); d2 += t * t; i += 1 }
+          d2 = round6(d2)
+        }
+        val lt =
+          if (!found) true
+          else if (isNull && bestNull) cl < bestCl
+          else if (isNull) true
+          else if (bestNull) false
+          else {
+            val cc = java.lang.Double.compare(d2, bestD2)
+            if (cc != 0) cc < 0 else cl < bestCl
+          }
+        if (lt) { bestCl = cl; bestD2 = d2; bestNull = isNull; found = true }
+      }
+      bestCl
+    }
+
+    // init: the ksub smallest ids' subvectors, cl in id order (the
+    // sample is id-sorted, so positions 0..nInit-1 ARE those rows).
+    val nInit = math.min(ksub, sample.length)
+    var cbs: Array[IndexedSeq[(Int, Array[Double])]] =
+      Array.tabulate(m)(j =>
+        (0 until nInit).map(cl => cl -> subOf(sample(cl), j)))
+
+    for (_ <- 1 to iters) {
+      val next = new Array[IndexedSeq[(Int, Array[Double])]](m)
+      java.util.stream.IntStream.range(0, m).parallel().forEach { j =>
+        val cands = cbs(j)
+        // per-(cl, dim) sums and counts, members folded in id order;
+        // per-dim counts because a ragged row contributes only its own
+        // dims (the posexplode grouping's semantics).
+        val sums = collection.mutable.LinkedHashMap
+          .empty[Int, collection.mutable.ArrayBuffer[Double]]
+        val counts = collection.mutable.Map
+          .empty[Int, collection.mutable.ArrayBuffer[Long]]
+        sample.foreach { w =>
+          val sub = subOf(w, j)
+          val cl = argmin(cands, sub)
+          val s = sums.getOrElseUpdate(cl,
+            collection.mutable.ArrayBuffer.empty[Double])
+          val n = counts.getOrElseUpdate(cl,
+            collection.mutable.ArrayBuffer.empty[Long])
+          var i = 0
+          while (i < sub.length) {
+            if (i >= s.length) { s += 0.0; n += 0L }
+            s(i) += sub(i); n(i) += 1L
+            i += 1
+          }
+        }
+        next(j) = sums.keys.toIndexedSeq.sorted.map { cl =>
+          val s = sums(cl); val n = counts(cl)
+          cl -> Array.tabulate(s.length)(i => round6(s(i) / n(i)))
         }
       }
-    def candDf(cs: Seq[(Int, Int, Array[Double])]): DataFrame =
-      cs.map { case (j, cl, c) => (j, cl, c.toSeq) }.toDF("j", "cl", "c")
-        .groupBy(col("j"))
-        .agg(collect_list(struct(col("cl"), col("c"))).as("cands"))
-    for (_ <- 1 to iters) {
-      val rows = subs.join(broadcast(candDf(cbs)), "j")
-        .withColumn("cl", l2Assign(col("cands"), col("sub")))
-        .select(col("j"), col("cl"), posexplode(col("sub")).as(Seq("dim", "x")))
-        .groupBy(col("j"), col("cl"), col("dim"))
-        .agg(round(sum(col("x")) / count(lit(1)), 6).as("c"))
-        .collect()
-      cbs = rows.groupBy(r => (r.getInt(0), r.getInt(1))).toSeq.sortBy(_._1)
-        .map { case ((j, cl), dims) =>
-          (j, cl, dims.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
-        }
+      cbs = next
     }
+    val out: Seq[(Int, Int, Array[Double])] =
+      (0 until m).flatMap(j => cbs(j).map { case (cl, c) => (j, cl, c) })
     val err =
       if (!withErr) 0.0
-      else subs.join(broadcast(candDf(cbs)), "j")
-        .select(array_min(transform(col("cands"), ct =>
-          round(aggregate(zip_with(col("sub"), ct.getField("c"),
-            (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x),
-            6))).as("d2"))
-        .agg(round(avg(col("d2")), 6)).collect().head.getDouble(0)
-    subs.unpersist()
-    unP.unpersist()
-    (cbs, err)
+      else {
+        // mean over all (row × subspace) pairs of the min per-candidate
+        // round6(d2) — null (length-mismatch) distances skipped, rows
+        // whose every candidate is null skipped, exactly like the old
+        // array_min + avg; fold order: subspace-major, rows in id order.
+        var sum = 0.0; var n = 0L
+        var j = 0
+        while (j < m) {
+          val cands = cbs(j)
+          sample.foreach { w =>
+            val sub = subOf(w, j)
+            var best = Double.NaN; var any = false
+            cands.foreach { case (_, c) =>
+              if (c.length == sub.length) {
+                var d2 = 0.0; var i = 0
+                while (i < sub.length) {
+                  val t = sub(i) - c(i); d2 += t * t; i += 1
+                }
+                d2 = round6(d2)
+                if (!any || d2 < best) { best = d2; any = true }
+              }
+            }
+            if (any) { sum += best; n += 1L }
+          }
+          j += 1
+        }
+        if (n == 0) 0.0 else round6(sum / n)
+      }
+    (out, err)
   }
 
   /** L2 argmin against a candidate array<struct(cl, c)>: min over
     * (round(||sub-c||², 6), cl) structs — deterministic tie-break. The
     * ONE assignment definition shared by PQ training, PQ encode (build
     * and append) and IVF frozen-centroid assignment, so an appended
-    * row is coded exactly as the original build would have coded it. */
+    * row is coded exactly as the original build would have coded it.
+    * Native codegen'd expression ([[graft.expressions.L2ArgminCode]] —
+    * the [[graft.expressions.FloatVecDot]] discipline): the HOF
+    * composition below is CodegenFallback and allocates an
+    * intermediate array per (row × candidate) — m·ksub = 256 per
+    * encoded row at the composed family's geometry. Bit-equal by
+    * construction and gated in `ExpressionCodegenSpec`. */
   private def l2Assign(cands: Column, sub: Column): Column =
+    graft.expressions.L2ArgminCode.argmin(cands, sub)
+
+  /** The pre-native HOF formulation of [[l2Assign]] — retained ONLY as
+    * the equality oracle for [[graft.expressions.L2ArgminCode]]'s spec
+    * (the [[graft.functions.VectorFunctions.hyperplaneBucketHof]]
+    * convention). */
+  private[graft] def l2AssignHof(cands: Column, sub: Column): Column =
     array_min(transform(cands, ct => struct(
       round(aggregate(zip_with(sub, ct.getField("c"),
         (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x),
@@ -2462,6 +2608,51 @@ object Similarity {
           .bitwiseAND(lit((ksub - 1).toLong)).cast("int") + 1)
     }.reduce(_ + _)
     round(offset.fold(lutSum)(lutSum + _), 6)
+  }
+
+  /** The [m][ksub][dsub] codebook constant [[graft.expressions
+    * .PqAdcScore]] scores against — dead codewords NegativeInfinity-
+    * filled exactly like the literal array the HOF chain indexed (an
+    * accidental hit can never rank). */
+  private def adcCbData(
+      codebooks: Seq[(Int, Int, Array[Double])]): Array[Array[Array[Double]]] = {
+    val m = codebooks.map(_._1).max + 1
+    val ksub = codebooks.map(_._2).max + 1
+    val dsub = codebooks.head._3.length
+    (0 until m).map { j =>
+      (0 until ksub).map { c =>
+        codebooks.find(p => p._1 == j && p._2 == c).map(_._3)
+          .getOrElse(Array.fill(dsub)(Double.NegativeInfinity))
+      }.toArray
+    }.toArray
+  }
+
+  /** The pre-native HOF formulation of the batch ADC sum — retained
+    * ONLY as the equality oracle for [[graft.expressions.PqAdcScore]]'s
+    * spec (the [[l2AssignHof]] convention). */
+  private[graft] def adcLutSumHof(
+      codebooks: Seq[(Int, Int, Array[Double])],
+      qv: Column, codes: Column): Column = {
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+    val m = codebooks.map(_._1).max + 1
+    val ksub = codebooks.map(_._2).max + 1
+    val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
+    val dsub = codebooks.head._3.length
+    val cbArr = array((0 until m).map { j =>
+      array((0 until ksub).map { c =>
+        typedLit(codebooks.find(p => p._1 == j && p._2 == c)
+          .map(_._3.toSeq)
+          .getOrElse(Seq.fill(dsub)(Double.NegativeInfinity)))
+      }: _*)
+    }: _*)
+    (0 until m).map { j =>
+      val cw = element_at(element_at(cbArr, j + 1),
+        shiftright(codes, j * bits)
+          .bitwiseAND(lit((ksub - 1).toLong)).cast("int") + 1)
+      ddot(transform(slice(qv, j * dsub + 1, dsub), _.cast("double")), cw)
+    }.reduce(_ + _)
   }
 
   /** Past this shortlist size the rerank keeps the join form: an

@@ -100,6 +100,86 @@ class ExpressionCodegenSpec extends SparkSpec {
     }
   }
 
+  test("l2_argmin_code equals the array_min(transform) HOF formulation, " +
+      "including length-mismatch / null-element / null-sub edges") {
+    val cands = array(
+      struct(lit(0).as("cl"), typedLit(Seq(0.0, 0.0, 0.0)).as("c")),
+      struct(lit(1).as("cl"), typedLit(Seq(1.0, 1.0, 1.0)).as("c")),
+      struct(lit(2).as("cl"), typedLit(Seq(0.5, 0.5, 0.5)).as("c")))
+    val df = Seq(
+      (1L, Seq[java.lang.Double](0.4, 0.4, 0.4)),    // nearest cl=2
+      (2L, Seq[java.lang.Double](0.9, 1.1, 1.0)),    // nearest cl=1
+      (3L, Seq[java.lang.Double](0.25, 0.25, 0.25)), // exact d2 tie 0 vs 2 → 0
+      (4L, Seq[java.lang.Double](0.1, 0.1)),         // length mismatch → null d2
+      (5L, Seq[java.lang.Double](0.1, null, 0.1)),   // null element → null d2
+      (6L, null: Seq[java.lang.Double]))             // null sub → null d2
+      .toDF("id", "sub")
+      .repartition(2) // defeat ConvertToLocalRelation so codegen runs
+    val got = df.select(col("id"),
+        graft.expressions.L2ArgminCode.argmin(cands, col("sub")).as("native"),
+        graft.operators.Similarity.l2AssignHof(cands, col("sub")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), s"id=${r.getLong(0)}")
+      assert(r.getInt(1) == r.getInt(2), s"id=${r.getLong(0)}")
+    }
+    // the three null-d2 edges all resolve to the smallest cl, like the
+    // struct-min with NULL-first field ordering
+    assert(got.filter(_.getLong(0) >= 4).forall(_.getInt(1) == 0))
+    // null / empty candidate arrays → NULL (array_min's contract)
+    val edge = Seq(Tuple1(Seq(0.1, 0.2))).toDF("sub").repartition(2)
+      .select(
+        graft.expressions.L2ArgminCode.argmin(
+          lit(null).cast("array<struct<cl:int,c:array<double>>>"),
+          col("sub")).as("n"),
+        graft.expressions.L2ArgminCode.argmin(
+          array().cast("array<struct<cl:int,c:array<double>>>"),
+          col("sub")).as("e"))
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
+
+  test("pq_adc_score equals the slice/zip_with LUT-sum HOF chain, " +
+      "including short-vector and null-element edges") {
+    // m=4 subspaces, ksub=4 codewords, dsub=2 — small enough to read.
+    val cbs: Seq[(Int, Int, Array[Double])] = for {
+      j <- 0 until 4; c <- 0 until 4
+      if !(j == 2 && c == 3) // dead codeword -> -inf fill in both paths
+    } yield (j, c, Array(j * 0.5 + c * 0.25, c * 0.125 - j * 0.75))
+    def fvec(xs: java.lang.Float*): Seq[java.lang.Float] = xs
+    val df = Seq(
+      (1L, fvec(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f), 0x1B2AL),
+      (2L, fvec(0.5f, -1f, 2f, -2f, 3f, -3f, 4f, -4f), 0xFFFFL),
+      (3L, fvec(1f, 2f, 3f, 4f, 5f, 6f), 0x0001L),       // short -> NULL
+      (4L, fvec(1f, null, 3f, 4f, 5f, 6f, 7f, 8f), 0x0L) // null el -> NULL
+    ).toDF("id", "qv", "codes")
+      .repartition(2) // defeat ConvertToLocalRelation so codegen runs
+    val m = 4; val ksub = 4; val dsub = 2
+    val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
+    val cbData = (0 until m).map { j =>
+      (0 until ksub).map { c =>
+        cbs.find(p => p._1 == j && p._2 == c).map(_._3)
+          .getOrElse(Array.fill(dsub)(Double.NegativeInfinity))
+      }.toArray
+    }.toArray
+    val got = df.select(col("id"),
+        graft.expressions.PqAdcScore.score(
+          col("qv"), col("codes"), cbData, bits).as("native"),
+        graft.operators.Similarity.adcLutSumHof(
+          cbs, col("qv"), col("codes")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"id=${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        // bit equality: the dead-codeword row legitimately produces NaN
+        // (-inf terms of mixed sign) on BOTH paths; == would reject it
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          s"id=${r.getLong(0)}")
+    }
+    assert(got.count(r => !r.isNullAt(1)) == 2)
+  }
+
   test("hashed_shingles equals the HOF shingle+xxhash64+sort chain") {
     val texts = Seq("", "   ", "one", "one two", "one two three",
       "a a a a a", "The QUICK  brown\tfox jumps", "x y z x y z x y",
