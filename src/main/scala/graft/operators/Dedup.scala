@@ -1083,21 +1083,32 @@ object Dedup {
     // is the write-once/probe-for-weeks trade; the probe plan never
     // sees it (the scan's distribution comes from the catalog bucket
     // spec, not the file layout).
-    reset(s"${tablePrefix}_banded")
-    index.banded.repartition(buckets, col("bh"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(buckets, "bh").sortBy("bh")
-      .format("parquet").saveAsTable(s"${tablePrefix}_banded")
-    reset(s"${tablePrefix}_rel")
-    index.rel.repartition(buckets, col("id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(buckets, "id").sortBy("id")
-      .format("parquet").saveAsTable(s"${tablePrefix}_rel")
     import spark.implicits._
-    reset(s"${tablePrefix}_meta")
-    Seq((index.n, index.k, index.bands)).toDF("n", "k", "bands")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+    // The three tables are independent artifacts — reset+write each on
+    // its own thread (Similarity.inParallel, guide §2.6: back to back
+    // they paid three job floors; the banded/rel relations are both
+    // persisted, so the concurrent writes read the cache, not recompute).
+    Similarity.inParallel(
+      () => {
+        reset(s"${tablePrefix}_banded")
+        index.banded.repartition(buckets, col("bh"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .bucketBy(buckets, "bh").sortBy("bh")
+          .format("parquet").saveAsTable(s"${tablePrefix}_banded")
+      },
+      () => {
+        reset(s"${tablePrefix}_rel")
+        index.rel.repartition(buckets, col("id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .bucketBy(buckets, "id").sortBy("id")
+          .format("parquet").saveAsTable(s"${tablePrefix}_rel")
+      },
+      () => {
+        reset(s"${tablePrefix}_meta")
+        Seq((index.n, index.k, index.bands)).toDF("n", "k", "bands")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+      })
   }
 
   /** Reload a [[writeCorpusIndex]]-persisted index in (possibly) a fresh
@@ -1410,36 +1421,48 @@ object Dedup {
     // invisible to every probe until a compaction — silent data loss
     // under a delete-by-mistake-then-re-add churn. One broadcast-sized
     // semi-join per append; the error names the fix.
-    if (spark.catalog.tableExists(tombstonesTable(tablePrefix))) {
-      val clash = shard.select(id.cast("long").as("id"))
-        .join(tombstoneSide(spark, tablePrefix), Seq("id"), "left_semi")
-        .limit(5).collect().map(_.getLong(0))
-      require(clash.isEmpty,
-        s"append would re-ingest tombstoned id(s) ${clash.mkString(", ")} " +
-          s"into corpus index '$tablePrefix' — a tombstoned id stays " +
-          "invisible to every probe until compaction clears the " +
-          "tombstones; run compactCorpusIndex first, then re-append")
-    }
-    // Live-duplicate guard (the Similarity requireNewIds discipline):
-    // tombstoned ids were rejected above, so any clash here is an id
-    // whose rows are LIVE — a retry would land them twice.
-    val liveClash = spark.table(s"${tablePrefix}_rel").select(col("id"))
-      .join(shard.select(id.cast("long").as("id")), Seq("id"), "left_semi")
-      .limit(5).collect().map(_.getLong(0))
-    require(liveClash.isEmpty,
-      s"appendToCorpusIndex would duplicate LIVE id(s) " +
-        s"${liveClash.mkString(", ")}" +
-        (if (liveClash.length == 5) ", …" else "") +
-        s" already in corpus index '$tablePrefix' — append ids must be " +
-        "NEW (a retried partially-failed append is the usual cause; " +
-        "the two-table append is not atomic), else probes see the id's " +
-        "rows twice. Recover by appending only the missing rows " +
-        "(anti-join the shard against the index) or by deleting + " +
-        "compacting the id first")
+    // Both guards are independent bounded jobs — run concurrently
+    // (Similarity.inParallel; the lowest-index error wins, so the
+    // tombstone guard keeps its documented precedence over the
+    // live-id one).
+    Similarity.inParallel(
+      () => if (spark.catalog.tableExists(tombstonesTable(tablePrefix))) {
+        val clash = shard.select(id.cast("long").as("id"))
+          .join(tombstoneSide(spark, tablePrefix), Seq("id"), "left_semi")
+          .limit(5).collect().map(_.getLong(0))
+        require(clash.isEmpty,
+          s"append would re-ingest tombstoned id(s) ${clash.mkString(", ")} " +
+            s"into corpus index '$tablePrefix' — a tombstoned id stays " +
+            "invisible to every probe until compaction clears the " +
+            "tombstones; run compactCorpusIndex first, then re-append")
+      },
+      // Live-duplicate guard (the Similarity requireNewIds discipline):
+      // tombstoned ids are rejected by the guard above, so any clash
+      // here is an id whose rows are LIVE — a retry would land them
+      // twice.
+      () => {
+        val liveClash = spark.table(s"${tablePrefix}_rel").select(col("id"))
+          .join(shard.select(id.cast("long").as("id")), Seq("id"), "left_semi")
+          .limit(5).collect().map(_.getLong(0))
+        require(liveClash.isEmpty,
+          s"appendToCorpusIndex would duplicate LIVE id(s) " +
+            s"${liveClash.mkString(", ")}" +
+            (if (liveClash.length == 5) ", …" else "") +
+            s" already in corpus index '$tablePrefix' — append ids must be " +
+            "NEW (a retried partially-failed append is the usual cause; " +
+            "the two-table append is not atomic), else probes see the id's " +
+            "rows twice. Recover by appending only the missing rows " +
+            "(anti-join the shard against the index) or by deleting + " +
+            "compacting the id first")
+      })
     val (k, bands) = (m.getAs[Int]("k"), m.getAs[Int]("bands"))
     val rel = shingleRel(shard, id, text, m.getAs[Int]("n"), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Materialize the shared shingle relation ONCE before the two
+      // inserts run concurrently — otherwise both would race to compute
+      // the same persist.
+      rel.count()
       // insertInto matches columns BY POSITION — select in table order.
       // Cluster to the table's own bucket spec first (the
       // writeCorpusIndex discipline): without it a shard written by T
@@ -1456,9 +1479,13 @@ object Dedup {
         clustered.write.mode(org.apache.spark.sql.SaveMode.Append)
           .insertInto(table)
       }
-      insert(bandedRows(rel, k, bands, carry = Seq("n_sh")),
-        s"${tablePrefix}_banded")
-      insert(rel, s"${tablePrefix}_rel")
+      // The two table appends are independent (different tables, both
+      // reading the materialized cache) — concurrent like the build's
+      // writes.
+      Similarity.inParallel(
+        () => insert(bandedRows(rel, k, bands, carry = Seq("n_sh")),
+          s"${tablePrefix}_banded"),
+        () => insert(rel, s"${tablePrefix}_rel"))
     } finally rel.unpersist(false)
   }
 

@@ -534,7 +534,7 @@ object Similarity {
     * marker discipline already treats ANY interruption between
     * clear-marker and write-marker as a must-rebuild, so concurrent
     * data writes do not widen a crash window. */
-  private def inParallel(tasks: (() => Unit)*): Unit = {
+  private[operators] def inParallel(tasks: (() => Unit)*): Unit = {
     val errs = new Array[Throwable](tasks.size)
     // The active session is a ThreadLocal some analysis-time conf
     // lookups read — propagate the caller's into each worker thread.

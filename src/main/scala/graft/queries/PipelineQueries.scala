@@ -593,8 +593,15 @@ object PipelineQueries {
         docs.filter(col("source") === "src0"), col("text"), n = 3)
       .filter(col("overlap") >= 0.8)
       .select(col("id").as("__dirty_id"))
-    val clean = deduped.join(
-      dirty, col("doc_id") === col("__dirty_id"), "left_anti")
+    // Pin the post-decontamination survivors (the [[Materialize.pin]]
+    // discipline, like `filtered` above): the decontamination join is
+    // the chain's second-most-expensive stage (~2.2 s at sf0.1,
+    // R20Split4) and THREE consumers re-derive it — the mix stage's
+    // rate builds, q120's packing cumsum, and q129's stage-4/5 funnel
+    // aggregates. Survivor-sized, so the checkpoint is small; the scan
+    // budget is unchanged (both parquet scans sit below the pins).
+    val clean = graft.operators.Materialize.pin(deduped.join(
+      dirty, col("doc_id") === col("__dirty_id"), "left_anti"))
     val mixed = Split.matchTargetMix(clean, col("lang"), col("doc_id"),
       Q120Target, budgetFrac = 0.5)
     CurationStages(docs, filtered, deduped, clean, mixed)
