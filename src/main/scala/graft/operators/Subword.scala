@@ -124,39 +124,15 @@ object Subword {
       vocab: Seq[(String, Int)], maxPieceLen: Int): DataFrame = {
     require(maxPieceLen >= 1, "maxPieceLen must be positive")
     require(vocab.nonEmpty, "vocabulary must be non-empty")
-    val vmap = typedLit(vocab.toMap)
-
+    // Native codegen'd walk ([[graft.expressions.SubwordGreedyEncode]]
+    // — the FloatVecDot discipline): the HOF aggregate it replaces
+    // ([[encodeWordHof]], retained as the spec's equality oracle) ran
+    // len iterations per word OCCURRENCE, each allocating a
+    // maxPieceLen-struct candidate array and probing the map literal
+    // at O(V) — measured ~3 s of the q121-shaped encode at sf0.1.
+    val vm = vocab.toMap
     def encodeWord(w: Column): Column =
-      when(length(w) === 0, array().cast("array<int>")).otherwise(
-        aggregate(
-          // len iterations; each advances pos by ≥1, so the walk is
-          // complete by construction; finished positions no-op.
-          sequence(lit(1), length(w)),
-          struct(lit(1).as("pos"), array().cast("array<int>").as("ids")),
-          (acc, _) => {
-            val pos = acc.getField("pos")
-            val ids = acc.getField("ids")
-            // Candidate lengths 1..M whose piece (a) stays inside the
-            // word — substr silently truncates past the end and would
-            // otherwise record a too-long advance for a shorter match —
-            // and (b) is in vocabulary. array_max picks the longest
-            // (struct compare: first field l).
-            val cands = filter(
-              transform(sequence(lit(1), lit(maxPieceLen)), l =>
-                struct(l.as("l"), element_at(vmap, w.substr(pos, l))
-                  .as("vid"))),
-              s => s.getField("vid").isNotNull &&
-                s.getField("l") <= length(w) - pos + 1)
-            val best = array_max(cands)
-            when(pos > length(w), acc).otherwise(
-              when(size(cands) === 0,
-                struct((pos + 1).as("pos"),
-                  concat(ids, array(lit(-1))).as("ids")))
-                .otherwise(
-                  struct((pos + best.getField("l")).as("pos"),
-                    concat(ids, array(best.getField("vid"))).as("ids"))))
-          },
-          acc => acc.getField("ids")))
+      graft.expressions.SubwordGreedyEncode.encode(w, vm, maxPieceLen)
 
     val t = coalesce(text, lit(""))
     Dedup.spread(df)
@@ -171,6 +147,68 @@ object Subword {
             col("n_words").cast("double"), 4)).as("fertility"),
         array_join(transform(col("__pieces"), _.cast("string")), ">")
           .as("ids"))
+  }
+
+  /** The pre-native HOF formulation of [[encodeWithVocabJoin]]'s
+    * per-distinct-word walk — retained ONLY as the equality oracle for
+    * [[graft.expressions.SubwordGreedyWalk]]'s spec. */
+  private[graft] def walkHof(word: Column, pmap: Column): Column =
+    when(length(word) === 0, array().cast("array<int>")).otherwise(
+      aggregate(
+        sequence(lit(1), length(word)),
+        struct(lit(1).as("pos"), array().cast("array<int>").as("ids")),
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          val ids = acc.getField("ids")
+          val best = element_at(pmap, pos)
+          when(pos > length(word), acc).otherwise(
+            when(best.isNull,
+              struct((pos + 1).as("pos"),
+                concat(ids, array(lit(-1))).as("ids")))
+              .otherwise(
+                struct((pos + best.getField("l")).as("pos"),
+                  concat(ids, array(best.getField("vid"))).as("ids"))))
+        },
+        acc => acc.getField("ids")))
+
+  /** The pre-native HOF formulation of [[encodeWithVocab]]'s per-word
+    * walk — retained ONLY as the equality oracle for
+    * [[graft.expressions.SubwordGreedyEncode]]'s spec (the
+    * [[graft.functions.VectorFunctions.hyperplaneBucketHof]]
+    * convention). */
+  private[graft] def encodeWordHof(
+      w: Column, vocab: Seq[(String, Int)], maxPieceLen: Int): Column = {
+    val vmap = typedLit(vocab.toMap)
+    when(length(w) === 0, array().cast("array<int>")).otherwise(
+      aggregate(
+        // len iterations; each advances pos by ≥1, so the walk is
+        // complete by construction; finished positions no-op.
+        sequence(lit(1), length(w)),
+        struct(lit(1).as("pos"), array().cast("array<int>").as("ids")),
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          val ids = acc.getField("ids")
+          // Candidate lengths 1..M whose piece (a) stays inside the
+          // word — substr silently truncates past the end and would
+          // otherwise record a too-long advance for a shorter match —
+          // and (b) is in vocabulary. array_max picks the longest
+          // (struct compare: first field l).
+          val cands = filter(
+            transform(sequence(lit(1), lit(maxPieceLen)), l =>
+              struct(l.as("l"), element_at(vmap, w.substr(pos, l))
+                .as("vid"))),
+            s => s.getField("vid").isNotNull &&
+              s.getField("l") <= length(w) - pos + 1)
+          val best = array_max(cands)
+          when(pos > length(w), acc).otherwise(
+            when(size(cands) === 0,
+              struct((pos + 1).as("pos"),
+                concat(ids, array(lit(-1))).as("ids")))
+              .otherwise(
+                struct((pos + best.getField("l")).as("pos"),
+                  concat(ids, array(best.getField("vid"))).as("ids"))))
+        },
+        acc => acc.getField("ids")))
   }
 
   /** Greedy longest-match encode against a vocabulary DATAFRAME — the
@@ -240,25 +278,11 @@ object Subword {
 
     // The [[encodeWithVocab]] walk with the map-literal probe swapped
     // for the per-word materialized map (null map = zero matches →
-    // all-UNK, one per character).
+    // all-UNK, one per character). Native codegen'd expression
+    // ([[graft.expressions.SubwordGreedyWalk]]); the HOF it replaces is
+    // retained as [[walkHof]], the spec's equality oracle.
     def walk(word: Column, pmap: Column): Column =
-      when(length(word) === 0, array().cast("array<int>")).otherwise(
-        aggregate(
-          sequence(lit(1), length(word)),
-          struct(lit(1).as("pos"), array().cast("array<int>").as("ids")),
-          (acc, _) => {
-            val pos = acc.getField("pos")
-            val ids = acc.getField("ids")
-            val best = element_at(pmap, pos)
-            when(pos > length(word), acc).otherwise(
-              when(best.isNull,
-                struct((pos + 1).as("pos"),
-                  concat(ids, array(lit(-1))).as("ids")))
-                .otherwise(
-                  struct((pos + best.getField("l")).as("pos"),
-                    concat(ids, array(best.getField("vid"))).as("ids"))))
-          },
-          acc => acc.getField("ids")))
+      graft.expressions.SubwordGreedyWalk.walk(word, pmap)
 
     val encoded = words.join(pmaps, Seq("__w"), "left")
       .select(w, walk(w, col("__pmap")).as("__ids"))

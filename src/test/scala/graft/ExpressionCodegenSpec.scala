@@ -180,6 +180,71 @@ class ExpressionCodegenSpec extends SparkSpec {
     assert(got.count(r => !r.isNullAt(1)) == 2)
   }
 
+  test("subword_greedy_encode equals the aggregate-HOF walk, including " +
+      "empty words, no-match chars, and longest-match ties at word end") {
+    val vocab = Seq("a" -> 0, "b" -> 1, "ab" -> 2, "abc" -> 3, "bc" -> 4,
+      "cc" -> 5, "é" -> 6, "éa" -> 7)
+    val words = Seq("", "a", "ab", "abc", "abcc", "ccc", "zzz", "azb",
+      "abcabc", "éaé", "xabcx", "bcbc").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "w")
+      .repartition(2) // defeat ConvertToLocalRelation so codegen runs
+    val got = words.select(col("id"),
+        graft.expressions.SubwordGreedyEncode.encode(
+          col("w"), vocab.toMap, 3).as("native"),
+        graft.operators.Subword.encodeWordHof(col("w"), vocab, 3).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"id=${r.getLong(0)}: ${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+    }
+    // null word -> null on both paths (transform lambda over a null
+    // element; the HOF aggregate over sequence(1, null) is null)
+    val nulls = Seq(Tuple1(Option.empty[String])).toDF("w").repartition(2)
+      .select(
+        graft.expressions.SubwordGreedyEncode.encode(
+          col("w"), vocab.toMap, 3).as("native"),
+        graft.operators.Subword.encodeWordHof(col("w"), vocab, 3).as("hof"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("subword_greedy_walk equals the aggregate-HOF walk over the " +
+      "materialized position map, including null-map and empty words") {
+    // pmap built from a real vocab via the join path's own aggregates
+    // would be integration, not unit — construct maps directly.
+    val pmapT = "map<int,struct<l:int,vid:int>>"
+    val df = Seq(
+      (1L, "abcab", Map(1 -> (3, 7), 4 -> (2, 2))),  // abc, ab
+      (2L, "abcab", Map(2 -> (2, 9))),               // -1, bc, -1, -1
+      (3L, "xyz", Map.empty[Int, (Int, Int)]),       // all UNK
+      (4L, "", Map(1 -> (1, 0)))                     // empty word
+    ).toDF("id", "w", "pm0")
+      .withColumn("pm", col("pm0").cast(pmapT))
+      .repartition(2) // defeat ConvertToLocalRelation so codegen runs
+    val got = df.select(col("id"),
+        graft.expressions.SubwordGreedyWalk.walk(col("w"), col("pm"))
+          .as("native"),
+        graft.operators.Subword.walkHof(col("w"), col("pm")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"id=${r.getLong(0)}: ${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+    }
+    // null map (left-join miss) -> all-UNK on both paths; null word -> null
+    val edge = Seq((1L, "ab")).toDF("id", "w").repartition(2)
+      .withColumn("pm", lit(null).cast(pmapT))
+      .select(
+        graft.expressions.SubwordGreedyWalk.walk(col("w"), col("pm"))
+          .as("native"),
+        graft.operators.Subword.walkHof(col("w"), col("pm")).as("hof"),
+        graft.expressions.SubwordGreedyWalk.walk(
+          lit(null).cast("string"), col("pm")).as("nw"))
+      .collect().head
+    assert(edge.getSeq[Int](0) == Seq(-1, -1) &&
+      edge.getSeq[Int](1) == Seq(-1, -1) && edge.isNullAt(2))
+  }
+
   test("hashed_shingles equals the HOF shingle+xxhash64+sort chain") {
     val texts = Seq("", "   ", "one", "one two", "one two three",
       "a a a a a", "The QUICK  brown\tfox jumps", "x y z x y z x y",
